@@ -1,0 +1,92 @@
+"""Crawl configuration.
+
+Mirrors the reference's ``CrawlerProperties`` (reference:
+config/CrawlerProperties.java:10-42 and application.yml:36-54): max depth,
+retry ceiling, allow/exclude URL regexes, politeness delay. Adds the knobs
+the Spark engine needs that the reference keeps implicit: per-round per-host
+fetch budget (the batch analog of ``crawl-delay``), URL-seen bloom shard
+count, and skew-salting thresholds (BASELINE.json north_rule).
+
+Everything is a frozen dataclass so it pickles cheaply into Arrow UDF
+closures (no driver-side globals captured by reference).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # --- reference-parity knobs -------------------------------------------
+    # reference: config/CrawlerProperties.java:14 (default 10; yml 5)
+    max_depth: int = 5
+    # reference: config/CrawlerProperties.java:22 (default 3)
+    max_retry_attempts: int = 3
+    # reference: config/CrawlerProperties.java:27-33 — empty list => allow all
+    allowed_domains: tuple[str, ...] = ()
+    # reference: config/CrawlerProperties.java:35-41 — full-match regexes
+    exclude_patterns: tuple[str, ...] = ()
+    # reference: config/CrawlerProperties.java:15 (PT1S) — expressed per
+    # round: how many fetches a single host may serve in one BSP round.
+    host_budget_per_round: int = 2
+    # reference: core/WebCrawler.java:254 enableDelayRetry — if False,
+    # over-budget rows are REJECTED instead of deferred.
+    enable_delay_retry: bool = True
+    user_agent: str = "SparkCrawler/1.0"
+
+    # --- engine knobs (no reference analog; north_rule requirements) ------
+    max_rounds: int = 10
+    # URL-seen filter sharding: pmod(xxhash64(url), n_shards)
+    url_seen_shards: int = 8
+    bloom_bits_per_shard: int = 1 << 20
+    bloom_num_hashes: int = 5
+    use_bloom: bool = True
+    # skew salting: a host whose frontier share exceeds this fraction of the
+    # round is split into ceil(share/threshold) salted sub-partitions
+    skew_share_threshold: float = 0.05
+    fetch_partitions: int = 0  # 0 => leave to AQE / input partitioning
+
+    # deterministic clock: round r happens at epoch + r * round_seconds
+    epoch_ms: int = 1_700_000_000_000
+    round_seconds: int = 60
+
+    def round_ts_ms(self, round_no: int) -> int:
+        return self.epoch_ms + round_no * self.round_seconds * 1000
+
+
+@dataclass(frozen=True)
+class SynthWebConfig:
+    """Deterministic synthetic web (FIXTURES.md §A). Every page is a pure
+    function of (seed, url): content, image payload, caption, and outlinks
+    are all derived from sha256(seed:url) — so the distributed fetcher and
+    the sequential golden model agree bit-for-bit with zero shared state."""
+
+    seed: int = 42
+    n_hosts: int = 20
+    # Zipf-skewed host sizes: pages(host i) = max(1, base // (i+1)**alpha)
+    base_pages_per_host: int = 64
+    zipf_alpha: float = 1.1
+    max_out_links: int = 8
+    cross_host_fraction: float = 0.3
+    # every k-th host gets robots disallow rules (substring semantics,
+    # reference: core/WebCrawler.java:530-532)
+    robots_every: int = 5
+    robots_disallow: tuple[str, ...] = ("/private", "/p/3")
+    # fraction of links that are intentionally broken/invalid (exercises F8)
+    invalid_link_every: int = 17
+    # image payloads
+    min_dim: int = 8
+    max_dim: int = 24
+    # content duplication: pages whose page-index hash collides modulo this
+    # share identical payload+caption (exercises D1 content dedup)
+    duplicate_every: int = 11
+
+    def n_pages(self, host_idx: int) -> int:
+        return max(1, int(self.base_pages_per_host / (host_idx + 1) ** self.zipf_alpha))
+
+    def host_name(self, host_idx: int) -> str:
+        return f"h{host_idx:04d}.example.com"
+
+    def url(self, host_idx: int, page_idx: int) -> str:
+        return f"http://{self.host_name(host_idx)}/p/{page_idx}"

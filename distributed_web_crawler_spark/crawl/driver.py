@@ -1,0 +1,176 @@
+"""Crawl driver: the BSP round loop with snapshot checkpoints.
+
+Replaces the reference's crawlLoop + Kafka offset commit
+(core/WebCrawler.java:99-133, queue/KafkaUrlQueue.java:105-112). Each round
+is one Spark job DAG; the round barrier is the snapshot commit marker. A
+killed job resumes at the last committed marker and reproduces the identical
+visit sequence because every value in the system derives from (round, url) —
+never wall-clock (SURVEY.md §7.2 hard part (d)).
+
+Commit protocol (tables/snapshot_store.py):
+  marker m  ⇔  frontier/round=m durable ∧ all rounds < m fully processed.
+  bootstrap commits marker 0 (seed frontier + seed bloom);
+  processing round r stages pages/lineage/robots @ round=r, frontier/bloom
+  @ round=r+1, then commits marker r+1.
+
+State read by round r (all committed):
+  seen_urls   = distinct url over frontier rounds 0..r   (D4 ground truth:
+                a URL is "seen" once it has ever been enqueued)
+  seen_hashes = pages.content_hash over rounds 0..r-1    (D1)
+  robots      = robots rounds 0..r-1                     (F6 cache)
+  blooms      = bloom/round=r (full merged state)
+"""
+
+from __future__ import annotations
+
+import time
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import CrawlConfig, SynthWebConfig
+from ..operators.dedup import build_bloom_shards
+from ..operators.extract import make_synth_fetcher
+from ..tables.snapshot_store import SnapshotStore
+from .round import FRONTIER_COLS, RoundState, run_round
+
+FRONTIER_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("parent_url", T.StringType()),
+    T.StructField("discovered_at_ms", T.LongType()),
+    T.StructField("priority", T.IntegerType()),
+    T.StructField("retry_count", T.IntegerType()),
+    T.StructField("scheduled_for_ms", T.LongType()),
+    T.StructField("round", T.IntegerType()),
+])
+
+
+def seeds_frontier(spark: SparkSession, seeds: list[str],
+                   cfg: CrawlConfig) -> DataFrame:
+    """S5: seed injection — CrawlRequest(url, depth=0, parent=null,
+    priority=1), reference core/WebCrawler.java:88-97."""
+    ts = cfg.round_ts_ms(0)
+    rows = [(u, urlparse(u).hostname, 0, None, ts, 1, 0, None, 0)
+            for u in dict.fromkeys(seeds)]  # order-preserving URL dedup
+    return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+
+def pages_view(pages: DataFrame) -> DataFrame:
+    """Public `pages` schema (FIXTURES.md §A2): adds the reference's
+    headers/metadata maps (core/WebCrawler.java:406-408) and a real
+    timestamp column; drops nothing (column pruning handles projection)."""
+    return (
+        pages
+        .withColumn("fetch_time", F.timestamp_millis(F.col("fetch_time_ms")))
+        .withColumn("headers", F.create_map(
+            F.lit("Content-Type"), F.col("content_type")))
+        .withColumn("metadata", F.create_map(
+            F.lit("depth"), F.col("depth").cast("string")))
+    )
+
+
+class Crawler:
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig,
+                 synth_cfg: SynthWebConfig, root: str, fetcher=None):
+        self.spark = spark
+        self.cfg = cfg
+        self.synth_cfg = synth_cfg
+        self.store = SnapshotStore(root)
+        self.fetcher = fetcher or make_synth_fetcher(synth_cfg)
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def bootstrap(self, seeds: list[str]) -> None:
+        if self.store.last_round() is not None:
+            return  # already bootstrapped; resume via run()
+        frontier0 = seeds_frontier(self.spark, seeds, self.cfg)
+        self.store.stage_write("frontier", frontier0, 0)
+        blooms0 = build_bloom_shards(frontier0.select("url"), self.cfg)
+        self.store.stage_write("bloom", blooms0, 0)
+        self.store.commit_round(0, {"stage": "bootstrap", "seeds": len(seeds)})
+
+    def _state_for(self, r: int) -> RoundState:
+        prior = list(range(r))
+        pages = self.store.read(self.spark, "pages", prior)
+        return RoundState(
+            robots=self.store.read(self.spark, "robots", prior),
+            seen_hashes=None if pages is None
+            else pages.select("content_hash"),
+            seen_urls=self.store.read(self.spark, "frontier",
+                                      list(range(r + 1))).select("url"),
+            blooms=self.store.read(self.spark, "bloom", [r]),
+        )
+
+    def run(self, max_rounds: int | None = None) -> dict:
+        """Process rounds from the last committed marker until the frontier
+        drains or max_rounds is reached. Returns throughput stats."""
+        max_rounds = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        r = self.store.last_round()
+        if r is None:
+            raise RuntimeError("bootstrap(seeds) first")
+        t0 = time.time()
+        totals = {"fetched": 0, "stored": 0, "rounds": 0}
+        per_round = []
+        while r < max_rounds:
+            frontier = self.store.read(self.spark, "frontier", [r])
+            if frontier is None or frontier.limit(1).count() == 0:
+                break
+            res = run_round(self.spark, frontier, self._state_for(r),
+                            self.cfg, self.fetcher, self.synth_cfg, r)
+            rt0 = time.time()
+            self.store.stage_write("pages", res.stored.drop("fetched"), r)
+            self.store.stage_write("lineage", res.lineage, r)
+            self.store.stage_write("robots", res.robots_new, r)
+            self.store.stage_write("frontier", res.next_frontier, r + 1)
+            new_blooms = build_bloom_shards(
+                res.next_frontier.select("url"), self.cfg,
+                existing=self.store.read(self.spark, "bloom", [r]))
+            self.store.stage_write("bloom", new_blooms, r + 1)
+
+            counts = {row["metric"]: row["value"] for row in
+                      res.lineage.groupBy("metric")
+                      .agg(F.sum("value").alias("value")).collect()}
+            self.store.commit_round(r + 1, {"round_processed": r,
+                                            "counts": counts,
+                                            "sec": time.time() - rt0})
+            for df in res.cached:
+                df.unpersist()
+            per_round.append({"round": r, **counts})
+            totals["fetched"] += counts.get("fetched", 0)
+            totals["stored"] += counts.get("stored", 0)
+            totals["rounds"] += 1
+            r += 1
+        wall = time.time() - t0
+        return {**totals, "wall_sec": wall,
+                "urls_per_sec": totals["fetched"] / wall if wall > 0 else 0.0,
+                "per_round": per_round}
+
+    # -- results -------------------------------------------------------------
+
+    def pages(self) -> DataFrame | None:
+        last = self.store.last_round() or 0
+        raw = self.store.read(self.spark, "pages", list(range(last)))
+        return None if raw is None else pages_view(raw)
+
+    def lineage(self) -> DataFrame | None:
+        last = self.store.last_round() or 0
+        return self.store.read(self.spark, "lineage", list(range(last)))
+
+    def visit_sequence(self) -> list[tuple[int, str, str]]:
+        """Canonical (round, host, url) visit order — the parity target vs
+        the golden model (north_rule 'crawl ordering')."""
+        pages = self.pages()
+        if pages is None:
+            return []
+        rows = (pages.select("round", "priority", "host", "url")
+                .orderBy("round", "priority", "host", "url").collect())
+        return [(row["round"], row["host"], row["url"]) for row in rows]
+
+    def url_seen_set(self) -> set[str]:
+        pages = self.pages()
+        return set() if pages is None else {
+            row["url"] for row in pages.select("url").distinct().collect()}

@@ -1,0 +1,237 @@
+"""Deterministic synthetic web of image+caption pages.
+
+The reference crawls the real web with Jsoup (reference:
+core/WebCrawler.java:324-327) and extracts ``a[href]`` links
+(core/WebCrawler.java:339-345). For tests and benchmarks we replace the
+network with a *pure function of the URL*: every page's payload, caption,
+outlinks and robots rules derive from ``sha256(f"{seed}:{...}")``. That
+gives three properties the test strategy needs (SURVEY.md §5):
+
+1. the distributed Arrow fetcher and the sequential golden model agree
+   bit-for-bit with zero shared state or I/O;
+2. the web is unbounded-scale for free — generating a 10^10-URL frontier is
+   the same code as a 10^3 one, no materialized graph needed;
+3. host sizes are Zipf-skewed, which exercises the salted skew split
+   (SURVEY.md §4 O7).
+
+Image payloads use a deterministic stand-in codec (no PIL/libjpeg in this
+container): grayscale pixels packed as ``<magic><w,h><zlib(pixels)>``.
+``png`` is lossless; ``jpeg`` quantizes pixels to step 2 before compression
+(max abs error 1 → PSNR ≈ 51 dB, satisfying the ≥40 dB lossy invariant in
+BASELINE.json input_hint). The Spark-side plumbing — binary column, decode
+UDF, PSNR check — is real; only the codec bytes are synthetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+
+from ..config import SynthWebConfig
+
+_PNG_MAGIC = b"sPNG"
+_JPG_MAGIC = b"sJPG"
+
+
+def _digest(cfg_seed: int, *parts: object) -> bytes:
+    key = ":".join(str(p) for p in (cfg_seed, *parts))
+    return hashlib.sha256(key.encode()).digest()
+
+
+def _dint(cfg_seed: int, *parts: object) -> int:
+    """Deterministic 64-bit unsigned int from key parts."""
+    return int.from_bytes(_digest(cfg_seed, *parts)[:8], "big")
+
+
+def _byte_stream(cfg_seed: int, key: str, n: int) -> np.ndarray:
+    """n deterministic uint8 bytes via counter-mode sha256."""
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out.extend(_digest(cfg_seed, "pix", key, counter))
+        counter += 1
+    return np.frombuffer(bytes(out[:n]), dtype=np.uint8)
+
+
+# --------------------------------------------------------------------------
+# codec (deterministic stand-in; see module docstring)
+# --------------------------------------------------------------------------
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    h, w = pixels.shape
+    if fmt == "jpeg":
+        stored = (pixels >> 1) << 1  # quantize: lossy, max err 1
+        magic = _JPG_MAGIC
+    else:
+        stored = pixels
+        magic = _PNG_MAGIC
+    return magic + struct.pack("<HH", w, h) + zlib.compress(stored.tobytes(), 6)
+
+
+def decode_image(buf: bytes) -> tuple[np.ndarray, str]:
+    magic, rest = buf[:4], buf[4:]
+    fmt = "jpeg" if magic == _JPG_MAGIC else "png"
+    w, h = struct.unpack("<HH", rest[:4])
+    pix = np.frombuffer(zlib.decompress(rest[4:]), dtype=np.uint8).reshape(h, w)
+    return pix, fmt
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+def average_phash(pixels: np.ndarray) -> int:
+    """64-bit average hash: 8x8 block means thresholded at the global mean,
+    packed MSB-first into a signed int64 (input_hint column ``phash``)."""
+    h, w = pixels.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    blocks = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = pixels[ys[i]:max(ys[i] + 1, ys[i + 1]),
+                                  xs[j]:max(xs[j] + 1, xs[j + 1])].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+# --------------------------------------------------------------------------
+# URL space
+# --------------------------------------------------------------------------
+
+def parse_synth_url(url: str, cfg: SynthWebConfig) -> tuple[int, int] | None:
+    """Return (host_idx, page_idx) if ``url`` addresses an existing page."""
+    prefix = "http://h"
+    if not url.startswith(prefix):
+        return None
+    try:
+        rest = url[len(prefix):]
+        host_part, _, path = rest.partition("/")
+        if not host_part.endswith(".example.com"):
+            return None
+        host_idx = int(host_part[: -len(".example.com")])
+        if not path.startswith("p/"):
+            return None
+        page_idx = int(path[2:])
+    except (ValueError, IndexError):
+        return None
+    if not (0 <= host_idx < cfg.n_hosts):
+        return None
+    if not (0 <= page_idx < cfg.n_pages(host_idx)):
+        return None
+    return host_idx, page_idx
+
+
+def seed_urls(cfg: SynthWebConfig, n_seeds: int = 4) -> list[str]:
+    """First page of the n_seeds largest hosts (analog of sample-urls.txt)."""
+    return [cfg.url(i, 0) for i in range(min(n_seeds, cfg.n_hosts))]
+
+
+def robots_disallow_for_host(host: str, cfg: SynthWebConfig) -> list[str]:
+    """Disallow paths for user-agent:* — substring-match semantics exactly as
+    the reference's ``isPathDisallowed`` (core/WebCrawler.java:530-532)."""
+    if not host.startswith("h") or not host.endswith(".example.com"):
+        return []
+    try:
+        host_idx = int(host[1:5])
+    except ValueError:
+        return []
+    if cfg.robots_every > 0 and host_idx % cfg.robots_every == 0 and host_idx > 0:
+        return list(cfg.robots_disallow)
+    return []
+
+
+# --------------------------------------------------------------------------
+# page content
+# --------------------------------------------------------------------------
+
+def _content_key(host_idx: int, page_idx: int, cfg: SynthWebConfig) -> str:
+    """Pages in a duplicate group share one content key → identical bytes,
+    caption and outlinks (so content-hash dedup D1 has real work to do)."""
+    h = _dint(cfg.seed, "dup", host_idx, page_idx)
+    if cfg.duplicate_every > 0 and h % cfg.duplicate_every == 0:
+        return f"dupgroup:{h % 3}"
+    return f"page:{host_idx}:{page_idx}"
+
+
+def links_for_content(content_key: str, cfg: SynthWebConfig) -> list[str]:
+    """Outlinks derived from the content key (identical content ⇒ identical
+    links, as real HTML would). Includes deliberately invalid and
+    cross-host links to exercise F8/F3/F4."""
+    h = _dint(cfg.seed, "deg", content_key)
+    degree = 1 + h % cfg.max_out_links
+    links: list[str] = []
+    for k in range(degree):
+        hk = _dint(cfg.seed, "lnk", content_key, k)
+        if cfg.invalid_link_every > 0 and hk % cfg.invalid_link_every == 0:
+            links.append(["not a url", "ftp://h0000.example.com/p/0",
+                          "http://outside.other.org/x"][hk % 3])
+            continue
+        if (hk % 1000) / 1000.0 < cfg.cross_host_fraction:
+            t_host = hk % cfg.n_hosts
+        else:
+            t_host = _dint(cfg.seed, "home", content_key) % cfg.n_hosts
+        t_page = _dint(cfg.seed, "tp", content_key, k) % (cfg.n_pages(t_host) + 2)
+        links.append(cfg.url(t_host, t_page))  # may 404 if t_page >= n_pages
+    # intra-page dedup happens downstream (array_distinct, D3); keep raw here
+    return links
+
+
+def page_for_url(url: str, cfg: SynthWebConfig) -> dict | None:
+    """Fetch one page. None ⇔ fetch failure (bad URL / 404), which the
+    reference catches and drops (core/WebCrawler.java:436-439)."""
+    loc = parse_synth_url(url, cfg)
+    if loc is None:
+        return None
+    host_idx, page_idx = loc
+    ck = _content_key(host_idx, page_idx, cfg)
+    h = _dint(cfg.seed, "img", ck)
+    span = max(1, cfg.max_dim - cfg.min_dim + 1)
+    w = cfg.min_dim + (h % span)
+    ht = cfg.min_dim + ((h >> 8) % span)
+    fmt = "png" if (h >> 16) % 2 == 0 else "jpeg"
+    pixels = _byte_stream(cfg.seed, ck, w * ht).reshape(ht, w)
+    buf = encode_image(pixels, fmt)
+    caption = f"cap {ck} " + _digest(cfg.seed, "cap", ck).hex()[:16]
+    return {
+        "url": url,
+        "image_id": "img-" + _digest(cfg.seed, "id", ck).hex()[:16],
+        "bytes": buf,
+        "w": int(w),
+        "h": int(ht),
+        "fmt": fmt,
+        "caption": caption,
+        "phash": average_phash(decode_image(buf)[0]),
+        "links": links_for_content(ck, cfg),
+        "http_status": 200,
+        "content_type": f"image/{fmt}",
+    }
+
+
+def original_pixels_for_url(url: str, cfg: SynthWebConfig) -> np.ndarray | None:
+    """Pre-encoding pixels (the PSNR ground truth for lossy pages)."""
+    loc = parse_synth_url(url, cfg)
+    if loc is None:
+        return None
+    ck = _content_key(*loc, cfg)
+    h = _dint(cfg.seed, "img", ck)
+    span = max(1, cfg.max_dim - cfg.min_dim + 1)
+    w = cfg.min_dim + (h % span)
+    ht = cfg.min_dim + ((h >> 8) % span)
+    return _byte_stream(cfg.seed, ck, w * ht).reshape(ht, w)
+
+
+def content_hash_py(buf: bytes, caption: str) -> str:
+    """sha256(bytes || utf8(caption)) hex — must equal Spark's
+    ``sha2(concat(bytes, encode(caption,'utf-8')), 256)`` (engine side).
+    Reference hashes page HTML the same way (core/WebCrawler.java:442-456)."""
+    return hashlib.sha256(buf + caption.encode()).hexdigest()

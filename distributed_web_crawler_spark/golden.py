@@ -1,0 +1,157 @@
+"""Golden sequential crawl model (SURVEY.md §5 step 3).
+
+A ~150-line plain-Python restatement of the reference's per-request
+semantics — the ``shouldCrawl`` chain (core/WebCrawler.java:197-278),
+content dedup (core/WebCrawler.java:333-336), link extraction + filters
+(core/WebCrawler.java:339-397) — run over the same deterministic synthetic
+web, under the engine's canonical total order (priority, host, url) that
+replaces the reference's nondeterministic Kafka-partition FIFO.
+
+This is the ground truth for the north_rule parity gates: the engine must
+reproduce this model's visit sequence and final URL-seen set exactly.
+
+One documented divergence from the reference's *tagging* order: the
+reference checks politeness before robots (core/WebCrawler.java:241,260);
+we check robots first. A row that is both over-budget and robots-blocked is
+rejected now rather than deferred-then-rejected — the visit sequence and
+URL-seen set are unaffected (robots-blocked rows never fetch either way),
+only the lineage reason differs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field, replace
+from urllib.parse import urlparse
+
+from .config import CrawlConfig, SynthWebConfig
+from .crawl.synthweb import (
+    content_hash_py,
+    page_for_url,
+    robots_disallow_for_host,
+)
+from .functions.urls import combined_allow_pattern, combined_exclude_pattern
+
+
+@dataclass(frozen=True)
+class Req:
+    url: str
+    host: str
+    depth: int
+    parent_url: str | None
+    priority: int = 1
+    retry_count: int = 0
+    scheduled_for_ms: int | None = None
+
+
+@dataclass
+class GoldenResult:
+    visits: list[tuple[int, str, str]]          # (round, host, url)
+    stored_urls: set[str]
+    stored_hashes: set[str]
+    pages: list[dict] = field(default_factory=list)
+    rounds: int = 0
+
+
+def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
+                 max_rounds: int | None = None) -> GoldenResult:
+    max_rounds = max_rounds if max_rounds is not None else cfg.max_rounds
+    allow_re = combined_allow_pattern(cfg.allowed_domains)
+    excl_re = combined_exclude_pattern(cfg.exclude_patterns)
+
+    def host_of(url: str) -> str | None:
+        try:
+            return urlparse(url).hostname
+        except ValueError:
+            return None
+
+    frontier = [Req(u, host_of(u), 0, None) for u in dict.fromkeys(seeds)]
+    seen_urls = {r.url for r in frontier}     # D4: every URL ever enqueued
+    seen_hashes: set[str] = set()
+    robots_cache: dict[str, list[str]] = {}
+    out = GoldenResult(visits=[], stored_urls=set(), stored_hashes=seen_hashes)
+
+    for r in range(max_rounds):
+        if not frontier:
+            break
+        out.rounds = r + 1
+        ts = cfg.round_ts_ms(r)
+        next_ts = cfg.round_ts_ms(r + 1)
+
+        # --- gates F7, F1-F4 then robots F6 (engine order) ------------------
+        passed: list[Req] = []
+        deferred: list[Req] = []
+        for q in frontier:
+            if q.scheduled_for_ms is not None and q.scheduled_for_ms > ts:
+                deferred.append(q)                         # F7 → next round
+                continue
+            if q.depth > cfg.max_depth:                    # F1
+                continue
+            if q.retry_count > cfg.max_retry_attempts:     # F2
+                continue
+            if allow_re and not re.search(allow_re, q.host or ""):   # F3
+                continue
+            if excl_re and re.search(excl_re, q.url):      # F4
+                continue
+            rules = robots_cache.setdefault(
+                q.host, robots_disallow_for_host(q.host, synth))
+            if any(p in q.url for p in rules):             # F6 substring
+                continue
+            passed.append(q)
+
+        # --- politeness F5: per-host budget over (priority, url) ------------
+        by_host: dict[str, list[Req]] = {}
+        for q in sorted(passed, key=lambda q: (q.priority, q.url)):
+            by_host.setdefault(q.host, []).append(q)
+        selected: list[Req] = []
+        for host, qs in by_host.items():
+            selected.extend(qs[:cfg.host_budget_per_round])
+            if cfg.enable_delay_retry:
+                deferred.extend(
+                    replace(q, retry_count=q.retry_count + 1,
+                            scheduled_for_ms=next_ts)      # R2
+                    for q in qs[cfg.host_budget_per_round:])
+
+        # --- fetch + D1/D2 dedup + store, canonical order -------------------
+        children_cand: dict[str, tuple[int, str]] = {}
+        for q in sorted(selected, key=lambda q: (q.priority, q.host, q.url)):
+            page = page_for_url(q.url, synth)
+            if page is None:
+                continue                                   # fetch failure
+            chash = content_hash_py(page["bytes"], page["caption"])
+            if chash in seen_hashes:
+                continue                                   # D1 duplicate
+            seen_hashes.add(chash)
+            out.visits.append((r, q.host, q.url))
+            out.stored_urls.add(q.url)
+            out.pages.append({"round": r, "url": q.url, "host": q.host,
+                              "depth": q.depth, "content_hash": chash,
+                              "caption": page["caption"],
+                              "phash": page["phash"], "fmt": page["fmt"]})
+
+            # E1/E2/F8: distinct links → validity/allow/exclude → candidates
+            for link in dict.fromkeys(page["links"]):      # D3
+                if not re.match(r"^https?://", link):
+                    continue
+                lhost = host_of(link)
+                if not lhost:
+                    continue
+                if allow_re and not re.search(allow_re, lhost):
+                    continue
+                if excl_re and re.search(excl_re, link):
+                    continue
+                cand = (q.depth + 1, q.url)
+                prev = children_cand.get(link)
+                if prev is None or cand < prev:
+                    children_cand[link] = cand             # min(depth, parent)
+
+        # --- D4 URL-seen + next frontier ------------------------------------
+        new_reqs = [
+            Req(url, host_of(url), depth, parent)
+            for url, (depth, parent) in children_cand.items()
+            if url not in seen_urls
+        ]
+        seen_urls.update(q.url for q in new_reqs)
+        frontier = deferred + new_reqs
+
+    return out

@@ -1,0 +1,131 @@
+"""Dedup operators D1-D4 (SURVEY.md §2.3).
+
+D1 content dedup: the reference probes a Cassandra secondary index per page
+(core/WebCrawler.java:333-336, storage/HybridStorageService.java:101-108) —
+a point-wise left-anti semi-join. Here it is literally a ``left_anti`` join
+of the fetched batch against the accumulated content-hash set, plus a
+deterministic within-round winner (the reference's sequential loop keeps the
+first page that stores a hash; our canonical order is (priority, host, url)).
+
+D2 sha-256: built-in ``sha2`` over binary — identical hex output to the
+reference's MessageDigest loop (core/WebCrawler.java:442-456).
+
+D4 URL-seen (north_rule; absent in reference): exact left-anti join against
+the seen-URL table, fronted by the sharded bloom filter of
+``functions.bloom`` so that at scale only bloom-positive candidates (≈FP
+rate of genuinely-new URLs, <1%) enter the join. Bloom negatives are
+definitely new; positives are re-checked exactly, so the result equals the
+plain anti-join bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import CrawlConfig
+from ..functions import bloom as B
+
+URL_SEEN_FILTER_SCHEMA = T.StructType([
+    T.StructField("shard", T.IntegerType()),
+    T.StructField("filter_bytes", T.BinaryType()),
+    T.StructField("n_items", T.LongType()),
+])
+
+
+def content_hash_col() -> F.Column:
+    """D2: sha256(bytes || utf8(caption)) — matches synthweb.content_hash_py
+    and the reference's hash of the page body (core/WebCrawler.java:442-456)."""
+    return F.sha2(F.concat(F.col("bytes"), F.encode(F.col("caption"), "utf-8")), 256)
+
+
+def dedup_content(fetched: DataFrame, seen_hashes: DataFrame | None) -> DataFrame:
+    """D1. ``fetched`` must carry content_hash/priority/host/url. Returns the
+    rows to store; dropped rows are duplicates."""
+    w = Window.partitionBy("content_hash").orderBy("priority", "host", "url")
+    first = (fetched.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") == 1).drop("_rn"))
+    if seen_hashes is None:
+        return first
+    return first.join(seen_hashes.select("content_hash").distinct(),
+                      "content_hash", "left_anti")
+
+
+def with_url_hashes(df: DataFrame, n_shards: int) -> DataFrame:
+    """JVM-side base hashes for the bloom (no Python in this step)."""
+    return (df
+            .withColumn("_h1", F.xxhash64("url"))
+            .withColumn("_h2", F.xxhash64("url", F.lit(1)))
+            .withColumn("shard", F.pmod(F.xxhash64("url"), F.lit(n_shards))
+                        .cast("int")))
+
+
+def build_bloom_shards(urls: DataFrame, cfg: CrawlConfig,
+                       existing: DataFrame | None = None) -> DataFrame:
+    """Build/extend per-shard filters from a URL DataFrame. The groupBy
+    parallelizes across shards; each task does pure numpy bit math."""
+    m, k = cfg.bloom_bits_per_shard, cfg.bloom_num_hashes
+    hashed = with_url_hashes(urls.select("url"), cfg.url_seen_shards)
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        filt = B.insert(B.empty_filter(m), pdf["_h1"].to_numpy(),
+                        pdf["_h2"].to_numpy(), m, k)
+        return pd.DataFrame({"shard": [key[0]], "filter_bytes": [filt],
+                             "n_items": [len(pdf)]})
+
+    new = hashed.groupBy("shard").applyInPandas(build, URL_SEEN_FILTER_SCHEMA)
+    if existing is None:
+        return new
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for fb in pdf["filter_bytes"]:
+            acc = fb if acc is None else B.merge(acc, fb)
+        return pd.DataFrame({"shard": [key[0]], "filter_bytes": [acc],
+                             "n_items": [int(pdf["n_items"].sum())]})
+
+    return (existing.unionByName(new)
+            .groupBy("shard").applyInPandas(merge, URL_SEEN_FILTER_SCHEMA))
+
+
+def filter_unseen_urls(candidates: DataFrame, seen_urls: DataFrame | None,
+                       blooms: DataFrame | None, cfg: CrawlConfig) -> DataFrame:
+    """D4: rows of ``candidates`` whose url was never enqueued.
+
+    With blooms: negatives pass immediately; only positives do the exact
+    anti-join. Without: plain anti-join."""
+    if seen_urls is None:
+        return candidates
+    seen = seen_urls.select("url").distinct()
+    if blooms is None or not cfg.use_bloom:
+        return candidates.join(seen, "url", "left_anti")
+
+    m, k = cfg.bloom_bits_per_shard, cfg.bloom_num_hashes
+    hashed = with_url_hashes(candidates, cfg.url_seen_shards)
+    # Co-partition candidates with their shard's filter: a shuffle on
+    # `shard` moves each (few-MiB) filter to its candidates exactly once —
+    # never through the driver, so 4096 × 4 MiB of filter state stays
+    # distributed at 10^10 scale.
+    probe_schema = T.StructType(
+        hashed.schema.fields + [T.StructField("_maybe_seen", T.BooleanType())])
+    joined = hashed.join(blooms.select("shard", "filter_bytes"), "shard", "left")
+
+    def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.drop(columns=["filter_bytes"])
+        fb = pdf["filter_bytes"].iloc[0]
+        if fb is None:
+            out["_maybe_seen"] = False
+        else:
+            out["_maybe_seen"] = B.probe(
+                bytes(fb), pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), m, k)
+        return out
+
+    probed = joined.groupBy("shard").applyInPandas(probe, probe_schema)
+    negatives = (probed.where(~F.col("_maybe_seen"))
+                 .drop("_h1", "_h2", "shard", "_maybe_seen"))
+    positives = (probed.where(F.col("_maybe_seen"))
+                 .drop("_h1", "_h2", "shard", "_maybe_seen"))
+    rechecked = positives.join(seen, "url", "left_anti")
+    return negatives.unionByName(rechecked)

@@ -1,0 +1,82 @@
+"""Politeness budget F5 + deterministic priority order L3 + skew salting O7.
+
+The reference throttles per host with an in-memory ``lastCrawled`` map and
+RETRY_LATER decisions (core/WebCrawler.java:241-257,283-310) — per-process
+state, not global (SURVEY.md §1.2 notes the gap). The batch-iterative
+analog: each round a host may serve at most ``host_budget_per_round``
+fetches; the rest are deferred to the next round with ``retry_count+1`` and
+``scheduled_for = next round`` (the reference's withRetry,
+model/CrawlRequest.java:21-23).
+
+Selection must be deterministic for ordering parity with the golden model:
+rows rank by (priority, url) within each host — the engine-defined total
+order that replaces the reference's nondeterministic Kafka-partition FIFO
+(SURVEY.md §2.5 L3).
+
+Scale notes:
+- the ranking window shuffles by host once; its output feeds the fetch
+  stage directly so no second shuffle is needed;
+- fetch-task skew (one mega-host dominating a task) is handled by explicit
+  salting: hosts whose selected-row share exceeds ``skew_share_threshold``
+  are split across ceil(share/threshold) salted sub-partitions
+  (BASELINE.json north_rule: "salted repartition-by-host with explicit
+  skew splitting"). Budgets are applied *before* salting, so politeness is
+  exact per host regardless of the split (SURVEY.md §7.2 hard part (c)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+
+
+def apply_politeness(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Tag PASS rows beyond the per-host budget as DEFER_POLITENESS (or
+    REJECT_POLITENESS when delay-retry is disabled, mirroring
+    enableDelayRetry at core/WebCrawler.java:254)."""
+    over = F.lit("DEFER_POLITENESS" if cfg.enable_delay_retry
+                 else "REJECT_POLITENESS")
+    # Non-PASS rows keep their decision and rank below PASS rows so they
+    # never consume budget.
+    w_pass = (Window.partitionBy("host")
+              .orderBy(F.col("is_pass").desc(), "priority", "url"))
+    return (
+        frontier
+        .withColumn("is_pass", (F.col("decision") == "PASS").cast("int"))
+        .withColumn("host_rank", F.row_number().over(w_pass))
+        .withColumn(
+            "decision",
+            F.when(
+                (F.col("decision") == "PASS")
+                & (F.col("host_rank") > F.lit(cfg.host_budget_per_round)),
+                over,
+            ).otherwise(F.col("decision")),
+        )
+        .drop("is_pass", "host_rank")
+    )
+
+
+def salted_repartition_for_fetch(selected: DataFrame, cfg: CrawlConfig,
+                                 num_partitions: int) -> DataFrame:
+    """O7: distribute this round's fetch set across executors.
+
+    Per-host selected counts are tiny (≤ budget), so we compute each host's
+    share with a broadcastable aggregate, derive n_salts per host, and
+    repartition on (host, salt). AQE's skew-join handling does not cover
+    UDF fetch stages, hence the explicit split."""
+    counts = selected.groupBy("host").agg(F.count("*").alias("n_host"))
+    total = selected.count()
+    if total == 0:
+        return selected
+    threshold = max(1, int(total * cfg.skew_share_threshold))
+    salts = counts.withColumn(
+        "n_salts", F.greatest(F.lit(1), F.ceil(F.col("n_host") / threshold))
+    ).select("host", "n_salts")
+    return (
+        selected.join(F.broadcast(salts), "host", "left")
+        .withColumn("salt", F.pmod(F.xxhash64("url"), F.col("n_salts")))
+        .repartition(num_partitions, F.col("host"), F.col("salt"))
+        .drop("n_salts", "salt")
+    )

@@ -1,0 +1,82 @@
+"""Robots.txt operator F6: per-host rules via broadcast join.
+
+The reference keeps a per-process in-memory ``robotsCache``
+(core/WebCrawler.java:34,458-473) and blocks a URL when any user-agent:*
+disallow path is a **substring** of the URL (core/WebCrawler.java:530-532
+uses ``url.contains(path)`` — deliberately preserved bug-for-bug).
+
+Spark shape: the set of distinct hosts is tiny relative to the frontier
+(≤10^7 hosts vs 10^10 URLs), so robots state is a broadcast-joined ``hosts``
+table. New hosts each round are fetched once via an Arrow-batched
+``mapInPandas`` (S7) and appended to host state — the cross-round analog of
+the reference's cache. The disallow check itself is a higher-order
+``exists`` over the rules array — JVM-side, no UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ROBOTS_SCHEMA = T.StructType([
+    T.StructField("host", T.StringType()),
+    T.StructField("robots_disallow", T.ArrayType(T.StringType())),
+])
+
+
+def make_robots_fetcher(synth_cfg):
+    """Vectorized robots fetch over a batch of distinct hosts (S7). In
+    production this is an async-HTTP batch; in tests it is the pure
+    synthetic rule function. Fetch failure ⇒ allow-all (reference:
+    core/WebCrawler.java:470-473)."""
+    from ..crawl.synthweb import robots_disallow_for_host
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "host": pdf["host"],
+                "robots_disallow": [
+                    robots_disallow_for_host(h, synth_cfg) for h in pdf["host"]
+                ],
+            })
+
+    return fetch
+
+
+def resolve_robots(spark: SparkSession, frontier: DataFrame,
+                   known: DataFrame | None, synth_cfg) -> tuple[DataFrame, DataFrame]:
+    """Return (full robots table for this round's hosts, newly fetched rows).
+
+    ``known`` is accumulated host state from prior rounds; only hosts not
+    yet known are fetched (cache semantics of core/WebCrawler.java:460)."""
+    hosts = frontier.select("host").distinct()
+    if known is not None:
+        known = known.select("host", "robots_disallow")
+        new_hosts = hosts.join(F.broadcast(known.select("host")), "host", "left_anti")
+    else:
+        new_hosts = hosts
+    fetched = new_hosts.mapInPandas(make_robots_fetcher(synth_cfg), ROBOTS_SCHEMA)
+    full = fetched if known is None else known.unionByName(fetched)
+    return full, fetched
+
+
+def filter_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Tag rows REJECT_ROBOTS when any disallow path is a substring of the
+    URL. Broadcast left join (hosts ≪ frontier) + higher-order exists."""
+    joined = frontier.join(F.broadcast(robots), "host", "left")
+    blocked = (
+        (F.col("decision") == "PASS")  # earlier gate reasons win (R1 order)
+        & F.col("robots_disallow").isNotNull()
+        & F.exists("robots_disallow",
+                   lambda p: F.col("url").contains(p))
+    )
+    return (
+        joined.withColumn(
+            "decision",
+            F.when(blocked, F.lit("REJECT_ROBOTS")).otherwise(F.col("decision")),
+        ).drop("robots_disallow")
+    )

@@ -1,0 +1,104 @@
+"""E2E parity: the Spark engine must reproduce the golden sequential model's
+visit sequence and final URL-seen set exactly (north_rule), plus per-row
+image invariants (decoded-pixel allclose / PSNR≥40 dB, caption equality) and
+resume-from-checkpoint identity (SURVEY.md §5 steps 3-4)."""
+
+import numpy as np
+import pytest
+
+from distributed_web_crawler_spark.config import CrawlConfig, SynthWebConfig
+from distributed_web_crawler_spark.crawl import synthweb as W
+from distributed_web_crawler_spark.crawl.driver import Crawler
+from distributed_web_crawler_spark.golden import golden_crawl
+
+SYNTH = SynthWebConfig(n_hosts=12, base_pages_per_host=24)
+CFG = CrawlConfig(
+    max_depth=4,
+    host_budget_per_round=2,
+    allowed_domains=(r".*\.example\.com",),
+    exclude_patterns=(r".*/p/7",),
+    max_rounds=6,
+    url_seen_shards=4,
+    bloom_bits_per_shard=1 << 14,
+)
+SEEDS = W.seed_urls(SYNTH, 4)
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crawlstore"))
+    crawler = Crawler(spark, CFG, SYNTH, root)
+    crawler.bootstrap(SEEDS)
+    stats = crawler.run()
+    return crawler, stats
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return golden_crawl(SEEDS, CFG, SYNTH)
+
+
+def test_visit_sequence_matches_golden(crawled, golden):
+    crawler, stats = crawled
+    got = crawler.visit_sequence()
+    # golden.visits are appended in canonical per-round order already
+    assert got == golden.visits
+    assert stats["stored"] == len(golden.visits)
+    assert stats["stored"] > 20  # the crawl actually went somewhere
+
+
+def test_url_seen_set_matches_golden(crawled, golden):
+    crawler, _ = crawled
+    assert crawler.url_seen_set() == golden.stored_urls
+
+
+def test_content_hashes_match_golden(crawled, golden):
+    crawler, _ = crawled
+    got = {r["content_hash"] for r in
+           crawler.pages().select("content_hash").collect()}
+    assert got == golden.stored_hashes
+
+
+def test_image_invariants_per_row(crawled):
+    """input_hint: decoded-pixel allclose (PSNR≥40dB lossy) + caption
+    equality per stored row vs the synthetic ground truth."""
+    crawler, _ = crawled
+    rows = crawler.pages().select(
+        "url", "bytes", "w", "h", "fmt", "caption", "phash").collect()
+    assert rows
+    for row in rows:
+        page = W.page_for_url(row["url"], SYNTH)
+        assert row["caption"] == page["caption"]
+        orig = W.original_pixels_for_url(row["url"], SYNTH)
+        dec, fmt = W.decode_image(bytes(row["bytes"]))
+        assert fmt == row["fmt"]
+        assert dec.shape == (row["h"], row["w"])
+        if fmt == "png":
+            assert np.array_equal(dec, orig)
+        else:
+            assert W.psnr(orig, dec) >= 40.0
+        assert row["phash"] == page["phash"]
+
+
+def test_lineage_counts(crawled, golden):
+    crawler, _ = crawled
+    lin = crawler.lineage().groupBy("metric").sum("value").collect()
+    totals = {r["metric"]: r["sum(value)"] for r in lin}
+    assert totals["stored"] == len(golden.visits)
+    assert totals["fetched"] >= totals["stored"]
+    assert totals["polled"] >= totals["fetched"]
+
+
+def test_resume_identical(spark, tmp_path, crawled, golden):
+    """Kill after round 2 (simulated: run 3 rounds, new driver resumes) —
+    final state must be identical (north_rule checkpoint requirement)."""
+    root = str(tmp_path / "resume_store")
+    c1 = Crawler(spark, CFG, SYNTH, root)
+    c1.bootstrap(SEEDS)
+    c1.run(max_rounds=3)  # stops mid-crawl at the round-3 barrier
+
+    c2 = Crawler(spark, CFG, SYNTH, root)  # fresh driver, same store
+    c2.run()  # resumes from last committed marker
+    full_crawler, _ = crawled
+    assert c2.visit_sequence() == full_crawler.visit_sequence()
+    assert c2.url_seen_set() == full_crawler.url_seen_set()
