@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship 3-round BSP crawl over the deterministic
+                 synthetic web (distributed_web_crawler_spark/crawl/) plus a
+                 sf0.001 corpus summary row; returns the lineage metrics
+                 DataFrame (round, metric, value).
+queries()      — one callable per implemented operator from SURVEY.md §2 +
+                 the training-data pipeline ops; (spark, sf_dir) → DataFrame.
+oracle_sql()   — matching DuckDB SQL for every SQL-expressible query; the
+                 Arrow-UDF / hash-seeded ops are rows-only by design
+                 (SURVEY.md §5.2): minhash/simhash signatures (xxhash64
+                 seeds), bloom probes, image decode, the crawl loop itself.
 """
 
 from __future__ import annotations
@@ -13,26 +18,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from distributed_web_crawler_spark import queries as _q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q.entry(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_q.ORACLES)

@@ -230,6 +230,50 @@ def original_pixels_for_url(url: str, cfg: SynthWebConfig) -> np.ndarray | None:
     return _byte_stream(cfg.seed, ck, w * ht).reshape(ht, w)
 
 
+SYNTH_IMAGE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+
+def images_for_keys(cfg: SynthWebConfig, dup_mod: int = 0):
+    """Arrow-batched generator of input_hint image rows — one deterministic
+    image+caption per input key (`doc_id` column). Used to materialize the
+    BASELINE.json input table at any scale without external data.
+    dup_mod > 0 folds keys modulo dup_mod, creating exact-duplicate groups."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+            for key in pdf["doc_id"]:
+                ck = f"doc:{int(key) % dup_mod if dup_mod else int(key)}"
+                h = _dint(cfg.seed, "img", ck)
+                span = max(1, cfg.max_dim - cfg.min_dim + 1)
+                w = cfg.min_dim + (h % span)
+                ht = cfg.min_dim + ((h >> 8) % span)
+                fmt = "png" if (h >> 16) % 2 == 0 else "jpeg"
+                pixels = _byte_stream(cfg.seed, ck, w * ht).reshape(ht, w)
+                buf = encode_image(pixels, fmt)
+                rows["image_id"].append(f"img-{int(key):08d}")
+                rows["bytes"].append(buf)
+                rows["w"].append(w)
+                rows["h"].append(ht)
+                rows["fmt"].append(fmt)
+                rows["caption"].append(
+                    f"cap {ck} " + _digest(cfg.seed, "cap", ck).hex()[:16])
+                rows["phash"].append(average_phash(decode_image(buf)[0]))
+            yield pd.DataFrame({
+                "image_id": rows["image_id"], "bytes": rows["bytes"],
+                "w": pd.array(rows["w"], dtype="Int32"),
+                "h": pd.array(rows["h"], dtype="Int32"),
+                "fmt": rows["fmt"], "caption": rows["caption"],
+                "phash": pd.array(rows["phash"], dtype="Int64")})
+
+    return gen
+
+
 def content_hash_py(buf: bytes, caption: str) -> str:
     """sha256(bytes || utf8(caption)) hex — must equal Spark's
     ``sha2(concat(bytes, encode(caption,'utf-8')), 256)`` (engine side).

@@ -1,0 +1,723 @@
+"""Driver-contract queries: every SURVEY.md §2 operator as a
+(spark callable, DuckDB oracle SQL) pair over the /root/testdata tables.
+
+Each callable takes (spark, sf_dir) and returns a DataFrame; the oracle is
+ANSI SQL DuckDB runs on the same parquet (views: region nation customer
+supplier part orders lineitem events documents embeddings). The driver
+compares row count + schema + order-insensitive value hash, so every
+computed column is aliased identically on both sides and float math mirrors
+the exact operation order (same IEEE op sequence ⇒ bit-identical doubles).
+
+Crawl-domain operators (gates, politeness, robots, dedup joins) run the
+*real* engine operators on a frontier deterministically derived from the
+`orders` table, so the oracle can re-state the input in pure SQL while the
+Spark side exercises the production code path.
+
+Ops with no SQL-expressible oracle (bloom probe, Arrow fetch/decode UDFs,
+minhash/simhash signatures seeded by xxhash64) are registered without an
+oracle → the driver records a rows-only check (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import CrawlConfig, SynthWebConfig
+from .operators.gates import apply_gates
+from .operators.politeness import apply_politeness
+from .operators.robots import filter_robots
+from .pipeline import dedup as pdedup
+from .pipeline import multimodal, similarity
+from .pipeline import text as ptext
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# synthetic frontier derived from `orders` (shared by the crawl-op queries)
+# ---------------------------------------------------------------------------
+
+# Gate config under test: F1 max_depth=5, F2 max_retry=3,
+# F3 allow hosts 0-14, F4 exclude URLs whose page id ends in 0 or 5.
+_GATE_CFG = CrawlConfig(
+    max_depth=5,
+    max_retry_attempts=3,
+    allowed_domains=(r"h000[0-9]\.example\.com", r"h001[0-4]\.example\.com"),
+    exclude_patterns=(r".*/p/\d*[05]",),
+)
+
+# SQL restatement of the same frontier (DuckDB side).
+_FRONTIER_SQL = """
+  SELECT
+    'http://h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+        || '.example.com/p/' || CAST(o_orderkey AS VARCHAR)       AS url,
+    'h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+        || '.example.com'                                          AS host,
+    CAST(o_custkey % 20 AS INTEGER)                                AS host_idx,
+    CAST(o_orderkey % 8 AS INTEGER)                                AS depth,
+    CAST(NULL AS VARCHAR)                                          AS parent_url,
+    CAST(0 AS BIGINT)                                              AS discovered_at_ms,
+    CAST(1 + o_orderkey % 3 AS INTEGER)                            AS priority,
+    CAST(o_orderkey % 5 AS INTEGER)                                AS retry_count,
+    CASE WHEN o_orderkey % 7 = 0
+         THEN CAST(9000000000000000 AS BIGINT) END                 AS scheduled_for_ms,
+    CAST(0 AS INTEGER)                                             AS round
+  FROM orders
+"""
+
+_DECISION_SQL = r"""
+  CASE
+    WHEN scheduled_for_ms IS NOT NULL
+         AND scheduled_for_ms > 1700000000000             THEN 'DEFER_SCHED'
+    WHEN depth > 5                                        THEN 'REJECT_DEPTH'
+    WHEN retry_count > 3                                  THEN 'REJECT_RETRY'
+    WHEN NOT regexp_matches(host,
+      '^(?:(?:h000[0-9]\.example\.com)|(?:h001[0-4]\.example\.com))$')
+                                                          THEN 'REJECT_DOMAIN'
+    WHEN regexp_matches(url, '^(?:(?:.*/p/\d*[05]))$')    THEN 'REJECT_EXCLUDED'
+    ELSE 'PASS'
+  END
+"""
+
+
+def _frontier_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CrawlRequest frontier (FIXTURES.md §A1) from orders."""
+    orders = _t(spark, sf_dir, "orders")
+    hi = (F.col("o_custkey") % 20).cast("int")
+    host = F.concat(F.lit("h"), F.lpad(hi.cast("string"), 4, "0"),
+                    F.lit(".example.com"))
+    return orders.select(
+        F.concat(F.lit("http://"), host, F.lit("/p/"),
+                 F.col("o_orderkey").cast("string")).alias("url"),
+        host.alias("host"),
+        hi.alias("host_idx"),
+        (F.col("o_orderkey") % 8).cast("int").alias("depth"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(0).cast("long").alias("discovered_at_ms"),
+        (F.lit(1) + F.col("o_orderkey") % 3).cast("int").alias("priority"),
+        (F.col("o_orderkey") % 5).cast("int").alias("retry_count"),
+        F.when(F.col("o_orderkey") % 7 == 0,
+               F.lit(9_000_000_000_000_000)).cast("long")
+        .alias("scheduled_for_ms"),
+        F.lit(0).cast("int").alias("round"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1-F4/F7 + R1: gate decision chain (core/WebCrawler.java:197-278)
+# ---------------------------------------------------------------------------
+
+@q("gates_decision", f"""
+  WITH frontier AS ({_FRONTIER_SQL})
+  SELECT {_DECISION_SQL} AS decision,
+         count(*) AS n, min(url) AS sample_url
+  FROM frontier GROUP BY 1
+""")
+def gates_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frontier = _frontier_from_orders(spark, sf_dir)
+    gated = apply_gates(frontier, _GATE_CFG, _GATE_CFG.round_ts_ms(0))
+    return (gated.groupBy("decision")
+            .agg(F.count("*").alias("n"), F.min("url").alias("sample_url")))
+
+
+# ---------------------------------------------------------------------------
+# F5/L3: per-host politeness budget window (core/WebCrawler.java:241-257)
+# ---------------------------------------------------------------------------
+
+@q("politeness_budget", f"""
+  WITH frontier AS ({_FRONTIER_SQL}),
+  gated AS (SELECT *, {_DECISION_SQL} AS decision0 FROM frontier),
+  ranked AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY host
+      ORDER BY (CASE WHEN decision0 = 'PASS' THEN 1 ELSE 0 END) DESC,
+               priority, url) AS host_rank
+    FROM gated)
+  SELECT url,
+         CASE WHEN decision0 = 'PASS' AND host_rank > 3
+              THEN 'DEFER_POLITENESS' ELSE decision0 END AS decision
+  FROM ranked
+""")
+def politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = CrawlConfig(
+        max_depth=_GATE_CFG.max_depth,
+        max_retry_attempts=_GATE_CFG.max_retry_attempts,
+        allowed_domains=_GATE_CFG.allowed_domains,
+        exclude_patterns=_GATE_CFG.exclude_patterns,
+        host_budget_per_round=3,
+    )
+    frontier = _frontier_from_orders(spark, sf_dir)
+    gated = apply_gates(frontier, cfg, cfg.round_ts_ms(0))
+    return apply_politeness(gated, cfg).select("url", "decision")
+
+
+# ---------------------------------------------------------------------------
+# F6: robots.txt substring-disallow via broadcast join
+# (core/WebCrawler.java:260-270,530-532)
+# ---------------------------------------------------------------------------
+
+@q("robots_filter", f"""
+  WITH frontier AS ({_FRONTIER_SQL}),
+  gated AS (SELECT *, {_DECISION_SQL} AS decision0 FROM frontier)
+  SELECT CASE WHEN decision0 = 'PASS' AND host_idx % 5 = 0
+                   AND contains(url, '/p/1')
+              THEN 'REJECT_ROBOTS' ELSE decision0 END AS decision,
+         count(*) AS n, min(url) AS sample_url
+  FROM gated GROUP BY 1
+""")
+def robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frontier = _frontier_from_orders(spark, sf_dir)
+    gated = apply_gates(frontier, _GATE_CFG, _GATE_CFG.round_ts_ms(0))
+    robots = (frontier.select("host", "host_idx").distinct()
+              .select("host",
+                      F.when(F.col("host_idx") % 5 == 0,
+                             F.array(F.lit("/p/1")))
+                      .otherwise(F.array().cast("array<string>"))
+                      .alias("robots_disallow")))
+    return (filter_robots(gated, robots)
+            .groupBy("decision")
+            .agg(F.count("*").alias("n"), F.min("url").alias("sample_url")))
+
+
+# ---------------------------------------------------------------------------
+# X1: parse_url host extraction (core/WebCrawler.java:199-200)
+# ---------------------------------------------------------------------------
+
+@q("url_host_extract", f"""
+  WITH frontier AS ({_FRONTIER_SQL})
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS parsed_host,
+         count(*) AS n
+  FROM frontier GROUP BY 1
+""")
+def url_host_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frontier = _frontier_from_orders(spark, sf_dir)
+    return (frontier
+            .select(F.parse_url("url", F.lit("HOST")).alias("parsed_host"))
+            .groupBy("parsed_host").agg(F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# D1: content-hash dedup as left-anti join (core/WebCrawler.java:333-336)
+# ---------------------------------------------------------------------------
+
+@q("dedup_anti_join", """
+  SELECT doc_id, source FROM documents
+  WHERE source IN ('src0','src1','src2','src3','src4')
+    AND md5(text) NOT IN (
+      SELECT md5(text) FROM documents
+      WHERE source NOT IN ('src0','src1','src2','src3','src4'))
+""")
+def dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("source").isin("src0", "src1", "src2",
+                                            "src3", "src4"))
+    seen = (docs.where(~F.col("source").isin("src0", "src1", "src2",
+                                             "src3", "src4"))
+            .select(F.md5("text").alias("content_hash")).distinct())
+    return (batch.withColumn("content_hash", F.md5("text"))
+            .join(seen, "content_hash", "left_anti")
+            .select("doc_id", "source"))
+
+
+# ---------------------------------------------------------------------------
+# D1 within-batch winner: exact corpus dedup (pipeline/dedup.exact_dedup)
+# ---------------------------------------------------------------------------
+
+@q("dedup_exact", """
+  SELECT doc_id, source FROM documents
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (pdedup.exact_dedup(_t(spark, sf_dir, "documents"))
+            .select("doc_id", "source"))
+
+
+# ---------------------------------------------------------------------------
+# D2/X4: sha-256 content hash (core/WebCrawler.java:442-456)
+# ---------------------------------------------------------------------------
+
+@q("content_sha2",
+   "SELECT doc_id, sha256(text) AS content_hash FROM documents")
+def content_sha2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("content_hash"))
+
+
+# ---------------------------------------------------------------------------
+# E1/D3/F8: explode + distinct + validity filter (link extraction shape,
+# core/WebCrawler.java:339-397) — tokens stand in for hrefs
+# ---------------------------------------------------------------------------
+
+@q("token_explode_df", r"""
+  WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents),
+  dedup AS (SELECT DISTINCT doc_id, token FROM toks
+            WHERE regexp_matches(token, '^[a-z]+$'))
+  SELECT token, count(*) AS df FROM dedup GROUP BY 1
+""")
+def token_explode_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.split(F.trim("text"), r"\s+"))).alias("token"))
+    return (toks.where(F.col("token").rlike("^[a-z]+$"))
+            .groupBy("token").agg(F.count("*").alias("df")))
+
+
+# ---------------------------------------------------------------------------
+# D4: URL-seen anti-join (north_rule; SURVEY.md §2.3 D4)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = r"""
+    SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS token
+    FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents WHERE lang {op} 'en') s,
+         UNNEST(range(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 3
+"""
+
+@q("url_seen_anti_join",
+   _SHINGLE_SQL.format(op="=") + " EXCEPT " + _SHINGLE_SQL.format(op="<>"))
+def url_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 shape: candidate keys anti-joined against the seen set — word
+    3-grams stand in for discovered URLs."""
+    docs = _t(spark, sf_dir, "documents")
+    new = (pdedup.shingles(docs.where(F.col("lang") == "en"))
+           .select(F.col("shingle").alias("token")).distinct())
+    seen = (pdedup.shingles(docs.where(F.col("lang") != "en"))
+            .select(F.col("shingle").alias("token")).distinct())
+    return new.join(seen, "token", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# A1: total count (storage/HybridStorageService.java:178-188)
+# ---------------------------------------------------------------------------
+
+@q("page_count",
+   "SELECT count(*) AS n_pages, count(DISTINCT source) AS n_sources "
+   "FROM documents")
+def page_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("source").alias("n_sources"))
+
+
+# ---------------------------------------------------------------------------
+# A3: lineage rollup — per-shard metrics (north_rule lineage)
+# ---------------------------------------------------------------------------
+
+@q("lineage_rollup", """
+  SELECT CAST(event_id % 32 AS INTEGER) AS host_shard, event_type,
+         count(*) AS n, max(value) AS max_value
+  FROM events GROUP BY 1, 2
+""")
+def lineage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "events")
+            .groupBy((F.col("event_id") % 32).cast("int").alias("host_shard"),
+                     "event_type")
+            .agg(F.count("*").alias("n"), F.max("value").alias("max_value")))
+
+
+# ---------------------------------------------------------------------------
+# A4: per-host last-fetch max (core/WebCrawler.java:33,241,322)
+# ---------------------------------------------------------------------------
+
+@q("host_last_fetch", """
+  SELECT user_id AS host_key, count(*) AS n_events,
+         epoch_us(max(ts)) AS last_fetch_us
+  FROM events GROUP BY 1
+""")
+def host_last_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC so the cast matches
+    # DuckDB's epoch_us on the naive value
+    return (_t(spark, sf_dir, "events")
+            .groupBy(F.col("user_id").alias("host_key"))
+            .agg(F.count("*").alias("n_events"),
+                 F.unix_micros(F.max("ts").cast("timestamp"))
+                 .alias("last_fetch_us")))
+
+
+# ---------------------------------------------------------------------------
+# F7: scheduled-time gate (core/WebCrawler.java:172-177)
+# ---------------------------------------------------------------------------
+
+@q("scheduled_gate", """
+  SELECT event_type, count(*) AS n FROM events
+  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1
+""")
+def scheduled_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "events")
+            .where(F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            .groupBy("event_type").agg(F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# L1: pagination — orderBy + offset + limit
+# (storage/HybridStorageService.java:111-140)
+# ---------------------------------------------------------------------------
+
+@q("pagination", """
+  SELECT o_orderkey, o_totalprice FROM orders
+  ORDER BY o_orderkey LIMIT 50 OFFSET 1000
+""")
+def pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "orders")
+            .orderBy("o_orderkey").offset(1000).limit(50)
+            .select("o_orderkey", "o_totalprice"))
+
+
+# ---------------------------------------------------------------------------
+# L3/L4: priority top-k ordering
+# ---------------------------------------------------------------------------
+
+@q("priority_topk", """
+  SELECT event_id, event_type, value FROM events
+  ORDER BY value DESC, event_id LIMIT 100
+""")
+def priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "events")
+            .orderBy(F.col("value").desc(), "event_id").limit(100)
+            .select("event_id", "event_type", "value"))
+
+
+# ---------------------------------------------------------------------------
+# F10/X5: substring search (storage/HybridStorageService.java:143-175)
+# ---------------------------------------------------------------------------
+
+@q("url_search", """
+  SELECT doc_id, n_chars FROM documents
+  WHERE contains(lower(text), 'merge batch')
+""")
+def url_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "documents")
+            .where(F.lower(F.col("text")).contains("merge batch"))
+            .select("doc_id", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# headline agg: TPC-H Q1 shape (exact decimal sums, AQE partial aggs)
+# ---------------------------------------------------------------------------
+
+@q("pricing_summary", """
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+         count(*) AS count_order
+  FROM lineitem GROUP BY 1, 2
+""")
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_base_price"),
+                 F.count("*").alias("count_order")))
+
+
+# ---------------------------------------------------------------------------
+# broadcast join + agg: revenue by segment (robots-join shape at scale)
+# ---------------------------------------------------------------------------
+
+@q("segment_revenue", """
+  SELECT c_mktsegment,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1
+""")
+def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.sum(rev.cast("decimal(18,4)")).cast("double")
+                 .alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+# ---------------------------------------------------------------------------
+# event-time tumbling window aggregation (streaming-shape batch analog)
+# ---------------------------------------------------------------------------
+
+@q("events_tumbling", """
+  SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+""")
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "events")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.unix_micros(F.col("w.start")).alias("win_start_us"),
+                    "event_type", "n"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis (pipeline/text.py) — training-data pipeline ops
+# ---------------------------------------------------------------------------
+
+@q("text_token_count", r"""
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(string_split_regex(trim(text), '[^A-Za-z0-9]+'))
+           + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           AS n_subtokens
+  FROM documents
+""")
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ptext.token_count(t).alias("n_tokens"),
+        ptext.bpe_ish_token_count(t).alias("n_subtokens"))
+
+
+@q("text_fingerprint", r"""
+  SELECT doc_id,
+         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           AS fingerprint
+  FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", ptext.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def _sql_count_word(word: str) -> str:
+    return (rf"(len(string_split_regex(lower(text), '\b{word}\b')) - 1)")
+
+
+_STOP_HITS_SQL = " + ".join(_sql_count_word(w) for w in ptext.STOPWORDS)
+_LANG_SCORE_SQL = {
+    lang: " + ".join(_sql_count_word(w) for w in words)
+    for lang, words in ptext.LANG_MARKERS.items()
+}
+
+@q("text_lang_quality", rf"""
+  WITH scored AS (
+    SELECT doc_id,
+      CAST(length(text) AS DOUBLE) AS n_len,
+      CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS words,
+      CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           AS DOUBLE) AS punct,
+      CAST({_STOP_HITS_SQL} AS DOUBLE) AS stop_hits,
+      {_LANG_SCORE_SQL['en']} AS s_en, {_LANG_SCORE_SQL['es']} AS s_es,
+      {_LANG_SCORE_SQL['fr']} AS s_fr, {_LANG_SCORE_SQL['de']} AS s_de
+    FROM documents)
+  SELECT doc_id,
+    CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+         WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+         WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+         WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+         WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+         ELSE 'und' END AS lang_pred,
+    round(0.5::DOUBLE * least(n_len / 500::DOUBLE, 1.0::DOUBLE)
+        + 0.3::DOUBLE * least(stop_hits / greatest(words, 1.0::DOUBLE)
+                              * 5.0::DOUBLE, 1.0::DOUBLE)
+        + 0.2::DOUBLE * (1.0::DOUBLE
+            - least(punct / greatest(words, 1.0::DOUBLE), 1.0::DOUBLE)),
+      6) AS quality
+  FROM scored
+""")
+def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ptext.lang_id(t).alias("lang_pred"),
+        ptext.quality_score(t).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (pipeline/dedup.ngram_jaccard_pairs)
+# ---------------------------------------------------------------------------
+
+@q("ngram_jaccard", r"""
+  WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 3),
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+  dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+  capped AS (SELECT s.doc_id, s.shingle FROM sh s
+             JOIN dfreq USING (shingle) WHERE df <= 200),
+  common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM capped a JOIN capped b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+  SELECT doc_a, doc_b,
+         round(CAST(n_common AS DOUBLE)
+               / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.3
+""")
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pdedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.3, max_df=200)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup + ANN top-k (pipeline/dedup, pipeline/similarity)
+# ---------------------------------------------------------------------------
+
+@q("embedding_neardup", """
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings)
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
+""")
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return pdedup.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+@q("ann_topk", """
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+  q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 8),
+  scored AS (
+    SELECT query_id, vec_id,
+           round(list_cosine_similarity(q_emb, emb), 6) AS cosine
+    FROM q JOIN e ON vec_id <> query_id)
+  SELECT query_id, vec_id, cosine,
+         CAST(rank AS INTEGER) AS rank
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+  WHERE rank <= 5
+""")
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# rows-only checks (no SQL-expressible oracle; SURVEY.md §5.2)
+# ---------------------------------------------------------------------------
+
+@q("minhash_lsh_dedup")
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH verified near-dups — signature seeds (xxhash64) are not
+    reproducible in DuckDB; exact-Jaccard verification makes output ⊆ the
+    ngram_jaccard oracle at the same threshold."""
+    return pdedup.minhash_lsh_verified(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=8, threshold=0.5)
+
+
+@q("simhash_neardup")
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pdedup.simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@q("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (scale path) — centroid assignment is iterative/stateful, so
+    the driver records rows-only; recall vs brute force is covered in
+    tests/test_pipeline.py."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.ivf_topk(emb, queries, k=5, n_lists=16, nprobe=4)
+
+
+def _images_df(spark: SparkSession, sf_dir: str, n: int = 128,
+               dup_mod: int = 96) -> DataFrame:
+    """Deterministic image table per BASELINE.json input_hint, derived from
+    doc_ids through the synthetic codec (crawl/synthweb.py). dup_mod < n
+    creates exact-duplicate payload groups (phash Hamming 0) so the image
+    near-dup operator has real work."""
+    from .crawl.synthweb import SYNTH_IMAGE_SCHEMA, images_for_keys
+    ids = (_t(spark, sf_dir, "documents").select("doc_id")
+           .orderBy("doc_id").limit(n))
+    return ids.mapInPandas(images_for_keys(SynthWebConfig(), dup_mod=dup_mod),
+                           SYNTH_IMAGE_SCHEMA)
+
+
+@q("image_stats")
+def image_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.image_stats(_images_df(spark, sf_dir))
+
+
+@q("image_resize")
+def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.image_resize(_images_df(spark, sf_dir), target=8)
+
+
+@q("phash_neardup")
+def phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.phash_hamming_neardup(
+        _images_df(spark, sf_dir), max_hamming=10)
+
+
+@q("crawl_flagship")
+def crawl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BSP crawl on the deterministic synthetic web: fetch →
+    hash → dedup → extract → URL-seen → next frontier, 3 rounds. Output is
+    the per-round lineage metrics table (north_rule)."""
+    from .crawl.driver import Crawler
+    from .crawl.synthweb import seed_urls
+
+    synth = SynthWebConfig(n_hosts=8, base_pages_per_host=24)
+    cfg = CrawlConfig(host_budget_per_round=4, max_rounds=3)
+    root = tempfile.mkdtemp(prefix="crawl_flagship_")
+    crawler = Crawler(spark, cfg, synth, root)
+    crawler.bootstrap(seed_urls(synth, 4))
+    crawler.run(3)
+    return (crawler.lineage()
+            .groupBy("round", "metric").agg(F.sum("value").alias("value"))
+            .orderBy("round", "metric"))
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: 3-round crawl lineage + a sf0.001 corpus summary row."""
+    lineage = crawl_flagship(spark, "/root/testdata/sf0.001")
+    docs_n = (_t(spark, "/root/testdata/sf0.001", "documents")
+              .agg(F.count("*").alias("value"))
+              .select(F.lit(-1).alias("round"),
+                      F.lit("sf0001_documents").alias("metric"), "value"))
+    return lineage.unionByName(docs_n)
