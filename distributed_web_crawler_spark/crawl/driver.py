@@ -34,7 +34,7 @@ from ..config import CrawlConfig, SynthWebConfig
 from ..operators.dedup import build_bloom_shards
 from ..operators.extract import make_synth_fetcher
 from ..tables.snapshot_store import SnapshotStore
-from .round import FRONTIER_COLS, RoundState, run_round
+from .round import FRONTIER_COLS, RoundState, build_fetch, finish_round
 
 FRONTIER_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
@@ -52,11 +52,25 @@ FRONTIER_SCHEMA = T.StructType([
 def seeds_frontier(spark: SparkSession, seeds: list[str],
                    cfg: CrawlConfig) -> DataFrame:
     """S5: seed injection — CrawlRequest(url, depth=0, parent=null,
-    priority=1), reference core/WebCrawler.java:88-97."""
+    priority=1), reference core/WebCrawler.java:88-97. Built through a
+    pandas frame so the py4j transfer is one Arrow batch, not 10^5
+    pickled rows."""
+    import pandas as pd
+
     ts = cfg.round_ts_ms(0)
-    rows = [(u, urlparse(u).hostname, 0, None, ts, 1, 0, None, 0)
-            for u in dict.fromkeys(seeds)]  # order-preserving URL dedup
-    return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    urls = list(dict.fromkeys(seeds))  # order-preserving URL dedup
+    pdf = pd.DataFrame({
+        "url": urls,
+        "host": [urlparse(u).hostname for u in urls],
+        "depth": pd.array([0] * len(urls), dtype="Int32"),
+        "parent_url": pd.array([None] * len(urls), dtype="string"),
+        "discovered_at_ms": pd.array([ts] * len(urls), dtype="Int64"),
+        "priority": pd.array([1] * len(urls), dtype="Int32"),
+        "retry_count": pd.array([0] * len(urls), dtype="Int32"),
+        "scheduled_for_ms": pd.array([None] * len(urls), dtype="Int64"),
+        "round": pd.array([0] * len(urls), dtype="Int32"),
+    })
+    return spark.createDataFrame(pdf, FRONTIER_SCHEMA)
 
 
 def pages_view(pages: DataFrame) -> DataFrame:
@@ -93,13 +107,28 @@ class Crawler:
         self.store.stage_write("bloom", blooms0, 0)
         self.store.commit_round(0, {"stage": "bootstrap", "seeds": len(seeds)})
 
+    def _frontier_empty(self, r: int) -> bool:
+        """True iff frontier round r has no rows. Derived from the previous
+        round's committed counts (discovered + deferred) when available —
+        avoids a per-round Spark job just to test emptiness."""
+        meta = self.store.round_meta(r)
+        if meta is not None:
+            if "seeds" in meta:
+                return meta["seeds"] == 0
+            counts = meta.get("counts")
+            if counts is not None:
+                return (counts.get("discovered", 0)
+                        + counts.get("deferred", 0)) == 0
+        frontier = self.store.read(self.spark, "frontier", [r])
+        return frontier is None or frontier.limit(1).count() == 0
+
     def _state_for(self, r: int) -> RoundState:
         prior = list(range(r))
-        pages = self.store.read(self.spark, "pages", prior)
+        stored = self.store.read(self.spark, "stored", prior)
         return RoundState(
             robots=self.store.read(self.spark, "robots", prior),
-            seen_hashes=None if pages is None
-            else pages.select("content_hash"),
+            seen_hashes=None if stored is None
+            else stored.select("content_hash"),
             seen_urls=self.store.read(self.spark, "frontier",
                                       list(range(r + 1))).select("url"),
             blooms=self.store.read(self.spark, "bloom", [r]),
@@ -117,27 +146,51 @@ class Crawler:
         per_round = []
         while r < max_rounds:
             frontier = self.store.read(self.spark, "frontier", [r])
-            if frontier is None or frontier.limit(1).count() == 0:
+            if frontier is None or self._frontier_empty(r):
                 break
-            res = run_round(self.spark, frontier, self._state_for(r),
-                            self.cfg, self.fetcher, self.synth_cfg, r)
             rt0 = time.time()
-            self.store.stage_write("pages", res.stored.drop("fetched"), r)
-            self.store.stage_write("lineage", res.lineage, r)
-            self.store.stage_write("robots", res.robots_new, r)
-            self.store.stage_write("frontier", res.next_frontier, r + 1)
-            new_blooms = build_bloom_shards(
-                res.next_frontier.select("url"), self.cfg,
-                existing=self.store.read(self.spark, "bloom", [r]))
-            self.store.stage_write("bloom", new_blooms, r + 1)
+            stage_sec: dict[str, float] = {}
+
+            def _timed(name, fn, _s=stage_sec):
+                t = time.time()
+                out = fn()
+                _s[name] = round(time.time() - t, 2)
+                return out
+
+            state = self._state_for(r)
+            # phase A: fetch → pages parquet in ONE pass — payload bytes go
+            # straight from the Arrow fetcher to the columnar sink, never
+            # through a shuffle or the block-manager cache.
+            plan = build_fetch(self.spark, frontier, state,
+                               self.cfg, self.fetcher, self.synth_cfg, r)
+            pages_path = _timed("fetch_write", lambda: self.store.stage_write(
+                "pages", plan.fetched, r))
+            # phase B: every decision runs on slim columns of the written
+            # file (column pruning skips `bytes` at the scan).
+            raw = self.spark.read.parquet(pages_path)
+            res = finish_round(self.spark, raw, plan, state, self.cfg, r)
+            _timed("stored", lambda: self.store.stage_write(
+                "stored", res.stored, r))
+            _timed("frontier", lambda: self.store.stage_write(
+                "frontier", res.next_frontier, r + 1))
+            _timed("bloom", lambda: self.store.stage_write(
+                "bloom", build_bloom_shards(
+                    res.next_frontier.select("url"), self.cfg,
+                    existing=self.store.read(self.spark, "bloom", [r])),
+                r + 1))
+            _timed("lineage", lambda: self.store.stage_write(
+                "lineage", res.lineage, r))
+            _timed("robots", lambda: self.store.stage_write(
+                "robots", plan.robots_new, r))
 
             counts = {row["metric"]: row["value"] for row in
                       res.lineage.groupBy("metric")
                       .agg(F.sum("value").alias("value")).collect()}
             self.store.commit_round(r + 1, {"round_processed": r,
                                             "counts": counts,
+                                            "stage_sec": stage_sec,
                                             "sec": time.time() - rt0})
-            for df in res.cached:
+            for df in (*plan.cached, *res.cached):
                 df.unpersist()
             per_round.append({"round": r, **counts})
             totals["fetched"] += counts.get("fetched", 0)
@@ -152,9 +205,20 @@ class Crawler:
     # -- results -------------------------------------------------------------
 
     def pages(self) -> DataFrame | None:
+        """Canonical stored-pages view: raw fetches ⋉ stored winners.
+        Payload bytes only materialize for consumers that select them —
+        every slim query stays on pruned columns."""
         last = self.store.last_round() or 0
         raw = self.store.read(self.spark, "pages", list(range(last)))
-        return None if raw is None else pages_view(raw)
+        stored = self.store.read(self.spark, "stored", list(range(last)))
+        if raw is None or stored is None:
+            return None
+        return pages_view(
+            raw.join(stored.select("url"), "url", "left_semi"))
+
+    def stored_slim(self) -> DataFrame | None:
+        last = self.store.last_round() or 0
+        return self.store.read(self.spark, "stored", list(range(last)))
 
     def lineage(self) -> DataFrame | None:
         last = self.store.last_round() or 0
@@ -163,14 +227,14 @@ class Crawler:
     def visit_sequence(self) -> list[tuple[int, str, str]]:
         """Canonical (round, host, url) visit order — the parity target vs
         the golden model (north_rule 'crawl ordering')."""
-        pages = self.pages()
-        if pages is None:
+        stored = self.stored_slim()
+        if stored is None:
             return []
-        rows = (pages.select("round", "priority", "host", "url")
+        rows = (stored.select("round", "priority", "host", "url")
                 .orderBy("round", "priority", "host", "url").collect())
         return [(row["round"], row["host"], row["url"]) for row in rows]
 
     def url_seen_set(self) -> set[str]:
-        pages = self.pages()
-        return set() if pages is None else {
-            row["url"] for row in pages.select("url").distinct().collect()}
+        stored = self.stored_slim()
+        return set() if stored is None else {
+            row["url"] for row in stored.select("url").distinct().collect()}

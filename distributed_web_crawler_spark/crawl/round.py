@@ -4,21 +4,29 @@ Reference lifecycle per batch (core/WebCrawler.java:99-133):
 poll → shouldCrawl chain → fetch → hash → dedup probe → store →
 extract+filter links → enqueue children → offset-commit barrier.
 
-Spark restatement (all stages lazy until the round's actions):
+Spark restatement, in two phases so payload bytes NEVER shuffle and never
+sit in executor cache (the decisive constraint at 100 TB of image bytes):
 
+phase A (build_fetch):
     frontier(round=r)                          # snapshot scan, 1 directory
       → gates F1-F4/F7 (Catalyst when-chain)
       → robots F6 (broadcast join + exists)
       → politeness F5 (per-host window budget)
-      → salted repartition O7 → fetch S6 (mapInPandas)
-      → sha2 D2 → within-round winner + anti-join D1
-      → store pages
+      → salted repartition O7 → fetch S6 (mapInPandas) → sha2 D2
+    The driver writes this ONCE to the `pages` table (fetch → parquet,
+    single pass, no shuffle of bytes — dedup winners are marked later, so
+    even duplicate payloads cost only write-once storage, exactly the
+    blob-store trade the reference makes with S3).
+
+phase B (finish_round) — slim columns only (parquet column pruning means
+the bytes column is never read back):
+      → within-round winner + anti-join D1 → `stored` slim table
       → explode E1/E2 + link filters F8 → URL-seen anti-join D4
       → next frontier (deferred ∪ children)
-      → lineage aggregates A3
+      → lineage aggregates A3 (single shuffle)
 
-The round function is pure dataflow: state in, DataFrames out. Persistence
-and the commit barrier live in crawl/driver.py.
+The canonical stored-pages view = pages ⋉ stored(url) — reconstructed
+lazily; full rows only materialize for consumers that ask for payloads.
 """
 
 from __future__ import annotations
@@ -44,6 +52,10 @@ N_LINEAGE_SHARDS = 32
 FRONTIER_COLS = ["url", "host", "depth", "parent_url", "discovered_at_ms",
                  "priority", "retry_count", "scheduled_for_ms", "round"]
 
+# slim projection that drives every phase-B decision (no payload bytes)
+STORED_COLS = ["url", "host", "depth", "parent_url", "priority",
+               "content_hash", "fetch_time_ms", "round"]
+
 
 @dataclass
 class RoundState:
@@ -55,11 +67,19 @@ class RoundState:
 
 
 @dataclass
+class FetchPlan:
+    fetched: DataFrame        # all fetch attempts incl. failures (round=r)
+    deferred: DataFrame       # frontier rows carried to round r+1
+    robots_new: DataFrame     # newly fetched robots rows
+    decided: DataFrame        # persisted decision-tagged frontier
+    cached: list
+
+
+@dataclass
 class RoundResult:
-    stored: DataFrame         # new pages rows (round=r)
+    stored: DataFrame         # slim winner rows (round=r) — STORED_COLS
     next_frontier: DataFrame  # frontier rows (round=r+1)
     lineage: DataFrame        # (round, host_shard, metric, value)
-    robots_new: DataFrame     # newly fetched robots rows
     cached: list              # persisted DataFrames to release post-commit
 
 
@@ -67,15 +87,19 @@ def _host_shard() -> F.Column:
     return F.pmod(F.xxhash64("host"), F.lit(N_LINEAGE_SHARDS)).cast("int")
 
 
-def _metric(df: DataFrame, metric: str, round_no: int) -> DataFrame:
-    return (df.groupBy(_host_shard().alias("host_shard"))
-            .agg(F.count("*").alias("value"))
-            .select(F.lit(round_no).alias("round"), "host_shard",
-                    F.lit(metric).alias("metric"), "value"))
+def _tagged(df: DataFrame, metric: str) -> DataFrame:
+    """Row-level (host_shard, metric) projection — narrow op; all tagged
+    sources union into ONE groupBy so lineage costs a single shuffle
+    instead of one per metric."""
+    return df.select(_host_shard().alias("host_shard"),
+                     F.lit(metric).alias("metric"))
 
 
-def run_round(spark: SparkSession, frontier: DataFrame, state: RoundState,
-              cfg: CrawlConfig, fetcher, synth_cfg, round_no: int) -> RoundResult:
+def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
+                cfg: CrawlConfig, fetcher, synth_cfg,
+                round_no: int) -> FetchPlan:
+    """Phase A: decision chain + fetch. The returned `fetched` plan is a
+    single fetch→hash pass the driver sinks directly to parquet."""
     ts = cfg.round_ts_ms(round_no)
     next_ts = cfg.round_ts_ms(round_no + 1)
 
@@ -84,7 +108,7 @@ def run_round(spark: SparkSession, frontier: DataFrame, state: RoundState,
     robots_full, robots_new = resolve_robots(
         spark, gated.where(F.col("decision") == "PASS"), state.robots, synth_cfg)
     decided = apply_politeness(filter_robots(gated, robots_full), cfg)
-    decided = decided.persist()  # consumed by 4 branches below
+    decided = decided.persist()  # slim rows; consumed by 3 branches below
 
     selected = decided.where(F.col("decision") == "PASS")
     deferred = (
@@ -96,42 +120,64 @@ def run_round(spark: SparkSession, frontier: DataFrame, state: RoundState,
         .withColumn("round", F.lit(round_no + 1))
     )
 
-    # -- fetch + hash + dedup + store ---------------------------------------
     n_fetch_parts = cfg.fetch_partitions or spark.sparkContext.defaultParallelism
-    fetched = fetch_pages(
-        salted_repartition_for_fetch(selected, cfg, n_fetch_parts), fetcher)
-    fetched = fetched.persist()
-    fetched_ok = (
-        fetched.where(F.col("fetched"))
-        .withColumn("content_hash", content_hash_col())            # D2
+    fetched = (
+        fetch_pages(
+            salted_repartition_for_fetch(selected, cfg, n_fetch_parts), fetcher)
+        .withColumn("content_hash",
+                    F.when(F.col("fetched"), content_hash_col()))   # D2
         .withColumn("fetch_time_ms", F.lit(ts))
         .withColumn("round", F.lit(round_no))
     )
+    return FetchPlan(fetched=fetched, deferred=deferred,
+                     robots_new=robots_new, decided=decided,
+                     cached=[decided])
+
+
+def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
+                 state: RoundState, cfg: CrawlConfig,
+                 round_no: int) -> RoundResult:
+    """Phase B over the written `pages` rows. Every read of `raw` projects
+    slim columns, so parquet column pruning skips the payload entirely
+    (verify: `.explain` shows ReadSchema without `bytes`)."""
+    ts = cfg.round_ts_ms(round_no)
+
+    fetched_ok = raw.where(F.col("fetched")).select(*STORED_COLS)
     stored = dedup_content(fetched_ok, state.seen_hashes).persist()  # D1
 
     # -- children: explode + filters + URL-seen -----------------------------
-    children = extract_children(stored, cfg, ts)                   # E1/E2/F8
+    # links live in raw; the stored-winner semi-join stays on slim columns
+    links = raw.select("url", "depth", "links")
+    child_src = links.join(stored.select("url"), "url", "left_semi")
+    children = extract_children(child_src, cfg, ts)                 # E1/E2/F8
+    extra_cached: list = []
     new_urls = filter_unseen_urls(children, state.seen_urls,
-                                  state.blooms, cfg)               # D4
-    next_frontier = deferred.unionByName(
+                                  state.blooms, cfg,
+                                  cached=extra_cached).persist()    # D4
+    next_frontier = plan.deferred.unionByName(
         new_urls.withColumn("round", F.lit(round_no + 1))
         .select(*FRONTIER_COLS))
 
-    # -- lineage A3 ----------------------------------------------------------
-    lineage = (
-        _metric(frontier, "polled", round_no)
-        .unionByName(_metric(decided.where(F.col("decision").startswith("REJECT")),
-                             "rejected", round_no))
-        .unionByName(_metric(decided.where(F.col("decision").startswith("DEFER")),
-                             "deferred", round_no))
-        .unionByName(_metric(fetched.where(~F.col("fetched")),
-                             "fetch_failed", round_no))
-        .unionByName(_metric(fetched.where(F.col("fetched")),
-                             "fetched", round_no))
-        .unionByName(_metric(stored, "stored", round_no))
-        .unionByName(_metric(new_urls, "discovered", round_no))
+    # -- lineage A3: one union of row-level tags → one shuffle ---------------
+    decided = plan.decided
+    tagged = (
+        _tagged(decided, "polled")
+        .unionByName(_tagged(
+            decided.where(F.col("decision").startswith("REJECT")), "rejected"))
+        .unionByName(_tagged(
+            decided.where(F.col("decision").startswith("DEFER")), "deferred"))
+        .unionByName(_tagged(raw.where(~F.col("fetched")), "fetch_failed"))
+        .unionByName(_tagged(raw.where(F.col("fetched")), "fetched"))
+        .unionByName(_tagged(stored, "stored"))
+        .unionByName(_tagged(new_urls, "discovered"))
     )
+    lineage = (tagged.groupBy("host_shard", "metric")
+               .agg(F.count("*").alias("value"))
+               .select(F.lit(round_no).alias("round"), "host_shard",
+                       "metric", "value")
+               ).persist()  # tiny; consumed by the lineage sink and the
+    # driver's per-round counts collect
 
     return RoundResult(stored=stored, next_frontier=next_frontier,
-                       lineage=lineage, robots_new=robots_new,
-                       cached=[decided, fetched, stored])
+                       lineage=lineage,
+                       cached=[stored, new_urls, lineage, *extra_cached])

@@ -136,6 +136,15 @@ def seed_urls(cfg: SynthWebConfig, n_seeds: int = 4) -> list[str]:
     return [cfg.url(i, 0) for i in range(min(n_seeds, cfg.n_hosts))]
 
 
+def seed_pages(cfg: SynthWebConfig, per_host: int) -> list[str]:
+    """Wide seed list: the first min(per_host, n_pages) pages of every host.
+    Sized so the first crawl round saturates every host's politeness budget
+    — the steady-state-throughput benchmark shape."""
+    return [cfg.url(i, p)
+            for i in range(cfg.n_hosts)
+            for p in range(min(per_host, cfg.n_pages(i)))]
+
+
 def robots_disallow_for_host(host: str, cfg: SynthWebConfig) -> list[str]:
     """Disallow paths for user-agent:* — substring-match semantics exactly as
     the reference's ``isPathDisallowed`` (core/WebCrawler.java:530-532)."""

@@ -91,7 +91,8 @@ def build_bloom_shards(urls: DataFrame, cfg: CrawlConfig,
 
 
 def filter_unseen_urls(candidates: DataFrame, seen_urls: DataFrame | None,
-                       blooms: DataFrame | None, cfg: CrawlConfig) -> DataFrame:
+                       blooms: DataFrame | None, cfg: CrawlConfig,
+                       cached: list | None = None) -> DataFrame:
     """D4: rows of ``candidates`` whose url was never enqueued.
 
     With blooms: negatives pass immediately; only positives do the exact
@@ -104,25 +105,32 @@ def filter_unseen_urls(candidates: DataFrame, seen_urls: DataFrame | None,
 
     m, k = cfg.bloom_bits_per_shard, cfg.bloom_num_hashes
     hashed = with_url_hashes(candidates, cfg.url_seen_shards)
-    # Co-partition candidates with their shard's filter: a shuffle on
-    # `shard` moves each (few-MiB) filter to its candidates exactly once —
-    # never through the driver, so 4096 × 4 MiB of filter state stays
-    # distributed at 10^10 scale.
+    # Cogroup candidates with their shard's filter: one shuffle on `shard`
+    # moves each (few-MiB) filter to its candidates EXACTLY ONCE — never
+    # replicated per row (an equi-join would materialize |candidates| ×
+    # filter_size), never through the driver, so 4096 × 4 MiB of filter
+    # state stays distributed at 10^10 scale.
     probe_schema = T.StructType(
         hashed.schema.fields + [T.StructField("_maybe_seen", T.BooleanType())])
-    joined = hashed.join(blooms.select("shard", "filter_bytes"), "shard", "left")
 
-    def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        out = pdf.drop(columns=["filter_bytes"])
-        fb = pdf["filter_bytes"].iloc[0]
-        if fb is None:
+    def probe(cand: pd.DataFrame, filt: pd.DataFrame) -> pd.DataFrame:
+        out = cand.copy()
+        if len(filt) == 0:
             out["_maybe_seen"] = False
         else:
             out["_maybe_seen"] = B.probe(
-                bytes(fb), pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), m, k)
+                bytes(filt["filter_bytes"].iloc[0]),
+                cand["_h1"].to_numpy(), cand["_h2"].to_numpy(), m, k)
         return out
 
-    probed = joined.groupBy("shard").applyInPandas(probe, probe_schema)
+    # persist: both branches below consume `probed`; without it the whole
+    # cogroup + Arrow probe pipeline executes twice.
+    probed = (hashed.groupBy("shard")
+              .cogroup(blooms.select("shard", "filter_bytes").groupBy("shard"))
+              .applyInPandas(probe, probe_schema)
+              .persist())
+    if cached is not None:
+        cached.append(probed)
     negatives = (probed.where(~F.col("_maybe_seen"))
                  .drop("_h1", "_h2", "shard", "_maybe_seen"))
     positives = (probed.where(F.col("_maybe_seen"))

@@ -62,21 +62,29 @@ def salted_repartition_for_fetch(selected: DataFrame, cfg: CrawlConfig,
                                  num_partitions: int) -> DataFrame:
     """O7: distribute this round's fetch set across executors.
 
-    Per-host selected counts are tiny (≤ budget), so we compute each host's
-    share with a broadcastable aggregate, derive n_salts per host, and
-    repartition on (host, salt). AQE's skew-join handling does not cover
-    UDF fetch stages, hence the explicit split."""
-    counts = selected.groupBy("host").agg(F.count("*").alias("n_host"))
-    total = selected.count()
+    Per-host selected counts are bounded by the budget, so one aggregate
+    (collected once — at most n_hosts rows, the same cardinality the
+    robots broadcast already carries) yields both the total and each
+    host's share; hosts over the share threshold split across salts and
+    the fetch repartitions on (host, salt). AQE's skew-join handling does
+    not cover UDF fetch stages, hence the explicit split."""
+    rows = (selected.groupBy("host").agg(F.count("*").alias("n_host"))
+            .collect())
+    total = sum(r["n_host"] for r in rows)
     if total == 0:
         return selected
     threshold = max(1, int(total * cfg.skew_share_threshold))
-    salts = counts.withColumn(
-        "n_salts", F.greatest(F.lit(1), F.ceil(F.col("n_host") / threshold))
-    ).select("host", "n_salts")
+    salt_rows = [(r["host"], -(-r["n_host"] // threshold) or 1)
+                 for r in rows if r["n_host"] > threshold]
+    if not salt_rows:
+        return selected.repartition(num_partitions, F.col("host"),
+                                    F.pmod(F.xxhash64("url"), F.lit(1)))
+    salts = selected.sparkSession.createDataFrame(
+        salt_rows, "host string, n_salts long")
     return (
         selected.join(F.broadcast(salts), "host", "left")
-        .withColumn("salt", F.pmod(F.xxhash64("url"), F.col("n_salts")))
+        .withColumn("salt", F.pmod(F.xxhash64("url"),
+                                   F.coalesce(F.col("n_salts"), F.lit(1))))
         .repartition(num_partitions, F.col("host"), F.col("salt"))
         .drop("n_salts", "salt")
     )

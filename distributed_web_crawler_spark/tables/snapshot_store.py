@@ -55,6 +55,13 @@ class SnapshotStore:
         rounds = self.committed_rounds()
         return rounds[-1] if rounds else None
 
+    def round_meta(self, round_no: int) -> dict | None:
+        path = os.path.join(self.commits_dir, f"round-{round_no}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
     def commit_round(self, round_no: int, meta: dict | None = None) -> None:
         tmp = os.path.join(self.commits_dir, f".round-{round_no}.tmp")
         final = os.path.join(self.commits_dir, f"round-{round_no}.json")

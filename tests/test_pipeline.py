@@ -1,0 +1,128 @@
+"""Training-data pipeline operators: dedup families, similarity search,
+multimodal plumbing (SURVEY.md §5 step 2 + the pipeline extensions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_web_crawler_spark.pipeline import dedup as pdedup
+from distributed_web_crawler_spark.pipeline import multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat", "en"),   # near dup of 1
+        (4, "completely different text about spark engines here", "en"),
+        (5, "der schnelle braune fuchs springt", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = {r["doc_id"] for r in pdedup.exact_dedup(docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in pdedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0            # exact dup
+    assert 0.5 <= pairs[(1, 3)] < 1.0      # near dup (one word differs)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_catches_exact_and_near(docs):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in pdedup.minhash_lsh_verified(
+                 docs, num_hashes=16, bands=8, threshold=0.5).collect()}
+    assert (1, 2) in pairs                 # identical signatures always collide
+    # verified output is a subset of true-Jaccard pairs
+    truth = {(r["doc_a"], r["doc_b"])
+             for r in pdedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs <= truth
+
+
+def test_simhash_exact_dup_hamming_zero(docs):
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in pdedup.simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in pdedup.simhash_neardup_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 16))
+    base[1] = base[0] + 0.01 * rng.standard_normal(16)   # near dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_neardup_brute_and_lsh_agree_on_top_pair(vecs):
+    brute = {(r["vec_a"], r["vec_b"])
+             for r in pdedup.embedding_neardup_pairs(vecs, threshold=0.99).collect()}
+    assert (0, 1) in brute
+    lsh = {(r["vec_a"], r["vec_b"])
+           for r in pdedup.embedding_neardup_pairs(
+               vecs, threshold=0.99, use_lsh=True, n_planes=4).collect()}
+    assert lsh <= brute                    # LSH candidates are verified
+
+
+def test_ann_brute_force_topk_rank1_is_near_dup(vecs):
+    queries = (vecs.where(F.col("vec_id") == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    top = similarity.brute_force_topk(vecs, queries, k=3).collect()
+    assert top[0]["rank"] == 1 and top[0]["vec_id"] == 1
+
+
+def test_ivf_recall_vs_brute_force(vecs):
+    queries = (vecs.where(F.col("vec_id") < 2)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    brute = {(r["query_id"], r["vec_id"])
+             for r in similarity.brute_force_topk(vecs, queries, k=2).collect()}
+    ivf_all = {(r["query_id"], r["vec_id"])
+               for r in similarity.ivf_topk(vecs, queries, k=2,
+                                            n_lists=2, nprobe=2).collect()}
+    assert ivf_all == brute                # nprobe = n_lists ⇒ exact
+
+
+def test_image_stats_roundtrip(spark):
+    from distributed_web_crawler_spark.config import SynthWebConfig
+    from distributed_web_crawler_spark.crawl.synthweb import (
+        SYNTH_IMAGE_SCHEMA, images_for_keys)
+    ids = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    imgs = ids.mapInPandas(images_for_keys(SynthWebConfig()),
+                           SYNTH_IMAGE_SCHEMA)
+    stats = multimodal.image_stats(imgs).collect()
+    meta = {r["image_id"]: (r["w"], r["h"], r["fmt"], r["phash"])
+            for r in imgs.collect()}
+    assert len(stats) == 16
+    for r in stats:
+        w, h, fmt, phash = meta[r["image_id"]]
+        # decode recovers the typed metadata and the stored phash exactly
+        assert (r["w"], r["h"], r["fmt"], r["phash"]) == (w, h, fmt, phash)
+        assert 0.0 <= r["mean_px"] <= 255.0
+
+
+def test_phash_neardup_detects_duplicate_payloads(spark):
+    from distributed_web_crawler_spark.config import SynthWebConfig
+    from distributed_web_crawler_spark.crawl.synthweb import (
+        SYNTH_IMAGE_SCHEMA, images_for_keys)
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    imgs = ids.mapInPandas(images_for_keys(SynthWebConfig(), dup_mod=4),
+                           SYNTH_IMAGE_SCHEMA)
+    pairs = multimodal.phash_hamming_neardup(imgs, max_hamming=0).collect()
+    got = {(r["img_a"], r["img_b"]) for r in pairs}
+    assert {(f"img-{i:08d}", f"img-{i + 4:08d}") for i in range(4)} <= got
+
+
+def test_decode_real_image_is_gated(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real_image(b"\x89PNG")
