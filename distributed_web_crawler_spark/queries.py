@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import CrawlConfig, SynthWebConfig
+from .operators.extract import extract_children
 from .operators.gates import apply_gates
 from .operators.politeness import apply_politeness
 from .operators.robots import filter_robots
@@ -692,6 +693,269 @@ def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_hamming_neardup(
         _images_df(spark, sf_dir), max_hamming=10)
+
+
+# ---------------------------------------------------------------------------
+# R2: retry scheduling — deferred rows re-enter the next frontier with
+# retry_count+1 and scheduled_for = next round (core/WebCrawler.java:283-310,
+# model/CrawlRequest.java:21-23)
+# ---------------------------------------------------------------------------
+
+_POLITE_CFG = CrawlConfig(
+    max_depth=_GATE_CFG.max_depth,
+    max_retry_attempts=_GATE_CFG.max_retry_attempts,
+    allowed_domains=_GATE_CFG.allowed_domains,
+    exclude_patterns=_GATE_CFG.exclude_patterns,
+    host_budget_per_round=3,
+)
+
+@q("retry_reschedule", f"""
+  WITH frontier AS ({_FRONTIER_SQL}),
+  gated AS (SELECT *, {_DECISION_SQL} AS decision0 FROM frontier),
+  ranked AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY host
+      ORDER BY (CASE WHEN decision0 = 'PASS' THEN 1 ELSE 0 END) DESC,
+               priority, url) AS host_rank
+    FROM gated),
+  decided AS (
+    SELECT *, CASE WHEN decision0 = 'PASS' AND host_rank > 3
+                   THEN 'DEFER_POLITENESS' ELSE decision0 END AS decision
+    FROM ranked)
+  SELECT url, CAST(retry_count + 1 AS INTEGER) AS retry_count,
+         CAST({_POLITE_CFG.round_ts_ms(1)} AS BIGINT) AS scheduled_for_ms,
+         CAST(1 AS INTEGER) AS round
+  FROM decided WHERE decision = 'DEFER_POLITENESS'
+  UNION ALL
+  SELECT url, retry_count, scheduled_for_ms, CAST(1 AS INTEGER) AS round
+  FROM decided WHERE decision = 'DEFER_SCHED'
+""")
+def retry_reschedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = _POLITE_CFG
+    frontier = _frontier_from_orders(spark, sf_dir)
+    decided = apply_politeness(
+        apply_gates(frontier, cfg, cfg.round_ts_ms(0)), cfg)
+    deferred = (
+        decided.where(F.col("decision") == "DEFER_POLITENESS")
+        .withColumn("retry_count", (F.col("retry_count") + 1).cast("int"))
+        .withColumn("scheduled_for_ms",
+                    F.lit(cfg.round_ts_ms(1)).cast("long"))
+        .unionByName(decided.where(F.col("decision") == "DEFER_SCHED"))
+    )
+    return deferred.select("url", "retry_count", "scheduled_for_ms",
+                           F.lit(1).cast("int").alias("round"))
+
+
+# ---------------------------------------------------------------------------
+# E2 + D3 + F8: link → child-request projection with intra-page dedup and
+# validity/allow/exclude filters (core/WebCrawler.java:339-397,418-426)
+# ---------------------------------------------------------------------------
+
+@q("link_children", r"""
+  WITH base AS (
+    SELECT
+      'http://h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+          || '.example.com/p/' || CAST(o_orderkey AS VARCHAR)  AS parent_url,
+      CAST(o_orderkey % 8 AS INTEGER)                          AS pdepth,
+      'http://h' || lpad(CAST((o_custkey % 20 + 1) % 20 AS VARCHAR), 4, '0')
+          || '.example.com/p/' || CAST(o_orderkey + 7 AS VARCHAR) AS url,
+      'h' || lpad(CAST((o_custkey % 20 + 1) % 20 AS VARCHAR), 4, '0')
+          || '.example.com'                                    AS host
+    FROM orders),
+  filtered AS (
+    SELECT * FROM base
+    WHERE regexp_matches(host,
+      '^(?:(?:h000[0-9]\.example\.com)|(?:h001[0-4]\.example\.com))$')
+      AND NOT regexp_matches(url, '^(?:(?:.*/p/\d*[05]))$'))
+  SELECT url, host, CAST(pdepth + 1 AS INTEGER) AS depth, parent_url,
+         CAST(1 AS INTEGER) AS priority
+  FROM filtered
+  QUALIFY row_number() OVER (
+    PARTITION BY url ORDER BY pdepth + 1, parent_url) = 1
+""")
+def link_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    hi = (F.col("o_custkey") % 20).cast("int")
+    host = F.concat(F.lit("h"), F.lpad(hi.cast("string"), 4, "0"),
+                    F.lit(".example.com"))
+    url = F.concat(F.lit("http://"), host, F.lit("/p/"),
+                   F.col("o_orderkey").cast("string"))
+    child_host = F.concat(F.lit("h"),
+                          F.lpad(((hi + 1) % 20).cast("string"), 4, "0"),
+                          F.lit(".example.com"))
+    child = F.concat(F.lit("http://"), child_host, F.lit("/p/"),
+                     (F.col("o_orderkey") + 7).cast("string"))
+    bad = F.concat(F.lit("relative/"), F.col("o_orderkey").cast("string"))
+    stored = orders.select(
+        url.alias("url"),
+        (F.col("o_orderkey") % 8).cast("int").alias("depth"),
+        F.array(child, bad, child).alias("links"))  # dup → D3 array_distinct
+    return (extract_children(stored, _GATE_CFG, 0)
+            .select("url", "host", "depth", "parent_url",
+                    F.col("priority").cast("int").alias("priority")))
+
+
+# ---------------------------------------------------------------------------
+# F9: metadata projection — strip the payload column
+# (storage/StorageService.java:61-69)
+# ---------------------------------------------------------------------------
+
+@q("metadata_projection", """
+  SELECT doc_id, source, lang, n_chars FROM documents WHERE n_chars >= 200
+""")
+def metadata_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "documents")
+            .where(F.col("n_chars") >= 200)
+            .select("doc_id", "source", "lang", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# X8: URL scheme normalization (ui/MainView.java:281-283,309-311)
+# ---------------------------------------------------------------------------
+
+@q("url_normalize", """
+  SELECT p_partkey,
+         CASE WHEN regexp_matches(u, '^https?://') THEN u
+              ELSE 'https://' || u END AS url_norm
+  FROM (SELECT p_partkey,
+          CASE CAST(p_partkey % 3 AS INTEGER)
+            WHEN 0 THEN 'http://www.example.com/part/'
+                        || CAST(p_partkey AS VARCHAR)
+            WHEN 1 THEN 'https://example.org/part/'
+                        || CAST(p_partkey AS VARCHAR)
+            ELSE 'example.net/part/' || CAST(p_partkey AS VARCHAR)
+          END AS u
+        FROM part) s
+""")
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.urls import normalize_scheme
+    key = F.col("p_partkey").cast("string")
+    u = (F.when(F.col("p_partkey") % 3 == 0,
+                F.concat(F.lit("http://www.example.com/part/"), key))
+         .when(F.col("p_partkey") % 3 == 1,
+               F.concat(F.lit("https://example.org/part/"), key))
+         .otherwise(F.concat(F.lit("example.net/part/"), key)))
+    return (_t(spark, sf_dir, "part")
+            .select("p_partkey", normalize_scheme(u).alias("url_norm")))
+
+
+# ---------------------------------------------------------------------------
+# X6: date partition key (storage/HybridStorageService.java:37-39 S3 key
+# prefix; our pages table partitions by the same fetch date)
+# ---------------------------------------------------------------------------
+
+@q("date_partition_key", """
+  SELECT strftime(ts, '%Y-%m-%d') AS fetch_date, count(*) AS n
+  FROM events GROUP BY 1
+""")
+def date_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "events")
+            .groupBy(F.date_format(F.col("ts").cast("timestamp"),
+                                   "yyyy-MM-dd").alias("fetch_date"))
+            .agg(F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# L5: content truncation (ui/MainView.java:385-387)
+# ---------------------------------------------------------------------------
+
+@q("content_truncate", """
+  SELECT doc_id, substring(text, 1, 120) AS preview,
+         length(text) AS n_len
+  FROM documents
+""")
+def content_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("preview"),
+        F.length("text").alias("n_len"))
+
+
+# ---------------------------------------------------------------------------
+# A2: per-page link-count summaries rolled up per source
+# (core/WebCrawler.java:348-396) — tokens stand in for links
+# ---------------------------------------------------------------------------
+
+@q("link_count_stats", r"""
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+         max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
+  FROM documents GROUP BY 1
+""")
+def link_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_tok = ptext.token_count(F.col("text"))
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(n_tok).alias("total_tokens"),
+                 F.max(n_tok).alias("max_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# S10: point lookup by primary key (storage/HybridStorageService.java:67-98)
+# ---------------------------------------------------------------------------
+
+@q("point_lookup", """
+  SELECT doc_id, lang, source, n_chars FROM documents
+  WHERE doc_id IN (7, 42, 123)
+""")
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id").isin(7, 42, 123))
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# X7: robots.txt parsing — line split + trim + case-sensitive prefix match
+# (core/WebCrawler.java:509-528), all JVM higher-order functions
+# ---------------------------------------------------------------------------
+
+@q("robots_parse", """
+  WITH hosts AS (
+    SELECT DISTINCT
+      'h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+          || '.example.com' AS host,
+      CAST(o_custkey % 20 AS INTEGER) AS host_idx
+    FROM orders),
+  txt AS (
+    SELECT host,
+      'User-agent: *' || chr(10) || '# synthetic' || chr(10)
+      || 'Disallow: /p/' || CAST(host_idx % 10 AS VARCHAR) || chr(10)
+      || 'Allow: /pub' || chr(10) || '  disallow: /lowercase' || chr(10)
+      || 'Disallow: /admin' AS robots
+    FROM hosts),
+  lines AS (
+    SELECT host, trim(unnest(string_split(robots, chr(10)))) AS line
+    FROM txt)
+  SELECT host, trim(regexp_replace(line, '^Disallow:', '')) AS disallow_path
+  FROM lines WHERE starts_with(line, 'Disallow:')
+""")
+def robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frontier = _frontier_from_orders(spark, sf_dir)
+    hosts = frontier.select("host", "host_idx").distinct()
+    robots = F.concat(
+        F.lit("User-agent: *\n# synthetic\nDisallow: /p/"),
+        (F.col("host_idx") % 10).cast("string"),
+        F.lit("\nAllow: /pub\n  disallow: /lowercase\nDisallow: /admin"))
+    paths = F.transform(
+        F.filter(F.split(robots, "\n"),
+                 lambda l: F.trim(l).startswith("Disallow:")),
+        lambda l: F.trim(F.regexp_replace(F.trim(l), "^Disallow:", "")))
+    return (hosts.select("host", F.explode(paths).alias("disallow_path")))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming: tumbling event-time window + watermark drained via
+# availableNow — equals the batch aggregation (streaming/events_stream.py)
+# ---------------------------------------------------------------------------
+
+@q("events_stream_tumbling", """
+  SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+""")
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import tumbling_counts_stream
+    return tumbling_counts_stream(spark, sf_dir)
 
 
 @q("crawl_flagship")

@@ -1,0 +1,53 @@
+"""Structured Streaming surface: event-time tumbling windows + watermark.
+
+The reference is a continuous Kafka consumer, not an event-time stream
+processor (SURVEY.md §2.12) — our engine's batch-iterative rounds replace
+that model. This module is the forward-looking streaming analog for the
+training-data side: the same tumbling aggregation the batch engine runs
+(`queries.events_tumbling`), expressed as a file-source stream with an
+event-time watermark, so a production deployment can point it at an
+arriving-parquet directory (or swap the source for Kafka) unchanged.
+
+Scale notes: the aggregation is a streaming partial-agg → state-store
+shuffle on (window, event_type) — the same single-shuffle shape as the
+batch plan; the watermark bounds state. `availableNow` drains the backlog
+as one checkpointable run (the batch-equivalence property the test
+asserts).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_COUNTER = itertools.count()
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str,
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Tumbling per-event-type counts over the events table, computed via a
+    Structured Streaming query drained with trigger(availableNow) into a
+    memory sink. Complete output mode ⇒ result equals the batch aggregation
+    bit-for-bit (single drain, no dropped-late rows), which is exactly what
+    the DuckDB oracle checks."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("win_start_us"),
+                "event_type", "n")
+    )
+    qname = f"events_stream_tumbling_{next(_COUNTER)}"
+    query = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(qname)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(qname)
