@@ -168,25 +168,33 @@ SIMHASH_SCHEMA = T.StructType([
 def simhash_signatures(documents: DataFrame,
                        text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc: sign of per-bit sums of token hashes.
-    Token hashes come from xxhash64 JVM-side; the bit math is vectorized
-    numpy over Arrow batches (one applyInPandas per doc-partition)."""
+
+    Token hashes come from xxhash64; the per-bit ±1 votes are 64 plain
+    `sum(when(bit,1,-1))` aggregates over the exploded tokens — one
+    hash-agg shuffle with map-side partial combine, fully JVM/codegen (the
+    earlier applyInPandas-per-doc version paid a Python round-trip per
+    document). The signature reassembles from the votes as a sum of
+    disjoint bit terms (bit 63 is the two's-complement sign term)."""
     toks = (documents
             .select("doc_id", F.explode(
                 F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"))
             .withColumn("th", F.xxhash64("tok")))
-
-    def sig(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["th"].to_numpy().astype(np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        val = 0
-        for i in range(63, -1, -1):
-            val = (val << 1) | int(votes[i] > 0)
-        val = val - (1 << 64) if val >= (1 << 63) else val
-        return pd.DataFrame({"doc_id": [key[0]],
-                             "simhash": pd.array([val], dtype="Int64")})
-
-    return toks.groupBy("doc_id").applyInPandas(sig, SIMHASH_SCHEMA)
+    votes = [
+        F.sum(F.when(F.shiftrightunsigned("th", i).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"_v{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"_v{i}") > 0,
+               F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    sig = bit_terms[0]
+    for term in bit_terms[1:]:
+        sig = sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 8,
@@ -224,48 +232,105 @@ def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 8,
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 
+_PAIR_SCHEMA = T.StructType([
+    T.StructField("vec_a", T.LongType()),
+    T.StructField("vec_b", T.LongType()),
+    T.StructField("cosine", T.DoubleType()),
+])
+
+
+def _pair_frame(ids_a: np.ndarray, U_a: np.ndarray,
+                ids_b: np.ndarray, U_b: np.ndarray,
+                threshold: float, same_block: bool) -> pd.DataFrame:
+    """All (a<b) pairs with round(cos,6) ≥ threshold from one BLAS product."""
+    cos = np.round(U_a @ U_b.T, 6)
+    if same_block:
+        ii, jj = np.triu_indices(len(ids_a), k=1)
+    else:
+        ii, jj = np.meshgrid(np.arange(len(ids_a)), np.arange(len(ids_b)),
+                             indexing="ij")
+        ii, jj = ii.ravel(), jj.ravel()
+    c = cos[ii, jj]
+    m = c >= threshold
+    ia, ib = ids_a[ii[m]], ids_b[jj[m]]
+    return pd.DataFrame({"vec_a": np.minimum(ia, ib),
+                         "vec_b": np.maximum(ia, ib),
+                         "cosine": c[m]})
+
+
+def _unit_rows(ids, embs) -> tuple[np.ndarray, np.ndarray]:
+    M = np.array([np.asarray(v, dtype=np.float64) for v in embs])
+    norms = np.sqrt((M * M).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    return np.asarray(ids, dtype=np.int64), M / norms[:, None]
+
+
 def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                             use_lsh: bool = False, n_planes: int = 8,
-                            plane_seed: int = 7) -> DataFrame:
+                            plane_seed: int = 7,
+                            block_size: int = 4096) -> DataFrame:
     """Pairs (a<b) with cosine ≥ threshold over `embedding:array<float>`.
 
-    Brute force: O(n²) crossJoin with JVM higher-order dot products — fine
-    for verification scale. use_lsh=True buckets by random-hyperplane sign
-    bits first (candidates share a bucket), the 100 TB path; recall <1 for
-    pairs straddling a plane — raise n_planes/permutations to trade."""
-    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0),
-                              lambda acc, x: acc + x * x))
+    Exact mode: blocked all-pairs — rows hash into ⌈n/block_size⌉ blocks,
+    block pairs (ba ≤ bb) join, and each pair computes one BLAS |A|×|B|
+    product in an Arrow batch (~10⁴× the per-pair expression-fold cost).
+    Shuffle replicates each block n_blocks times — the O(n²/B) exact tier,
+    for verification scale; use_lsh=True is the 100 TB path: rows bucket by
+    random-hyperplane sign bits (JVM expressions) and only within-bucket
+    pairs are computed, recall <1 for pairs straddling a plane — raise
+    n_planes to trade."""
     e = embeddings.select(
-        F.col("vec_id"),
-        F.transform("embedding",
-                    lambda x: x / norm).alias("unit"),
-    )
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+
     if use_lsh:
-        rng = np.random.default_rng(plane_seed)
-        # deterministic planes; dim read lazily from first row is an action,
-        # so planes are sized generously and sliced by zip_with semantics
         dim = len(embeddings.select("embedding").first()["embedding"])
-        planes = rng.standard_normal((n_planes, dim)).tolist()
+        planes = np.random.default_rng(plane_seed).standard_normal(
+            (n_planes, dim))
+        # sign(raw · plane) == sign(unit · plane): bucket on the raw vector
         sign_bits = [
-            (F.aggregate(F.zip_with("unit", F.array(*[F.lit(float(v)) for v in p]),
-                                    lambda a_, b_: a_ * b_),
-                         F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
+            (F.aggregate(
+                F.zip_with("emb", F.array(*[F.lit(float(v)) for v in p]),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
             for p in planes
         ]
         bucket = sum((bit * F.lit(2 ** i) for i, bit in enumerate(sign_bits)),
                      F.lit(0))
-        e = e.withColumn("bucket", bucket)
-        a, b = e.alias("a"), e.alias("b")
-        joined = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                        & (F.col("a.vec_id") < F.col("b.vec_id")))
-    else:
-        a, b = e.alias("a"), e.alias("b")
-        joined = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-    cos = F.aggregate(
-        F.zip_with(F.col("a.unit"), F.col("b.unit"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return (joined
-            .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"),
-                    F.round(cos, 6).alias("cosine"))
-            .where(F.col("cosine") >= threshold))
+
+        def bucket_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            ids, U = _unit_rows(pdf["vec_id"].to_numpy(), pdf["emb"])
+            return _pair_frame(ids, U, ids, U, threshold, same_block=True)
+
+        return (e.withColumn("bucket", bucket)
+                .groupBy("bucket").applyInPandas(bucket_pairs, _PAIR_SCHEMA))
+
+    n = e.count()
+    n_blocks = max(1, -(-n // block_size))
+    blocks = (
+        e.withColumn("blk",
+                     F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "emb")).alias("rows")))
+    pairs = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), F.col("a.blk") <= F.col("b.blk"))
+        .select(F.col("a.blk").alias("blk_a"), F.col("b.blk").alias("blk_b"),
+                F.col("a.rows").alias("rows_a"),
+                F.col("b.rows").alias("rows_b")))
+
+    def block_pairs(batches):
+        for pdf in batches:
+            for rows_a, rows_b, same in zip(pdf["rows_a"], pdf["rows_b"],
+                                            (pdf["blk_a"] == pdf["blk_b"])):
+                ids_a, U_a = _unit_rows([r["vec_id"] for r in rows_a],
+                                        [r["emb"] for r in rows_a])
+                if same:
+                    yield _pair_frame(ids_a, U_a, ids_a, U_a,
+                                      threshold, same_block=True)
+                else:
+                    ids_b, U_b = _unit_rows([r["vec_id"] for r in rows_b],
+                                            [r["emb"] for r in rows_b])
+                    yield _pair_frame(ids_a, U_a, ids_b, U_b,
+                                      threshold, same_block=False)
+
+    return pairs.mapInPandas(block_pairs, _PAIR_SCHEMA)
