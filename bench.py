@@ -92,6 +92,9 @@ def crawl_job(cores: int, store: str, rounds: int = 4,
     crawler.bootstrap(seeds)
     stats = crawler.run(rounds)
     stats["cores"] = cores
+    metas = [crawler.store.round_meta(i) or {}
+             for i in range(1, (crawler.store.last_round() or 0) + 1)]
+    stats["stage_sec"] = [m.get("stage_sec") for m in metas if m.get("stage_sec")]
     stats["round_latency_sec"] = (stats["wall_sec"] / stats["rounds"]
                                   if stats["rounds"] else 0.0)
     stats.pop("per_round", None)

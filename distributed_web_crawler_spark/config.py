@@ -42,9 +42,10 @@ class CrawlConfig:
     bloom_bits_per_shard: int = 1 << 20
     bloom_num_hashes: int = 5
     use_bloom: bool = True
-    # skew salting: a host whose frontier share exceeds this fraction of the
-    # round is split into ceil(share/threshold) salted sub-partitions
-    skew_share_threshold: float = 0.05
+    # skew salting: a host's selected rows split into
+    # ceil(n_selected / fetch_rows_per_salt) salted sub-partitions, so no
+    # fetch task is dominated by one hot host
+    fetch_rows_per_salt: int = 256
     fetch_partitions: int = 0  # 0 => leave to AQE / input partitioning
 
     # deterministic clock: round r happens at epoch + r * round_seconds

@@ -157,12 +157,13 @@ class Crawler:
                 _s[name] = round(time.time() - t, 2)
                 return out
 
-            state = self._state_for(r)
+            state = _timed("state", lambda: self._state_for(r))
             # phase A: fetch → pages parquet in ONE pass — payload bytes go
             # straight from the Arrow fetcher to the columnar sink, never
             # through a shuffle or the block-manager cache.
-            plan = build_fetch(self.spark, frontier, state,
-                               self.cfg, self.fetcher, self.synth_cfg, r)
+            plan = _timed("plan", lambda: build_fetch(
+                self.spark, frontier, state,
+                self.cfg, self.fetcher, self.synth_cfg, r))
             pages_path = _timed("fetch_write", lambda: self.store.stage_write(
                 "pages", plan.fetched, r))
             # phase B: every decision runs on slim columns of the written
@@ -178,14 +179,21 @@ class Crawler:
                     res.next_frontier.select("url"), self.cfg,
                     existing=self.store.read(self.spark, "bloom", [r])),
                 r + 1))
-            _timed("lineage", lambda: self.store.stage_write(
-                "lineage", res.lineage, r))
             _timed("robots", lambda: self.store.stage_write(
                 "robots", plan.robots_new, r))
-
-            counts = {row["metric"]: row["value"] for row in
-                      res.lineage.groupBy("metric")
-                      .agg(F.sum("value").alias("value")).collect()}
+            # lineage is tiny (≤ shards × metrics rows): one collect feeds
+            # both the persisted table and the per-round counts — no second
+            # aggregation job over the round's DAG.
+            lineage_rows = _timed("lineage",
+                                  lambda: res.lineage.collect())
+            self.store.stage_write(
+                "lineage",
+                self.spark.createDataFrame(lineage_rows, res.lineage.schema),
+                r)
+            counts: dict[str, int] = {}
+            for row in lineage_rows:
+                counts[row["metric"]] = (counts.get(row["metric"], 0)
+                                         + row["value"])
             self.store.commit_round(r + 1, {"round_processed": r,
                                             "counts": counts,
                                             "stage_sec": stage_sec,

@@ -174,10 +174,10 @@ def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
     lineage = (tagged.groupBy("host_shard", "metric")
                .agg(F.count("*").alias("value"))
                .select(F.lit(round_no).alias("round"), "host_shard",
-                       "metric", "value")
-               ).persist()  # tiny; consumed by the lineage sink and the
-    # driver's per-round counts collect
+                       "metric", "value"))
+    # tiny result (≤ shards × metrics): the driver collects it once and
+    # derives both the lineage table and the per-round counts from the rows
 
     return RoundResult(stored=stored, next_frontier=next_frontier,
                        lineage=lineage,
-                       cached=[stored, new_urls, lineage, *extra_cached])
+                       cached=[stored, new_urls, *extra_cached])

@@ -17,8 +17,9 @@ Scale notes:
 - the ranking window shuffles by host once; its output feeds the fetch
   stage directly so no second shuffle is needed;
 - fetch-task skew (one mega-host dominating a task) is handled by explicit
-  salting: hosts whose selected-row share exceeds ``skew_share_threshold``
-  are split across ceil(share/threshold) salted sub-partitions
+  salting: a host with n selected rows splits across
+  ceil(n / ``fetch_rows_per_salt``) salted sub-partitions, the count
+  coming from a window over the politeness shuffle's own partitioning
   (BASELINE.json north_rule: "salted repartition-by-host with explicit
   skew splitting"). Budgets are applied *before* salting, so politeness is
   exact per host regardless of the split (SURVEY.md §7.2 hard part (c)).
@@ -60,31 +61,23 @@ def apply_politeness(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
 
 def salted_repartition_for_fetch(selected: DataFrame, cfg: CrawlConfig,
                                  num_partitions: int) -> DataFrame:
-    """O7: distribute this round's fetch set across executors.
+    """O7: distribute this round's fetch set across executors with an
+    explicit per-host skew split.
 
-    Per-host selected counts are bounded by the budget, so one aggregate
-    (collected once — at most n_hosts rows, the same cardinality the
-    robots broadcast already carries) yields both the total and each
-    host's share; hosts over the share threshold split across salts and
-    the fetch repartitions on (host, salt). AQE's skew-join handling does
-    not cover UDF fetch stages, hence the explicit split."""
-    rows = (selected.groupBy("host").agg(F.count("*").alias("n_host"))
-            .collect())
-    total = sum(r["n_host"] for r in rows)
-    if total == 0:
-        return selected
-    threshold = max(1, int(total * cfg.skew_share_threshold))
-    salt_rows = [(r["host"], -(-r["n_host"] // threshold) or 1)
-                 for r in rows if r["n_host"] > threshold]
-    if not salt_rows:
-        return selected.repartition(num_partitions, F.col("host"),
-                                    F.pmod(F.xxhash64("url"), F.lit(1)))
-    salts = selected.sparkSession.createDataFrame(
-        salt_rows, "host string, n_salts long")
+    Each host's selected-row count comes from a count window over the same
+    `host` partitioning the politeness ranking already shuffled on — so
+    the split is data-driven yet costs NO extra job, no driver collect,
+    and no broadcast (the earlier aggregate+collect version added a full
+    blocking job per round). A host with n selected rows splits into
+    ceil(n / fetch_rows_per_salt) salts, bounding how much of any fetch
+    task one hot host can occupy; AQE's skew handling does not cover UDF
+    fetch stages, hence the explicit split."""
+    n_sel = F.count("*").over(Window.partitionBy("host"))
+    n_salts = F.greatest(
+        F.lit(1), F.ceil(n_sel / F.lit(cfg.fetch_rows_per_salt)))
     return (
-        selected.join(F.broadcast(salts), "host", "left")
-        .withColumn("salt", F.pmod(F.xxhash64("url"),
-                                   F.coalesce(F.col("n_salts"), F.lit(1))))
+        selected
+        .withColumn("salt", F.pmod(F.xxhash64("url"), n_salts))
         .repartition(num_partitions, F.col("host"), F.col("salt"))
-        .drop("n_salts", "salt")
+        .drop("salt")
     )
