@@ -54,6 +54,15 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def pin_to_cores(cores: int) -> None:
+    """Pin this process (and every child: the JVM, its Python UDF workers)
+    to CPUs 0..cores-1. local[N] only bounds JVM task threads — Arrow UDF
+    workers are separate processes OUTSIDE that budget, so an unpinned
+    local[4] crawl quietly consumes ~2N vCPUs and deflates the measured
+    N→4N scaling. Affinity inheritance makes the level honest: N means N."""
+    os.sched_setaffinity(0, set(range(cores)))
+
+
 def crawl_job(cores: int, store: str, rounds: int = 4,
               preset: str = "default") -> dict:
     """One crawl benchmark: Zipf-skewed synthetic web, fixed workload
@@ -79,7 +88,7 @@ def crawl_job(cores: int, store: str, rounds: int = 4,
                           max_rounds=rounds, url_seen_shards=32,
                           bloom_bits_per_shard=1 << 24,
                           fetch_partitions=max(64, cores * 4))
-        seeds = seed_pages(synth, 100)   # ~80k-fetch saturated first round
+        seeds = seed_pages(synth, 200)   # ~155k-fetch saturated first round
     else:
         synth = SynthWebConfig(n_hosts=150, base_pages_per_host=900,
                                max_out_links=12, cross_host_fraction=0.4)
@@ -151,7 +160,10 @@ def cpu_baseline(procs: int, seconds: float = 5.0) -> float:
         "    n+=5\n"
         "print(n)\n")
     ps = [subprocess.Popen([sys.executable, "-c", code],
-                           stdout=subprocess.PIPE) for _ in range(procs)]
+                           stdout=subprocess.PIPE,
+                           preexec_fn=lambda: os.sched_setaffinity(
+                               0, set(range(procs))))
+          for _ in range(procs)]
     total = sum(int(p.communicate()[0]) for p in ps)
     return total / seconds
 
@@ -162,7 +174,7 @@ def _crawl_subprocess(cores: int, preset: str, rounds: int) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--crawl-only", "--cores", str(cores), "--store", store,
-             "--preset", preset, "--rounds", str(rounds)],
+             "--preset", preset, "--rounds", str(rounds), "--pin"],
             capture_output=True, text=True, timeout=3600,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -174,7 +186,11 @@ def _crawl_subprocess(cores: int, preset: str, rounds: int) -> dict:
 def run_scaling(levels: tuple[int, int] = (4, 16),
                 preset: str = "scale", rounds: int = 1,
                 reps: int = 3) -> dict:
-    """Same crawl workload at N and 4N local cores, fresh JVM each.
+    """Same crawl workload at N and 4N local cores, fresh JVM each, the
+    whole process tree (JVM + Arrow Python workers) affinity-pinned to
+    exactly N / 4N CPUs — without pinning, UDF worker processes escape the
+    local[N] task-slot budget and the N-level baseline quietly uses ~2N
+    vCPUs, understating true scaling.
 
     Default N=4 → 4N=16: raw multiprocess CPU on this box scales ~0.96×
     ideal over 4→16 procs but degrades above ~16 busy threads (the upper
@@ -224,9 +240,13 @@ def main() -> None:
     ap.add_argument("--preset", default="default",
                     choices=["default", "scale"])
     ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--pin", action="store_true",
+                    help="pin the whole process tree to CPUs 0..cores-1")
     args = ap.parse_args()
 
     if args.crawl_only:
+        if args.pin:
+            pin_to_cores(args.cores)
         store = args.store or tempfile.mkdtemp(prefix="bench_crawl_")
         print(json.dumps(crawl_job(args.cores, store, rounds=args.rounds,
                                    preset=args.preset)))

@@ -24,6 +24,7 @@ State read by round r (all committed):
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -172,20 +173,30 @@ class Crawler:
             res = finish_round(self.spark, raw, plan, state, self.cfg, r)
             _timed("stored", lambda: self.store.stage_write(
                 "stored", res.stored, r))
-            _timed("frontier", lambda: self.store.stage_write(
-                "frontier", res.next_frontier, r + 1))
-            _timed("bloom", lambda: self.store.stage_write(
-                "bloom", build_bloom_shards(
-                    res.next_frontier.select("url"), self.cfg,
-                    existing=self.store.read(self.spark, "bloom", [r])),
-                r + 1))
-            _timed("robots", lambda: self.store.stage_write(
-                "robots", plan.robots_new, r))
-            # lineage is tiny (≤ shards × metrics rows): one collect feeds
-            # both the persisted table and the per-round counts — no second
-            # aggregation job over the round's DAG.
-            lineage_rows = _timed("lineage",
-                                  lambda: res.lineage.collect())
+            # independent sinks run as concurrent Spark jobs (threads share
+            # the scheduler); each pair's inputs are already materialized in
+            # the cache, so no stage computes twice:
+            #   frontier ∥ robots   (frontier materializes new_urls)
+            #   bloom ∥ lineage     (both read the new_urls cache)
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f1 = ex.submit(_timed, "frontier", lambda: self.store
+                               .stage_write("frontier", res.next_frontier,
+                                            r + 1))
+                f2 = ex.submit(_timed, "robots", lambda: self.store
+                               .stage_write("robots", plan.robots_new, r))
+                f1.result(), f2.result()
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f1 = ex.submit(_timed, "bloom", lambda: self.store
+                               .stage_write("bloom", build_bloom_shards(
+                                   res.next_frontier.select("url"), self.cfg,
+                                   existing=self.store.read(
+                                       self.spark, "bloom", [r])), r + 1))
+                # lineage is tiny (≤ shards × metrics rows): one collect
+                # feeds both the lineage table and the round counts
+                f2 = ex.submit(_timed, "lineage",
+                               lambda: res.lineage.collect())
+                f1.result()
+                lineage_rows = f2.result()
             self.store.stage_write(
                 "lineage",
                 self.spark.createDataFrame(lineage_rows, res.lineage.schema),

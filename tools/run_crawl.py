@@ -1,0 +1,59 @@
+"""spark-submit entry point: run (or resume) a BSP crawl against a store dir.
+
+Usage (see tools/spark_submit_crawl.sh for the --py-files packaging):
+
+    spark-submit --master local[8] --py-files dist/dwcs.zip \
+        tools/run_crawl.py --store /tmp/crawl_store --rounds 4 \
+        --hosts 150 --pages-per-host 900 --budget 40 --seeds 64
+
+All engine state lives in the store dir; re-running the same command in a
+fresh process resumes from the last committed round snapshot (the
+reference's offset-commit barrier, queue/KafkaUrlQueue.java:105-112,
+re-expressed as table snapshots). Prints one JSON stats line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--hosts", type=int, default=150)
+    ap.add_argument("--pages-per-host", type=int, default=900)
+    ap.add_argument("--budget", type=int, default=40)
+    ap.add_argument("--seeds", type=int, default=64)
+    ap.add_argument("--max-depth", type=int, default=8)
+    ap.add_argument("--shards", type=int, default=32)
+    args = ap.parse_args()
+
+    # imports resolve from --py-files (or PYTHONPATH when run directly)
+    from pyspark.sql import SparkSession
+
+    from distributed_web_crawler_spark.config import (
+        CrawlConfig,
+        SynthWebConfig,
+    )
+    from distributed_web_crawler_spark.crawl.driver import Crawler
+    from distributed_web_crawler_spark.crawl.synthweb import seed_urls
+
+    spark = SparkSession.builder.appName("dwcs_crawl").getOrCreate()
+    synth = SynthWebConfig(n_hosts=args.hosts,
+                           base_pages_per_host=args.pages_per_host)
+    cfg = CrawlConfig(max_depth=args.max_depth,
+                      host_budget_per_round=args.budget,
+                      max_rounds=args.rounds,
+                      url_seen_shards=args.shards)
+    crawler = Crawler(spark, cfg, synth, args.store)
+    if crawler.store.last_round() is None:
+        crawler.bootstrap(seed_urls(synth, args.seeds))
+    stats = crawler.run(args.rounds)
+    stats.pop("per_round", None)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
