@@ -87,8 +87,9 @@ def crawl_job(cores: int, store: str, rounds: int = 4,
         cfg = CrawlConfig(max_depth=12, host_budget_per_round=600,
                           max_rounds=rounds, url_seen_shards=32,
                           bloom_bits_per_shard=1 << 24,
-                          fetch_partitions=max(64, cores * 4))
-        seeds = seed_pages(synth, 200)   # ~155k-fetch saturated first round
+                          fetch_partitions=max(256, cores * 8),
+                          fetch_rows_per_salt=128)
+        seeds = seed_pages(synth, 400)   # ~310k-fetch saturated first round
     else:
         synth = SynthWebConfig(n_hosts=150, base_pages_per_host=900,
                                max_out_links=12, cross_host_fraction=0.4)
@@ -248,8 +249,12 @@ def main() -> None:
         if args.pin:
             pin_to_cores(args.cores)
         store = args.store or tempfile.mkdtemp(prefix="bench_crawl_")
-        print(json.dumps(crawl_job(args.cores, store, rounds=args.rounds,
-                                   preset=args.preset)))
+        try:
+            print(json.dumps(crawl_job(args.cores, store, rounds=args.rounds,
+                                       preset=args.preset)))
+        finally:
+            if args.store is None:
+                shutil.rmtree(store, ignore_errors=True)
     elif args.scaling:
         print(json.dumps(run_scaling()))
     else:

@@ -23,6 +23,7 @@ State read by round r (all committed):
 
 from __future__ import annotations
 
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from urllib.parse import urlparse
@@ -33,7 +34,7 @@ from pyspark.sql import types as T
 
 from ..config import CrawlConfig, SynthWebConfig
 from ..operators.dedup import build_bloom_shards
-from ..operators.extract import make_synth_fetcher
+from ..operators.extract import make_synth_fetcher, write_empty_payload
 from ..tables.snapshot_store import SnapshotStore
 from .round import FRONTIER_COLS, RoundState, build_fetch, finish_round
 
@@ -159,17 +160,22 @@ class Crawler:
                 return out
 
             state = _timed("state", lambda: self._state_for(r))
-            # phase A: fetch → pages parquet in ONE pass — payload bytes go
-            # straight from the Arrow fetcher to the columnar sink, never
-            # through a shuffle or the block-manager cache.
+            # phase A: fetch → pages shards in ONE pass, written by the
+            # Arrow workers themselves — payload bytes never cross the
+            # Python→JVM boundary, never shuffle, never hit the cache. The
+            # JVM sinks only the slim fetch result.
+            pages_dir = self.store.round_dir("pages", r, create=True)
             plan = _timed("plan", lambda: build_fetch(
                 self.spark, frontier, state,
-                self.cfg, self.fetcher, self.synth_cfg, r))
-            pages_path = _timed("fetch_write", lambda: self.store.stage_write(
-                "pages", plan.fetched, r))
-            # phase B: every decision runs on slim columns of the written
-            # file (column pruning skips `bytes` at the scan).
-            raw = self.spark.read.parquet(pages_path)
+                self.cfg, self.fetcher, self.synth_cfg, r, pages_dir))
+            # the action: workers sink their shard and return a receipt row
+            _timed("fetch_write", lambda: plan.fetched.collect())
+            if not any(f.endswith(".parquet")
+                       for f in os.listdir(pages_dir)):
+                write_empty_payload(pages_dir)
+            # phase B: column-pruned scans of the worker-written shards
+            # (ReadSchema never includes `bytes` — see PLANS.md).
+            raw = self.spark.read.parquet(pages_dir)
             res = finish_round(self.spark, raw, plan, state, self.cfg, r)
             _timed("stored", lambda: self.store.stage_write(
                 "stored", res.stored, r))

@@ -37,12 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
-from ..operators.dedup import (
-    content_hash_col,
-    dedup_content,
-    filter_unseen_urls,
-)
-from ..operators.extract import extract_children, fetch_pages
+from ..operators.dedup import dedup_content, filter_unseen_urls
+from ..operators.extract import extract_children, fetch_pages_sink
 from ..operators.gates import apply_gates
 from ..operators.politeness import apply_politeness, salted_repartition_for_fetch
 from ..operators.robots import filter_robots, resolve_robots
@@ -97,9 +93,10 @@ def _tagged(df: DataFrame, metric: str) -> DataFrame:
 
 def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
                 cfg: CrawlConfig, fetcher, synth_cfg,
-                round_no: int) -> FetchPlan:
-    """Phase A: decision chain + fetch. The returned `fetched` plan is a
-    single fetch→hash pass the driver sinks directly to parquet."""
+                round_no: int, pages_dir: str) -> FetchPlan:
+    """Phase A: decision chain + fetch. The returned `fetched` plan is the
+    SLIM fetch result; its execution sinks payload shards to ``pages_dir``
+    from inside the Arrow workers (operators/extract.fetch_pages_sink)."""
     ts = cfg.round_ts_ms(round_no)
     next_ts = cfg.round_ts_ms(round_no + 1)
 
@@ -121,14 +118,12 @@ def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
     )
 
     n_fetch_parts = cfg.fetch_partitions or spark.sparkContext.defaultParallelism
-    fetched = (
-        fetch_pages(
-            salted_repartition_for_fetch(selected, cfg, n_fetch_parts), fetcher)
-        .withColumn("content_hash",
-                    F.when(F.col("fetched"), content_hash_col()))   # D2
-        .withColumn("fetch_time_ms", F.lit(ts))
-        .withColumn("round", F.lit(round_no))
-    )
+    # S6+S8 fused: workers sink payload shards to pages_dir themselves and
+    # return slim rows (content_hash D2 computed in-worker); image bytes
+    # never cross the Python→JVM boundary.
+    fetched = fetch_pages_sink(
+        salted_repartition_for_fetch(selected, cfg, n_fetch_parts),
+        fetcher, pages_dir, ts, round_no)
     return FetchPlan(fetched=fetched, deferred=deferred,
                      robots_new=robots_new, decided=decided,
                      cached=[decided])

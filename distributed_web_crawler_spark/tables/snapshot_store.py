@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -74,9 +75,24 @@ class SnapshotStore:
     # explicit committed round lists) and are overwritten in place when the
     # killed round re-runs — no rollback pass needed.
 
+    # The pages table is dominated by the already-compressed image payload
+    # (zlib/JPEG bytes are incompressible); snappy re-compression there is
+    # pure wasted CPU on the hottest write path. Slim tables keep snappy.
+    _UNCOMPRESSED = frozenset({"pages"})
+
+    def round_dir(self, name: str, round_no: int, create: bool = False) -> str:
+        """Path of one table's round directory (for writers that manage
+        their own files, e.g. the in-worker payload sink)."""
+        path = os.path.join(self.tables_dir, name, f"round={round_no}")
+        if create:
+            shutil.rmtree(path, ignore_errors=True)
+            os.makedirs(path, exist_ok=True)
+        return path
+
     def stage_write(self, name: str, df: DataFrame, round_no: int) -> str:
         path = os.path.join(self.tables_dir, name, f"round={round_no}")
-        df.write.mode("overwrite").parquet(path)
+        codec = "uncompressed" if name in self._UNCOMPRESSED else "snappy"
+        df.write.mode("overwrite").option("compression", codec).parquet(path)
         return path
 
     # -- reads --------------------------------------------------------------
