@@ -56,11 +56,17 @@ def seeds_frontier(spark: SparkSession, seeds: list[str],
     """S5: seed injection — CrawlRequest(url, depth=0, parent=null,
     priority=1), reference core/WebCrawler.java:88-97. Built through a
     pandas frame so the py4j transfer is one Arrow batch, not 10^5
-    pickled rows."""
+    pickled rows (nullable Int64 columns require the Arrow path — enabled
+    in session.py and tools/spark_submit_crawl.sh)."""
     import pandas as pd
 
     ts = cfg.round_ts_ms(0)
     urls = list(dict.fromkeys(seeds))  # order-preserving URL dedup
+    if spark.conf.get("spark.sql.execution.arrow.pyspark.enabled",
+                      "false").lower() != "true":
+        rows = [(u, urlparse(u).hostname, 0, None, ts, 1, 0, None, 0)
+                for u in urls]
+        return spark.createDataFrame(rows, FRONTIER_SCHEMA)
     pdf = pd.DataFrame({
         "url": urls,
         "host": [urlparse(u).hostname for u in urls],

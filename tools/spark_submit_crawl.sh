@@ -13,5 +13,6 @@ exec spark-submit \
   --conf spark.sql.shuffle.partitions="${SPARK_GRAFT_CPUS:-8}" \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.session.timeZone=UTC \
+  --conf spark.sql.execution.arrow.pyspark.enabled=true \
   --py-files dist/dwcs.zip \
   tools/run_crawl.py "$@"
