@@ -944,6 +944,31 @@ def robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X10: timestamp arithmetic — politeness remaining-delay / retry-at shapes
+# (core/WebCrawler.java:243-247,289)
+# ---------------------------------------------------------------------------
+
+@q("time_arithmetic", """
+  SELECT event_id,
+         epoch_us(ts + INTERVAL 90 SECOND) AS retry_at_us,
+         epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+             AS since_epoch_us
+  FROM events WHERE event_id % 97 = 0
+""")
+def time_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = F.col("ts").cast("timestamp")
+    base = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    return (_t(spark, sf_dir, "events")
+            .where(F.col("event_id") % 97 == 0)
+            .select(
+                "event_id",
+                F.unix_micros(ts + F.make_interval(secs=F.lit(90)))
+                .alias("retry_at_us"),
+                (F.unix_micros(ts) - F.unix_micros(base))
+                .alias("since_epoch_us")))
+
+
+# ---------------------------------------------------------------------------
 # Structured Streaming: tumbling event-time window + watermark drained via
 # availableNow — equals the batch aggregation (streaming/events_stream.py)
 # ---------------------------------------------------------------------------
