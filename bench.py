@@ -86,7 +86,7 @@ def crawl_job(cores: int, store: str, rounds: int = 4,
                                min_dim=128, max_dim=256)
         cfg = CrawlConfig(max_depth=12, host_budget_per_round=600,
                           max_rounds=rounds, url_seen_shards=32,
-                          bloom_bits_per_shard=1 << 24,
+                          bloom_bits_per_shard=1 << 22,
                           fetch_partitions=max(256, cores * 8),
                           fetch_rows_per_salt=128)
         seeds = seed_pages(synth, 400)   # ~310k-fetch saturated first round

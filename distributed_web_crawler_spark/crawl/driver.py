@@ -183,13 +183,10 @@ class Crawler:
             # (ReadSchema never includes `bytes` — see PLANS.md).
             raw = self.spark.read.parquet(pages_dir)
             res = finish_round(self.spark, raw, plan, state, self.cfg, r)
-            _timed("stored", lambda: self.store.stage_write(
-                "stored", res.stored, r))
-            # independent sinks run as concurrent Spark jobs (threads share
-            # the scheduler); each pair's inputs are already materialized in
-            # the cache, so no stage computes twice:
-            #   frontier ∥ robots   (frontier materializes new_urls)
-            #   bloom ∥ lineage     (both read the new_urls cache)
+            # Sinks are ordered so every persisted intermediate (stored
+            # winners, probed new_urls) materializes exactly once — inside
+            # the frontier job — and later sinks run as concurrent Spark
+            # jobs reading only caches, so no stage computes twice.
             with ThreadPoolExecutor(max_workers=2) as ex:
                 f1 = ex.submit(_timed, "frontier", lambda: self.store
                                .stage_write("frontier", res.next_frontier,
@@ -197,18 +194,20 @@ class Crawler:
                 f2 = ex.submit(_timed, "robots", lambda: self.store
                                .stage_write("robots", plan.robots_new, r))
                 f1.result(), f2.result()
-            with ThreadPoolExecutor(max_workers=2) as ex:
-                f1 = ex.submit(_timed, "bloom", lambda: self.store
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                f1 = ex.submit(_timed, "stored", lambda: self.store
+                               .stage_write("stored", res.stored, r))
+                f2 = ex.submit(_timed, "bloom", lambda: self.store
                                .stage_write("bloom", build_bloom_shards(
                                    res.next_frontier.select("url"), self.cfg,
                                    existing=self.store.read(
                                        self.spark, "bloom", [r])), r + 1))
                 # lineage is tiny (≤ shards × metrics rows): one collect
                 # feeds both the lineage table and the round counts
-                f2 = ex.submit(_timed, "lineage",
+                f3 = ex.submit(_timed, "lineage",
                                lambda: res.lineage.collect())
-                f1.result()
-                lineage_rows = f2.result()
+                f1.result(), f2.result()
+                lineage_rows = f3.result()
             self.store.stage_write(
                 "lineage",
                 self.spark.createDataFrame(lineage_rows, res.lineage.schema),
