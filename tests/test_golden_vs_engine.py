@@ -102,3 +102,16 @@ def test_resume_identical(spark, tmp_path, crawled, golden):
     full_crawler, _ = crawled
     assert c2.visit_sequence() == full_crawler.visit_sequence()
     assert c2.url_seen_set() == full_crawler.url_seen_set()
+
+
+def test_politeness_budget_exact_per_host_round(crawled):
+    """F5 under salting: no (round, host) stores more than the per-round
+    budget — SURVEY.md §7.2 hard part (c), north_rule politeness budget."""
+    crawler, _ = crawled
+    from pyspark.sql import functions as F
+    counts = (crawler.stored_slim()
+              .groupBy("round", "host").agg(F.count("*").alias("n"))
+              .collect())
+    assert counts, "no stored rows"
+    over = [r for r in counts if r["n"] > CFG.host_budget_per_round]
+    assert not over, f"budget exceeded: {over}"
