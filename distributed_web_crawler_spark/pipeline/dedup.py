@@ -66,16 +66,27 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     """Near-duplicate pairs (a<b) with Jaccard(shingles) ≥ threshold.
 
     Self-join on shingle with a document-frequency cap; Jaccard from
-    |∩| / (|A|+|B|-|∩|). Returns (doc_a, doc_b, jaccard)."""
-    sh = shingles(documents, n, text_col)
+    |∩| / (|A|+|B|-|∩|). Returns (doc_a, doc_b, jaccard).
+
+    The join/groupBy keys are a 128-bit shingle fingerprint (two
+    independent xxhash64 values) instead of the shingle string — fixed
+    16-byte keys shuffle and compare far cheaper than variable-length
+    n-gram text at corpus scale, and a collision needs both 64-bit hashes
+    to collide (~2^-128 per pair, never observable)."""
+    sh = shingles(documents, n, text_col).select(
+        "doc_id",
+        F.xxhash64("shingle").alias("h1"),
+        F.xxhash64(F.lit(1), "shingle").alias("h2"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh_capped = sh.join(dfreq.where(F.col("df") <= max_df), "shingle", "inner") \
-                  .select("doc_id", "shingle")
+    dfreq = sh.groupBy("h1", "h2").agg(F.count("*").alias("df"))
+    sh_capped = sh.join(dfreq.where(F.col("df") <= max_df),
+                        ["h1", "h2"], "inner") \
+                  .select("doc_id", "h1", "h2")
     a = sh_capped.alias("a")
     b = sh_capped.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.h1") == F.col("b.h1"))
+               & (F.col("a.h2") == F.col("b.h2"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"),
                  F.col("b.doc_id").alias("doc_b"))
