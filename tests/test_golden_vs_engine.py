@@ -115,3 +115,20 @@ def test_politeness_budget_exact_per_host_round(crawled):
     assert counts, "no stored rows"
     over = [r for r in counts if r["n"] > CFG.host_budget_per_round]
     assert not over, f"budget exceeded: {over}"
+
+
+def test_all_rejected_round_terminates_cleanly(spark, tmp_path):
+    """An all-rejected round writes a schema-bearing empty pages shard,
+    terminates the loop, and keeps pages()/visit_sequence() readable."""
+    synth = SynthWebConfig(n_hosts=4, base_pages_per_host=10)
+    cfg = CrawlConfig(max_depth=3, host_budget_per_round=2, max_rounds=3,
+                      exclude_patterns=(r".*",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 10)
+    c = Crawler(spark, cfg, synth, str(tmp_path))
+    c.bootstrap(W.seed_urls(synth, 3))
+    stats = c.run()
+    assert stats["fetched"] == 0 and stats["rounds"] == 1
+    assert c.pages() is not None and c.pages().count() == 0
+    assert c.visit_sequence() == []
+    g = golden_crawl(W.seed_urls(synth, 3), cfg, synth)
+    assert g.visits == []
