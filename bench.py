@@ -93,9 +93,11 @@ def crawl_job(cores: int, store: str, rounds: int = 4,
     else:
         synth = SynthWebConfig(n_hosts=150, base_pages_per_host=900,
                                max_out_links=12, cross_host_fraction=0.4)
+        # filters sized to the ~10^4-URL corpus (still ~400 bits/URL);
+        # the scale preset carries the 10^6-sized filters
         cfg = CrawlConfig(max_depth=8, host_budget_per_round=40,
-                          max_rounds=rounds, url_seen_shards=32,
-                          bloom_bits_per_shard=1 << 22,
+                          max_rounds=rounds, url_seen_shards=16,
+                          bloom_bits_per_shard=1 << 18,
                           fetch_partitions=max(8, cores))
         seeds = seed_urls(synth, 64)
     crawler = Crawler(spark, cfg, synth, store)
