@@ -587,7 +587,8 @@ def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM common
   JOIN sizes na ON na.doc_id = doc_a
   JOIN sizes nb ON nb.doc_id = doc_b
-  WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.3
+  WHERE round(CAST(n_common AS DOUBLE)
+              / (na.n_sh + nb.n_sh - n_common), 6) >= 0.3
 """)
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdedup.ngram_jaccard_pairs(
@@ -840,6 +841,37 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X2: URL → protocol extraction (core/WebCrawler.java:462)
+# ---------------------------------------------------------------------------
+
+@q("url_protocol", """
+  SELECT CASE WHEN regexp_matches(u, '^[a-z][a-z0-9+.-]*://')
+              THEN regexp_extract(u, '^([a-z][a-z0-9+.-]*)://', 1) END
+             AS protocol,
+         count(*) AS n
+  FROM (SELECT CASE CAST(p_partkey % 3 AS INTEGER)
+          WHEN 0 THEN 'http://www.example.com/part/'
+                      || CAST(p_partkey AS VARCHAR)
+          WHEN 1 THEN 'https://example.org/part/'
+                      || CAST(p_partkey AS VARCHAR)
+          ELSE 'example.net/part/' || CAST(p_partkey AS VARCHAR)
+        END AS u FROM part) s
+  GROUP BY 1
+""")
+def url_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.urls import protocol_of
+    key = F.col("p_partkey").cast("string")
+    u = (F.when(F.col("p_partkey") % 3 == 0,
+                F.concat(F.lit("http://www.example.com/part/"), key))
+         .when(F.col("p_partkey") % 3 == 1,
+               F.concat(F.lit("https://example.org/part/"), key))
+         .otherwise(F.concat(F.lit("example.net/part/"), key)))
+    return (_t(spark, sf_dir, "part")
+            .select(protocol_of(u).alias("protocol"))
+            .groupBy("protocol").agg(F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
 # X6: date partition key (storage/HybridStorageService.java:37-39 S3 key
 # prefix; our pages table partitions by the same fetch date)
 # ---------------------------------------------------------------------------
@@ -877,8 +909,10 @@ def content_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("link_count_stats", r"""
   SELECT source, count(*) AS n_docs,
-         sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
-         max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS total_tokens,
+         CAST(max(len(string_split_regex(trim(text), '\s+'))) AS INTEGER)
+             AS max_tokens
   FROM documents GROUP BY 1
 """)
 def link_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
