@@ -175,7 +175,12 @@ def _content_key(host_idx: int, page_idx: int, cfg: SynthWebConfig) -> str:
 def links_for_content(content_key: str, cfg: SynthWebConfig) -> list[str]:
     """Outlinks derived from the content key (identical content ⇒ identical
     links, as real HTML would). Includes deliberately invalid and
-    cross-host links to exercise F8/F3/F4."""
+    cross-host links to exercise F8/F3/F4, and — like real HTML — a mix of
+    relative href forms (root-relative, dot-relative, scheme-relative) that
+    the engine must resolve against the hosting page (X3). Refs are emitted
+    RAW; resolution happens downstream per discovering page, so duplicate
+    content hosted on two hosts yields host-local absolute links — exactly
+    Jsoup's abs:href behavior on mirrored pages."""
     h = _dint(cfg.seed, "deg", content_key)
     degree = 1 + h % cfg.max_out_links
     links: list[str] = []
@@ -185,12 +190,27 @@ def links_for_content(content_key: str, cfg: SynthWebConfig) -> list[str]:
             links.append(["not a url", "ftp://h0000.example.com/p/0",
                           "http://outside.other.org/x"][hk % 3])
             continue
-        if (hk % 1000) / 1000.0 < cfg.cross_host_fraction:
+        cross = (hk % 1000) / 1000.0 < cfg.cross_host_fraction
+        if cross:
             t_host = hk % cfg.n_hosts
         else:
             t_host = _dint(cfg.seed, "home", content_key) % cfg.n_hosts
         t_page = _dint(cfg.seed, "tp", content_key, k) % (cfg.n_pages(t_host) + 2)
-        links.append(cfg.url(t_host, t_page))  # may 404 if t_page >= n_pages
+        if cross:  # cross-host refs carry the host: scheme-relative/absolute
+            if (hk >> 32) % 2 == 0:
+                links.append(f"//{cfg.host_name(t_host)}/p/{t_page}")
+            else:
+                links.append(cfg.url(t_host, t_page))  # absolute (may 404)
+        else:      # same-host refs: the relative forms real HTML uses
+            form = (hk >> 32) % 4
+            if form == 0:
+                links.append(f"/p/{t_page}")        # root-relative
+            elif form == 1:
+                links.append(f"../p/{t_page}")      # dot-relative
+            elif form == 2:
+                links.append(f"./{t_page}")         # same-directory
+            else:
+                links.append(cfg.url(t_host, t_page))
     # intra-page dedup happens downstream (array_distinct, D3); keep raw here
     return links
 

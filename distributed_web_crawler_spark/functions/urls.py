@@ -13,19 +13,28 @@ from pyspark.sql import functions as F
 
 HTTP_URL_RE = r"^https?://"
 
+# RFC 3986 reference charset: a ref containing anything else (spaces,
+# control chars, …) is junk and must NOT be resolved — it stays verbatim so
+# F8 drops it identically on the engine and golden sides.
+_REF_CHARSET_RE = r"^[A-Za-z0-9._~:/?#\[\]@!$&'()*+,;=%-]+$"
+# has a scheme (http:, https:, ftp:, mailto:, …) ⇒ already absolute
+_HAS_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
+
 
 def host_of(url: Column) -> Column:
-    """X1: URL → host. Null for unparseable URLs (drops them at F8)."""
-    return F.parse_url(url, F.lit("HOST"))
+    """X1: URL → host. Null for unparseable URLs (drops them at F8).
+    try_parse_url, not parse_url: Spark 4's parse_url raises on invalid
+    URLs, and one malformed href in 10^10 must not kill the job."""
+    return F.try_parse_url(url, F.lit("HOST"))
 
 
 def protocol_of(url: Column) -> Column:
     """X2: URL → scheme."""
-    return F.parse_url(url, F.lit("PROTOCOL"))
+    return F.try_parse_url(url, F.lit("PROTOCOL"))
 
 
 def path_of(url: Column) -> Column:
-    return F.parse_url(url, F.lit("PATH"))
+    return F.try_parse_url(url, F.lit("PATH"))
 
 
 def is_http_url(url: Column) -> Column:
@@ -39,6 +48,97 @@ def normalize_scheme(url: Column) -> Column:
     """X8: prepend https:// when no scheme (ui/MainView.java:281-283)."""
     return F.when(url.rlike(HTTP_URL_RE), url).otherwise(
         F.concat(F.lit("https://"), url))
+
+
+def _normalize_path(path: Column) -> Column:
+    """RFC 3986 §5.2.4 remove_dot_segments for an absolute path: fold the
+    segment array left, skipping '' / '.' and popping on '..' (clamped at
+    root, as urljoin does). Pure Catalyst higher-order functions — stays in
+    whole-stage codegen, no UDF on the per-link hot path."""
+    segs = F.aggregate(
+        F.split(path, "/"),
+        F.array().cast("array<string>"),
+        lambda acc, s: (
+            F.when((s == "") | (s == "."), acc)
+            .when(s == "..",
+                  F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))))
+            .otherwise(F.concat(acc, F.array(s)))))
+    norm = F.concat(F.lit("/"), F.array_join(segs, "/"))
+    # a ref ending in '/', '/.' or '/..' names a directory — keep the slash
+    return F.when(path.rlike(r"/(\.{0,2})?$") & ~norm.rlike("/$"),
+                  F.concat(norm, F.lit("/"))).otherwise(norm)
+
+
+def resolve_url(base: Column, href: Column) -> Column:
+    """X3: relative→absolute URL resolution (reference: Jsoup ``abs:href``,
+    core/WebCrawler.java:341), as a Catalyst expression tree.
+
+    Subset semantics (mirrored exactly by ``resolve_ref_py`` for the golden
+    model and property-tested against urllib.parse.urljoin): path-only
+    references against an http(s) base — absolute refs pass through,
+    ``//host/…`` takes the base scheme, ``/path`` the base authority,
+    relative paths resolve against the base directory with full dot-segment
+    normalization. Query/fragment refs and junk (non-RFC-3986 charset) pass
+    through unresolved; downstream F8 validity drops what remains invalid."""
+    authority = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    base_path = F.regexp_replace(
+        F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+        r"[^/]*$", "")  # directory of the base path ('' when path is empty)
+    base_dir = F.when(base_path == "", F.lit("/")).otherwise(base_path)
+    return (
+        F.when(href.isNull() | (href == ""), base)
+        .when(~href.rlike(_REF_CHARSET_RE), href)        # junk: untouched
+        .when(href.rlike(_HAS_SCHEME_RE), href)          # already absolute
+        .when(~base.rlike(HTTP_URL_RE), href)            # non-http base
+        .when(href.rlike("^//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.rlike("^[?#]"), href)                 # outside the subset
+        .when(href.rlike("^/"), F.concat(authority, _normalize_path(href)))
+        .otherwise(F.concat(authority,
+                            _normalize_path(F.concat(base_dir, href))))
+    )
+
+
+def resolve_ref_py(base: str, href: str) -> str:
+    """Python mirror of ``resolve_url`` for the sequential golden model.
+    Must stay semantically identical to the Catalyst tree above —
+    tests/test_urls.py property-checks both against each other and against
+    urllib.parse.urljoin on the supported subset."""
+    import re
+
+    if href is None or href == "":
+        return base
+    if not re.match(_REF_CHARSET_RE, href):
+        return href
+    if re.match(_HAS_SCHEME_RE, href):
+        return href
+    if not re.match(HTTP_URL_RE, base):
+        return href
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)", base)
+    scheme, netloc, bpath = m.group(1), m.group(2), m.group(3)
+    authority = f"{scheme}://{netloc}"
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    if href[0] in "?#":
+        return href
+    if href.startswith("/"):
+        path = href
+    else:
+        base_dir = re.sub(r"[^/]*$", "", bpath) or "/"
+        path = base_dir + href
+    segs: list[str] = []
+    for s in path.split("/"):
+        if s in ("", "."):
+            continue
+        if s == "..":
+            if segs:
+                segs.pop()
+        else:
+            segs.append(s)
+    norm = "/" + "/".join(segs)
+    if re.search(r"/(\.{0,2})?$", path) and not norm.endswith("/"):
+        norm += "/"
+    return authority + norm
 
 
 def combined_allow_pattern(patterns: tuple[str, ...]) -> str | None:

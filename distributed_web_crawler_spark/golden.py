@@ -30,7 +30,11 @@ from .crawl.synthweb import (
     page_for_url,
     robots_disallow_for_host,
 )
-from .functions.urls import combined_allow_pattern, combined_exclude_pattern
+from .functions.urls import (
+    combined_allow_pattern,
+    combined_exclude_pattern,
+    resolve_ref_py,
+)
 
 
 @dataclass(frozen=True)
@@ -129,8 +133,9 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
                               "caption": page["caption"],
                               "phash": page["phash"], "fmt": page["fmt"]})
 
-            # E1/E2/F8: distinct links → validity/allow/exclude → candidates
-            for link in dict.fromkeys(page["links"]):      # D3
+            # E1/E2/F8: distinct links → resolve X3 → validity/allow/exclude
+            for href in dict.fromkeys(page["links"]):      # D3
+                link = resolve_ref_py(q.url, href)         # X3
                 if not re.match(r"^https?://", link):
                     continue
                 lhost = host_of(link)

@@ -29,6 +29,7 @@ from ..functions.urls import (
     combined_exclude_pattern,
     host_of,
     is_http_url,
+    resolve_url,
 )
 
 FETCH_SCHEMA = T.StructType([
@@ -208,7 +209,12 @@ def extract_children(stored: DataFrame, cfg: CrawlConfig,
     children = (
         stored
         .select(F.col("url").alias("parent_url"), "depth",
-                F.explode(F.array_distinct("links")).alias("url"))  # E1+D3
+                F.explode(F.array_distinct("links")).alias("href"))  # E1+D3
+        # X3: relative→absolute against the discovering page (reference
+        # resolves via Jsoup abs:href, core/WebCrawler.java:341) — pure
+        # Catalyst, stays inside codegen on the per-link hot path
+        .withColumn("url", resolve_url(F.col("parent_url"), F.col("href")))
+        .drop("href")
         .where(is_http_url(F.col("url")))                           # F8
         .withColumn("host", host_of(F.col("url")))
     )

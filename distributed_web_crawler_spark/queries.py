@@ -786,7 +786,9 @@ def link_children(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.lit(".example.com"))
     child = F.concat(F.lit("http://"), child_host, F.lit("/p/"),
                      (F.col("o_orderkey") + 7).cast("string"))
-    bad = F.concat(F.lit("relative/"), F.col("o_orderkey").cast("string"))
+    # spaces fail the RFC-3986 charset guard, so X3 leaves this verbatim
+    # and F8 drops it (resolvable relatives are covered by url_resolve)
+    bad = F.concat(F.lit("junk link "), F.col("o_orderkey").cast("string"))
     stored = orders.select(
         url.alias("url"),
         (F.col("o_orderkey") % 8).cast("int").alias("depth"),
@@ -869,6 +871,67 @@ def url_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_t(spark, sf_dir, "part")
             .select(protocol_of(u).alias("protocol"))
             .groupBy("protocol").agg(F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# X3: relative→absolute URL resolution (core/WebCrawler.java:341, Jsoup
+# abs:href). The oracle restates the resolution rules for each emitted ref
+# form; the Spark side runs the production Catalyst resolver.
+# ---------------------------------------------------------------------------
+
+_RESOLVE_BASE_SQL = """
+  SELECT o_orderkey AS k,
+         'http://h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+             || '.example.com/a/b/' || CAST(o_orderkey AS VARCHAR) AS base,
+         CASE CAST(o_orderkey % 8 AS INTEGER)
+           WHEN 0 THEN 'https://other.example.org/x/' || CAST(o_orderkey AS VARCHAR)
+           WHEN 1 THEN '//mirror.example.net/m/' || CAST(o_orderkey AS VARCHAR)
+           WHEN 2 THEN '/abs/' || CAST(o_orderkey AS VARCHAR)
+           WHEN 3 THEN '../up/' || CAST(o_orderkey AS VARCHAR)
+           WHEN 4 THEN './sib/' || CAST(o_orderkey AS VARCHAR)
+           WHEN 5 THEN 'rel/' || CAST(o_orderkey AS VARCHAR)
+           WHEN 6 THEN 'junk link ' || CAST(o_orderkey AS VARCHAR)
+           ELSE ''
+         END AS href
+  FROM orders
+"""
+
+@q("url_resolve", f"""
+  WITH refs AS ({_RESOLVE_BASE_SQL})
+  SELECT k, base, href,
+    CASE CAST(k % 8 AS INTEGER)
+      WHEN 0 THEN href
+      WHEN 1 THEN 'http:' || href
+      WHEN 2 THEN regexp_extract(base, '^(https?://[^/]*)', 1) || href
+      WHEN 3 THEN regexp_extract(base, '^(https?://[^/]*)', 1)
+                  || '/a/up/' || CAST(k AS VARCHAR)
+      WHEN 4 THEN regexp_extract(base, '^(https?://[^/]*)', 1)
+                  || '/a/b/sib/' || CAST(k AS VARCHAR)
+      WHEN 5 THEN regexp_extract(base, '^(https?://[^/]*)', 1)
+                  || '/a/b/rel/' || CAST(k AS VARCHAR)
+      WHEN 6 THEN href
+      ELSE base
+    END AS resolved
+  FROM refs
+""")
+def url_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.urls import resolve_url
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    base = F.concat(F.lit("http://h"),
+                    F.lpad((F.col("o_custkey") % 20).cast("string"), 4, "0"),
+                    F.lit(".example.com/a/b/"), ks)
+    href = (F.when(k % 8 == 0, F.concat(F.lit("https://other.example.org/x/"), ks))
+            .when(k % 8 == 1, F.concat(F.lit("//mirror.example.net/m/"), ks))
+            .when(k % 8 == 2, F.concat(F.lit("/abs/"), ks))
+            .when(k % 8 == 3, F.concat(F.lit("../up/"), ks))
+            .when(k % 8 == 4, F.concat(F.lit("./sib/"), ks))
+            .when(k % 8 == 5, F.concat(F.lit("rel/"), ks))
+            .when(k % 8 == 6, F.concat(F.lit("junk link "), ks))
+            .otherwise(F.lit("")))
+    return (orders.select(k.alias("k"), base.alias("base"), href.alias("href"))
+            .withColumn("resolved", resolve_url(F.col("base"), F.col("href"))))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,74 @@
+"""X3 resolver parity: the Catalyst expression tree (functions.urls
+.resolve_url), its Python mirror (resolve_ref_py, used by the golden
+model), and urllib.parse.urljoin must agree on the supported subset
+(path-only refs against http(s) bases)."""
+
+from urllib.parse import urljoin
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_web_crawler_spark.functions.urls import (
+    resolve_ref_py,
+    resolve_url,
+)
+
+BASES = [
+    "http://h0001.example.com/p/5",
+    "http://h0001.example.com/a/b/c",
+    "http://h0001.example.com/a/b/",
+    "http://h0001.example.com/",
+    "http://h0001.example.com",
+    "https://h0002.example.com:8080/x/y",
+]
+
+HREFS = [
+    "",
+    "http://other.example.org/z",
+    "https://other.example.org/z",
+    "ftp://files.example.org/z",
+    "//mirror.example.net/m/1",
+    "/abs/path",
+    "/abs/",
+    "rel",
+    "rel/sub",
+    "./rel",
+    "../up",
+    "../../way/up",
+    "../../../past/root",
+    "a/../b",
+    "a/./b/",
+    "..",
+    ".",
+    "7",
+]
+
+JUNK = ["not a url", "junk link 42", "ref\twith\ttabs", "spa ce/path"]
+
+
+@pytest.fixture(scope="module")
+def cases():
+    return [(b, h) for b in BASES for h in HREFS]
+
+
+def test_python_mirror_matches_urljoin(cases):
+    for base, href in cases:
+        assert resolve_ref_py(base, href) == urljoin(base, href), \
+            f"resolve_ref_py({base!r}, {href!r})"
+
+
+def test_catalyst_matches_python_mirror(spark, cases):
+    all_cases = cases + [(b, j) for b in BASES[:2] for j in JUNK]
+    df = spark.createDataFrame(all_cases, "base string, href string")
+    got = {(r["base"], r["href"]): r["resolved"]
+           for r in df.withColumn(
+               "resolved", resolve_url(F.col("base"), F.col("href")))
+           .collect()}
+    for base, href in all_cases:
+        assert got[(base, href)] == resolve_ref_py(base, href), \
+            f"resolve_url({base!r}, {href!r})"
+
+
+def test_junk_refs_pass_through_unresolved():
+    for j in JUNK:
+        assert resolve_ref_py("http://h.example.com/p/1", j) == j
