@@ -276,55 +276,33 @@ def _unit_rows(ids, embs) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(ids, dtype=np.int64), M / norms[:, None]
 
 
-def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
-                            use_lsh: bool = False, n_planes: int = 8,
-                            plane_seed: int = 7,
-                            block_size: int = 4096) -> DataFrame:
-    """Pairs (a<b) with cosine ≥ threshold over `embedding:array<float>`.
+def _tiled_pairs(e: DataFrame, bucket: F.Column, threshold: float,
+                 block_size: int) -> DataFrame:
+    """All (a<b) pairs with round(cos,6) ≥ threshold WITHIN each bucket,
+    with every task bounded to ≤ ~2·block_size rows regardless of bucket
+    skew.
 
-    Exact mode: blocked all-pairs — rows hash into ⌈n/block_size⌉ blocks,
-    block pairs (ba ≤ bb) join, and each pair computes one BLAS |A|×|B|
-    product in an Arrow batch (~10⁴× the per-pair expression-fold cost).
-    Shuffle replicates each block n_blocks times — the O(n²/B) exact tier,
-    for verification scale; use_lsh=True is the 100 TB path: rows bucket by
-    random-hyperplane sign bits (JVM expressions) and only within-bucket
-    pairs are computed, recall <1 for pairs straddling a plane — raise
-    n_planes to trade."""
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-
-    if use_lsh:
-        dim = len(embeddings.select("embedding").first()["embedding"])
-        planes = np.random.default_rng(plane_seed).standard_normal(
-            (n_planes, dim))
-        # sign(raw · plane) == sign(unit · plane): bucket on the raw vector
-        sign_bits = [
-            (F.aggregate(
-                F.zip_with("emb", F.array(*[F.lit(float(v)) for v in p]),
-                           lambda x, y: x * y),
-                F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
-            for p in planes
-        ]
-        bucket = sum((bit * F.lit(2 ** i) for i, bit in enumerate(sign_bits)),
-                     F.lit(0))
-
-        def bucket_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            ids, U = _unit_rows(pdf["vec_id"].to_numpy(), pdf["emb"])
-            return _pair_frame(ids, U, ids, U, threshold, same_block=True)
-
-        return (e.withColumn("bucket", bucket)
-                .groupBy("bucket").applyInPandas(bucket_pairs, _PAIR_SCHEMA))
-
-    n = e.count()
-    n_blocks = max(1, -(-n // block_size))
-    blocks = (
-        e.withColumn("blk",
-                     F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int"))
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("vec_id", "emb")).alias("rows")))
+    Rows salt into ⌈bucket_count/block_size⌉ sub-blocks per bucket; the
+    per-bucket counts come from a groupBy aggregate (tiny: one row per
+    bucket, partial-aggregated map-side — NOT a count window, which would
+    stage the whole bucket in one task) broadcast back onto the rows. Each
+    sub-block pair (blk_a ≤ blk_b) computes one BLAS |A|×|B| product in an
+    Arrow batch. A degenerate corpus that lands every vector in one bucket
+    therefore costs O((n/B)²) bounded tasks, never one O(n²) task."""
+    e = e.withColumn("bucket", bucket)
+    counts = e.groupBy("bucket").agg(F.count("*").alias("_n"))
+    n_sub = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(block_size)))
+    salted = (e.join(F.broadcast(counts), "bucket")
+              .withColumn("blk", F.pmod(F.xxhash64("vec_id"), n_sub)
+                          .cast("int"))
+              .drop("_n"))
+    blocks = (salted.groupBy("bucket", "blk")
+              .agg(F.collect_list(F.struct("vec_id", "emb")).alias("rows")))
     pairs = (
         blocks.alias("a")
-        .join(blocks.alias("b"), F.col("a.blk") <= F.col("b.blk"))
+        .join(blocks.alias("b"),
+              (F.col("a.bucket") == F.col("b.bucket"))
+              & (F.col("a.blk") <= F.col("b.blk")))
         .select(F.col("a.blk").alias("blk_a"), F.col("b.blk").alias("blk_b"),
                 F.col("a.rows").alias("rows_a"),
                 F.col("b.rows").alias("rows_b")))
@@ -345,3 +323,43 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                                       threshold, same_block=False)
 
     return pairs.mapInPandas(block_pairs, _PAIR_SCHEMA)
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                            use_lsh: bool = False, n_planes: int = 8,
+                            plane_seed: int = 7, dim: int | None = None,
+                            block_size: int = 4096) -> DataFrame:
+    """Pairs (a<b) with cosine ≥ threshold over `embedding:array<float>`.
+
+    Exact mode: blocked all-pairs (one global bucket) — the O(n²/B)
+    verification tier. use_lsh=True is the 100 TB path: rows bucket by
+    random-hyperplane sign bits (JVM expressions) and only within-bucket
+    pairs are computed; recall <1 for pairs straddling a plane — raise
+    n_planes to trade. Both tiers share the same skew-bounded tiling
+    (_tiled_pairs), so an over-dense LSH bucket (correlated corpus)
+    degrades to more bounded tasks, not one O(bucket²) task.
+
+    ``dim`` (embedding dimensionality) should be passed by scale callers;
+    when None it is read from one row — a driver action acceptable only in
+    tests/ad-hoc use."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+
+    if not use_lsh:
+        return _tiled_pairs(e, F.lit(0), threshold, block_size)
+
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()["embedding"])
+    planes = np.random.default_rng(plane_seed).standard_normal(
+        (n_planes, dim))
+    # sign(raw · plane) == sign(unit · plane): bucket on the raw vector
+    sign_bits = [
+        (F.aggregate(
+            F.zip_with("emb", F.array(*[F.lit(float(v)) for v in p]),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
+        for p in planes
+    ]
+    bucket = sum((bit * F.lit(2 ** i) for i, bit in enumerate(sign_bits)),
+                 F.lit(0))
+    return _tiled_pairs(e, bucket, threshold, block_size)

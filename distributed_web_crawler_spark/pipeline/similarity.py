@@ -51,25 +51,41 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
 
 
 def ivf_assign(embeddings: DataFrame, n_lists: int = 16) -> tuple[DataFrame, DataFrame]:
-    """Deterministic centroids (every ⌈n/n_lists⌉-th vector by vec_id) and
-    list assignment of every vector to its max-cosine centroid."""
-    w = Window.orderBy("vec_id")
-    total = embeddings.count()
-    step = max(1, total // n_lists)
+    """Deterministic centroids and max-cosine list assignment.
+
+    Centroid pick: the n_lists corpus vectors with the smallest
+    xxhash64(vec_id) — a uniform deterministic sample computed by
+    TakeOrderedAndProject (per-partition top-K, then a K×partitions merge),
+    so there is NO global sort, NO single-partition window, and NO
+    driver-side count(); at 10^10 vectors this stage stays fully parallel.
+
+    Assignment: each corpus row folds over a broadcast ARRAY of centroids
+    (n_lists is small by construction) with a Catalyst `aggregate` argmax —
+    a map-only stage with zero shuffle, replacing the previous
+    corpus×n_lists window ranking. Ties break to the lowest list_id via the
+    array_sort + strict-> fold order."""
     centroids = (
-        embeddings.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") - 1) % step == 0).limit(n_lists)
+        embeddings
+        .select("vec_id", "embedding", F.xxhash64("vec_id").alias("_hk"))
+        .orderBy("_hk", "vec_id").limit(n_lists)
         .select(F.col("vec_id").alias("list_id"),
                 _unit(F.col("embedding")).alias("c_unit"))
     )
+    cent_arr = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("list_id", "c_unit")))
+        .alias("cents"))
     corpus = embeddings.select("vec_id", _unit(F.col("embedding")).alias("unit"))
-    scored = corpus.join(F.broadcast(centroids))
-    w2 = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("list_id"))
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(F.lit(-2.0).alias("sim"),
+                 F.lit(None).cast("long").alias("list_id")),
+        lambda acc, c: F.when(
+            _cos(F.col("unit"), c["c_unit"]) > acc["sim"],
+            F.struct(_cos(F.col("unit"), c["c_unit"]).alias("sim"),
+                     c["list_id"].alias("list_id"))).otherwise(acc))
     assigned = (
-        scored.withColumn("sim", _cos(F.col("unit"), F.col("c_unit")))
-        .withColumn("_r", F.row_number().over(w2)).where(F.col("_r") == 1)
-        .select("vec_id", "list_id", "unit")
+        corpus.join(F.broadcast(cent_arr))
+        .select("vec_id", best["list_id"].alias("list_id"), "unit")
     )
     return centroids, assigned
 

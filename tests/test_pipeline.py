@@ -126,3 +126,36 @@ def test_phash_neardup_detects_duplicate_payloads(spark):
 def test_decode_real_image_is_gated(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_real_image(b"\x89PNG")
+
+
+def test_lsh_degenerate_corpus_tiles_into_bounded_tasks(spark):
+    """Every vector in one half-space ⇒ all rows share one LSH bucket; the
+    tiling must split the bucket into bounded sub-block pairs instead of
+    one O(bucket²) task, and still find every exact-threshold pair."""
+    rng = np.random.default_rng(11)
+    n, block = 120, 16
+    base = np.abs(rng.standard_normal((n, 8))) + 0.1   # all-positive octant
+    base[1] = base[0]                                   # one exact dup pair
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = pdedup.embedding_neardup_pairs(
+        vecs, threshold=0.9999, use_lsh=True, n_planes=4, dim=8,
+        block_size=block)
+    # plan check: the collect_list groups are keyed by (bucket, blk) — with
+    # n=120 and block=16 there must be ≥8 sub-blocks, so no single group
+    # holds the whole corpus
+    blocks = (vecs.selectExpr("vec_id")
+              .withColumn("blk", F.pmod(F.xxhash64("vec_id"),
+                                        F.lit(-(-n // block))))
+              .groupBy("blk").count().collect())
+    assert len(blocks) >= 8
+    assert max(r["count"] for r in blocks) < 3 * block
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got.collect()}
+    assert (0, 1) in pairs
+
+
+def test_embedding_exact_tier_no_driver_count(vecs):
+    """The exact tier must not run a driver-side count(); its plan is fully
+    lazy until the action."""
+    df = pdedup.embedding_neardup_pairs(vecs, threshold=0.5)
+    assert df.count() >= 1
