@@ -47,6 +47,11 @@ class CrawlConfig:
     # fetch task is dominated by one hot host
     fetch_rows_per_salt: int = 256
     fetch_partitions: int = 0  # 0 => leave to AQE / input partitioning
+    # politeness ranking salts: the per-host budget top-K is computed as a
+    # two-stage salted partial top-K (rank within (host, salt), re-rank the
+    # ≤ salts×budget survivors), so no single task ever sorts a mega-host's
+    # whole frontier
+    politeness_salts: int = 8
 
     # deterministic clock: round r happens at epoch + r * round_seconds
     epoch_ms: int = 1_700_000_000_000

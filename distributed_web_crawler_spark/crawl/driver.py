@@ -140,6 +140,7 @@ class Crawler:
             seen_urls=self.store.read(self.spark, "frontier",
                                       list(range(r + 1))).select("url"),
             blooms=self.store.read(self.spark, "bloom", [r]),
+            hash_blooms=self.store.read(self.spark, "hash_bloom", [r]),
         )
 
     def run(self, max_rounds: int | None = None) -> dict:
@@ -194,19 +195,31 @@ class Crawler:
                 f2 = ex.submit(_timed, "robots", lambda: self.store
                                .stage_write("robots", plan.robots_new, r))
                 f1.result(), f2.result()
-            with ThreadPoolExecutor(max_workers=3) as ex:
+            with ThreadPoolExecutor(max_workers=4) as ex:
                 f1 = ex.submit(_timed, "stored", lambda: self.store
                                .stage_write("stored", res.stored, r))
+                # URL-bloom delta: only genuinely-new URLs — deferred rows
+                # were inserted when they first entered a frontier, so
+                # re-inserting all of next_frontier wasted the deferred
+                # share of the build
                 f2 = ex.submit(_timed, "bloom", lambda: self.store
                                .stage_write("bloom", build_bloom_shards(
-                                   res.next_frontier.select("url"), self.cfg,
+                                   res.new_urls.select("url"), self.cfg,
                                    existing=self.store.read(
                                        self.spark, "bloom", [r])), r + 1))
+                # content-hash bloom (D1 front): delta = this round's stored
+                f4 = ex.submit(_timed, "hash_bloom", lambda: self.store
+                               .stage_write("hash_bloom", build_bloom_shards(
+                                   res.stored.select("content_hash"),
+                                   self.cfg,
+                                   existing=self.store.read(
+                                       self.spark, "hash_bloom", [r]),
+                                   key="content_hash"), r + 1))
                 # lineage is tiny (≤ shards × metrics rows): one collect
                 # feeds both the lineage table and the round counts
                 f3 = ex.submit(_timed, "lineage",
                                lambda: res.lineage.collect())
-                f1.result(), f2.result()
+                f1.result(), f2.result(), f4.result()
                 lineage_rows = f3.result()
             self.store.stage_write(
                 "lineage",

@@ -59,7 +59,8 @@ class RoundState:
     robots: DataFrame | None       # (host, robots_disallow)
     seen_hashes: DataFrame | None  # (content_hash,)
     seen_urls: DataFrame | None    # (url,) — every URL ever enqueued
-    blooms: DataFrame | None       # (shard, filter_bytes, n_items)
+    blooms: DataFrame | None       # URL-seen shards (shard, filter_bytes, …)
+    hash_blooms: DataFrame | None = None  # content-hash shards (D1 front)
 
 
 @dataclass
@@ -75,6 +76,9 @@ class FetchPlan:
 class RoundResult:
     stored: DataFrame         # slim winner rows (round=r) — STORED_COLS
     next_frontier: DataFrame  # frontier rows (round=r+1)
+    new_urls: DataFrame       # genuinely-new discoveries only (⊂ frontier):
+                              # the URL-bloom delta — deferred rows were
+                              # already inserted when first enqueued
     lineage: DataFrame        # (round, host_shard, metric, value)
     cached: list              # persisted DataFrames to release post-commit
 
@@ -104,7 +108,11 @@ def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
     gated = apply_gates(frontier, cfg, ts)
     robots_full, robots_new = resolve_robots(
         spark, gated.where(F.col("decision") == "PASS"), state.robots, synth_cfg)
-    decided = apply_politeness(filter_robots(gated, robots_full), cfg)
+    # persist the pre-politeness frame: the salted partial top-K inside
+    # apply_politeness unions four branches of it, and without the cache
+    # each branch would re-scan the frontier + redo the robots join
+    gated_rob = filter_robots(gated, robots_full).persist()
+    decided = apply_politeness(gated_rob, cfg)
     decided = decided.persist()  # slim rows; consumed by 3 branches below
 
     selected = decided.where(F.col("decision") == "PASS")
@@ -126,7 +134,7 @@ def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
         fetcher, pages_dir, ts, round_no)
     return FetchPlan(fetched=fetched, deferred=deferred,
                      robots_new=robots_new, decided=decided,
-                     cached=[decided])
+                     cached=[decided, gated_rob])
 
 
 def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
@@ -137,15 +145,17 @@ def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
     (verify: `.explain` shows ReadSchema without `bytes`)."""
     ts = cfg.round_ts_ms(round_no)
 
+    extra_cached: list = []
     fetched_ok = raw.where(F.col("fetched")).select(*STORED_COLS)
-    stored = dedup_content(fetched_ok, state.seen_hashes).persist()  # D1
+    stored = dedup_content(fetched_ok, state.seen_hashes,            # D1
+                           state.hash_blooms, cfg,
+                           cached=extra_cached).persist()
 
     # -- children: explode + filters + URL-seen -----------------------------
     # links live in raw; the stored-winner semi-join stays on slim columns
     links = raw.select("url", "depth", "links")
     child_src = links.join(stored.select("url"), "url", "left_semi")
     children = extract_children(child_src, cfg, ts)                 # E1/E2/F8
-    extra_cached: list = []
     new_urls = filter_unseen_urls(children, state.seen_urls,
                                   state.blooms, cfg,
                                   cached=extra_cached).persist()    # D4
@@ -174,5 +184,5 @@ def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
     # derives both the lineage table and the per-round counts from the rows
 
     return RoundResult(stored=stored, next_frontier=next_frontier,
-                       lineage=lineage,
+                       new_urls=new_urls, lineage=lineage,
                        cached=[stored, new_urls, *extra_cached])

@@ -41,33 +41,80 @@ def content_hash_col() -> F.Column:
     return F.sha2(F.concat(F.col("bytes"), F.encode(F.col("caption"), "utf-8")), 256)
 
 
-def dedup_content(fetched: DataFrame, seen_hashes: DataFrame | None) -> DataFrame:
+def dedup_content(fetched: DataFrame, seen_hashes: DataFrame | None,
+                  blooms: DataFrame | None = None,
+                  cfg: CrawlConfig | None = None,
+                  cached: list | None = None) -> DataFrame:
     """D1. ``fetched`` must carry content_hash/priority/host/url. Returns the
-    rows to store; dropped rows are duplicates."""
+    rows to store; dropped rows are duplicates.
+
+    With ``blooms`` (sharded content-hash filters over all previously
+    stored rounds): bloom negatives are definitely new and skip the history
+    entirely; only positives are re-checked exactly — via a BROADCAST
+    semi-join that keeps the history side a map-only column-pruned scan
+    (see _recheck_positives). Without blooms (tests / first round): plain
+    anti-join. Results are bit-identical either way; at a long crawl's
+    round R this turns the O(R) history re-scan from a per-round SMJ
+    shuffle into a shuffle-free scan touched only when positives exist."""
     w = Window.partitionBy("content_hash").orderBy("priority", "host", "url")
     first = (fetched.withColumn("_rn", F.row_number().over(w))
              .where(F.col("_rn") == 1).drop("_rn"))
     if seen_hashes is None:
         return first
-    return first.join(seen_hashes.select("content_hash").distinct(),
-                      "content_hash", "left_anti")
+    seen = seen_hashes.select("content_hash").distinct()
+    if blooms is None or cfg is None or not cfg.use_bloom:
+        return first.join(seen, "content_hash", "left_anti")
+    probed = probe_bloom_shards(first, blooms, cfg, key="content_hash")
+    if cached is not None:
+        probed = probed.persist()
+        cached.append(probed)
+    negatives = (probed.where(~F.col("_maybe_seen"))
+                 .drop("_h1", "_h2", "shard", "_maybe_seen"))
+    positives = (probed.where(F.col("_maybe_seen"))
+                 .drop("_h1", "_h2", "shard", "_maybe_seen"))
+    return negatives.unionByName(
+        _recheck_positives(positives, seen, "content_hash"))
 
 
-def with_url_hashes(df: DataFrame, n_shards: int) -> DataFrame:
+def _recheck_positives(positives: DataFrame, seen: DataFrame,
+                       key: str) -> DataFrame:
+    """Exact re-check of bloom positives: rows of ``positives`` whose key
+    is NOT in ``seen``.
+
+    The naive positives ANTI-JOIN seen would sort-merge — shuffling the
+    entire accumulated history every round even when positives are empty.
+    Flipped: the (tiny, ≈FP-rate) positive key set broadcasts, the history
+    is reduced map-side to `confirmed = seen ⋉ positives` (scan, no
+    shuffle, column-pruned to the key), and confirmed — no larger than the
+    positive set — broadcasts back into the final anti-join. The history
+    table is only ever SCANNED, never shuffled or sorted."""
+    pos_keys = positives.select(key).distinct()
+    confirmed = seen.join(F.broadcast(pos_keys), key, "left_semi")
+    return positives.join(F.broadcast(confirmed.distinct()),
+                          key, "left_anti")
+
+
+def with_key_hashes(df: DataFrame, n_shards: int, key: str = "url") -> DataFrame:
     """JVM-side base hashes for the bloom (no Python in this step)."""
     return (df
-            .withColumn("_h1", F.xxhash64("url"))
-            .withColumn("_h2", F.xxhash64("url", F.lit(1)))
-            .withColumn("shard", F.pmod(F.xxhash64("url"), F.lit(n_shards))
+            .withColumn("_h1", F.xxhash64(key))
+            .withColumn("_h2", F.xxhash64(key, F.lit(1)))
+            .withColumn("shard", F.pmod(F.xxhash64(key), F.lit(n_shards))
                         .cast("int")))
 
 
-def build_bloom_shards(urls: DataFrame, cfg: CrawlConfig,
-                       existing: DataFrame | None = None) -> DataFrame:
-    """Build/extend per-shard filters from a URL DataFrame. The groupBy
-    parallelizes across shards; each task does pure numpy bit math."""
+# retained name for round-1 call sites/tests
+with_url_hashes = with_key_hashes
+
+
+def build_bloom_shards(keys: DataFrame, cfg: CrawlConfig,
+                       existing: DataFrame | None = None,
+                       key: str = "url") -> DataFrame:
+    """Build/extend per-shard filters from a key DataFrame (URLs or content
+    hashes). The groupBy parallelizes across shards; each task does pure
+    numpy bit math."""
     m, k = cfg.bloom_bits_per_shard, cfg.bloom_num_hashes
-    hashed = with_url_hashes(urls.select("url"), cfg.url_seen_shards)
+    hashed = with_key_hashes(keys.select(key), cfg.url_seen_shards, key)
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         filt = B.insert(B.empty_filter(m), pdf["_h1"].to_numpy(),
@@ -90,26 +137,17 @@ def build_bloom_shards(urls: DataFrame, cfg: CrawlConfig,
             .groupBy("shard").applyInPandas(merge, URL_SEEN_FILTER_SCHEMA))
 
 
-def filter_unseen_urls(candidates: DataFrame, seen_urls: DataFrame | None,
-                       blooms: DataFrame | None, cfg: CrawlConfig,
-                       cached: list | None = None) -> DataFrame:
-    """D4: rows of ``candidates`` whose url was never enqueued.
+def probe_bloom_shards(candidates: DataFrame, blooms: DataFrame,
+                       cfg: CrawlConfig, key: str = "url") -> DataFrame:
+    """Tag each candidate row with ``_maybe_seen`` from its shard's filter.
 
-    With blooms: negatives pass immediately; only positives do the exact
-    anti-join. Without: plain anti-join."""
-    if seen_urls is None:
-        return candidates
-    seen = seen_urls.select("url").distinct()
-    if blooms is None or not cfg.use_bloom:
-        return candidates.join(seen, "url", "left_anti")
-
+    Cogroup candidates with their shard's filter: one shuffle on `shard`
+    moves each (few-MiB) filter to its candidates EXACTLY ONCE — never
+    replicated per row (an equi-join would materialize |candidates| ×
+    filter_size), never through the driver, so 4096 × 4 MiB of filter
+    state stays distributed at 10^10 scale."""
     m, k = cfg.bloom_bits_per_shard, cfg.bloom_num_hashes
-    hashed = with_url_hashes(candidates, cfg.url_seen_shards)
-    # Cogroup candidates with their shard's filter: one shuffle on `shard`
-    # moves each (few-MiB) filter to its candidates EXACTLY ONCE — never
-    # replicated per row (an equi-join would materialize |candidates| ×
-    # filter_size), never through the driver, so 4096 × 4 MiB of filter
-    # state stays distributed at 10^10 scale.
+    hashed = with_key_hashes(candidates, cfg.url_seen_shards, key)
     probe_schema = T.StructType(
         hashed.schema.fields + [T.StructField("_maybe_seen", T.BooleanType())])
 
@@ -123,17 +161,36 @@ def filter_unseen_urls(candidates: DataFrame, seen_urls: DataFrame | None,
                 cand["_h1"].to_numpy(), cand["_h2"].to_numpy(), m, k)
         return out
 
-    # persist: both branches below consume `probed`; without it the whole
-    # cogroup + Arrow probe pipeline executes twice.
-    probed = (hashed.groupBy("shard")
-              .cogroup(blooms.select("shard", "filter_bytes").groupBy("shard"))
-              .applyInPandas(probe, probe_schema)
-              .persist())
+    return (hashed.groupBy("shard")
+            .cogroup(blooms.select("shard", "filter_bytes").groupBy("shard"))
+            .applyInPandas(probe, probe_schema))
+
+
+def filter_unseen_urls(candidates: DataFrame, seen_urls: DataFrame | None,
+                       blooms: DataFrame | None, cfg: CrawlConfig,
+                       cached: list | None = None) -> DataFrame:
+    """D4: rows of ``candidates`` whose url was never enqueued.
+
+    With blooms: negatives pass immediately; only positives are re-checked
+    exactly, through the flipped broadcast scan (_recheck_positives) so the
+    accumulated frontier history is never shuffled. Without: plain
+    anti-join."""
+    if seen_urls is None:
+        return candidates
+    seen = seen_urls.select("url").distinct()
+    if blooms is None or not cfg.use_bloom:
+        return candidates.join(seen, "url", "left_anti")
+
+    probed = probe_bloom_shards(candidates, blooms, cfg, key="url")
     if cached is not None:
+        # persist: both branches below consume `probed`; without it the
+        # whole cogroup + Arrow probe pipeline executes twice. Only cache
+        # when the caller takes ownership of the unpersist (direct/test
+        # call sites would otherwise leak cached partitions).
+        probed = probed.persist()
         cached.append(probed)
     negatives = (probed.where(~F.col("_maybe_seen"))
                  .drop("_h1", "_h2", "shard", "_maybe_seen"))
     positives = (probed.where(F.col("_maybe_seen"))
                  .drop("_h1", "_h2", "shard", "_maybe_seen"))
-    rechecked = positives.join(seen, "url", "left_anti")
-    return negatives.unionByName(rechecked)
+    return negatives.unionByName(_recheck_positives(positives, seen, "url"))

@@ -149,7 +149,16 @@ def fetch_pages_sink(selected: DataFrame, fetcher, pages_dir: str,
         schema = _payload_arrow_schema()
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else os.getpid()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
         path = os.path.join(pages_dir, f"part-{pid:05d}.parquet")
+        # task-commit protocol: write to an attempt-unique dotfile (hidden
+        # from parquet readers) and publish with one atomic rename on
+        # success — a speculative/zombie attempt of the same partition can
+        # never interleave bytes into the published shard, and the last
+        # completed attempt wins whole-file. The cluster analog is a
+        # conditional PUT to object storage.
+        tmp = os.path.join(pages_dir,
+                           f".part-{pid:05d}-attempt-{attempt}.tmp")
         writer = None
         n_rows = n_fetched = 0
         try:
@@ -164,15 +173,20 @@ def fetch_pages_sink(selected: DataFrame, fetcher, pages_dir: str,
                     round=pd.array([round_no] * len(pdf), dtype="Int32"),
                 )
                 if writer is None:
-                    writer = pq.ParquetWriter(path, schema,
+                    writer = pq.ParquetWriter(tmp, schema,
                                               compression="none")
                 writer.write_table(pa.Table.from_pandas(
                     pdf, schema=schema, preserve_index=False))
                 n_rows += len(pdf)
                 n_fetched += int(pdf["fetched"].sum())
-        finally:
+        except BaseException:
             if writer is not None:
                 writer.close()
+                os.remove(tmp)
+            raise
+        if writer is not None:
+            writer.close()
+            os.replace(tmp, path)  # atomic publish
         yield pd.DataFrame({
             "part_id": pd.array([pid], dtype="Int32"),
             "n_rows": pd.array([n_rows], dtype="Int64"),

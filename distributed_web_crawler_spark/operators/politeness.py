@@ -36,27 +36,40 @@ from ..config import CrawlConfig
 def apply_politeness(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """Tag PASS rows beyond the per-host budget as DEFER_POLITENESS (or
     REJECT_POLITENESS when delay-retry is disabled, mirroring
-    enableDelayRetry at core/WebCrawler.java:254)."""
+    enableDelayRetry at core/WebCrawler.java:254).
+
+    Salted partial top-K, so no single task ever sorts a whole mega-host:
+    stage 1 ranks PASS rows within (host, salt) — a row outside its salt's
+    top-budget has ≥ budget rows above it in the host's total order, so it
+    is over-budget with certainty. Stage 2 re-ranks only the ≤
+    salts×budget survivors per host. The result is identical to a single
+    per-host top-K by (priority, url); only the physical partitioning
+    differs (the equivalence is pinned by the budget-exactness and
+    golden-parity tests)."""
     over = F.lit("DEFER_POLITENESS" if cfg.enable_delay_retry
                  else "REJECT_POLITENESS")
-    # Non-PASS rows keep their decision and rank below PASS rows so they
-    # never consume budget.
-    w_pass = (Window.partitionBy("host")
-              .orderBy(F.col("is_pass").desc(), "priority", "url"))
-    return (
-        frontier
-        .withColumn("is_pass", (F.col("decision") == "PASS").cast("int"))
-        .withColumn("host_rank", F.row_number().over(w_pass))
-        .withColumn(
-            "decision",
-            F.when(
-                (F.col("decision") == "PASS")
-                & (F.col("host_rank") > F.lit(cfg.host_budget_per_round)),
-                over,
-            ).otherwise(F.col("decision")),
-        )
-        .drop("is_pass", "host_rank")
-    )
+    budget = F.lit(cfg.host_budget_per_round)
+    rest = frontier.where(F.col("decision") != "PASS")
+    passed = frontier.where(F.col("decision") == "PASS")
+
+    w_salt = (Window.partitionBy("host", "_salt")
+              .orderBy("priority", "url"))
+    staged = (passed
+              .withColumn("_salt", F.pmod(F.xxhash64("url"),
+                                          F.lit(cfg.politeness_salts)))
+              .withColumn("_sr", F.row_number().over(w_salt)))
+    over_budget1 = (staged.where(F.col("_sr") > budget)
+                    .drop("_salt", "_sr")
+                    .withColumn("decision", over))
+    w_host = Window.partitionBy("host").orderBy("priority", "url")
+    survivors = (staged.where(F.col("_sr") <= budget)
+                 .drop("_salt", "_sr")
+                 .withColumn("_hr", F.row_number().over(w_host)))
+    final_pass = survivors.where(F.col("_hr") <= budget).drop("_hr")
+    over_budget2 = (survivors.where(F.col("_hr") > budget).drop("_hr")
+                    .withColumn("decision", over))
+    return (final_pass.unionByName(over_budget2)
+            .unionByName(over_budget1).unionByName(rest))
 
 
 def salted_repartition_for_fetch(selected: DataFrame, cfg: CrawlConfig,

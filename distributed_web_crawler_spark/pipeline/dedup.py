@@ -77,27 +77,35 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
         "doc_id",
         F.xxhash64("shingle").alias("h1"),
         F.xxhash64(F.lit(1), "shingle").alias("h2"))
+    # per-doc shingle-set size rides along on every row (size-ratio
+    # pre-filter below needs it pair-side, BEFORE the groupBy)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     dfreq = sh.groupBy("h1", "h2").agg(F.count("*").alias("df"))
-    sh_capped = sh.join(dfreq.where(F.col("df") <= max_df),
-                        ["h1", "h2"], "inner") \
-                  .select("doc_id", "h1", "h2")
+    sh_capped = (sh.join(dfreq.where(F.col("df") <= max_df),
+                         ["h1", "h2"], "inner")
+                 .join(sizes, "doc_id")
+                 .select("doc_id", "h1", "h2", "n_sh"))
     a = sh_capped.alias("a")
     b = sh_capped.alias("b")
+    # size-ratio pre-filter: Jaccard ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|),
+    # applied in the join condition so incompatible pairs never reach the
+    # pair aggregation (the O(df²) candidate stream is the dominant cost)
+    ratio_ok = (F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= F.lit(threshold) * F.greatest(F.col("a.n_sh"),
+                                                 F.col("b.n_sh")))
     common = (
         a.join(b, (F.col("a.h1") == F.col("b.h1"))
                & (F.col("a.h2") == F.col("b.h2"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & ratio_ok)
         .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.n_sh").alias("n_a"),
+                 F.col("b.n_sh").alias("n_b"))
         .agg(F.count("*").alias("n_common"))
     )
     return (
         common
-        .join(sizes.withColumnRenamed("doc_id", "doc_a")
-              .withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_sh", "n_b"), "doc_b")
         .withColumn("jaccard", F.round(
             F.col("n_common") /
             (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
@@ -110,12 +118,27 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
+def _shingle_fingerprints(documents: DataFrame, n: int,
+                          text_col: str) -> DataFrame:
+    """(doc_id, h1, h2): 128-bit shingle fingerprints (two independent
+    xxhash64). The shingle STRING is dropped before any shuffle — every
+    downstream consumer (signatures, bucket join, exact verification) works
+    on the fixed 16-byte key. One shared subtree, so Catalyst's exchange
+    reuse materializes the distinct once per query."""
+    return shingles(documents, n, text_col).select(
+        "doc_id",
+        F.xxhash64("shingle").alias("h1"),
+        F.xxhash64(F.lit(1), "shingle").alias("h2"))
+
+
 def minhash_signatures(documents: DataFrame, num_hashes: int = 16,
                        n: int = 3, text_col: str = "text") -> DataFrame:
     """num_hashes column-wise min-aggregates of seeded xxhash64 over the
-    doc's shingles — one shuffle, no Python."""
-    sh = shingles(documents, n, text_col)
-    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
+    doc's shingle fingerprints — one shuffle, no Python. Seeding hashes
+    the 128-bit fingerprint (not the shingle text): an equally valid
+    min-wise family at a fraction of the hashing/shuffle bytes."""
+    sh = _shingle_fingerprints(documents, n, text_col)
+    aggs = [F.min(F.xxhash64("h1", "h2", F.lit(i))).alias(f"mh{i}")
             for i in range(num_hashes)]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -123,41 +146,51 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 16,
 def minhash_lsh_verified(documents: DataFrame, num_hashes: int = 16,
                          bands: int = 4, n: int = 3, threshold: float = 0.5,
                          text_col: str = "text") -> DataFrame:
-    """LSH candidates ∩ exact-Jaccard verification (the production shape)."""
+    """LSH candidates ∩ exact-Jaccard verification (the production shape).
+
+    The shingle-fingerprint frame is ONE subtree consumed by both the
+    signature aggregation and the verification join (reused exchange, not
+    recomputed), and candidates are size-ratio-filtered before the
+    verification join."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, n, text_col)
+    sh = _shingle_fingerprints(documents, n, text_col)
+    aggs = [F.min(F.xxhash64("h1", "h2", F.lit(i))).alias(f"mh{i}")
+            for i in range(num_hashes)]
+    sigs = sh.groupBy("doc_id").agg(*aggs,
+                                    F.count("*").alias("n_sh"))
     stacked = sigs.select(
-        "doc_id",
+        "doc_id", "n_sh",
         F.explode(F.array(*[
             F.struct(
                 F.lit(bnd).alias("band_no"),
                 F.hash(*[F.col(f"mh{bnd * rows_per_band + i}")
                          for i in range(rows_per_band)]).alias("bkt"))
             for bnd in range(bands)])).alias("bb"),
-    ).select("doc_id", "bb.band_no", "bb.bkt")
+    ).select("doc_id", "n_sh", "bb.band_no", "bb.bkt")
     a, b = stacked.alias("a"), stacked.alias("b")
+    ratio_ok = (F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= F.lit(threshold) * F.greatest(F.col("a.n_sh"),
+                                                 F.col("b.n_sh")))
     cands = (
         a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
                & (F.col("a.bkt") == F.col("b.bkt"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & ratio_ok)
         .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n_sh").alias("n_a"),
+                F.col("b.n_sh").alias("n_b"))
         .distinct()
     )
-    sh = shingles(documents, n, text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "h1", "h2")
     n_common = (
-        cands.join(sh_a, "doc_a").join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
+        cands.join(sh_a, "doc_a").join(sh_b, ["doc_b", "h1", "h2"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
     )
     return (
         n_common
-        .join(sizes.withColumnRenamed("doc_id", "doc_a")
-              .withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_sh", "n_b"), "doc_b")
         .withColumn("jaccard", F.round(
             F.col("n_common") /
             (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))

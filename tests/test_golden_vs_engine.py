@@ -132,3 +132,21 @@ def test_all_rejected_round_terminates_cleanly(spark, tmp_path):
     assert c.visit_sequence() == []
     g = golden_crawl(W.seed_urls(synth, 3), cfg, synth)
     assert g.visits == []
+
+
+def test_frontier_count_invariant(crawled):
+    """_frontier_empty derives round r's emptiness from the previous
+    commit's discovered+deferred lineage counts; pin the invariant those
+    counts must satisfy — the committed frontier row count per round equals
+    discovered + deferred of the producing round — so any future change to
+    next_frontier composition that skips the lineage metrics fails loudly
+    instead of silently terminating the crawl early."""
+    crawler, _ = crawled
+    last = crawler.store.last_round()
+    for r in range(1, last + 1):
+        meta = crawler.store.round_meta(r)
+        counts = meta["counts"]
+        expected = counts.get("discovered", 0) + counts.get("deferred", 0)
+        frontier = crawler.store.read(crawler.spark, "frontier", [r])
+        n = 0 if frontier is None else frontier.count()
+        assert n == expected, f"round {r}: frontier={n} lineage={expected}"
