@@ -81,6 +81,15 @@ def seeds_frontier(spark: SparkSession, seeds: list[str],
     return spark.createDataFrame(pdf, FRONTIER_SCHEMA)
 
 
+def _utc_date(ts_ms: int) -> str:
+    """X6: ISO date partition key from the round clock (the reference's S3
+    key prefix, storage/HybridStorageService.java:38)."""
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(ts_ms / 1000,
+                                  tz=timezone.utc).strftime("%Y-%m-%d")
+
+
 def pages_view(pages: DataFrame) -> DataFrame:
     """Public `pages` schema (FIXTURES.md §A2): adds the reference's
     headers/metadata maps (core/WebCrawler.java:406-408) and a real
@@ -171,7 +180,15 @@ class Crawler:
             # Arrow workers themselves — payload bytes never cross the
             # Python→JVM boundary, never shuffle, never hit the cache. The
             # JVM sinks only the slim fetch result.
-            pages_dir = self.store.round_dir("pages", r, create=True)
+            # Physical layout: pages/round=r/fetch_date=YYYY-MM-DD/ — the
+            # same date partitioning the reference uses for its blob keys
+            # (storage/HybridStorageService.java:37-39), so time-range
+            # reads over a long crawl prune at the directory level (the
+            # round clock fixes one date per round).
+            pages_root = self.store.round_dir("pages", r, create=True)
+            fetch_date = _utc_date(self.cfg.round_ts_ms(r))
+            pages_dir = os.path.join(pages_root, f"fetch_date={fetch_date}")
+            os.makedirs(pages_dir, exist_ok=True)
             plan = _timed("plan", lambda: build_fetch(
                 self.spark, frontier, state,
                 self.cfg, self.fetcher, self.synth_cfg, r, pages_dir))
@@ -182,7 +199,7 @@ class Crawler:
                 write_empty_payload(pages_dir)
             # phase B: column-pruned scans of the worker-written shards
             # (ReadSchema never includes `bytes` — see PLANS.md).
-            raw = self.spark.read.parquet(pages_dir)
+            raw = self.spark.read.parquet(pages_root)
             res = finish_round(self.spark, raw, plan, state, self.cfg, r)
             # Sinks are ordered so every persisted intermediate (stored
             # winners, probed new_urls) materializes exactly once — inside

@@ -104,6 +104,15 @@ class SnapshotStore:
             if os.path.isdir(p := os.path.join(tdir, f"round={r}"))
         ]
 
+    # tables whose round dirs contain a further partition level
+    # (pages/round=r/fetch_date=…): each round must be read with its own
+    # basePath so the nested key is discovered as a partition column —
+    # passing the leaf dirs together trips CONFLICTING_DIRECTORY_STRUCTURES,
+    # and a table-level basePath would surface `round` as a partition
+    # column colliding with the data column of the same name. Real Iceberg
+    # replaces this per-round union with manifest-based planning.
+    _NESTED = frozenset({"pages"})
+
     def read(self, spark: SparkSession, name: str,
              rounds: list[int] | None = None) -> DataFrame | None:
         """Union of the table's committed round directories (or the explicit
@@ -113,6 +122,13 @@ class SnapshotStore:
         paths = self._round_paths(name, rounds)
         if not paths:
             return None
+        if name in self._NESTED:
+            dfs = [spark.read.option("basePath", p).parquet(p)
+                   for p in paths]
+            out = dfs[0]
+            for df in dfs[1:]:
+                out = out.unionByName(df)
+            return out
         return spark.read.parquet(*paths)
 
     def read_round(self, spark: SparkSession, name: str,

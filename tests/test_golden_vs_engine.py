@@ -150,3 +150,19 @@ def test_frontier_count_invariant(crawled):
         frontier = crawler.store.read(crawler.spark, "frontier", [r])
         n = 0 if frontier is None else frontier.count()
         assert n == expected, f"round {r}: frontier={n} lineage={expected}"
+
+
+def test_pages_date_partition_prunes(crawled):
+    """X6 as physical layout: pages/round=r/fetch_date=…/ — a date filter
+    must reach the scan as a partition filter (directory pruning), not a
+    data filter."""
+    crawler, _ = crawled
+    from pyspark.sql import functions as F
+    pages = crawler.pages()
+    assert "fetch_date" in pages.columns
+    plan = (pages.where(F.col("fetch_date") == "1970-01-01")
+            ._jdf.queryExecution().executedPlan().toString())
+    after = plan.split("PartitionFilters", 1)
+    assert len(after) == 2 and "fetch_date" in after[1][:300], plan[:2000]
+    assert (pages.where(F.col("fetch_date") == "1970-01-01").count() == 0)
+    assert pages.count() > 0
