@@ -164,15 +164,24 @@ def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
         .select(*FRONTIER_COLS))
 
     # -- lineage A3: one union of row-level tags → one shuffle ---------------
+    # decided and raw each contribute multiple metrics from ONE pass
+    # (explode of a per-row metric array / conditional tag) instead of one
+    # filtered re-read per metric
     decided = plan.decided
+    decided_tags = decided.select(
+        _host_shard().alias("host_shard"),
+        F.explode(F.array(
+            F.lit("polled"),
+            F.when(F.col("decision").startswith("REJECT"), F.lit("rejected"))
+            .when(F.col("decision").startswith("DEFER"), F.lit("deferred")),
+        )).alias("metric")).where(F.col("metric").isNotNull())
+    raw_tags = raw.select(
+        _host_shard().alias("host_shard"),
+        F.when(F.col("fetched"), F.lit("fetched"))
+        .otherwise(F.lit("fetch_failed")).alias("metric"))
     tagged = (
-        _tagged(decided, "polled")
-        .unionByName(_tagged(
-            decided.where(F.col("decision").startswith("REJECT")), "rejected"))
-        .unionByName(_tagged(
-            decided.where(F.col("decision").startswith("DEFER")), "deferred"))
-        .unionByName(_tagged(raw.where(~F.col("fetched")), "fetch_failed"))
-        .unionByName(_tagged(raw.where(F.col("fetched")), "fetched"))
+        decided_tags
+        .unionByName(raw_tags)
         .unionByName(_tagged(stored, "stored"))
         .unionByName(_tagged(new_urls, "discovered"))
     )

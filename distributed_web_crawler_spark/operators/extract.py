@@ -248,8 +248,15 @@ def extract_children(stored: DataFrame, cfg: CrawlConfig,
     )
     # one URL may be discovered by many parents in the same round; keep one
     # deterministic winner (min depth, then min parent) — reference would
-    # enqueue all (D4 gap), north_rule dedups
-    from pyspark.sql import Window
-    w = Window.partitionBy("url").orderBy("depth", "parent_url")
-    return (children.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1).drop("_rn"))
+    # enqueue all (D4 gap), north_rule dedups. Hash-aggregate min(struct):
+    # struct comparison is lexicographic, so (depth, parent_url) leads and
+    # the equal-per-url columns ride along. Map-side partial combine
+    # shrinks the shuffle to one row per (partition, url) — the sort-window
+    # version shuffled and sorted EVERY exploded link.
+    win = F.min(F.struct(
+        "depth", "parent_url", "host", "discovered_at_ms", "priority",
+        "retry_count", "scheduled_for_ms")).alias("w")
+    return (children.groupBy("url").agg(win)
+            .select("url", "w.host", "w.depth", "w.parent_url",
+                    "w.discovered_at_ms", "w.priority", "w.retry_count",
+                    "w.scheduled_for_ms"))
