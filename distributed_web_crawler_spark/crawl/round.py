@@ -97,7 +97,8 @@ def _tagged(df: DataFrame, metric: str) -> DataFrame:
 
 def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
                 cfg: CrawlConfig, fetcher, synth_cfg,
-                round_no: int, pages_dir: str) -> FetchPlan:
+                round_no: int, pages_dir: str,
+                robots_fetcher=None) -> FetchPlan:
     """Phase A: decision chain + fetch. The returned `fetched` plan is the
     SLIM fetch result; its execution sinks payload shards to ``pages_dir``
     from inside the Arrow workers (operators/extract.fetch_pages_sink)."""
@@ -107,7 +108,8 @@ def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
     # -- decision chain (R1): gates → robots → politeness -------------------
     gated = apply_gates(frontier, cfg, ts)
     robots_full, robots_new = resolve_robots(
-        spark, gated.where(F.col("decision") == "PASS"), state.robots, synth_cfg)
+        spark, gated.where(F.col("decision") == "PASS"), state.robots,
+        synth_cfg, robots_fetcher)
     # persist the pre-politeness frame: the salted partial top-K inside
     # apply_politeness unions four branches of it, and without the cache
     # each branch would re-scan the frontier + redo the robots join
@@ -152,8 +154,13 @@ def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
                            cached=extra_cached).persist()
 
     # -- children: explode + filters + URL-seen -----------------------------
-    # links live in raw; the stored-winner semi-join stays on slim columns
-    links = raw.select("url", "depth", "links")
+    # links live in raw; the stored-winner semi-join stays on slim columns.
+    # Repartition the slim rows first: the scan coalesces the many small
+    # worker-written shards into a handful of input splits (openCostInBytes
+    # packing), which would cap the explode + X3-resolver stage — the
+    # round's heaviest Catalyst work — at a fraction of the cores.
+    links = (raw.select("url", "depth", "links")
+             .repartition(spark.sparkContext.defaultParallelism * 2))
     child_src = links.join(stored.select("url"), "url", "left_semi")
     children = extract_children(child_src, cfg, ts)                 # E1/E2/F8
     new_urls = filter_unseen_urls(children, state.seen_urls,

@@ -303,8 +303,9 @@ def images_for_keys(cfg: SynthWebConfig, dup_mod: int = 0):
     return gen
 
 
-def content_hash_py(buf: bytes, caption: str) -> str:
+def content_hash_py(buf: bytes, caption: str | None) -> str:
     """sha256(bytes || utf8(caption)) hex — must equal Spark's
     ``sha2(concat(bytes, encode(caption,'utf-8')), 256)`` (engine side).
-    Reference hashes page HTML the same way (core/WebCrawler.java:442-456)."""
-    return hashlib.sha256(buf + caption.encode()).hexdigest()
+    Reference hashes page HTML the same way (core/WebCrawler.java:442-456).
+    Caption-less pages (real-HTTP fetcher) hash the body alone."""
+    return hashlib.sha256(buf + (caption or "").encode()).hexdigest()

@@ -49,6 +49,23 @@ def apply_politeness(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
     over = F.lit("DEFER_POLITENESS" if cfg.enable_delay_retry
                  else "REJECT_POLITENESS")
     budget = F.lit(cfg.host_budget_per_round)
+    if cfg.politeness_salts <= 1:
+        # single-window path: one shuffle, right when no host can dominate
+        # a task (small crawls / tests). Non-PASS rows rank below PASS so
+        # they never consume budget.
+        w_pass = (Window.partitionBy("host")
+                  .orderBy(F.col("is_pass").desc(), "priority", "url"))
+        return (
+            frontier
+            .withColumn("is_pass", (F.col("decision") == "PASS").cast("int"))
+            .withColumn("host_rank", F.row_number().over(w_pass))
+            .withColumn(
+                "decision",
+                F.when((F.col("decision") == "PASS")
+                       & (F.col("host_rank") > budget), over)
+                .otherwise(F.col("decision")))
+            .drop("is_pass", "host_rank")
+        )
     rest = frontier.where(F.col("decision") != "PASS")
     passed = frontier.where(F.col("decision") == "PASS")
 

@@ -48,18 +48,22 @@ def make_robots_fetcher(synth_cfg):
 
 
 def resolve_robots(spark: SparkSession, frontier: DataFrame,
-                   known: DataFrame | None, synth_cfg) -> tuple[DataFrame, DataFrame]:
+                   known: DataFrame | None, synth_cfg,
+                   robots_fetcher=None) -> tuple[DataFrame, DataFrame]:
     """Return (full robots table for this round's hosts, newly fetched rows).
 
     ``known`` is accumulated host state from prior rounds; only hosts not
-    yet known are fetched (cache semantics of core/WebCrawler.java:460)."""
+    yet known are fetched (cache semantics of core/WebCrawler.java:460).
+    ``robots_fetcher`` overrides the synthetic fetcher (e.g.
+    crawl/httpfetch.make_http_robots_fetcher for real HTTP)."""
     hosts = frontier.select("host").distinct()
     if known is not None:
         known = known.select("host", "robots_disallow")
         new_hosts = hosts.join(F.broadcast(known.select("host")), "host", "left_anti")
     else:
         new_hosts = hosts
-    fetched = new_hosts.mapInPandas(make_robots_fetcher(synth_cfg), ROBOTS_SCHEMA)
+    fetched = new_hosts.mapInPandas(
+        robots_fetcher or make_robots_fetcher(synth_cfg), ROBOTS_SCHEMA)
     full = fetched if known is None else known.unionByName(fetched)
     return full, fetched
 
