@@ -205,27 +205,22 @@ class Crawler:
             # (ReadSchema never includes `bytes` — see PLANS.md).
             raw = self.spark.read.parquet(pages_root)
             res = finish_round(self.spark, raw, plan, state, self.cfg, r)
-            # Sink pipelining: every persisted intermediate materializes
-            # exactly once, then every remaining sink reads only caches and
-            # runs as a concurrent Spark job. Wave 1 populates the caches —
-            # the stored write materializes the D1 winner chain and
-            # new_urls.count() the probe chain (concurrent jobs may NOT
-            # share an unpopulated cache: both would compute it) — while
-            # the independent robots write rides along. Wave 2 overlaps the
-            # frontier write with both bloom builds and the lineage
-            # collect, all cache-only.
+            # Sinks are ordered so every persisted intermediate (stored
+            # winners, probed new_urls) materializes exactly once — inside
+            # the frontier-write job, the round's one big phase-B action —
+            # and later sinks run as concurrent cache-only Spark jobs, so
+            # no stage computes twice and the serialized tail is a single
+            # wave of small jobs.
             with ThreadPoolExecutor(max_workers=2) as ex:
-                f1 = ex.submit(_timed, "stored", lambda: self.store
-                               .stage_write("stored", res.stored, r))
-                f3 = ex.submit(_timed, "robots", lambda: self.store
-                               .stage_write("robots", plan.robots_new, r))
-                f1.result(), f3.result()
-            # new_urls reads the stored cache the write above populated
-            _timed("materialize", lambda: res.new_urls.count())
-            with ThreadPoolExecutor(max_workers=4) as ex:
                 f1 = ex.submit(_timed, "frontier", lambda: self.store
                                .stage_write("frontier", res.next_frontier,
                                             r + 1))
+                f2 = ex.submit(_timed, "robots", lambda: self.store
+                               .stage_write("robots", plan.robots_new, r))
+                f1.result(), f2.result()
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                f1 = ex.submit(_timed, "stored", lambda: self.store
+                               .stage_write("stored", res.stored, r))
                 # URL-bloom delta: only genuinely-new URLs — deferred rows
                 # were inserted when they first entered a frontier, so
                 # re-inserting all of next_frontier wasted the deferred

@@ -111,30 +111,40 @@ def build_bloom_shards(keys: DataFrame, cfg: CrawlConfig,
                        existing: DataFrame | None = None,
                        key: str = "url") -> DataFrame:
     """Build/extend per-shard filters from a key DataFrame (URLs or content
-    hashes). The groupBy parallelizes across shards; each task does pure
-    numpy bit math."""
+    hashes). The groupBy/cogroup parallelizes across shards; each task does
+    pure numpy bit math. Extension is ONE cogroup pass — new keys insert
+    directly into their shard's existing filter bytes (no separate
+    build-then-merge stage); shards with no new keys pass through."""
     m, k = cfg.bloom_bits_per_shard, cfg.bloom_num_hashes
     hashed = with_key_hashes(keys.select(key), cfg.url_seen_shards, key)
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(gkey, pdf: pd.DataFrame) -> pd.DataFrame:
         filt = B.insert(B.empty_filter(m), pdf["_h1"].to_numpy(),
                         pdf["_h2"].to_numpy(), m, k)
-        return pd.DataFrame({"shard": [key[0]], "filter_bytes": [filt],
+        return pd.DataFrame({"shard": [gkey[0]], "filter_bytes": [filt],
                              "n_items": [len(pdf)]})
 
-    new = hashed.groupBy("shard").applyInPandas(build, URL_SEEN_FILTER_SCHEMA)
     if existing is None:
-        return new
+        return (hashed.groupBy("shard")
+                .applyInPandas(build, URL_SEEN_FILTER_SCHEMA))
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = None
-        for fb in pdf["filter_bytes"]:
-            acc = fb if acc is None else B.merge(acc, fb)
-        return pd.DataFrame({"shard": [key[0]], "filter_bytes": [acc],
-                             "n_items": [int(pdf["n_items"].sum())]})
+    def extend(cand: pd.DataFrame, filt: pd.DataFrame) -> pd.DataFrame:
+        if len(filt) > 0:
+            base = bytes(filt["filter_bytes"].iloc[0])
+            prior = int(filt["n_items"].iloc[0])
+            shard = int(filt["shard"].iloc[0])
+        else:
+            base, prior = B.empty_filter(m), 0
+            shard = int(cand["shard"].iloc[0])
+        if len(cand) > 0:
+            base = B.insert(base, cand["_h1"].to_numpy(),
+                            cand["_h2"].to_numpy(), m, k)
+        return pd.DataFrame({"shard": [shard], "filter_bytes": [base],
+                             "n_items": [prior + len(cand)]})
 
-    return (existing.unionByName(new)
-            .groupBy("shard").applyInPandas(merge, URL_SEEN_FILTER_SCHEMA))
+    return (hashed.groupBy("shard")
+            .cogroup(existing.groupBy("shard"))
+            .applyInPandas(extend, URL_SEEN_FILTER_SCHEMA))
 
 
 def probe_bloom_shards(candidates: DataFrame, blooms: DataFrame,
