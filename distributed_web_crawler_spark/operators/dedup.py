@@ -50,12 +50,10 @@ def dedup_content(fetched: DataFrame, seen_hashes: DataFrame | None,
 
     With ``blooms`` (sharded content-hash filters over all previously
     stored rounds): bloom negatives are definitely new and skip the history
-    entirely; only positives are re-checked exactly — via a BROADCAST
-    semi-join that keeps the history side a map-only column-pruned scan
-    (see _recheck_positives). Without blooms (tests / first round): plain
-    anti-join. Results are bit-identical either way; at a long crawl's
-    round R this turns the O(R) history re-scan from a per-round SMJ
-    shuffle into a shuffle-free scan touched only when positives exist."""
+    entirely; only positives are re-checked exactly (see
+    _recheck_positives for the join-strategy rationale). Without blooms
+    (tests / first round): plain anti-join. Results are bit-identical
+    either way."""
     w = Window.partitionBy("content_hash").orderBy("priority", "host", "url")
     first = (fetched.withColumn("_rn", F.row_number().over(w))
              .where(F.col("_rn") == 1).drop("_rn"))
@@ -81,17 +79,19 @@ def _recheck_positives(positives: DataFrame, seen: DataFrame,
     """Exact re-check of bloom positives: rows of ``positives`` whose key
     is NOT in ``seen``.
 
-    The naive positives ANTI-JOIN seen would sort-merge — shuffling the
-    entire accumulated history every round even when positives are empty.
-    Flipped: the (tiny, ≈FP-rate) positive key set broadcasts, the history
-    is reduced map-side to `confirmed = seen ⋉ positives` (scan, no
-    shuffle, column-pruned to the key), and confirmed — no larger than the
-    positive set — broadcasts back into the final anti-join. The history
-    table is only ever SCANNED, never shuffled or sorted."""
-    pos_keys = positives.select(key).distinct()
-    confirmed = seen.join(F.broadcast(pos_keys), key, "left_semi")
-    return positives.join(F.broadcast(confirmed.distinct()),
-                          key, "left_anti")
+    A plain left-anti join, deliberately: a driver-side flip (broadcast
+    the positive keys, scan-reduce the history) would be faster per round
+    but dies when rediscovery is heavy — in a steady-state crawl MOST
+    discovered links are already-seen, so the positive set is NOT
+    driver-bounded at 10^10 scale. Spark's runtime bloom-filter join
+    pruning (spark.sql.optimizer.runtime.bloomFilter.*, on by default in
+    Spark 4) gives the same history-side scan reduction safely: a
+    FIXED-SIZE bloom aggregated from the positives side is injected into
+    the history scan when that scan is large, so the big side shrinks
+    before the shuffle without any driver materialization. On Iceberg the
+    bucket-transform storage-partitioned join removes the history shuffle
+    entirely; this module keeps the join key exposed for that swap."""
+    return positives.join(seen, key, "left_anti")
 
 
 def with_key_hashes(df: DataFrame, n_shards: int, key: str = "url") -> DataFrame:
@@ -182,9 +182,8 @@ def filter_unseen_urls(candidates: DataFrame, seen_urls: DataFrame | None,
     """D4: rows of ``candidates`` whose url was never enqueued.
 
     With blooms: negatives pass immediately; only positives are re-checked
-    exactly, through the flipped broadcast scan (_recheck_positives) so the
-    accumulated frontier history is never shuffled. Without: plain
-    anti-join."""
+    exactly (_recheck_positives — runtime bloom-filter pruning reduces the
+    history side before its shuffle). Without: plain anti-join."""
     if seen_urls is None:
         return candidates
     seen = seen_urls.select("url").distinct()
