@@ -155,6 +155,21 @@ class Crawler:
             hash_blooms=self.store.read(self.spark, "hash_bloom", [r]),
         )
 
+    def _hash_bloom_next(self, res, r: int) -> DataFrame:
+        """hash_bloom @ r+1 = hash_bloom @ r extended by round r's stored
+        hashes. If no committed hash_bloom exists but prior stored rounds
+        do (a store created before hash blooms existed, resumed now), the
+        filter must be seeded from the FULL stored history — a delta-only
+        bloom would test old hashes negative and re-store duplicates."""
+        delta = res.stored.select("content_hash")
+        existing = self.store.read(self.spark, "hash_bloom", [r])
+        if existing is None and r > 0:
+            prior = self.store.read(self.spark, "stored", list(range(r)))
+            if prior is not None:
+                delta = delta.unionByName(prior.select("content_hash"))
+        return build_bloom_shards(delta, self.cfg, existing=existing,
+                                  key="content_hash")
+
     def run(self, max_rounds: int | None = None) -> dict:
         """Process rounds from the last committed marker until the frontier
         drains or max_rounds is reached. Returns throughput stats."""
@@ -232,12 +247,9 @@ class Crawler:
                                        self.spark, "bloom", [r])), r + 1))
                 # content-hash bloom (D1 front): delta = this round's stored
                 f4 = ex.submit(_timed, "hash_bloom", lambda: self.store
-                               .stage_write("hash_bloom", build_bloom_shards(
-                                   res.stored.select("content_hash"),
-                                   self.cfg,
-                                   existing=self.store.read(
-                                       self.spark, "hash_bloom", [r]),
-                                   key="content_hash"), r + 1))
+                               .stage_write("hash_bloom",
+                                            self._hash_bloom_next(res, r),
+                                            r + 1))
                 # lineage is tiny (≤ shards × metrics rows): one collect
                 # feeds both the lineage table and the round counts
                 f3 = ex.submit(_timed, "lineage",

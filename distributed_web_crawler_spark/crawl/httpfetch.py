@@ -62,8 +62,9 @@ def extract_links_html(body: bytes, encoding: str = "utf-8") -> list[str]:
     p = _LinkCollector()
     try:
         p.feed(body.decode(encoding, errors="replace"))
+        p.close()  # flush links buffered in incomplete trailing markup
     except Exception:
-        return []
+        pass
     return p.links
 
 
@@ -120,10 +121,18 @@ def parse_robots_txt(text: str) -> list[str]:
 
 
 def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
-    """S7 over real HTTP: GET http://{host}/robots.txt per distinct host
-    (10 s timeout like the reference, core/WebCrawler.java:465); any
+    """S7 over real HTTP: GET {scheme}://{host}/robots.txt per distinct
+    host (10 s timeout like the reference, core/WebCrawler.java:465); any
     failure ⇒ allow-all (core/WebCrawler.java:470-473). Same contract as
-    operators/robots.make_robots_fetcher."""
+    operators/robots.make_robots_fetcher.
+
+    The frontier keys robots state by HOST (like the reference's
+    robotsCache, core/WebCrawler.java:34), which — also like the
+    reference, whose java.net.URL.getHost() does the same — drops the
+    port, so a robots.txt served only on a non-default port is not
+    reachable (allow-all). The scheme is likewise not tracked per host;
+    we try http then https, which covers both plain and TLS-only hosts
+    on default ports."""
     import pandas as pd
 
     cfg = cfg or HttpFetcherConfig()
@@ -132,17 +141,21 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
         import urllib.error
         import urllib.request
 
-        req = urllib.request.Request(
-            f"http://{host}/robots.txt",
-            headers={"User-Agent": cfg.user_agent})
-        try:
-            with urllib.request.urlopen(req, timeout=10.0) as resp:
-                if resp.status >= 300:
-                    return []
-                return parse_robots_txt(
-                    resp.read(1 << 20).decode("utf-8", errors="replace"))
-        except (urllib.error.URLError, OSError, ValueError):
+        if not host:
             return []
+        for scheme in ("http", "https"):
+            req = urllib.request.Request(
+                f"{scheme}://{host}/robots.txt",
+                headers={"User-Agent": cfg.user_agent})
+            try:
+                with urllib.request.urlopen(req, timeout=10.0) as resp:
+                    if resp.status >= 300:
+                        continue
+                    return parse_robots_txt(
+                        resp.read(1 << 20).decode("utf-8", errors="replace"))
+            except (urllib.error.URLError, OSError, ValueError):
+                continue
+        return []
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor

@@ -107,9 +107,15 @@ def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
 
     # -- decision chain (R1): gates → robots → politeness -------------------
     gated = apply_gates(frontier, cfg, ts)
+    # robots_new is persisted inside resolve_robots (cached list below):
+    # it feeds both this round's decisions (via robots_full) and the
+    # persisted robots table — uncached, the fetch would execute twice,
+    # and a NON-PURE fetcher (real HTTP) could return different rules to
+    # the decision path than what gets persisted as host state.
+    robots_cached: list = []
     robots_full, robots_new = resolve_robots(
         spark, gated.where(F.col("decision") == "PASS"), state.robots,
-        synth_cfg, robots_fetcher)
+        synth_cfg, robots_fetcher, cached=robots_cached)
     # persist the pre-politeness frame: the salted partial top-K inside
     # apply_politeness unions four branches of it, and without the cache
     # each branch would re-scan the frontier + redo the robots join
@@ -136,7 +142,7 @@ def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
         fetcher, pages_dir, ts, round_no)
     return FetchPlan(fetched=fetched, deferred=deferred,
                      robots_new=robots_new, decided=decided,
-                     cached=[decided, gated_rob])
+                     cached=[decided, gated_rob, *robots_cached])
 
 
 def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,

@@ -91,8 +91,14 @@ def resolve_url(base: Column, href: Column) -> Column:
         .when(~href.rlike(_REF_CHARSET_RE), href)        # junk: untouched
         .when(href.rlike(_HAS_SCHEME_RE), href)          # already absolute
         .when(~base.rlike(HTTP_URL_RE), href)            # non-http base
-        .when(href.rlike("^//"), F.concat(scheme, F.lit(":"), href))
-        .when(href.rlike("^[?#]"), href)                 # outside the subset
+        # scheme-relative with a real authority
+        .when(href.rlike("^//[^/?#]"), F.concat(scheme, F.lit(":"), href))
+        # '//' with EMPTY authority: urljoin keeps the base authority —
+        # bare '//' resolves to the base, '///x' to an absolute path
+        .when(href == "//", base)
+        .when(href.rlike("^///"),
+              F.concat(authority, _normalize_path(F.substring(href, 3, 1 << 20))))
+        .when(href.rlike("^(//)?[?#]"), href)            # outside the subset
         .when(href.rlike("^/"), F.concat(authority, _normalize_path(href)))
         .otherwise(F.concat(authority,
                             _normalize_path(F.concat(base_dir, href))))
@@ -117,11 +123,15 @@ def resolve_ref_py(base: str, href: str) -> str:
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)", base)
     scheme, netloc, bpath = m.group(1), m.group(2), m.group(3)
     authority = f"{scheme}://{netloc}"
-    if href.startswith("//"):
+    if re.match(r"^//[^/?#]", href):
         return f"{scheme}:{href}"
-    if href[0] in "?#":
+    if href == "//":
+        return base
+    if href.startswith("///"):
+        path = href[2:]          # empty authority: urljoin keeps base's
+    elif href.startswith("//") or href[0] in "?#":
         return href
-    if href.startswith("/"):
+    elif href.startswith("/"):
         path = href
     else:
         base_dir = re.sub(r"[^/]*$", "", bpath) or "/"

@@ -49,13 +49,17 @@ def make_robots_fetcher(synth_cfg):
 
 def resolve_robots(spark: SparkSession, frontier: DataFrame,
                    known: DataFrame | None, synth_cfg,
-                   robots_fetcher=None) -> tuple[DataFrame, DataFrame]:
+                   robots_fetcher=None,
+                   cached: list | None = None) -> tuple[DataFrame, DataFrame]:
     """Return (full robots table for this round's hosts, newly fetched rows).
 
     ``known`` is accumulated host state from prior rounds; only hosts not
     yet known are fetched (cache semantics of core/WebCrawler.java:460).
     ``robots_fetcher`` overrides the synthetic fetcher (e.g.
-    crawl/httpfetch.make_http_robots_fetcher for real HTTP)."""
+    crawl/httpfetch.make_http_robots_fetcher for real HTTP). When the
+    caller supplies a ``cached`` list it takes ownership of unpersisting
+    the fetched rows — persisted so a non-pure fetcher executes once for
+    both the decision path and the persisted host state."""
     hosts = frontier.select("host").distinct()
     if known is not None:
         known = known.select("host", "robots_disallow")
@@ -64,6 +68,9 @@ def resolve_robots(spark: SparkSession, frontier: DataFrame,
         new_hosts = hosts
     fetched = new_hosts.mapInPandas(
         robots_fetcher or make_robots_fetcher(synth_cfg), ROBOTS_SCHEMA)
+    if cached is not None:
+        fetched = fetched.persist()
+        cached.append(fetched)
     full = fetched if known is None else known.unionByName(fetched)
     return full, fetched
 

@@ -131,6 +131,14 @@ def _shingle_fingerprints(documents: DataFrame, n: int,
         F.xxhash64(F.lit(1), "shingle").alias("h2"))
 
 
+def _minhash_aggs(num_hashes: int) -> list:
+    """The signature family: per-seed min of xxhash64 over the 128-bit
+    shingle fingerprint — single definition shared by minhash_signatures
+    and minhash_lsh_verified so the two paths can never drift apart."""
+    return [F.min(F.xxhash64("h1", "h2", F.lit(i))).alias(f"mh{i}")
+            for i in range(num_hashes)]
+
+
 def minhash_signatures(documents: DataFrame, num_hashes: int = 16,
                        n: int = 3, text_col: str = "text") -> DataFrame:
     """num_hashes column-wise min-aggregates of seeded xxhash64 over the
@@ -138,9 +146,7 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 16,
     the 128-bit fingerprint (not the shingle text): an equally valid
     min-wise family at a fraction of the hashing/shuffle bytes."""
     sh = _shingle_fingerprints(documents, n, text_col)
-    aggs = [F.min(F.xxhash64("h1", "h2", F.lit(i))).alias(f"mh{i}")
-            for i in range(num_hashes)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*_minhash_aggs(num_hashes))
 
 
 def minhash_lsh_verified(documents: DataFrame, num_hashes: int = 16,
@@ -154,9 +160,7 @@ def minhash_lsh_verified(documents: DataFrame, num_hashes: int = 16,
     verification join."""
     rows_per_band = num_hashes // bands
     sh = _shingle_fingerprints(documents, n, text_col)
-    aggs = [F.min(F.xxhash64("h1", "h2", F.lit(i))).alias(f"mh{i}")
-            for i in range(num_hashes)]
-    sigs = sh.groupBy("doc_id").agg(*aggs,
+    sigs = sh.groupBy("doc_id").agg(*_minhash_aggs(num_hashes),
                                     F.count("*").alias("n_sh"))
     stacked = sigs.select(
         "doc_id", "n_sh",

@@ -75,14 +75,19 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16) -> tuple[DataFrame, Dat
         F.array_sort(F.collect_list(F.struct("list_id", "c_unit")))
         .alias("cents"))
     corpus = embeddings.select("vec_id", _unit(F.col("embedding")).alias("unit"))
-    best = F.aggregate(
+    # compute each centroid's cosine ONCE via transform, then fold for the
+    # argmax — Catalyst does not CSE inside higher-order lambdas, so a
+    # when(cos > acc).then(struct(cos, …)) form would evaluate the
+    # dim-length dot product twice per centroid per row
+    scored_cents = F.transform(
         F.col("cents"),
+        lambda c: F.struct(_cos(F.col("unit"), c["c_unit"]).alias("sim"),
+                           c["list_id"].alias("list_id")))
+    best = F.aggregate(
+        scored_cents,
         F.struct(F.lit(-2.0).alias("sim"),
                  F.lit(None).cast("long").alias("list_id")),
-        lambda acc, c: F.when(
-            _cos(F.col("unit"), c["c_unit"]) > acc["sim"],
-            F.struct(_cos(F.col("unit"), c["c_unit"]).alias("sim"),
-                     c["list_id"].alias("list_id"))).otherwise(acc))
+        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc))
     assigned = (
         corpus.join(F.broadcast(cent_arr))
         .select("vec_id", best["list_id"].alias("list_id"), "unit")

@@ -166,3 +166,21 @@ def test_pages_date_partition_prunes(crawled):
     assert len(after) == 2 and "fetch_date" in after[1][:300], plan[:2000]
     assert (pages.where(F.col("fetch_date") == "1970-01-01").count() == 0)
     assert pages.count() > 0
+
+
+def test_resume_from_pre_hash_bloom_store(spark, tmp_path, golden):
+    """A store created before the hash_bloom table existed must reseed the
+    filter from the FULL stored history on resume — a delta-only bloom
+    would test old hashes negative and re-store duplicates."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "mig_store")
+    c1 = Crawler(spark, CFG, SYNTH, root)
+    c1.bootstrap(SEEDS)
+    c1.run(max_rounds=3)
+    shutil.rmtree(os.path.join(root, "tables", "hash_bloom"))
+
+    c2 = Crawler(spark, CFG, SYNTH, root)
+    c2.run()
+    assert c2.visit_sequence() == golden.visits

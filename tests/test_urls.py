@@ -41,6 +41,10 @@ HREFS = [
     "..",
     ".",
     "7",
+    "//",
+    "///x",
+    "///a/../b",
+    "//mirror.example.net",
 ]
 
 JUNK = ["not a url", "junk link 42", "ref\twith\ttabs", "spa ce/path"]
