@@ -1080,6 +1080,59 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts_stream(spark, sf_dir)
 
 
+@q("events_stream_sliding", """
+  WITH starts AS (
+    SELECT event_type, ts, g
+    FROM events, UNNEST([
+      to_timestamp(floor(epoch(ts) / 1800) * 1800),
+      to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)
+    ]) AS u(g)
+    WHERE ts >= g AND ts < g + INTERVAL 1 HOUR)
+  SELECT epoch_us(g) AS win_start_us, event_type, count(*) AS n
+  FROM starts GROUP BY 1, 2
+""")
+def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min event-time windows via Structured Streaming; the
+    oracle expands each event into its (window/slide)=2 covering windows
+    on the same epoch-aligned grid Spark uses."""
+    from .streaming import sliding_counts_stream
+    return sliding_counts_stream(spark, sf_dir)
+
+
+@q("events_session", """
+  WITH o AS (
+    SELECT user_id, ts,
+      CASE WHEN lag(ts) OVER w IS NULL
+             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+           THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  g AS (
+    SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS grp
+    FROM o)
+  SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+         epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM g GROUP BY user_id, grp
+""")
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — Spark's
+    session_window aggregation; the oracle restates it as gaps-and-islands
+    SQL (a new session starts when the gap to the previous event is >= the
+    timeout, matching session_window's event_time < session_end merge
+    rule; window end = last event + gap)."""
+    return (_t(spark, sf_dir, "events")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                     "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.unix_micros(F.col("w.start")).alias("session_start_us"),
+                    F.unix_micros(F.col("w.end")).alias("session_end_us"),
+                    "n_events"))
+
+
 @q("crawl_flagship")
 def crawl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end BSP crawl on the deterministic synthetic web: fetch →

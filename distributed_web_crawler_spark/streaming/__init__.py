@@ -1,3 +1,3 @@
-from .events_stream import tumbling_counts_stream
+from .events_stream import sliding_counts_stream, tumbling_counts_stream
 
-__all__ = ["tumbling_counts_stream"]
+__all__ = ["sliding_counts_stream", "tumbling_counts_stream"]

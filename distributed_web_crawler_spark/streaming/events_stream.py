@@ -51,3 +51,30 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str,
              .trigger(availableNow=True).start())
     query.awaitTermination()
     return spark.table(qname)
+
+
+def sliding_counts_stream(spark: SparkSession, sf_dir: str,
+                          window: str = "1 hour", slide: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Sliding event-time windows (each event lands in window/slide
+    overlapping windows — Spark aligns window starts to the epoch grid).
+    Same drain-to-memory shape as the tumbling query; state is
+    window/slide × larger but still watermark-bounded."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("win_start_us"),
+                "event_type", "n")
+    )
+    qname = f"events_stream_sliding_{next(_COUNTER)}"
+    query = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(qname)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(qname)

@@ -22,3 +22,23 @@ def test_stream_tumbling_equals_batch(spark):
     b = sorted(batch.collect(), key=key)
     assert len(s) > 0
     assert [tuple(r) for r in s] == [tuple(r) for r in b]
+
+
+def test_stream_sliding_equals_batch(spark):
+    from distributed_web_crawler_spark.streaming import sliding_counts_stream
+    streamed = sliding_counts_stream(spark, SF_DIR)
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                 "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("win_start_us"),
+                "event_type", "n")
+    )
+    key = lambda r: (r["win_start_us"], r["event_type"])  # noqa: E731
+    s = sorted(streamed.collect(), key=key)
+    b = sorted(batch.collect(), key=key)
+    assert len(s) > len(set(r["win_start_us"] // 3_600_000_000 for r in s)), \
+        "sliding windows must overlap (more windows than hours)"
+    assert [tuple(r) for r in s] == [tuple(r) for r in b]
