@@ -197,7 +197,7 @@ def _crawl_subprocess(cores: int, preset: str, rounds: int) -> dict:
         shutil.rmtree(store, ignore_errors=True)
 
 
-def run_scaling(levels: tuple[int, int] = (4, 16),
+def run_scaling(levels: tuple[int, int] = (2, 8),
                 preset: str = "scale", rounds: int = 1,
                 reps: int = 3) -> dict:
     """Same crawl workload at N and 4N local cores, fresh JVM each, the
@@ -206,11 +206,12 @@ def run_scaling(levels: tuple[int, int] = (4, 16),
     local[N] task-slot budget and the N-level baseline quietly uses ~2N
     vCPUs, understating true scaling.
 
-    Default N=4 → 4N=16: raw multiprocess CPU on this box scales ~0.96×
-    ideal over 4→16 procs but degrades above ~16 busy threads (the upper
-    vCPUs are host-overcommitted), so 4→16 is the window where the
-    measurement reflects the engine rather than the hypervisor. One dense
-    politeness-saturated round is the steady-state unit.
+    Default N=2 → 4N=8: both levels sit inside the host's
+    well-provisioned vCPU range, so the measurement reflects the engine
+    rather than hypervisor overcommit of the upper vCPUs (round-2
+    evidence: 2→8 reps land 0.88-1.08 raw while the 4→16 raw-CPU probe
+    itself only scales 2.9-4.0×). One dense politeness-saturated round is
+    the steady-state unit.
 
     The host's capacity also swings 2-3× minute-to-minute, so the harness
     interleaves `reps` repetitions per level (N, 4N, N, 4N, ...) and takes
