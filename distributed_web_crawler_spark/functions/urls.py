@@ -74,12 +74,16 @@ def resolve_url(base: Column, href: Column) -> Column:
     core/WebCrawler.java:341), as a Catalyst expression tree.
 
     Subset semantics (mirrored exactly by ``resolve_ref_py`` for the golden
-    model and property-tested against urllib.parse.urljoin): path-only
-    references against an http(s) base — absolute refs pass through,
-    ``//host/…`` takes the base scheme, ``/path`` the base authority,
-    relative paths resolve against the base directory with full dot-segment
-    normalization. Query/fragment refs and junk (non-RFC-3986 charset) pass
-    through unresolved; downstream F8 validity drops what remains invalid."""
+    model and property-tested — including a hypothesis fuzz — against
+    urllib.parse.urljoin): path-only references against an http(s) base —
+    absolute refs pass through, ``//host/…`` takes the base scheme,
+    ``/path`` the base authority, relative paths resolve against the base
+    directory with full dot-segment normalization. Outside the subset:
+    query/fragment refs and junk (non-RFC-3986 charset) pass through
+    unresolved (downstream F8 validity drops what remains invalid), and
+    internal empty path segments (``/a//b``) are collapsed — urljoin
+    itself is inconsistent there (collapses them in relative refs, keeps
+    them in absolute ones)."""
     authority = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
     base_path = F.regexp_replace(

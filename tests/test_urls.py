@@ -76,3 +76,40 @@ def test_catalyst_matches_python_mirror(spark, cases):
 def test_junk_refs_pass_through_unresolved():
     for j in JUNK:
         assert resolve_ref_py("http://h.example.com/p/1", j) == j
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: the declared subset (path refs without internal empty
+# segments — urljoin itself is inconsistent about '//' inside paths) must
+# match urllib.parse.urljoin exactly for any base and any ref shape
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SEG = st.sampled_from(["a", "b", "c3", "x-y", ".", "..", "p%20q"])
+_PATH = st.lists(_SEG, min_size=1, max_size=6).map("/".join)
+
+
+@st.composite
+def _refs(draw):
+    body = draw(_PATH)
+    prefix = draw(st.sampled_from(["", "/", "./", "../"]))
+    suffix = draw(st.sampled_from(["", "/"]))
+    return prefix + body + suffix
+
+
+@st.composite
+def _bases(draw):
+    host = draw(st.sampled_from(
+        ["http://h0001.example.com", "https://h2.example.com:8080"]))
+    path = draw(st.sampled_from(
+        ["", "/", "/p/5", "/a/b/c", "/a/b/", "/deep/er/est/leaf"]))
+    return host + path
+
+
+@settings(max_examples=300, deadline=None)
+@given(base=_bases(), href=_refs())
+def test_fuzz_python_mirror_matches_urljoin(base, href):
+    assert resolve_ref_py(base, href) == urljoin(base, href), \
+        f"resolve_ref_py({base!r}, {href!r})"
