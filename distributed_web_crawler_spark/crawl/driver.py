@@ -155,19 +155,18 @@ class Crawler:
             hash_blooms=self.store.read(self.spark, "hash_bloom", [r]),
         )
 
-    def _hash_bloom_next(self, res, r: int) -> DataFrame:
+    def _hash_bloom_next(self, res, state: RoundState) -> DataFrame:
         """hash_bloom @ r+1 = hash_bloom @ r extended by round r's stored
         hashes. If no committed hash_bloom exists but prior stored rounds
         do (a store created before hash blooms existed, resumed now), the
         filter must be seeded from the FULL stored history — a delta-only
-        bloom would test old hashes negative and re-store duplicates."""
+        bloom would test old hashes negative and re-store duplicates.
+        Reuses the frames _state_for already loaded for this round."""
         delta = res.stored.select("content_hash")
-        existing = self.store.read(self.spark, "hash_bloom", [r])
-        if existing is None and r > 0:
-            prior = self.store.read(self.spark, "stored", list(range(r)))
-            if prior is not None:
-                delta = delta.unionByName(prior.select("content_hash"))
-        return build_bloom_shards(delta, self.cfg, existing=existing,
+        if state.hash_blooms is None and state.seen_hashes is not None:
+            delta = delta.unionByName(state.seen_hashes)
+        return build_bloom_shards(delta, self.cfg,
+                                  existing=state.hash_blooms,
                                   key="content_hash")
 
     def run(self, max_rounds: int | None = None) -> dict:
@@ -248,7 +247,7 @@ class Crawler:
                 # content-hash bloom (D1 front): delta = this round's stored
                 f4 = ex.submit(_timed, "hash_bloom", lambda: self.store
                                .stage_write("hash_bloom",
-                                            self._hash_bloom_next(res, r),
+                                            self._hash_bloom_next(res, state),
                                             r + 1))
                 # lineage is tiny (≤ shards × metrics rows): one collect
                 # feeds both the lineage table and the round counts

@@ -138,6 +138,7 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
     cfg = cfg or HttpFetcherConfig()
 
     def fetch_rules(host: str) -> list[str]:
+        import socket
         import urllib.error
         import urllib.request
 
@@ -153,7 +154,16 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
                         continue
                     return parse_robots_txt(
                         resp.read(1 << 20).decode("utf-8", errors="replace"))
-            except (urllib.error.URLError, OSError, ValueError):
+            except urllib.error.URLError as e:
+                # a TIMEOUT means the host is unreachable — https would
+                # hang another 10 s for nothing; only non-timeout failures
+                # (e.g. port 80 refused on a TLS-only host) try https
+                if isinstance(getattr(e, "reason", None), socket.timeout):
+                    return []
+                continue
+            except TimeoutError:
+                return []
+            except (OSError, ValueError):
                 continue
         return []
 

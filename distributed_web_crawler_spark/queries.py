@@ -1082,13 +1082,13 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("events_stream_sliding", """
   WITH starts AS (
-    SELECT event_type, ts, g
+    SELECT event_type, g
     FROM events, UNNEST([
-      to_timestamp(floor(epoch(ts) / 1800) * 1800),
-      to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)
+      CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT),
+      CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)
     ]) AS u(g)
-    WHERE ts >= g AND ts < g + INTERVAL 1 HOUR)
-  SELECT epoch_us(g) AS win_start_us, event_type, count(*) AS n
+    WHERE epoch(ts) >= g AND epoch(ts) < g + 3600)
+  SELECT g * 1000000 AS win_start_us, event_type, count(*) AS n
   FROM starts GROUP BY 1, 2
 """)
 def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1101,14 +1101,14 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("events_session", """
   WITH o AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
       CASE WHEN lag(ts) OVER w IS NULL
              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
            THEN 1 ELSE 0 END AS brk
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
   g AS (
-    SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+    SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS grp
     FROM o)
   SELECT user_id, epoch_us(min(ts)) AS session_start_us,

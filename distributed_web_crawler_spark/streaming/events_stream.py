@@ -25,14 +25,15 @@ from pyspark.sql import functions as F
 _COUNTER = itertools.count()
 
 
-def tumbling_counts_stream(spark: SparkSession, sf_dir: str,
-                           window: str = "1 hour",
-                           watermark: str = "2 hours") -> DataFrame:
-    """Tumbling per-event-type counts over the events table, computed via a
-    Structured Streaming query drained with trigger(availableNow) into a
-    memory sink. Complete output mode ⇒ result equals the batch aggregation
-    bit-for-bit (single drain, no dropped-late rows), which is exactly what
-    the DuckDB oracle checks."""
+def _drain_windowed_counts(spark: SparkSession, sf_dir: str,
+                           window_col, watermark: str,
+                           name: str) -> DataFrame:
+    """Shared plumbing for the windowed-count streams: file-source stream
+    over the events parquet, event-time watermark, per-(window, type)
+    counts, drained with trigger(availableNow) into a memory sink.
+    Complete output mode ⇒ result equals the batch aggregation bit-for-bit
+    (single drain, no dropped-late rows), which is exactly what the DuckDB
+    oracles check."""
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     agg = (
@@ -40,41 +41,34 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str,
         .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(window_col.alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
         .select(F.unix_micros(F.col("w.start")).alias("win_start_us"),
                 "event_type", "n")
     )
-    qname = f"events_stream_tumbling_{next(_COUNTER)}"
+    qname = f"{name}_{next(_COUNTER)}"
     query = (agg.writeStream.outputMode("complete")
              .format("memory").queryName(qname)
              .trigger(availableNow=True).start())
     query.awaitTermination()
     return spark.table(qname)
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str,
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Tumbling per-event-type counts via Structured Streaming."""
+    return _drain_windowed_counts(spark, sf_dir, F.window("ts", window),
+                                  watermark, "events_stream_tumbling")
 
 
 def sliding_counts_stream(spark: SparkSession, sf_dir: str,
                           window: str = "1 hour", slide: str = "30 minutes",
                           watermark: str = "2 hours") -> DataFrame:
     """Sliding event-time windows (each event lands in window/slide
-    overlapping windows — Spark aligns window starts to the epoch grid).
-    Same drain-to-memory shape as the tumbling query; state is
-    window/slide × larger but still watermark-bounded."""
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    agg = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"))
-        .select(F.unix_micros(F.col("w.start")).alias("win_start_us"),
-                "event_type", "n")
-    )
-    qname = f"events_stream_sliding_{next(_COUNTER)}"
-    query = (agg.writeStream.outputMode("complete")
-             .format("memory").queryName(qname)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
-    return spark.table(qname)
+    overlapping windows — Spark aligns window starts to the epoch grid);
+    state is window/slide × the tumbling size but still
+    watermark-bounded."""
+    return _drain_windowed_counts(spark, sf_dir,
+                                  F.window("ts", window, slide),
+                                  watermark, "events_stream_sliding")
