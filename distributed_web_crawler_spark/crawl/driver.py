@@ -112,8 +112,19 @@ class Crawler:
         self.cfg = cfg
         self.synth_cfg = synth_cfg
         self.store = SnapshotStore(root)
+        if fetcher is None and synth_cfg is None:
+            raise ValueError(
+                "Crawler needs either a synth_cfg (synthetic web) or an "
+                "injected fetcher (e.g. httpfetch.make_http_fetcher)")
         self.fetcher = fetcher or make_synth_fetcher(synth_cfg)
-        # None ⇒ synthetic rules; inject e.g. httpfetch.make_http_robots_fetcher
+        # Robots must match the page fetcher: pairing a real fetcher with
+        # synthetic robots would silently evaluate allow-all rules for real
+        # hosts (and raise on synth_cfg=None), so a non-synthetic page
+        # fetcher defaults robots to the real-HTTP robots fetcher unless
+        # the caller injects one explicitly.
+        if robots_fetcher is None and fetcher is not None:
+            from .httpfetch import make_http_robots_fetcher
+            robots_fetcher = make_http_robots_fetcher()
         self.robots_fetcher = robots_fetcher
 
     # -- lifecycle -----------------------------------------------------------

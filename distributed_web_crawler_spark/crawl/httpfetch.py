@@ -144,7 +144,11 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
 
         if not host:
             return []
-        for scheme in ("http", "https"):
+        # https first: an https-only site's robots.txt must not be taken
+        # from whatever a middlebox/CDN happens to serve on cleartext port
+        # 80 — only if https fails (e.g. plain-http-only host refusing 443)
+        # does the http attempt run.
+        for scheme in ("https", "http"):
             req = urllib.request.Request(
                 f"{scheme}://{host}/robots.txt",
                 headers={"User-Agent": cfg.user_agent})

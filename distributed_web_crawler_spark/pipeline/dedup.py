@@ -89,10 +89,12 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     b = sh_capped.alias("b")
     # size-ratio pre-filter: Jaccard ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|),
     # applied in the join condition so incompatible pairs never reach the
-    # pair aggregation (the O(df²) candidate stream is the dominant cost)
+    # pair aggregation (the O(df²) candidate stream is the dominant cost).
+    # Slackened by the final filter's round(·,6) epsilon so the pre-filter
+    # stays a strict superset of pairs whose rounded Jaccard passes.
     ratio_ok = (F.least(F.col("a.n_sh"), F.col("b.n_sh"))
-                >= F.lit(threshold) * F.greatest(F.col("a.n_sh"),
-                                                 F.col("b.n_sh")))
+                >= F.lit(threshold - 5e-7) * F.greatest(F.col("a.n_sh"),
+                                                        F.col("b.n_sh")))
     common = (
         a.join(b, (F.col("a.h1") == F.col("b.h1"))
                & (F.col("a.h2") == F.col("b.h2"))
@@ -172,9 +174,10 @@ def minhash_lsh_verified(documents: DataFrame, num_hashes: int = 16,
             for bnd in range(bands)])).alias("bb"),
     ).select("doc_id", "n_sh", "bb.band_no", "bb.bkt")
     a, b = stacked.alias("a"), stacked.alias("b")
+    # same rounding-epsilon slack as ngram_jaccard_pairs
     ratio_ok = (F.least(F.col("a.n_sh"), F.col("b.n_sh"))
-                >= F.lit(threshold) * F.greatest(F.col("a.n_sh"),
-                                                 F.col("b.n_sh")))
+                >= F.lit(threshold - 5e-7) * F.greatest(F.col("a.n_sh"),
+                                                        F.col("b.n_sh")))
     cands = (
         a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
                & (F.col("a.bkt") == F.col("b.bkt"))

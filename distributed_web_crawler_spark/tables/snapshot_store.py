@@ -123,11 +123,15 @@ class SnapshotStore:
         if not paths:
             return None
         if name in self._NESTED:
+            # allowMissingColumns: a store committed by pre-date-partition
+            # code has flat round dirs (no fetch_date= layer); resuming it
+            # must not fail the union — missing partition columns read as
+            # null, mirroring the pre-hash-bloom migration support.
             dfs = [spark.read.option("basePath", p).parquet(p)
                    for p in paths]
             out = dfs[0]
             for df in dfs[1:]:
-                out = out.unionByName(df)
+                out = out.unionByName(df, allowMissingColumns=True)
             return out
         return spark.read.parquet(*paths)
 

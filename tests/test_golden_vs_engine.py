@@ -168,6 +168,42 @@ def test_pages_date_partition_prunes(crawled):
     assert pages.count() > 0
 
 
+def test_pages_mixed_date_layout_reads(spark, tmp_path):
+    """A store committed by pre-date-partition code has FLAT pages round
+    dirs (no fetch_date= layer). Reading a store that mixes flat and
+    nested rounds must union with fetch_date null for the flat rounds
+    instead of raising a missing-column AnalysisException — mirroring the
+    pre-hash-bloom resume support."""
+    import glob
+    import os
+    import shutil
+
+    synth = SynthWebConfig(n_hosts=6, base_pages_per_host=12)
+    cfg = CrawlConfig(max_depth=3, host_budget_per_round=2, max_rounds=3,
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12)
+    root = str(tmp_path / "mixed_store")
+    c = Crawler(spark, cfg, synth, root)
+    c.bootstrap(W.seed_urls(synth, 3))
+    c.run()
+    # flatten round 0: move shard files out of fetch_date=… and drop it
+    r0 = os.path.join(root, "tables", "pages", "round=0")
+    (inner,) = glob.glob(os.path.join(r0, "fetch_date=*"))
+    for f in os.listdir(inner):
+        shutil.move(os.path.join(inner, f), os.path.join(r0, f))
+    os.rmdir(inner)
+
+    pages = c.pages()
+    assert pages.count() > 0
+    from pyspark.sql import functions as F
+    by_round = {r["round"]: r for r in
+                pages.groupBy("round")
+                .agg(F.count("*").alias("n"),
+                     F.count("fetch_date").alias("n_dated")).collect()}
+    assert by_round[0]["n_dated"] == 0, "flat round must read null dates"
+    later = [r for k, r in by_round.items() if k > 0]
+    assert later and all(r["n_dated"] == r["n"] for r in later)
+
+
 def test_resume_from_pre_hash_bloom_store(spark, tmp_path, golden):
     """A store created before the hash_bloom table existed must reseed the
     filter from the FULL stored history on resume — a delta-only bloom
