@@ -52,6 +52,14 @@ class CrawlConfig:
     # ≤ salts×budget survivors), so no single task ever sorts a mega-host's
     # whole frontier
     politeness_salts: int = 8
+    # seen-state compaction: every K rounds the accumulated URL-seen /
+    # hash-seen / robots history is rewritten into ONE hash-bucketed
+    # snapshot table, so steady-state rounds read O(1)+tail directories
+    # instead of unioning the full round history (0 ⇒ never compact).
+    # This is the parquet analog of an Iceberg bucket-transform table
+    # maintenance pass; buckets = pmod(xxhash64(key), seen_state_buckets).
+    compact_every_rounds: int = 8
+    seen_state_buckets: int = 32
 
     # deterministic clock: round r happens at epoch + r * round_seconds
     epoch_ms: int = 1_700_000_000_000

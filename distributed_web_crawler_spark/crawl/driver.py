@@ -19,6 +19,13 @@ State read by round r (all committed):
   seen_hashes = pages.content_hash over rounds 0..r-1    (D1)
   robots      = robots rounds 0..r-1                     (F6 cache)
   blooms      = bloom/round=r (full merged state)
+
+Every ``compact_every_rounds`` rounds the three histories are rewritten as
+single hash-bucketed snapshot tables (url_seen / hash_seen /
+robots_compact), so a steady-state round's state read is one snapshot
+directory plus a ≤K-round tail instead of the full O(rounds) union — the
+parquet stand-in for Iceberg table maintenance + bucket-transform layout
+(see _compact_state).
 """
 
 from __future__ import annotations
@@ -153,18 +160,100 @@ class Crawler:
         frontier = self.store.read(self.spark, "frontier", [r])
         return frontier is None or frontier.limit(1).count() == 0
 
+    def _latest_compact(self, name: str, r: int) -> int | None:
+        """Newest committed compaction snapshot of ``name`` at round ≤ r.
+        A compact dir is valid iff its round marker committed — a crash
+        between the staged compact write and the marker leaves an orphan
+        that is invisible here and overwritten on re-run."""
+        for c in reversed(self.store.committed_rounds()):
+            if c <= r and self.store.exists(name, c):
+                return c
+        return None
+
     def _state_for(self, r: int) -> RoundState:
-        prior = list(range(r))
-        stored = self.store.read(self.spark, "stored", prior)
+        """Accumulated state for round r. Each history table reads its
+        newest compacted snapshot (ONE hash-bucketed directory) plus the
+        ≤ compact_every_rounds uncompacted tail rounds — without this,
+        steady-state rounds union and re-list the FULL crawl history
+        (O(rounds) directories, with deferred URLs duplicated across
+        frontier rounds) on every round. Stores without compaction
+        snapshots (older layouts, compact_every_rounds=0) fall back to
+        the full round union."""
+        def hist(compact_name: str, compact_cols: list[str],
+                 tail_name: str, tail_lo_of, tail_hi: int):
+            c = self._latest_compact(compact_name, r)
+            if c is None:
+                return self.store.read(self.spark, tail_name,
+                                       list(range(tail_hi)))
+            base = self.store.read(self.spark, compact_name,
+                                   [c]).select(*compact_cols)
+            tail = self.store.read(self.spark, tail_name,
+                                   list(range(tail_lo_of(c), tail_hi)))
+            return base if tail is None else base.unionByName(
+                tail.select(*compact_cols))
+
+        # url_seen@c covers frontier rounds 0..c → tail = c+1..r
+        seen_urls = hist("url_seen", ["url"], "frontier",
+                         lambda c: c + 1, r + 1)
+        # hash_seen@c covers stored rounds 0..c-1 → tail = c..r-1
+        seen_hashes = hist("hash_seen", ["content_hash"], "stored",
+                           lambda c: c, r)
+        # robots_compact@c covers robots rounds 0..c-1 → tail = c..r-1
+        robots = hist("robots_compact", ["host", "robots_disallow"],
+                      "robots", lambda c: c, r)
         return RoundState(
-            robots=self.store.read(self.spark, "robots", prior),
-            seen_hashes=None if stored is None
-            else stored.select("content_hash"),
-            seen_urls=self.store.read(self.spark, "frontier",
-                                      list(range(r + 1))).select("url"),
+            robots=robots,
+            seen_hashes=None if seen_hashes is None
+            else seen_hashes.select("content_hash"),
+            seen_urls=seen_urls.select("url"),
             blooms=self.store.read(self.spark, "bloom", [r]),
             hash_blooms=self.store.read(self.spark, "hash_bloom", [r]),
         )
+
+    def _compact_state(self, r: int, state: RoundState) -> None:
+        """Rewrite the accumulated seen-state as single snapshots at round
+        r+1 (staged; valid once marker r+1 commits):
+
+          url_seen@r+1   = distinct url over frontier rounds 0..r+1
+          hash_seen@r+1  = distinct content_hash over stored rounds 0..r
+          robots_compact@r+1 = host rules over robots rounds 0..r
+
+        url/hash snapshots are hash-bucketed (pmod(xxhash64(key), P),
+        one file per bucket) — the layout an Iceberg bucket-transform
+        table would maintain, so the exact re-check join's history side
+        swaps to a storage-partitioned join when real Iceberg is
+        available. Amortized cost O(|history| / K) per round; without it
+        the per-round state read itself is O(|history|) directories.
+        Builds on the frames _state_for already assembled for this round
+        (compact ∪ tail), extended by this round's staged writes."""
+        nxt = r + 1
+        P = self.cfg.seen_state_buckets
+
+        def bucketed(df, key):
+            return (df.distinct()
+                    .withColumn("bucket",
+                                F.pmod(F.xxhash64(key), F.lit(P)).cast("int"))
+                    .repartition(P, "bucket"))
+
+        urls = state.seen_urls
+        f_next = self.store.read(self.spark, "frontier", [nxt])
+        if f_next is not None:
+            urls = urls.unionByName(f_next.select("url"))
+        hashes = self.store.read(self.spark, "stored", [r]).select("content_hash")
+        if state.seen_hashes is not None:
+            hashes = state.seen_hashes.unionByName(hashes)
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            fu = ex.submit(self.store.stage_write, "url_seen",
+                           bucketed(urls, "url"), nxt, ["bucket"])
+            fh = ex.submit(self.store.stage_write, "hash_seen",
+                           bucketed(hashes, "content_hash"), nxt, ["bucket"])
+            robots = self.store.read(self.spark, "robots", [r])
+            if state.robots is not None:
+                robots = state.robots.unionByName(
+                    robots.select("host", "robots_disallow"))
+            fr = ex.submit(self.store.stage_write, "robots_compact",
+                           robots, nxt)
+            fu.result(), fh.result(), fr.result()
 
     def _hash_bloom_next(self, res, state: RoundState) -> DataFrame:
         """hash_bloom @ r+1 = hash_bloom @ r extended by round r's stored
@@ -253,8 +342,7 @@ class Crawler:
                 f2 = ex.submit(_timed, "bloom", lambda: self.store
                                .stage_write("bloom", build_bloom_shards(
                                    res.new_urls.select("url"), self.cfg,
-                                   existing=self.store.read(
-                                       self.spark, "bloom", [r])), r + 1))
+                                   existing=state.blooms), r + 1))
                 # content-hash bloom (D1 front): delta = this round's stored
                 f4 = ex.submit(_timed, "hash_bloom", lambda: self.store
                                .stage_write("hash_bloom",
@@ -270,6 +358,9 @@ class Crawler:
                 "lineage",
                 self.spark.createDataFrame(lineage_rows, res.lineage.schema),
                 r)
+            if (self.cfg.compact_every_rounds
+                    and (r + 1) % self.cfg.compact_every_rounds == 0):
+                _timed("compact", lambda: self._compact_state(r, state))
             counts: dict[str, int] = {}
             for row in lineage_rows:
                 counts[row["metric"]] = (counts.get(row["metric"], 0)

@@ -89,10 +89,14 @@ class SnapshotStore:
             os.makedirs(path, exist_ok=True)
         return path
 
-    def stage_write(self, name: str, df: DataFrame, round_no: int) -> str:
+    def stage_write(self, name: str, df: DataFrame, round_no: int,
+                    partition_by: list[str] | None = None) -> str:
         path = os.path.join(self.tables_dir, name, f"round={round_no}")
         codec = "uncompressed" if name in self._UNCOMPRESSED else "snappy"
-        df.write.mode("overwrite").option("compression", codec).parquet(path)
+        w = df.write.mode("overwrite").option("compression", codec)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         return path
 
     # -- reads --------------------------------------------------------------

@@ -168,6 +168,52 @@ def test_pages_date_partition_prunes(crawled):
     assert pages.count() > 0
 
 
+def test_compaction_parity_and_bounded_state_reads(spark, tmp_path, golden):
+    """Seen-state compaction (url_seen/hash_seen/robots_compact snapshots
+    every K rounds) must be invisible to semantics — identical visit
+    sequence and URL-seen set — while bounding every per-round state read
+    to one snapshot + a ≤K-round tail, including a resume that crosses a
+    compaction boundary in a fresh driver."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, compact_every_rounds=2)
+    root = str(tmp_path / "compact_store")
+    c1 = Crawler(spark, cfg, SYNTH, root)
+    c1.bootstrap(SEEDS)
+    c1.run(max_rounds=3)  # crosses the round-2 compaction boundary
+    c2 = Crawler(spark, cfg, SYNTH, root)  # fresh driver on compacted store
+    c2.run()
+    assert c2.visit_sequence() == golden.visits
+    assert c2.url_seen_set() == golden.stored_urls
+
+    last = c2.store.last_round()
+    cu = c2._latest_compact("url_seen", last)
+    assert cu is not None and last - cu < 2, "stale compaction snapshot"
+    assert c2._latest_compact("hash_seen", last) == cu
+    assert c2._latest_compact("robots_compact", last) == cu
+
+    # state reads touch ≤ K tail round dirs per history table
+    calls = []
+    orig = c2.store.read
+
+    def spy(spark_, name, rounds=None):
+        calls.append((name, rounds))
+        return orig(spark_, name, rounds)
+
+    c2.store.read = spy
+    c2._state_for(last)
+    hist_tails = [(n, r) for n, r in calls
+                  if n in ("frontier", "stored", "robots")]
+    assert hist_tails and all(len(r) <= 2 for _, r in hist_tails), hist_tails
+    assert {n for n, _ in calls} >= {"url_seen", "hash_seen",
+                                     "robots_compact"}
+
+    # the bucketed layout: one snapshot dir, bucket=… partitions inside
+    import os
+    snap = os.path.join(root, "tables", "url_seen", f"round={cu}")
+    assert any(d.startswith("bucket=") for d in os.listdir(snap))
+
+
 def test_pages_mixed_date_layout_reads(spark, tmp_path):
     """A store committed by pre-date-partition code has FLAT pages round
     dirs (no fetch_date= layer). Reading a store that mixes flat and
