@@ -55,6 +55,10 @@ class GoldenResult:
     stored_hashes: set[str]
     pages: list[dict] = field(default_factory=list)
     rounds: int = 0
+    # per-round lineage counts, mirroring the engine's A3 metrics
+    # (polled / rejected / deferred / fetched / fetch_failed / stored /
+    # discovered); zero-count metrics are absent, like the engine's groupBy
+    lineage: list[dict] = field(default_factory=list)
 
 
 def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
@@ -83,23 +87,32 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
         next_ts = cfg.round_ts_ms(r + 1)
 
         # --- gates F7, F1-F4 then robots F6 (engine order) ------------------
+        counts = {"polled": len(frontier), "rejected": 0, "deferred": 0,
+                  "fetched": 0, "fetch_failed": 0, "stored": 0,
+                  "discovered": 0}
         passed: list[Req] = []
         deferred: list[Req] = []
         for q in frontier:
             if q.scheduled_for_ms is not None and q.scheduled_for_ms > ts:
                 deferred.append(q)                         # F7 → next round
+                counts["deferred"] += 1
                 continue
             if q.depth > cfg.max_depth:                    # F1
+                counts["rejected"] += 1
                 continue
             if q.retry_count > cfg.max_retry_attempts:     # F2
+                counts["rejected"] += 1
                 continue
             if allow_re and not re.search(allow_re, q.host or ""):   # F3
+                counts["rejected"] += 1
                 continue
             if excl_re and re.search(excl_re, q.url):      # F4
+                counts["rejected"] += 1
                 continue
             rules = robots_cache.setdefault(
                 q.host, robots_disallow_for_host(q.host, synth))
             if any(p in q.url for p in rules):             # F6 substring
+                counts["rejected"] += 1
                 continue
             passed.append(q)
 
@@ -110,18 +123,24 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
         selected: list[Req] = []
         for host, qs in by_host.items():
             selected.extend(qs[:cfg.host_budget_per_round])
+            over = qs[cfg.host_budget_per_round:]
             if cfg.enable_delay_retry:
+                counts["deferred"] += len(over)
                 deferred.extend(
                     replace(q, retry_count=q.retry_count + 1,
                             scheduled_for_ms=next_ts)      # R2
-                    for q in qs[cfg.host_budget_per_round:])
+                    for q in over)
+            else:
+                counts["rejected"] += len(over)
 
         # --- fetch + D1/D2 dedup + store, canonical order -------------------
         children_cand: dict[str, tuple[int, str]] = {}
         for q in sorted(selected, key=lambda q: (q.priority, q.host, q.url)):
             page = page_for_url(q.url, synth)
             if page is None:
+                counts["fetch_failed"] += 1
                 continue                                   # fetch failure
+            counts["fetched"] += 1
             chash = content_hash_py(page["bytes"], page["caption"])
             if chash in seen_hashes:
                 continue                                   # D1 duplicate
@@ -157,6 +176,10 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
             if url not in seen_urls
         ]
         seen_urls.update(q.url for q in new_reqs)
+        counts["stored"] = sum(1 for v in out.visits if v[0] == r)
+        counts["discovered"] = len(new_reqs)
+        out.lineage.append({"round": r,
+                            **{k: v for k, v in counts.items() if v > 0}})
         frontier = deferred + new_reqs
 
     return out

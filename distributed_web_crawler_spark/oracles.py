@@ -1,0 +1,310 @@
+"""Golden-model oracle SQL generators for the hash-seeded operators.
+
+These queries were rows-only checks in rounds 1-2 because DuckDB cannot
+evaluate Spark's xxhash64 / the Arrow codec UDFs / the crawl loop. Each
+generator here computes the *hash-dependent inputs* with an independent
+pure-Python mirror (functions/xxh64.py, property-tested against Spark;
+crawl/synthweb.py's deterministic codec; golden.py's sequential crawl) and
+embeds them as literal VALUES, while the *relational* part of the operator
+— banding, self-joins, Hamming distance, Jaccard arithmetic, threshold
+filters — is restated in DuckDB SQL and recomputed independently.
+
+The driver's correctness harness runs oracles at sf=0.01 (driver
+contract); generators that depend on document text therefore mirror over
+``ORACLE_SF_DIR`` (default /root/testdata/sf0.01). The image-table and
+crawl oracles are scale-free: image content is a pure function of
+doc_id % dup_mod and the crawl is a pure function of (seed, config), so
+their SQL is valid at any sf.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                               "/root/testdata/sf0.01")
+
+_cache: dict = {}
+
+
+def _docs(sf_dir: str) -> list[tuple[int, str]]:
+    key = ("docs", sf_dir)
+    if key not in _cache:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        _cache[key] = list(zip(t.column("doc_id").to_pylist(),
+                               t.column("text").to_pylist()))
+    return _cache[key]
+
+
+# -- text mirrors (tokenize/shingle exactly as pipeline/dedup.py) -----------
+
+def _tokens(text: str) -> list[str]:
+    """split(trim(lower(text)), '\\s+') — trim strips spaces only, like
+    Spark's trim; split keeps interior empty-token semantics."""
+    return re.split(r"\s+", text.lower().strip(" "))
+
+
+def _shingles(toks: list[str], n: int) -> set[str]:
+    return {" ".join(toks[i:i + n])
+            for i in range(max(len(toks) - n, 0) + 1)}
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def simhash_py(text: str) -> int:
+    """Mirror of pipeline.dedup.simhash_signatures for one document."""
+    from collections import Counter
+
+    from .functions.xxh64 import xxhash64
+
+    votes = [0] * 64
+    for tok, cnt in Counter(_tokens(text)).items():
+        th = xxhash64(tok) & ((1 << 64) - 1)
+        for i in range(64):
+            votes[i] += cnt if (th >> i) & 1 else -cnt
+    val = 0
+    for i in range(64):
+        if votes[i] > 0:
+            val += (1 << i) if i < 63 else -(1 << 63)
+    return val
+
+
+def _hamming_band_join_sql(sig_cte: str, id_col: str, out_a: str,
+                           out_b: str, max_hamming: int) -> str:
+    """Banded self-join + bit_count Hamming — the relational half of
+    simhash/phash near-dup, recomputed by DuckDB from signature VALUES."""
+    return f"""
+  bands AS (
+    SELECT DISTINCT {id_col}, sig, b.band_no,
+           (sig >> (b.band_no * 16)) & 65535 AS bkt
+    FROM {sig_cte}, (VALUES (0), (1), (2), (3)) b(band_no))
+  SELECT {out_a}, {out_b}, hamming FROM (
+    SELECT DISTINCT a.{id_col} AS {out_a}, b.{id_col} AS {out_b},
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.bkt = b.bkt
+         AND a.{id_col} < b.{id_col})
+  WHERE hamming <= {max_hamming}"""
+
+
+def simhash_neardup_sql(sf_dir: str = ORACLE_SF_DIR,
+                        max_hamming: int = 8) -> str:
+    key = ("simhash_sql", sf_dir, max_hamming)
+    if key in _cache:
+        return _cache[key]
+    vals = ",\n    ".join(
+        f"({doc_id}, {simhash_py(text)})" for doc_id, text in _docs(sf_dir))
+    _cache[key] = f"""
+  WITH sig(doc_id, sig0) AS (VALUES
+    {vals}),
+  sigs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(sig0 AS BIGINT) AS sig FROM sig),
+  {_hamming_band_join_sql('sigs', 'doc_id', 'doc_a', 'doc_b', max_hamming)}
+"""
+    return _cache[key]
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+def minhash_candidate_rows(sf_dir: str = ORACLE_SF_DIR,
+                           num_hashes: int = 16, bands: int = 8,
+                           n: int = 3,
+                           threshold: float = 0.5) -> list[tuple]:
+    """(doc_a, doc_b, n_a, n_b, n_common) for every LSH candidate pair —
+    the full minhash_lsh_verified pipeline mirrored in Python: shingle
+    fingerprints, per-seed min signatures, banding (by band-value tuple:
+    bucket-hash collisions in the engine can only ADD candidates, which
+    exact verification then filters identically), size-ratio prefilter,
+    exact intersection counts. Jaccard arithmetic + threshold stay in
+    SQL."""
+    from .functions.xxh64 import hash_int, hash_long, xxhash64
+
+    key = ("minhash_rows", sf_dir, num_hashes, bands, n, threshold)
+    if key in _cache:
+        return _cache[key]
+    rpb = num_hashes // bands
+    fps: dict[int, set] = {}
+    sigs: dict[int, list[int]] = {}
+    for doc_id, text in _docs(sf_dir):
+        sh = _shingles(_tokens(text), n)
+        f = {(xxhash64(s), xxhash64(("i32", 1), s)) for s in sh}
+        fps[doc_id] = f
+        mins = [None] * num_hashes
+        for h1, h2 in f:
+            base = hash_long(h2, hash_long(h1, 42))
+            for i in range(num_hashes):
+                v = hash_int(i, base)
+                v = v - (1 << 64) if v >= (1 << 63) else v
+                if mins[i] is None or v < mins[i]:
+                    mins[i] = v
+        sigs[doc_id] = mins
+    cands = set()
+    for b in range(bands):
+        buckets: dict[tuple, list[int]] = {}
+        for doc_id, mins in sigs.items():
+            buckets.setdefault(tuple(mins[b * rpb:(b + 1) * rpb]),
+                               []).append(doc_id)
+        for ids in buckets.values():
+            ids.sort()
+            for i, a in enumerate(ids):
+                for bb in ids[i + 1:]:
+                    na, nb = len(fps[a]), len(fps[bb])
+                    if min(na, nb) >= (threshold - 5e-7) * max(na, nb):
+                        cands.add((a, bb))
+    rows = [(a, b, len(fps[a]), len(fps[b]), len(fps[a] & fps[b]))
+            for a, b in sorted(cands)]
+    _cache[key] = rows
+    return rows
+
+
+def minhash_lsh_sql(sf_dir: str = ORACLE_SF_DIR, num_hashes: int = 16,
+                    bands: int = 8, threshold: float = 0.5) -> str:
+    rows = minhash_candidate_rows(sf_dir, num_hashes, bands,
+                                  threshold=threshold)
+    vals = ",\n    ".join(f"({a}, {b}, {na}, {nb}, {nc})"
+                          for a, b, na, nb, nc in rows)
+    return f"""
+  WITH cand(doc_a, doc_b, n_a, n_b, n_common) AS (VALUES
+    {vals})
+  SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+         round(CAST(n_common AS DOUBLE)
+               / (n_a + n_b - n_common), 6) AS jaccard
+  FROM cand
+  WHERE round(CAST(n_common AS DOUBLE)
+              / (n_a + n_b - n_common), 6) >= {threshold}
+"""
+
+
+# -- image-table oracles (scale-free: content is f(doc_id % dup_mod)) -------
+
+def _image_group(m: int, dup_mod: int):
+    """One deterministic image per duplicate-group key, via the same pure
+    functions the Arrow fetcher uses (crawl/synthweb.py)."""
+    from .config import SynthWebConfig
+    from .crawl.synthweb import (
+        _byte_stream,
+        _dint,
+        average_phash,
+        decode_image,
+        encode_image,
+    )
+
+    key = ("img", m, dup_mod)
+    if key in _cache:
+        return _cache[key]
+    cfg = SynthWebConfig()
+    ck = f"doc:{m}"
+    h = _dint(cfg.seed, "img", ck)
+    span = max(1, cfg.max_dim - cfg.min_dim + 1)
+    w = cfg.min_dim + (h % span)
+    ht = cfg.min_dim + ((h >> 8) % span)
+    fmt = "png" if (h >> 16) % 2 == 0 else "jpeg"
+    buf = encode_image(_byte_stream(cfg.seed, ck, w * ht).reshape(ht, w), fmt)
+    pix, dfmt = decode_image(buf)
+    _cache[key] = {"w": pix.shape[1], "h": pix.shape[0], "fmt": dfmt,
+                   "pix": pix, "mean": float(pix.mean()),
+                   "std": float(pix.std()), "phash": average_phash(pix)}
+    return _cache[key]
+
+
+_IDS_CTE = "ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n})"
+
+
+def phash_neardup_sql(n: int = 128, dup_mod: int = 96,
+                      max_hamming: int = 10) -> str:
+    vals = ",\n    ".join(
+        f"({m}, {_image_group(m, dup_mod)['phash']})"
+        for m in range(dup_mod))
+    return f"""
+  WITH {_IDS_CTE.format(n=n)},
+  ph(m, phash) AS (VALUES
+    {vals}),
+  sigs AS (SELECT printf('img-%08d', ids.doc_id) AS image_id,
+                  CAST(ph.phash AS BIGINT) AS sig
+           FROM ids JOIN ph ON ids.doc_id % {dup_mod} = ph.m),
+  {_hamming_band_join_sql('sigs', 'image_id', 'img_a', 'img_b',
+                          max_hamming)}
+"""
+
+
+def image_stats_sql(n: int = 128, dup_mod: int = 96) -> str:
+    # float moments ride as quoted strings: a bare decimal literal parses
+    # as DECIMAL in DuckDB and the later DOUBLE cast would re-round, while
+    # string→DOUBLE parses correctly rounded (repr is shortest-roundtrip)
+    vals = ",\n    ".join(
+        "({m}, {w}, {h}, '{fmt}', '{mean!r}', '{std!r}', {phash})".format(
+            m=m, w=g["w"], h=g["h"], fmt=g["fmt"], mean=g["mean"],
+            std=g["std"], phash=g["phash"])
+        for m, g in ((m, _image_group(m, dup_mod)) for m in range(dup_mod)))
+    return f"""
+  WITH {_IDS_CTE.format(n=n)},
+  v(m, w, h, fmt, mean_px, std_px, phash) AS (VALUES
+    {vals})
+  SELECT printf('img-%08d', ids.doc_id) AS image_id,
+         CAST(v.w AS INTEGER) AS w, CAST(v.h AS INTEGER) AS h, v.fmt,
+         CAST(v.mean_px AS DOUBLE) AS mean_px,
+         CAST(v.std_px AS DOUBLE) AS std_px,
+         CAST(v.phash AS BIGINT) AS phash
+  FROM ids JOIN v ON ids.doc_id % {dup_mod} = v.m
+"""
+
+
+def image_resize_sql(n: int = 128, dup_mod: int = 96,
+                     target: int = 8) -> str:
+    import numpy as np
+
+    def thumb(pix) -> bytes:
+        ys = np.linspace(0, pix.shape[0], target + 1).astype(int)
+        xs = np.linspace(0, pix.shape[1], target + 1).astype(int)
+        return np.array([
+            [pix[ys[i]:max(ys[i] + 1, ys[i + 1]),
+                 xs[j]:max(xs[j] + 1, xs[j + 1])].mean()
+             for j in range(target)] for i in range(target)
+        ], dtype=np.uint8).tobytes()
+
+    vals = ",\n    ".join(
+        "({m}, '{hx}')".format(
+            m=m,
+            hx="".join(f"\\x{b:02X}"
+                       for b in thumb(_image_group(m, dup_mod)["pix"])))
+        for m in range(dup_mod))
+    return f"""
+  WITH {_IDS_CTE.format(n=n)},
+  v(m, thumb_hex) AS (VALUES
+    {vals})
+  SELECT printf('img-%08d', ids.doc_id) AS image_id,
+         CAST(v.thumb_hex AS BLOB) AS thumb,
+         CAST({target} AS INTEGER) AS tw, CAST({target} AS INTEGER) AS th
+  FROM ids JOIN v ON ids.doc_id % {dup_mod} = v.m
+"""
+
+
+# -- crawl flagship (scale-free: pure function of seed + config) ------------
+
+def crawl_flagship_sql() -> str:
+    """Per-round lineage totals of the 3-round flagship crawl, from the
+    golden sequential model (golden.py) — a genuinely independent
+    restatement of the engine's BSP loop."""
+    from .config import CrawlConfig, SynthWebConfig
+    from .crawl.synthweb import seed_urls
+    from .golden import golden_crawl
+
+    key = ("crawl_flagship",)
+    if key not in _cache:
+        synth = SynthWebConfig(n_hosts=8, base_pages_per_host=24)
+        cfg = CrawlConfig(host_budget_per_round=4, max_rounds=3)
+        g = golden_crawl(seed_urls(synth, 4), cfg, synth, max_rounds=3)
+        rows = [(rc["round"], metric, val)
+                for rc in g.lineage
+                for metric, val in sorted(rc.items()) if metric != "round"]
+        _cache[key] = rows
+    vals = ",\n    ".join(f"({r}, '{m}', {v})" for r, m, v in _cache[key])
+    return f"""
+  SELECT CAST(round AS INTEGER) AS round, metric, CAST(value AS BIGINT) AS value
+  FROM (VALUES
+    {vals}) t(round, metric, value)
+"""

@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import oracles as _oracles
 from .config import CrawlConfig, SynthWebConfig
 from .operators.extract import extract_children
 from .operators.gates import apply_gates
@@ -36,16 +37,23 @@ from .pipeline import multimodal, similarity
 from .pipeline import text as ptext
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+# value: SQL string, or a zero-arg callable producing one (golden-model
+# oracles whose VALUES are computed by the Python mirrors in oracles.py —
+# lazy so importing this module never pays the mirror computation)
+ORACLES: dict[str, str | Callable[[], str]] = {}
 
 
-def q(name: str, oracle: str | None = None):
+def q(name: str, oracle: str | Callable[[], str] | None = None):
     def reg(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
     return reg
+
+
+def resolve_oracles() -> dict[str, str]:
+    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -637,19 +645,20 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# rows-only checks (no SQL-expressible oracle; SURVEY.md §5.2)
+# golden-model oracles: DuckDB cannot evaluate xxhash64 / the Arrow codec /
+# the crawl loop, so these oracles embed hash-dependent inputs as VALUES
+# computed by independent Python mirrors (oracles.py; xxh64 mirror is
+# property-tested vs Spark) and restate the relational part in SQL
 # ---------------------------------------------------------------------------
 
-@q("minhash_lsh_dedup")
+@q("minhash_lsh_dedup", lambda: _oracles.minhash_lsh_sql(
+    num_hashes=16, bands=8, threshold=0.5))
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH verified near-dups — signature seeds (xxhash64) are not
-    reproducible in DuckDB; exact-Jaccard verification makes output ⊆ the
-    ngram_jaccard oracle at the same threshold."""
     return pdedup.minhash_lsh_verified(
         _t(spark, sf_dir, "documents"), num_hashes=16, bands=8, threshold=0.5)
 
 
-@q("simhash_neardup")
+@q("simhash_neardup", lambda: _oracles.simhash_neardup_sql(max_hamming=8))
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdedup.simhash_neardup_pairs(
         _t(spark, sf_dir, "documents"), max_hamming=8)
@@ -680,17 +689,17 @@ def _images_df(spark: SparkSession, sf_dir: str, n: int = 128,
                            SYNTH_IMAGE_SCHEMA)
 
 
-@q("image_stats")
+@q("image_stats", lambda: _oracles.image_stats_sql())
 def image_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_stats(_images_df(spark, sf_dir))
 
 
-@q("image_resize")
+@q("image_resize", lambda: _oracles.image_resize_sql())
 def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_resize(_images_df(spark, sf_dir), target=8)
 
 
-@q("phash_neardup")
+@q("phash_neardup", lambda: _oracles.phash_neardup_sql(max_hamming=10))
 def phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_hamming_neardup(
         _images_df(spark, sf_dir), max_hamming=10)
@@ -1133,11 +1142,12 @@ def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_events"))
 
 
-@q("crawl_flagship")
+@q("crawl_flagship", lambda: _oracles.crawl_flagship_sql())
 def crawl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end BSP crawl on the deterministic synthetic web: fetch →
     hash → dedup → extract → URL-seen → next frontier, 3 rounds. Output is
-    the per-round lineage metrics table (north_rule)."""
+    the per-round lineage metrics table (north_rule); the oracle is the
+    golden sequential model's lineage (pure function of seed + config)."""
     from .crawl.driver import Crawler
     from .crawl.synthweb import seed_urls
 
