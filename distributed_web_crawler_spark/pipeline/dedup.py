@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -33,10 +33,19 @@ from pyspark.sql import types as T
 
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Keep the min-doc_id representative per identical text (md5 key —
-    same operator shape as crawl D1)."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy("doc_id")
-    return (documents.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1).drop("_rn"))
+    same operator shape as crawl D1).
+
+    Winner via `min_by(struct(row), doc_id)` aggregation: the struct
+    buffer makes Spark pick SortAggregate (struct buffers are not
+    UnsafeRow-mutable), but the partial aggregate still combines map-side,
+    so the exchange carries ~one row per distinct text instead of every
+    row — the row_number window this replaced shuffled the full table and
+    then sorted every hash group."""
+    winner = (documents
+              .groupBy(F.md5(F.col(text_col)).alias("_k"))
+              .agg(F.min_by(F.struct(*documents.columns), "doc_id")
+                   .alias("_row")))
+    return winner.select("_row.*")
 
 
 # --------------------------------------------------------------------------

@@ -1,3 +1,5 @@
-from .events_stream import sliding_counts_stream, tumbling_counts_stream
-
-__all__ = ["sliding_counts_stream", "tumbling_counts_stream"]
+from .events_stream import (
+    sliding_counts_stream,
+    tumbling_counts_stream,
+    windowed_counts_update_query,
+)

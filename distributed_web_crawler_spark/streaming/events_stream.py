@@ -54,6 +54,34 @@ def _drain_windowed_counts(spark: SparkSession, sf_dir: str,
     return spark.table(qname)
 
 
+def windowed_counts_update_query(spark: SparkSession, source_dir: str,
+                                 schema, window: str = "1 hour",
+                                 watermark: str = "1 hour"):
+    """Long-running update-mode variant over an arriving-files directory —
+    the unbounded-deployment shape, where the watermark actually DROPS
+    data: once a trigger's watermark (max event time of prior triggers
+    minus the delay) passes a window's end, that window's state is evicted
+    and later rows for it are discarded, never re-emitted. The availableNow
+    drains above are the backlog/batch-parity shape where a single trigger
+    can never drop (tested in test_streaming.py both ways).
+
+    Returns (StreamingQuery, memory-sink table name); the caller drives
+    triggers (`processAllAvailable`) and stops the query."""
+    qname = f"events_updates_{next(_COUNTER)}"
+    agg = (
+        spark.readStream.schema(schema).parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("win_start_us"),
+                "event_type", "n")
+    )
+    query = (agg.writeStream.outputMode("update")
+             .format("memory").queryName(qname).start())
+    return query, qname
+
+
 def tumbling_counts_stream(spark: SparkSession, sf_dir: str,
                            window: str = "1 hour",
                            watermark: str = "2 hours") -> DataFrame:

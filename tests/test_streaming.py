@@ -42,3 +42,53 @@ def test_stream_sliding_equals_batch(spark):
     assert len(s) > len(set(r["win_start_us"] // 3_600_000_000 for r in s)), \
         "sliding windows must overlap (more windows than hours)"
     assert [tuple(r) for r in s] == [tuple(r) for r in b]
+
+
+def test_update_mode_watermark_drops_late_row(spark, tmp_path):
+    """Two file triggers: the second contains a row whose event time is
+    older than the watermark established by the first — its window's state
+    was evicted, so the row is dropped and the window's count never grows.
+    Hand-computed expected update stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timezone
+
+    from distributed_web_crawler_spark.streaming import (
+        windowed_counts_update_query,
+    )
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m, tzinfo=timezone.utc)
+
+    def us(h):
+        return int(t(h).timestamp()) * 1_000_000
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table({"ts": pa.array([r[0] for r in rows],
+                                     pa.timestamp("us", tz="UTC")),
+                      "event_type": pa.array([r[1] for r in rows])}),
+            str(tmp_path / name))
+
+    # trigger 1: window 10:00 gets 2 rows; the 13:00 row advances the
+    # watermark to 12:00 (max event time - 1h), past window-end 11:00
+    write("b1.parquet", [(t(10, 0), "a"), (t(10, 30), "a"), (t(13, 0), "a")])
+    query, qname = windowed_counts_update_query(
+        spark, str(tmp_path), "ts timestamp, event_type string",
+        window="1 hour", watermark="1 hour")
+    try:
+        query.processAllAvailable()
+        # trigger 2: 10:45 is later than the 12:00 watermark -> dropped;
+        # 13:30 is on time -> window 13:00 updates to 2
+        write("b2.parquet", [(t(10, 45), "a"), (t(13, 30), "a")])
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    got = sorted((r["win_start_us"], r["event_type"], r["n"])
+                 for r in spark.table(qname).collect())
+    assert got == sorted([
+        (us(10), "a", 2),   # trigger 1 update
+        (us(13), "a", 1),   # trigger 1 update
+        (us(13), "a", 2),   # trigger 2 update; NO (us(10), "a", 3) row
+    ])
