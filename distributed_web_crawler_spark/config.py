@@ -89,6 +89,13 @@ class SynthWebConfig:
     robots_disallow: tuple[str, ...] = ("/private", "/p/3")
     # fraction of links that are intentionally broken/invalid (exercises F8)
     invalid_link_every: int = 17
+    # every k-th host additionally advertises "Crawl-delay: N" in robots
+    # (0 ⇒ none). The engine maps it to a per-host budget override:
+    # min(host_budget_per_round, ceil(round_seconds / delay)) — the batch
+    # analog of the reference's crawl_state.crawl_delay (schema.cql:19-24,
+    # schema-only intent there: no Java reads it).
+    crawl_delay_every: int = 0
+    crawl_delay_secs: float = 45.0
     # image payloads
     min_dim: int = 8
     max_dim: int = 24

@@ -179,18 +179,17 @@ class Crawler:
         frontier rounds) on every round. Stores without compaction
         snapshots (older layouts, compact_every_rounds=0) fall back to
         the full round union."""
-        def hist(compact_name: str, compact_cols: list[str],
-                 tail_name: str, tail_lo_of, tail_hi: int):
+        def hist(compact_name: str, compact_cols: list[str] | None,
+                 tail_name: str, tail_lo_of, tail_hi: int, project=None):
+            proj = project or (lambda df: df.select(*compact_cols))
             c = self._latest_compact(compact_name, r)
             if c is None:
                 return self.store.read(self.spark, tail_name,
                                        list(range(tail_hi)))
-            base = self.store.read(self.spark, compact_name,
-                                   [c]).select(*compact_cols)
+            base = proj(self.store.read(self.spark, compact_name, [c]))
             tail = self.store.read(self.spark, tail_name,
                                    list(range(tail_lo_of(c), tail_hi)))
-            return base if tail is None else base.unionByName(
-                tail.select(*compact_cols))
+            return base if tail is None else base.unionByName(proj(tail))
 
         # url_seen@c covers frontier rounds 0..c → tail = c+1..r
         seen_urls = hist("url_seen", ["url"], "frontier",
@@ -199,8 +198,10 @@ class Crawler:
         seen_hashes = hist("hash_seen", ["content_hash"], "stored",
                            lambda c: c, r)
         # robots_compact@c covers robots rounds 0..c-1 → tail = c..r-1
-        robots = hist("robots_compact", ["host", "robots_disallow"],
-                      "robots", lambda c: c, r)
+        # (with_robots_cols backfills crawl_delay on pre-crawl-delay stores)
+        from ..operators.robots import with_robots_cols
+        robots = hist("robots_compact", None, "robots", lambda c: c, r,
+                      project=with_robots_cols)
         return RoundState(
             robots=robots,
             seen_hashes=None if seen_hashes is None
@@ -247,10 +248,11 @@ class Crawler:
                            bucketed(urls, "url"), nxt, ["bucket"])
             fh = ex.submit(self.store.stage_write, "hash_seen",
                            bucketed(hashes, "content_hash"), nxt, ["bucket"])
-            robots = self.store.read(self.spark, "robots", [r])
+            from ..operators.robots import with_robots_cols
+            robots = with_robots_cols(
+                self.store.read(self.spark, "robots", [r]))
             if state.robots is not None:
-                robots = state.robots.unionByName(
-                    robots.select("host", "robots_disallow"))
+                robots = with_robots_cols(state.robots).unionByName(robots)
             fr = ex.submit(self.store.stage_write, "robots_compact",
                            robots, nxt)
             fu.result(), fh.result(), fr.result()

@@ -100,11 +100,15 @@ def _fetch_one(url: str, cfg: HttpFetcherConfig) -> dict | None:
     }
 
 
-def parse_robots_txt(text: str) -> list[str]:
-    """User-agent:* Disallow paths, reference semantics
+def parse_robots_directives(text: str) -> tuple[list[str], float | None]:
+    """(disallow paths, crawl-delay) for user-agent:*, reference semantics
     (core/WebCrawler.java:509-528): only the ``*`` section's rules apply,
-    matched later as URL substrings (bug-for-bug, F6)."""
+    Disallow matched later as URL substrings (bug-for-bug, F6).
+    Crawl-delay (seconds, float; last * directive wins) feeds the per-host
+    politeness budget override — the reference's crawl_state.crawl_delay
+    intent (schema.cql:19-24)."""
     rules: list[str] = []
+    delay: float | None = None
     in_star = False
     for line in text.splitlines():
         line = line.split("#", 1)[0].strip()
@@ -117,7 +121,19 @@ def parse_robots_txt(text: str) -> list[str]:
             path = line.split(":", 1)[1].strip()
             if path:
                 rules.append(path)
-    return rules
+        elif low.startswith("crawl-delay:") and in_star:
+            try:
+                d = float(line.split(":", 1)[1].strip())
+            except ValueError:
+                continue
+            if d > 0:
+                delay = d
+    return rules, delay
+
+
+def parse_robots_txt(text: str) -> list[str]:
+    """Disallow paths only (see parse_robots_directives)."""
+    return parse_robots_directives(text)[0]
 
 
 def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
@@ -137,13 +153,13 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
 
     cfg = cfg or HttpFetcherConfig()
 
-    def fetch_rules(host: str) -> list[str]:
+    def fetch_rules(host: str) -> tuple[list[str], float | None]:
         import socket
         import urllib.error
         import urllib.request
 
         if not host:
-            return []
+            return [], None
         # https first: an https-only site's robots.txt must not be taken
         # from whatever a middlebox/CDN happens to serve on cleartext port
         # 80 — only if https fails (e.g. plain-http-only host refusing 443)
@@ -156,30 +172,32 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
                 with urllib.request.urlopen(req, timeout=10.0) as resp:
                     if resp.status >= 300:
                         continue
-                    return parse_robots_txt(
+                    return parse_robots_directives(
                         resp.read(1 << 20).decode("utf-8", errors="replace"))
             except urllib.error.URLError as e:
                 # a TIMEOUT means the host is unreachable — https would
                 # hang another 10 s for nothing; only non-timeout failures
                 # (e.g. port 80 refused on a TLS-only host) try https
                 if isinstance(getattr(e, "reason", None), socket.timeout):
-                    return []
+                    return [], None
                 continue
             except TimeoutError:
-                return []
+                return [], None
             except (OSError, ValueError):
                 continue
-        return []
+        return [], None
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=cfg.concurrency) as pool:
             for pdf in batches:
+                fetched = list(pool.map(fetch_rules, pdf["host"]))
                 yield pd.DataFrame({
                     "host": pdf["host"],
-                    "robots_disallow": list(pool.map(fetch_rules,
-                                                     pdf["host"])),
+                    "robots_disallow": [rules for rules, _ in fetched],
+                    "crawl_delay": pd.array([d for _, d in fetched],
+                                            dtype="Float64"),
                 })
 
     return fetch

@@ -120,7 +120,7 @@ def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
     # apply_politeness unions four branches of it, and without the cache
     # each branch would re-scan the frontier + redo the robots join
     gated_rob = filter_robots(gated, robots_full).persist()
-    decided = apply_politeness(gated_rob, cfg)
+    decided = apply_politeness(gated_rob, cfg, robots=robots_full)
     decided = decided.persist()  # slim rows; consumed by 3 branches below
 
     selected = decided.where(F.col("decision") == "PASS")

@@ -159,6 +159,25 @@ def robots_disallow_for_host(host: str, cfg: SynthWebConfig) -> list[str]:
     return []
 
 
+def robots_crawl_delay_for_host(host: str,
+                                cfg: SynthWebConfig) -> float | None:
+    """Crawl-delay advertised by the host's robots.txt (None ⇒ absent).
+    Engine semantics: per-host budget override
+    min(host_budget_per_round, ceil(round_seconds / delay)) — the batch
+    analog of the reference's crawl_state.crawl_delay column
+    (schema.cql:19-24, schema-only intent in the reference)."""
+    if not host.startswith("h") or not host.endswith(".example.com"):
+        return None
+    try:
+        host_idx = int(host[1:5])
+    except ValueError:
+        return None
+    if (cfg.crawl_delay_every > 0 and host_idx > 0
+            and host_idx % cfg.crawl_delay_every == 0):
+        return cfg.crawl_delay_secs
+    return None
+
+
 # --------------------------------------------------------------------------
 # page content
 # --------------------------------------------------------------------------

@@ -20,6 +20,7 @@ only the lineage reason differs.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field, replace
 from urllib.parse import urlparse
@@ -28,6 +29,7 @@ from .config import CrawlConfig, SynthWebConfig
 from .crawl.synthweb import (
     content_hash_py,
     page_for_url,
+    robots_crawl_delay_for_host,
     robots_disallow_for_host,
 )
 from .functions.urls import (
@@ -77,6 +79,7 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
     seen_urls = {r.url for r in frontier}     # D4: every URL ever enqueued
     seen_hashes: set[str] = set()
     robots_cache: dict[str, list[str]] = {}
+    delay_cache: dict[str, float | None] = {}
     out = GoldenResult(visits=[], stored_urls=set(), stored_hashes=seen_hashes)
 
     for r in range(max_rounds):
@@ -122,8 +125,16 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
             by_host.setdefault(q.host, []).append(q)
         selected: list[Req] = []
         for host, qs in by_host.items():
-            selected.extend(qs[:cfg.host_budget_per_round])
-            over = qs[cfg.host_budget_per_round:]
+            # per-host budget override from robots Crawl-delay:
+            # min(configured, ceil(round_seconds / delay))
+            delay = delay_cache.setdefault(
+                host, robots_crawl_delay_for_host(host, synth))
+            budget = cfg.host_budget_per_round
+            if delay is not None and delay > 0:
+                budget = min(budget,
+                             math.ceil(cfg.round_seconds / delay))
+            selected.extend(qs[:budget])
+            over = qs[budget:]
             if cfg.enable_delay_retry:
                 counts["deferred"] += len(over)
                 deferred.extend(

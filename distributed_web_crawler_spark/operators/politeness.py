@@ -33,10 +33,17 @@ from pyspark.sql import functions as F
 from ..config import CrawlConfig
 
 
-def apply_politeness(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
+def apply_politeness(frontier: DataFrame, cfg: CrawlConfig,
+                     robots: DataFrame | None = None) -> DataFrame:
     """Tag PASS rows beyond the per-host budget as DEFER_POLITENESS (or
     REJECT_POLITENESS when delay-retry is disabled, mirroring
     enableDelayRetry at core/WebCrawler.java:254).
+
+    ``robots`` (optional, broadcast) carries a per-host ``crawl_delay``
+    parsed from robots.txt; a host advertising a delay gets the override
+    budget min(host_budget_per_round, ceil(round_seconds / delay)) — the
+    batch analog of the reference's crawl_state.crawl_delay intent
+    (schema.cql:19-24). Absent/invalid delay ⇒ the configured budget.
 
     Salted partial top-K, so no single task ever sorts a whole mega-host:
     stage 1 ranks PASS rows within (host, salt) — a row outside its salt's
@@ -48,7 +55,20 @@ def apply_politeness(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
     golden-parity tests)."""
     over = F.lit("DEFER_POLITENESS" if cfg.enable_delay_retry
                  else "REJECT_POLITENESS")
-    budget = F.lit(cfg.host_budget_per_round)
+    base = F.lit(cfg.host_budget_per_round)
+    if robots is not None and "crawl_delay" in robots.columns:
+        delay = robots.select("host", "crawl_delay").where(
+            F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0))
+        frontier = frontier.join(F.broadcast(delay), "host", "left")
+        budget = F.coalesce(
+            F.least(base, F.ceil(F.lit(float(cfg.round_seconds))
+                                 / F.col("crawl_delay")).cast("int")),
+            base)
+        frontier = (frontier.withColumn("_budget", budget)
+                    .drop("crawl_delay"))
+        budget = F.col("_budget")
+    else:
+        budget = base
     if cfg.politeness_salts <= 1:
         # single-window path: one shuffle, right when no host can dominate
         # a task (small crawls / tests). Non-PASS rows rank below PASS so
@@ -64,7 +84,7 @@ def apply_politeness(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
                 F.when((F.col("decision") == "PASS")
                        & (F.col("host_rank") > budget), over)
                 .otherwise(F.col("decision")))
-            .drop("is_pass", "host_rank")
+            .drop("is_pass", "host_rank", "_budget")
         )
     rest = frontier.where(F.col("decision") != "PASS")
     passed = frontier.where(F.col("decision") == "PASS")
@@ -86,7 +106,8 @@ def apply_politeness(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
     over_budget2 = (survivors.where(F.col("_hr") > budget).drop("_hr")
                     .withColumn("decision", over))
     return (final_pass.unionByName(over_budget2)
-            .unionByName(over_budget1).unionByName(rest))
+            .unionByName(over_budget1).unionByName(rest)
+            .drop("_budget"))
 
 
 def salted_repartition_for_fetch(selected: DataFrame, cfg: CrawlConfig,

@@ -25,7 +25,20 @@ from pyspark.sql import types as T
 ROBOTS_SCHEMA = T.StructType([
     T.StructField("host", T.StringType()),
     T.StructField("robots_disallow", T.ArrayType(T.StringType())),
+    T.StructField("crawl_delay", T.DoubleType()),
 ])
+
+ROBOTS_COLS = [f.name for f in ROBOTS_SCHEMA.fields]
+
+
+def with_robots_cols(df: DataFrame) -> DataFrame:
+    """Project to the robots schema, backfilling columns a pre-crawl-delay
+    store doesn't have (null crawl_delay ⇒ no override) — same migration
+    posture as the pre-hash-bloom / flat-pages resume support."""
+    out = df
+    if "crawl_delay" not in df.columns:
+        out = out.withColumn("crawl_delay", F.lit(None).cast("double"))
+    return out.select(*ROBOTS_COLS)
 
 
 def make_robots_fetcher(synth_cfg):
@@ -33,7 +46,10 @@ def make_robots_fetcher(synth_cfg):
     production this is an async-HTTP batch; in tests it is the pure
     synthetic rule function. Fetch failure ⇒ allow-all (reference:
     core/WebCrawler.java:470-473)."""
-    from ..crawl.synthweb import robots_disallow_for_host
+    from ..crawl.synthweb import (
+        robots_crawl_delay_for_host,
+        robots_disallow_for_host,
+    )
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -42,6 +58,9 @@ def make_robots_fetcher(synth_cfg):
                 "robots_disallow": [
                     robots_disallow_for_host(h, synth_cfg) for h in pdf["host"]
                 ],
+                "crawl_delay": pd.array(
+                    [robots_crawl_delay_for_host(h, synth_cfg)
+                     for h in pdf["host"]], dtype="Float64"),
             })
 
     return fetch
@@ -62,7 +81,7 @@ def resolve_robots(spark: SparkSession, frontier: DataFrame,
     both the decision path and the persisted host state."""
     hosts = frontier.select("host").distinct()
     if known is not None:
-        known = known.select("host", "robots_disallow")
+        known = with_robots_cols(known)
         new_hosts = hosts.join(F.broadcast(known.select("host")), "host", "left_anti")
     else:
         new_hosts = hosts
@@ -78,7 +97,8 @@ def resolve_robots(spark: SparkSession, frontier: DataFrame,
 def filter_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Tag rows REJECT_ROBOTS when any disallow path is a substring of the
     URL. Broadcast left join (hosts ≪ frontier) + higher-order exists."""
-    joined = frontier.join(F.broadcast(robots), "host", "left")
+    joined = frontier.join(
+        F.broadcast(robots.select("host", "robots_disallow")), "host", "left")
     blocked = (
         (F.col("decision") == "PASS")  # earlier gate reasons win (R1 order)
         & F.col("robots_disallow").isNotNull()

@@ -117,6 +117,11 @@ class SnapshotStore:
     # replaces this per-round union with manifest-based planning.
     _NESTED = frozenset({"pages"})
 
+    # tables whose row schema has evolved across engine versions (robots
+    # gained crawl_delay): merge footers so a store written partly by older
+    # code reads with the union schema, missing columns as null
+    _MERGED = frozenset({"robots"})
+
     def read(self, spark: SparkSession, name: str,
              rounds: list[int] | None = None) -> DataFrame | None:
         """Union of the table's committed round directories (or the explicit
@@ -137,6 +142,8 @@ class SnapshotStore:
             for df in dfs[1:]:
                 out = out.unionByName(df, allowMissingColumns=True)
             return out
+        if name in self._MERGED:
+            return spark.read.option("mergeSchema", "true").parquet(*paths)
         return spark.read.parquet(*paths)
 
     def read_round(self, spark: SparkSession, name: str,

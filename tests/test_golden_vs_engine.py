@@ -266,3 +266,60 @@ def test_resume_from_pre_hash_bloom_store(spark, tmp_path, golden):
     c2 = Crawler(spark, CFG, SYNTH, root)
     c2.run()
     assert c2.visit_sequence() == golden.visits
+
+
+def test_crawl_delay_budget_override(spark, tmp_path):
+    """Robots Crawl-delay ⇒ per-host budget override
+    min(host_budget_per_round, ceil(round_seconds / delay)): delayed hosts
+    store ≤ the override per round, the visit sequence still matches the
+    golden model, and at least one non-delayed host exceeds the override
+    (proving the override is per-host, not global)."""
+    from pyspark.sql import functions as F
+
+    synth = SynthWebConfig(n_hosts=8, base_pages_per_host=24,
+                           crawl_delay_every=2, crawl_delay_secs=45.0)
+    cfg = CrawlConfig(max_depth=3, host_budget_per_round=3, max_rounds=4,
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12)
+    override = 2  # min(3, ceil(60 / 45)) = 2
+    c = Crawler(spark, cfg, synth, str(tmp_path))
+    seeds = W.seed_pages(synth, 4)
+    c.bootstrap(seeds)
+    c.run()
+    g = golden_crawl(seeds, cfg, synth)
+    assert c.visit_sequence() == g.visits
+    counts = (c.stored_slim().groupBy("round", "host")
+              .agg(F.count("*").alias("n")).collect())
+    delayed = [r for r in counts
+               if W.robots_crawl_delay_for_host(r["host"], synth)]
+    free = [r for r in counts
+            if not W.robots_crawl_delay_for_host(r["host"], synth)]
+    assert delayed and free
+    assert all(r["n"] <= override for r in delayed), delayed
+    assert max(r["n"] for r in free) > override, \
+        "no free host exceeded the override - test has no power"
+
+
+def test_resume_from_pre_crawl_delay_store(spark, tmp_path, golden):
+    """A store whose robots rounds were written before the crawl_delay
+    column existed must resume cleanly: mixed-schema robots reads merge
+    with null crawl_delay (no override), preserving parity."""
+    import glob
+    import os
+    import shutil
+
+    root = str(tmp_path / "cd_mig_store")
+    c1 = Crawler(spark, CFG, SYNTH, root)
+    c1.bootstrap(SEEDS)
+    c1.run(max_rounds=3)
+    # rewrite committed robots rounds with the pre-crawl-delay schema
+    for rdir in glob.glob(os.path.join(root, "tables", "robots", "round=*")):
+        old = (spark.read.parquet(rdir)
+               .select("host", "robots_disallow").toPandas())
+        shutil.rmtree(rdir)
+        spark.createDataFrame(
+            old, "host string, robots_disallow array<string>"
+        ).write.parquet(rdir)
+
+    c2 = Crawler(spark, CFG, SYNTH, root)
+    c2.run()
+    assert c2.visit_sequence() == golden.visits

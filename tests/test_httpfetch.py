@@ -100,3 +100,19 @@ User-agent: other
 Disallow: /only-other
 """
     assert parse_robots_txt(txt) == ["/private", "/p/3"]
+
+
+def test_parse_robots_directives_crawl_delay():
+    from distributed_web_crawler_spark.crawl.httpfetch import (
+        parse_robots_directives,
+    )
+
+    rules, delay = parse_robots_directives(
+        "User-agent: googlebot\nCrawl-delay: 99\n\n"
+        "User-agent: *\nDisallow: /private\n"
+        "Crawl-delay: 2.5  # seconds\nDisallow: /tmp\n")
+    assert rules == ["/private", "/tmp"]
+    assert delay == 2.5
+    rules, delay = parse_robots_directives(
+        "User-agent: *\nCrawl-delay: bogus\nCrawl-delay: -3\n")
+    assert rules == [] and delay is None
