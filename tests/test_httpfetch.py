@@ -116,3 +116,64 @@ def test_parse_robots_directives_crawl_delay():
     rules, delay = parse_robots_directives(
         "User-agent: *\nCrawl-delay: bogus\nCrawl-delay: -3\n")
     assert rules == [] and delay is None
+
+
+class _CountingHandler(BaseHTTPRequestHandler):
+    """HTTP/1.1 keep-alive server counting connections vs requests."""
+    protocol_version = "HTTP/1.1"
+    connections = 0
+    requests = 0
+    _lock = threading.Lock()
+
+    def setup(self):  # one setup() per accepted connection
+        super().setup()
+        with self._lock:
+            type(self).connections += 1
+
+    def do_GET(self):
+        with self._lock:
+            type(self).requests += 1
+        if self.path == "/r":
+            self.send_response(302)
+            self.send_header("Location", "/p/0")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        payload = f"<html><body>{self.path}</body></html>".encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_keepalive_connection_reuse():
+    """The fetcher must reuse sockets across requests to the same host:
+    N requests over a keep-alive server open ≤ concurrency connections,
+    not one per request; redirects resolve on the same pool."""
+    import pandas as pd
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _CountingHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        urls = [f"{base}/p/{i}" for i in range(11)] + [f"{base}/r"]
+        n = len(urls)
+        batch = pd.DataFrame({
+            "url": urls, "host": ["127.0.0.1"] * n, "depth": [0] * n,
+            "parent_url": [None] * n, "priority": [1] * n,
+        })
+        fetcher = make_http_fetcher(
+            HttpFetcherConfig(timeout_sec=5.0, concurrency=2))
+        (out,) = list(fetcher(iter([batch])))
+        assert out["fetched"].all()
+        # the /r redirect costs one extra request (302 then the target GET)
+        assert _CountingHandler.requests == n + 1
+        assert 1 <= _CountingHandler.connections <= 2, \
+            f"expected <=concurrency conns, got {_CountingHandler.connections}"
+    finally:
+        srv.shutdown()
