@@ -50,7 +50,31 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
             .where(F.col("rank") <= k))
 
 
-def ivf_assign(embeddings: DataFrame, n_lists: int = 16) -> tuple[DataFrame, DataFrame]:
+def _lloyd_refine(corpus: DataFrame, cent_arr: DataFrame,
+                  scored_fold) -> DataFrame:
+    """One k-means|| style Lloyd pass: broadcast-argmax assign every
+    corpus vector to its list, then replace each centroid with the
+    normalized per-list mean. The mean is computed JVM-side by
+    position-exploding the unit vectors — (list_id, pos) partial sums
+    combine map-side, so the exploded row count entering the exchange is
+    ≤ n_lists × dim per input partition, never corpus × dim. Lists that
+    end up empty drop out (their probes redistribute). No global sort, no
+    driver-side data movement."""
+    assigned = (corpus.join(F.broadcast(cent_arr))
+                .select("vec_id", scored_fold()["list_id"].alias("list_id"),
+                        "unit"))
+    sums = (assigned.select("list_id", F.posexplode("unit").alias("pos", "v"))
+            .groupBy("list_id", "pos").agg(F.sum("v").alias("s")))
+    means = (sums.groupBy("list_id")
+             .agg(F.array_sort(F.collect_list(F.struct("pos", "s")))
+                  .alias("ps"))
+             .select("list_id",
+                     F.transform("ps", lambda x: x["s"]).alias("mean")))
+    return means.select("list_id", _unit(F.col("mean")).alias("c_unit"))
+
+
+def ivf_assign(embeddings: DataFrame, n_lists: int = 16,
+               refine_iters: int = 0) -> tuple[DataFrame, DataFrame]:
     """Deterministic centroids and max-cosine list assignment.
 
     Centroid pick: the n_lists corpus vectors with the smallest
@@ -63,7 +87,14 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16) -> tuple[DataFrame, Dat
     (n_lists is small by construction) with a Catalyst `aggregate` argmax —
     a map-only stage with zero shuffle, replacing the previous
     corpus×n_lists window ranking. Ties break to the lowest list_id via the
-    array_sort + strict-> fold order."""
+    array_sort + strict-> fold order.
+
+    ``refine_iters`` > 0 runs that many Lloyd passes over the hash-sampled
+    seed centroids (_lloyd_refine): one broadcast-assign + per-list mean
+    per pass, trading refine_iters extra corpus scans for tighter lists
+    (higher recall at equal nprobe — pinned by the recall pytest). Scale
+    callers running several passes should persist/checkpoint the (tiny)
+    centroid frame between iterations to truncate the growing lineage."""
     centroids = (
         embeddings
         .select("vec_id", "embedding", F.xxhash64("vec_id").alias("_hk"))
@@ -71,34 +102,42 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16) -> tuple[DataFrame, Dat
         .select(F.col("vec_id").alias("list_id"),
                 _unit(F.col("embedding")).alias("c_unit"))
     )
-    cent_arr = centroids.agg(
-        F.array_sort(F.collect_list(F.struct("list_id", "c_unit")))
-        .alias("cents"))
     corpus = embeddings.select("vec_id", _unit(F.col("embedding")).alias("unit"))
+
+    def cent_arr(c: DataFrame) -> DataFrame:
+        return c.agg(
+            F.array_sort(F.collect_list(F.struct("list_id", "c_unit")))
+            .alias("cents"))
+
     # compute each centroid's cosine ONCE via transform, then fold for the
     # argmax — Catalyst does not CSE inside higher-order lambdas, so a
     # when(cos > acc).then(struct(cos, …)) form would evaluate the
     # dim-length dot product twice per centroid per row
-    scored_cents = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(_cos(F.col("unit"), c["c_unit"]).alias("sim"),
-                           c["list_id"].alias("list_id")))
-    best = F.aggregate(
-        scored_cents,
-        F.struct(F.lit(-2.0).alias("sim"),
-                 F.lit(None).cast("long").alias("list_id")),
-        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc))
+    def argmax_fold() -> F.Column:
+        scored_cents = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(_cos(F.col("unit"), c["c_unit"]).alias("sim"),
+                               c["list_id"].alias("list_id")))
+        return F.aggregate(
+            scored_cents,
+            F.struct(F.lit(-2.0).alias("sim"),
+                     F.lit(None).cast("long").alias("list_id")),
+            lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc))
+
+    for _ in range(refine_iters):
+        centroids = _lloyd_refine(corpus, cent_arr(centroids), argmax_fold)
     assigned = (
-        corpus.join(F.broadcast(cent_arr))
-        .select("vec_id", best["list_id"].alias("list_id"), "unit")
+        corpus.join(F.broadcast(cent_arr(centroids)))
+        .select("vec_id", argmax_fold()["list_id"].alias("list_id"), "unit")
     )
     return centroids, assigned
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-             n_lists: int = 16, nprobe: int = 4) -> DataFrame:
+             n_lists: int = 16, nprobe: int = 4,
+             refine_iters: int = 0) -> DataFrame:
     """ANN top-k probing the nprobe nearest inverted lists per query."""
-    centroids, assigned = ivf_assign(embeddings, n_lists)
+    centroids, assigned = ivf_assign(embeddings, n_lists, refine_iters)
     q = queries.select("query_id", _unit(F.col("embedding")).alias("q_unit"))
     qc = q.join(F.broadcast(centroids))
     w = Window.partitionBy("query_id").orderBy(

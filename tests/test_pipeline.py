@@ -159,3 +159,29 @@ def test_embedding_exact_tier_no_driver_count(vecs):
     lazy until the action."""
     df = pdedup.embedding_neardup_pairs(vecs, threshold=0.5)
     assert df.count() >= 1
+
+
+def test_ivf_lloyd_refinement_improves_recall(spark):
+    """One-two Lloyd passes over the hash-sampled centroids must raise
+    recall@5 at fixed (n_lists, nprobe) on the real embeddings table —
+    measured against brute force. Observed: 0.425 unrefined vs 0.475 at
+    refine_iters=2 (sf0.001, n_lists=8, nprobe=2); asserted with margin
+    for float-sum ordering drift in the per-list means."""
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (vecs.where(F.col("vec_id") < 16)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    brute = {(r["query_id"], r["vec_id"])
+             for r in similarity.brute_force_topk(vecs, queries, k=5)
+             .collect()}
+
+    def recall(iters: int) -> float:
+        got = {(r["query_id"], r["vec_id"])
+               for r in similarity.ivf_topk(
+                   vecs, queries, k=5, n_lists=8, nprobe=2,
+                   refine_iters=iters).collect()}
+        return len(got & brute) / len(brute)
+
+    r0, r2 = recall(0), recall(2)
+    assert r0 <= 0.44, f"unrefined baseline moved: {r0}"
+    assert r2 >= 0.45, f"refined recall too low: {r2}"
+    assert r2 > r0
