@@ -114,11 +114,14 @@ def pages_view(pages: DataFrame) -> DataFrame:
 class Crawler:
     def __init__(self, spark: SparkSession, cfg: CrawlConfig,
                  synth_cfg: SynthWebConfig, root: str, fetcher=None,
-                 robots_fetcher=None):
+                 robots_fetcher=None, store=None):
         self.spark = spark
         self.cfg = cfg
         self.synth_cfg = synth_cfg
-        self.store = SnapshotStore(root)
+        # any tables.catalog.RoundCatalog implementation; the parquet
+        # SnapshotStore is the default (and the only one this container
+        # can run — see catalog.py for the Iceberg mapping)
+        self.store = store if store is not None else SnapshotStore(root)
         if fetcher is None and synth_cfg is None:
             raise ValueError(
                 "Crawler needs either a synth_cfg (synthetic web) or an "

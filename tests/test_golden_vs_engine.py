@@ -323,3 +323,18 @@ def test_resume_from_pre_crawl_delay_store(spark, tmp_path, golden):
     c2 = Crawler(spark, CFG, SYNTH, root)
     c2.run()
     assert c2.visit_sequence() == golden.visits
+
+
+def test_snapshot_store_satisfies_round_catalog():
+    """SnapshotStore is the parquet implementation of the RoundCatalog
+    seam (tables/catalog.py) — the interface an Iceberg catalog drops
+    into. Structural check + the store-injection constructor path."""
+    from distributed_web_crawler_spark.tables.catalog import RoundCatalog
+    from distributed_web_crawler_spark.tables.snapshot_store import (
+        SnapshotStore,
+    )
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        store = SnapshotStore(d)
+        assert isinstance(store, RoundCatalog)
