@@ -178,6 +178,48 @@ def politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_politeness(gated, cfg).select("url", "decision")
 
 
+@q("politeness_crawl_delay", f"""
+  WITH frontier AS ({_FRONTIER_SQL}),
+  gated AS (SELECT *, {_DECISION_SQL} AS decision0 FROM frontier),
+  budgets AS (
+    SELECT *, CASE WHEN host_idx % 4 = 0 THEN 2
+                   WHEN host_idx % 4 = 1 THEN 1
+                   ELSE 3 END AS budget
+    FROM gated),
+  ranked AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY host
+      ORDER BY (CASE WHEN decision0 = 'PASS' THEN 1 ELSE 0 END) DESC,
+               priority, url) AS host_rank
+    FROM budgets)
+  SELECT url,
+         CASE WHEN decision0 = 'PASS' AND host_rank > budget
+              THEN 'DEFER_POLITENESS' ELSE decision0 END AS decision
+  FROM ranked
+""")
+def politeness_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 with the robots Crawl-delay per-host budget override
+    (min(host_budget, ceil(round_seconds / delay)); reference intent:
+    schema.cql:19-24): delay 35 s ⇒ budget 2, 70 s ⇒ 1, absent ⇒ the
+    configured 3 — exercised through the salted partial top-K path."""
+    cfg = CrawlConfig(
+        max_depth=_GATE_CFG.max_depth,
+        max_retry_attempts=_GATE_CFG.max_retry_attempts,
+        allowed_domains=_GATE_CFG.allowed_domains,
+        exclude_patterns=_GATE_CFG.exclude_patterns,
+        host_budget_per_round=3,
+    )
+    frontier = _frontier_from_orders(spark, sf_dir)
+    gated = apply_gates(frontier, cfg, cfg.round_ts_ms(0))
+    robots = (frontier.select("host", "host_idx").distinct()
+              .select("host",
+                      F.when(F.col("host_idx") % 4 == 0, F.lit(35.0))
+                      .when(F.col("host_idx") % 4 == 1, F.lit(70.0))
+                      .cast("double").alias("crawl_delay")))
+    return (apply_politeness(gated, cfg, robots=robots)
+            .select("url", "decision"))
+
+
 # ---------------------------------------------------------------------------
 # F6: robots.txt substring-disallow via broadcast join
 # (core/WebCrawler.java:260-270,530-532)
