@@ -316,14 +316,16 @@ class Crawler:
                 self.cfg, self.fetcher, self.synth_cfg, r, pages_dir,
                 robots_fetcher=self.robots_fetcher))
             # the action: workers sink their shard and return a receipt row
-            _timed("fetch_write", lambda: plan.fetched.collect())
+            receipts = _timed("fetch_write", lambda: plan.fetched.collect())
             if not any(f.endswith(".parquet")
                        for f in os.listdir(pages_dir)):
                 write_empty_payload(pages_dir)
             # phase B: column-pruned scans of the worker-written shards
             # (ReadSchema never includes `bytes` — see PLANS.md).
             raw = self.spark.read.parquet(pages_root)
-            res = finish_round(self.spark, raw, plan, state, self.cfg, r)
+            res = finish_round(self.spark, raw, plan, state, self.cfg, r,
+                               fetched_hint=sum(row["n_fetched"]
+                                                for row in receipts))
             # Sinks are ordered so every persisted intermediate (stored
             # winners, probed new_urls) materializes exactly once — inside
             # the frontier-write job, the round's one big phase-B action —

@@ -145,12 +145,19 @@ def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
                      cached=[decided, gated_rob, *robots_cached])
 
 
+PAGES_PER_LINK_TASK = 512
+
+
 def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
                  state: RoundState, cfg: CrawlConfig,
-                 round_no: int) -> RoundResult:
+                 round_no: int, fetched_hint: int | None = None) -> RoundResult:
     """Phase B over the written `pages` rows. Every read of `raw` projects
     slim columns, so parquet column pruning skips the payload entirely
-    (verify: `.explain` shows ReadSchema without `bytes`)."""
+    (verify: `.explain` shows ReadSchema without `bytes`).
+
+    ``fetched_hint`` is the round's fetched-row count summed from the
+    phase-A task receipts (free: the driver collects them anyway) — it
+    sizes the links fan-out below without any extra job."""
     ts = cfg.round_ts_ms(round_no)
 
     extra_cached: list = []
@@ -164,9 +171,18 @@ def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
     # Repartition the slim rows first: the scan coalesces the many small
     # worker-written shards into a handful of input splits (openCostInBytes
     # packing), which would cap the explode + X3-resolver stage — the
-    # round's heaviest Catalyst work — at a fraction of the cores.
-    links = (raw.select("url", "depth", "links")
-             .repartition(spark.sparkContext.defaultParallelism * 2))
+    # round's heaviest Catalyst work — at a fraction of the cores. Sized
+    # from the fetch receipts: a small round (≤ PAGES_PER_LINK_TASK pages)
+    # skips the exchange entirely — its packed single-split scan is
+    # cheaper than the shuffle, which interleaved round-3 A/B measured at
+    # ~0.3 s/round of pure overhead at the default preset.
+    links = raw.select("url", "depth", "links")
+    max_parts = spark.sparkContext.defaultParallelism * 2
+    if fetched_hint is None:
+        links = links.repartition(max_parts)
+    elif fetched_hint > PAGES_PER_LINK_TASK:
+        links = links.repartition(
+            min(max_parts, -(-fetched_hint // PAGES_PER_LINK_TASK)))
     child_src = links.join(stored.select("url"), "url", "left_semi")
     children = extract_children(child_src, cfg, ts)                 # E1/E2/F8
     new_urls = filter_unseen_urls(children, state.seen_urls,

@@ -69,6 +69,20 @@ def _normalize_path(path: Column) -> Column:
                   F.concat(norm, F.lit("/"))).otherwise(norm)
 
 
+def base_parts(base: Column) -> tuple[Column, Column, Column]:
+    """(authority, scheme, base_dir) of a base URL — the per-BASE half of
+    X3 resolution, split out so callers resolving many refs against one
+    page (extract_children: ~max_out_links hrefs share a parent) evaluate
+    these three regexes once per page instead of once per link."""
+    authority = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    base_path = F.regexp_replace(
+        F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+        r"[^/]*$", "")  # directory of the base path ('' when path is empty)
+    base_dir = F.when(base_path == "", F.lit("/")).otherwise(base_path)
+    return authority, scheme, base_dir
+
+
 def resolve_url(base: Column, href: Column) -> Column:
     """X3: relative→absolute URL resolution (reference: Jsoup ``abs:href``,
     core/WebCrawler.java:341), as a Catalyst expression tree.
@@ -84,12 +98,14 @@ def resolve_url(base: Column, href: Column) -> Column:
     internal empty path segments (``/a//b``) are collapsed — urljoin
     itself is inconsistent there (collapses them in relative refs, keeps
     them in absolute ones)."""
-    authority = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
-    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
-    base_path = F.regexp_replace(
-        F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
-        r"[^/]*$", "")  # directory of the base path ('' when path is empty)
-    base_dir = F.when(base_path == "", F.lit("/")).otherwise(base_path)
+    authority, scheme, base_dir = base_parts(base)
+    return resolve_url_with_parts(base, authority, scheme, base_dir, href)
+
+
+def resolve_url_with_parts(base: Column, authority: Column, scheme: Column,
+                           base_dir: Column, href: Column) -> Column:
+    """X3 body over precomputed ``base_parts`` columns (see resolve_url
+    for the semantics contract)."""
     return (
         F.when(href.isNull() | (href == ""), base)
         .when(~href.rlike(_REF_CHARSET_RE), href)        # junk: untouched

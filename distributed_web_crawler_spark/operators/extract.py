@@ -25,11 +25,12 @@ from pyspark.sql import types as T
 
 from ..config import CrawlConfig
 from ..functions.urls import (
+    base_parts,
     combined_allow_pattern,
     combined_exclude_pattern,
     host_of,
     is_http_url,
-    resolve_url,
+    resolve_url_with_parts,
 )
 
 FETCH_SCHEMA = T.StructType([
@@ -220,15 +221,24 @@ def extract_children(stored: DataFrame, cfg: CrawlConfig,
     allow_re = combined_allow_pattern(cfg.allowed_domains)
     excl_re = combined_exclude_pattern(cfg.exclude_patterns)
 
+    # X3 base parts (3 regexes over the parent URL) evaluate once per
+    # PAGE, below the explode — every href of a page shares them, so the
+    # per-link resolver skips the base parsing entirely (measured ~40% of
+    # the resolver's per-link cost at max_out_links=12)
+    auth, scheme, bdir = base_parts(F.col("parent_url"))
     children = (
         stored
-        .select(F.col("url").alias("parent_url"), "depth",
+        .select(F.col("url").alias("parent_url"), "depth", "links")
+        .withColumns({"_auth": auth, "_scheme": scheme, "_bdir": bdir})
+        .select("parent_url", "depth", "_auth", "_scheme", "_bdir",
                 F.explode(F.array_distinct("links")).alias("href"))  # E1+D3
         # X3: relative→absolute against the discovering page (reference
         # resolves via Jsoup abs:href, core/WebCrawler.java:341) — pure
         # Catalyst, stays inside codegen on the per-link hot path
-        .withColumn("url", resolve_url(F.col("parent_url"), F.col("href")))
-        .drop("href")
+        .withColumn("url", resolve_url_with_parts(
+            F.col("parent_url"), F.col("_auth"), F.col("_scheme"),
+            F.col("_bdir"), F.col("href")))
+        .drop("href", "_auth", "_scheme", "_bdir")
         .where(is_http_url(F.col("url")))                           # F8
         .withColumn("host", host_of(F.col("url")))
     )
