@@ -135,20 +135,28 @@ def run_headline() -> dict:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    store = tempfile.mkdtemp(prefix="bench_crawl_")
-    try:
-        t0 = time.time()
-        crawl = crawl_job(cores, store)
-        timings["crawl_4rounds"] = round(time.time() - t0, 3)
-    finally:
-        shutil.rmtree(store, ignore_errors=True)
+    # crawl best-of-2 like the queries: this box stalls for 10+ s
+    # mid-run often enough that a single shot regularly eats one
+    # ([[bench-box-variance]] — only best-of comparisons are meaningful)
+    crawl, crawl_best = None, float("inf")
+    for _ in range(2):
+        store = tempfile.mkdtemp(prefix="bench_crawl_")
+        try:
+            t0 = time.time()
+            attempt = crawl_job(cores, store)
+            dt = time.time() - t0
+            if dt < crawl_best:
+                crawl, crawl_best = attempt, dt
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+    timings["crawl_4rounds"] = round(crawl_best, 3)
 
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_queries_plus_crawl_total",
         "value": total,
         "unit": "sec",
-        "timing": "queries best-of-2 in one warm session; crawl single-shot",
+        "timing": "queries and crawl best-of-2 in one warm session",
         "cpu_probe_units_per_sec": round(probe),
         "queries": timings,
         "sf": _sf_of(SF_DIR),

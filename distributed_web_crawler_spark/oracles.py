@@ -179,6 +179,72 @@ def minhash_lsh_sql(sf_dir: str = ORACLE_SF_DIR, num_hashes: int = 16,
 """
 
 
+# -- IVF ANN ----------------------------------------------------------------
+
+def ivf_centroid_ids(sf_dir: str = ORACLE_SF_DIR,
+                     n_lists: int = 16) -> list[int]:
+    """The engine's deterministic centroid sample: the n_lists vec_ids
+    with the smallest (xxhash64(vec_id), vec_id) — mirrored with the
+    property-tested XXH64 reimplementation."""
+    from .functions.xxh64 import hash_long
+
+    key = ("ivf_cents", sf_dir, n_lists)
+    if key not in _cache:
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id"]).column("vec_id").to_pylist()
+
+        def signed(x):
+            return x - (1 << 64) if x >= (1 << 63) else x
+
+        _cache[key] = [v for v in sorted(
+            ids, key=lambda v: (signed(hash_long(v, 42)), v))[:n_lists]]
+    return _cache[key]
+
+
+def ann_ivf_sql(sf_dir: str = ORACLE_SF_DIR, k: int = 5, n_lists: int = 16,
+                nprobe: int = 4) -> str:
+    """IVF top-k restated in SQL: centroid ids come from the XXH64 mirror
+    as VALUES; DuckDB independently recomputes unit-cosine assignment
+    (argmax, ties to the lowest list_id — the engine quantizes sims to
+    1e-6 so ties are exact cross-engine), probe-list ranking, and the
+    final top-k, all with its own float arithmetic + round(·, 6)."""
+    cents = ",".join(f"({v})" for v in ivf_centroid_ids(sf_dir, n_lists))
+    return f"""
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+  cents AS (SELECT e.vec_id AS list_id, e.emb AS c_emb
+            FROM e JOIN (VALUES {cents}) c(vec_id) USING (vec_id)),
+  assign AS (
+    SELECT vec_id, list_id FROM (
+      SELECT e.vec_id, c.list_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.emb, c.c_emb), 6)
+                        DESC, c.list_id) AS rn
+      FROM e, cents c) WHERE rn = 1),
+  q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 8),
+  probes AS (
+    SELECT query_id, q_emb, list_id FROM (
+      SELECT q.query_id, q.q_emb, c.list_id,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(q.q_emb, c.c_emb), 6)
+                        DESC, c.list_id) AS rn
+      FROM q, cents c) WHERE rn <= {nprobe}),
+  scored AS (
+    SELECT p.query_id, a.vec_id,
+           round(list_cosine_similarity(p.q_emb, e.emb), 6) AS cosine
+    FROM probes p
+    JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+    JOIN e ON e.vec_id = a.vec_id)
+  SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+  WHERE rank <= {k}
+"""
+
+
 # -- image-table oracles (scale-free: content is f(doc_id % dup_mod)) -------
 
 def _image_group(m: int, dup_mod: int):

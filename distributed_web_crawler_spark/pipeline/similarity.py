@@ -114,10 +114,16 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16,
     # when(cos > acc).then(struct(cos, …)) form would evaluate the
     # dim-length dot product twice per centroid per row
     def argmax_fold() -> F.Column:
+        # sim quantized to 1e-6 before comparison (matching the query-side
+        # cosine rounding): near-equal centroids then tie EXACTLY and break
+        # to the lowest list_id in the fold, so the assignment is stable
+        # across evaluation orders and independent engines (the DuckDB
+        # oracle recomputes it) instead of flipping on the last ulp
         scored_cents = F.transform(
             F.col("cents"),
-            lambda c: F.struct(_cos(F.col("unit"), c["c_unit"]).alias("sim"),
-                               c["list_id"].alias("list_id")))
+            lambda c: F.struct(
+                F.round(_cos(F.col("unit"), c["c_unit"]), 6).alias("sim"),
+                c["list_id"].alias("list_id")))
         return F.aggregate(
             scored_cents,
             F.struct(F.lit(-2.0).alias("sim"),
@@ -143,7 +149,9 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy("query_id").orderBy(
         F.col("csim").desc(), F.col("list_id"))
     probe_lists = (
-        qc.withColumn("csim", _cos(F.col("q_unit"), F.col("c_unit")))
+        # rounded for the same deterministic-tie reason as the assignment
+        qc.withColumn("csim", F.round(_cos(F.col("q_unit"),
+                                           F.col("c_unit")), 6))
         .withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= nprobe)
         .select("query_id", "q_unit", "list_id")
     )

@@ -706,10 +706,12 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), max_hamming=8)
 
 
-@q("ann_ivf_topk")
+@q("ann_ivf_topk", lambda: _oracles.ann_ivf_sql(k=5, n_lists=16, nprobe=4))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (scale path) — centroid assignment is iterative/stateful, so
-    the driver records rows-only; recall vs brute force is covered in
+    """IVF ANN (scale path). Oracle: centroid ids from the XXH64 mirror as
+    VALUES; assignment/probe/top-k recomputed independently by DuckDB
+    (sims quantized to 1e-6 on both sides, so ties break identically).
+    Recall vs brute force is additionally covered in
     tests/test_pipeline.py."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
