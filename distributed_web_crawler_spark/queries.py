@@ -1152,6 +1152,38 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts_stream(spark, sf_dir)
 
 
+@q("events_first_seen", """
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM (
+    SELECT user_id, event_id, ts, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events) WHERE rn = 1
+""")
+def events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): per-key
+    first-seen dedup — the crawl's D4 URL-seen as an unbounded stream
+    (streaming/stateful.py). An availableNow drain over one file is a
+    single batch, so the result equals the per-user arg-min row (the
+    oracle); cross-batch state suppression is pinned by the two-trigger
+    pytest in tests/test_streaming.py."""
+    from .streaming import first_seen_stream
+    from .streaming.events_stream import _COUNTER
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    out = first_seen_stream(stream).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"),
+        "event_type")
+    qname = f"events_first_seen_{next(_COUNTER)}"
+    query = (out.writeStream.outputMode("append")
+             .format("memory").queryName(qname)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(qname)
+
+
 @q("events_session", """
   WITH o AS (
     SELECT user_id, ts, event_id,

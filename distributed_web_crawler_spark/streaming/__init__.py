@@ -3,3 +3,4 @@ from .events_stream import (
     tumbling_counts_stream,
     windowed_counts_update_query,
 )
+from .stateful import first_seen_stream

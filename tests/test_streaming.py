@@ -92,3 +92,48 @@ def test_update_mode_watermark_drops_late_row(spark, tmp_path):
         (us(13), "a", 1),   # trigger 1 update
         (us(13), "a", 2),   # trigger 2 update; NO (us(10), "a", 3) row
     ])
+
+
+def test_stateful_first_seen_suppresses_across_batches(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: batch 2 re-sends users 1/2
+    — state suppresses them; only the new user 3 emits, with the
+    deterministic (ts, event_id) arg-min row per user."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timezone
+
+    from distributed_web_crawler_spark.streaming import first_seen_stream
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m, tzinfo=timezone.utc)
+
+    def write(name, rows):  # (event_id, ts, user_id, event_type)
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+        }), str(tmp_path / name))
+
+    write("b1.parquet", [(10, t(5), 1, "view"), (11, t(2), 1, "click"),
+                         (12, t(7), 2, "view")])
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path))
+    out = first_seen_stream(stream)
+    qname = "first_seen_test"
+    query = (out.writeStream.outputMode("append")
+             .format("memory").queryName(qname).start())
+    try:
+        query.processAllAvailable()
+        write("b2.parquet", [(20, t(1), 1, "error"),   # user 1: seen -> drop
+                             (21, t(9), 2, "click"),   # user 2: seen -> drop
+                             (22, t(4), 3, "view")])   # user 3: new -> emit
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    got = sorted((r["user_id"], r["event_id"], r["event_type"])
+                 for r in spark.table(qname).collect())
+    assert got == [(1, 11, "click"),   # batch-1 arg-min by (ts, event_id)
+                   (2, 12, "view"),
+                   (3, 22, "view")]    # batch 2 emits ONLY the new user
