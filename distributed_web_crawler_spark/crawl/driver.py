@@ -127,12 +127,16 @@ class Crawler:
                 "Crawler needs either a synth_cfg (synthetic web) or an "
                 "injected fetcher (e.g. httpfetch.make_http_fetcher)")
         self.fetcher = fetcher or make_synth_fetcher(synth_cfg)
-        # Robots must match the page fetcher: pairing a real fetcher with
-        # synthetic robots would silently evaluate allow-all rules for real
-        # hosts (and raise on synth_cfg=None), so a non-synthetic page
-        # fetcher defaults robots to the real-HTTP robots fetcher unless
-        # the caller injects one explicitly.
-        if robots_fetcher is None and fetcher is not None:
+        # Robots must match the page fetcher: with no synthetic web at all
+        # (synth_cfg=None ⇒ the injected fetcher is a real one), synthetic
+        # robots would raise inside robots_disallow_for_host and — worse —
+        # silently evaluate allow-all for real hosts, so default to the
+        # real-HTTP robots fetcher. When synth_cfg IS provided, an
+        # injected fetcher is presumed a synthetic wrapper (tests /
+        # instrumentation) and keeps the synthetic robots rules that the
+        # golden model evaluates; callers pairing a real fetcher with a
+        # synthetic web must inject robots_fetcher explicitly.
+        if robots_fetcher is None and fetcher is not None and synth_cfg is None:
             from .httpfetch import make_http_robots_fetcher
             robots_fetcher = make_http_robots_fetcher()
         self.robots_fetcher = robots_fetcher

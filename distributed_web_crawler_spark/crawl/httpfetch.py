@@ -122,14 +122,16 @@ def _fetch_one(url: str, cfg: HttpFetcherConfig,
     import http.client
     from urllib.parse import urljoin, urlsplit
 
-    for _hop in range(5):
+    for _hop in range(10):  # urlopen's redirect ceiling, preserved
         try:
             parts = urlsplit(url)
+            # .port raises lazily on out-of-range ports ("http://h:99999/")
+            # — one malformed href in 10^10 must not kill the fetch task
+            key = (parts.scheme, parts.hostname, parts.port)
         except ValueError:
             return None
         if parts.scheme not in ("http", "https") or not parts.hostname:
             return None
-        key = (parts.scheme, parts.hostname, parts.port)
         target = parts.path or "/"
         if parts.query:
             target += "?" + parts.query
@@ -147,16 +149,18 @@ def _fetch_one(url: str, cfg: HttpFetcherConfig,
                 if attempt:
                     return None
         status = resp.status
-        if len(body) > cfg.max_body_bytes:
+        truncated = len(body) > cfg.max_body_bytes
+        if truncated:
             pool.drop(*key)  # truncated read leaves unread bytes on the wire
-            return None
-        if resp.will_close:
+        elif resp.will_close:
             pool.drop(*key)
         loc = resp.getheader("Location")
         if 300 <= status < 400 and loc:
+            # follow BEFORE the size cap: urlopen discarded oversized
+            # redirect bodies and followed; only final bodies are capped
             url = urljoin(url, loc)
             continue
-        if status >= 300:
+        if status >= 300 or truncated:
             return None
         ctype = resp.getheader("Content-Type", "") or ""
         break
@@ -232,7 +236,6 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
     cfg = cfg or HttpFetcherConfig()
 
     def fetch_rules(host: str) -> tuple[list[str], float | None]:
-        import socket
         import urllib.error
         import urllib.request
 
@@ -240,8 +243,11 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
             return [], None
         # https first: an https-only site's robots.txt must not be taken
         # from whatever a middlebox/CDN happens to serve on cleartext port
-        # 80 — only if https fails (e.g. plain-http-only host refusing 443)
-        # does the http attempt run.
+        # 80 — only if https fails (refused OR timed out: a firewall that
+        # silently DROPs 443 on a plain-http host must not suppress the
+        # reachable http attempt) does the http attempt run. Worst case an
+        # unreachable host costs one 10 s timeout per scheme, once,
+        # cached in host state thereafter.
         for scheme in ("https", "http"):
             req = urllib.request.Request(
                 f"{scheme}://{host}/robots.txt",
@@ -252,16 +258,7 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
                         continue
                     return parse_robots_directives(
                         resp.read(1 << 20).decode("utf-8", errors="replace"))
-            except urllib.error.URLError as e:
-                # a TIMEOUT means the host is unreachable — https would
-                # hang another 10 s for nothing; only non-timeout failures
-                # (e.g. port 80 refused on a TLS-only host) try https
-                if isinstance(getattr(e, "reason", None), socket.timeout):
-                    return [], None
-                continue
-            except TimeoutError:
-                return [], None
-            except (OSError, ValueError):
+            except (urllib.error.URLError, TimeoutError, OSError, ValueError):
                 continue
         return [], None
 

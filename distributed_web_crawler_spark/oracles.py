@@ -44,13 +44,21 @@ def _docs(sf_dir: str) -> list[tuple[int, str]]:
 
 def _tokens(text: str) -> list[str]:
     """split(trim(lower(text)), '\\s+') — trim strips spaces only, like
-    Spark's trim; split keeps interior empty-token semantics."""
-    return re.split(r"\s+", text.lower().strip(" "))
+    Spark's trim; split keeps interior empty-token semantics. The split
+    class is Java regex \\s ([ \\t\\n\\x0b\\f\\r], ASCII-only) spelled
+    out: Python's \\s is Unicode-aware and would split on NBSP etc. where
+    the engine does not."""
+    return re.split(r"[ \t\n\x0b\f\r]+", text.lower().strip(" "))
 
 
 def _shingles(toks: list[str], n: int) -> set[str]:
+    """Mirror of pipeline.dedup.shingles: documents with fewer than n
+    tokens produce NO shingles (the engine filters size(toks) >= n; the
+    naive slice formula would emit one truncated shingle instead)."""
+    if len(toks) < n:
+        return set()
     return {" ".join(toks[i:i + n])
-            for i in range(max(len(toks) - n, 0) + 1)}
+            for i in range(len(toks) - n + 1)}
 
 
 # -- SimHash ----------------------------------------------------------------

@@ -177,3 +177,37 @@ def test_keepalive_connection_reuse():
             f"expected <=concurrency conns, got {_CountingHandler.connections}"
     finally:
         srv.shutdown()
+
+
+def test_fetch_one_out_of_range_port_returns_none():
+    """A malformed href like :99999 must be a failed fetch, not an
+    uncaught ValueError that kills the whole Arrow task."""
+    from distributed_web_crawler_spark.crawl.httpfetch import (
+        _ConnPool,
+        _fetch_one,
+    )
+
+    cfg = HttpFetcherConfig(timeout_sec=2.0)
+    assert _fetch_one("http://127.0.0.1:99999/x", cfg, _ConnPool(cfg)) is None
+
+
+def test_injected_synth_fetcher_keeps_synthetic_robots(spark, tmp_path):
+    """Wrapping/injecting the SYNTHETIC fetcher (synth_cfg provided) must
+    not silently switch robots to real HTTP — the synthetic rules are what
+    the golden model evaluates. Only synth_cfg=None defaults robots to the
+    real-HTTP fetcher."""
+    from distributed_web_crawler_spark.config import (
+        CrawlConfig,
+        SynthWebConfig,
+    )
+    from distributed_web_crawler_spark.operators.extract import (
+        make_synth_fetcher,
+    )
+
+    synth = SynthWebConfig(n_hosts=4)
+    c = Crawler(spark, CrawlConfig(), synth, str(tmp_path / "a"),
+                fetcher=make_synth_fetcher(synth))
+    assert c.robots_fetcher is None
+    c2 = Crawler(spark, CrawlConfig(), None, str(tmp_path / "b"),
+                 fetcher=make_synth_fetcher(synth))
+    assert c2.robots_fetcher is not None
