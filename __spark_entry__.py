@@ -6,10 +6,13 @@ entry(spark)   — flagship 3-round BSP crawl over the deterministic
                  DataFrame (round, metric, value).
 queries()      — one callable per implemented operator from SURVEY.md §2 +
                  the training-data pipeline ops; (spark, sf_dir) → DataFrame.
-oracle_sql()   — matching DuckDB SQL for every SQL-expressible query; the
-                 Arrow-UDF / hash-seeded ops are rows-only by design
-                 (SURVEY.md §5.2): minhash/simhash signatures (xxhash64
-                 seeds), bloom probes, image decode, the crawl loop itself.
+oracle_sql()   — matching DuckDB SQL for EVERY query (49/49, round 3).
+                 Hash-seeded / Arrow-UDF / iterative ops that DuckDB cannot
+                 evaluate directly get generated oracles: independent Python
+                 mirrors (property-tested XXH64, the synthetic codec, the
+                 golden crawl) compute the hash-dependent inputs as VALUES
+                 and the relational part is restated in SQL
+                 (distributed_web_crawler_spark/oracles.py).
 """
 
 from __future__ import annotations

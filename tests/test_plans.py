@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: pin the plan properties PLANS.md
+claims (pushdown, column pruning, map-side combine, broadcast joins) so a
+refactor that silently degrades the 100 TB plan fails loudly here."""
+
+from pyspark.sql import functions as F
+
+from distributed_web_crawler_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_metadata_projection_pushdown_and_pruning(spark):
+    plan = _plan(Q.QUERIES["metadata_projection"](spark, SF))
+    assert "PushedFilters: [IsNotNull(n_chars)" in plan, plan[:1500]
+    read = plan.split("ReadSchema", 1)[1][:200]
+    assert "text" not in read, f"text column not pruned: {read}"
+
+
+def test_exact_dedup_partial_agg_no_window(spark):
+    from distributed_web_crawler_spark.pipeline import dedup as pdedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pdedup.exact_dedup(docs))
+    assert "partial_min_by" in plan, plan[:1500]  # map-side combine
+    assert "Window" not in plan, "winner must not use a window sort"
+
+
+def test_politeness_crawl_delay_join_broadcasts(spark):
+    plan = _plan(Q.QUERIES["politeness_crawl_delay"](spark, SF))
+    assert "BroadcastExchange" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, "delay join must broadcast"
+
+
+def test_ann_brute_force_no_cartesian(spark):
+    plan = _plan(Q.QUERIES["ann_topk"](spark, SF))
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_crawl_phase_b_never_reads_payload_bytes(spark, tmp_path):
+    """The stored/children plans must column-prune the pages scan so the
+    payload `bytes` column is never read back (the decisive 100 TB
+    constraint — PLANS.md crawl-round audit)."""
+    from distributed_web_crawler_spark.config import (
+        CrawlConfig,
+        SynthWebConfig,
+    )
+    from distributed_web_crawler_spark.crawl.driver import Crawler
+    from distributed_web_crawler_spark.crawl.synthweb import seed_urls
+
+    synth = SynthWebConfig(n_hosts=4, base_pages_per_host=8)
+    cfg = CrawlConfig(max_depth=2, host_budget_per_round=2, max_rounds=2,
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 10)
+    c = Crawler(spark, cfg, synth, str(tmp_path))
+    c.bootstrap(seed_urls(synth, 2))
+    c.run()
+    stored = c.stored_slim()
+    plan = _plan(stored)
+    for chunk in plan.split("ReadSchema")[1:]:
+        assert "bytes" not in chunk[:400], chunk[:400]
