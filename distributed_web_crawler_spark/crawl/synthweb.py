@@ -145,14 +145,24 @@ def seed_pages(cfg: SynthWebConfig, per_host: int) -> list[str]:
             for p in range(min(per_host, cfg.n_pages(i)))]
 
 
+def _host_idx_of(host: str) -> int | None:
+    """Parse h<idx>.example.com → idx. Reads every digit up to the first
+    dot: `host_name` zero-pads to 4 digits but grows past 9999, so a
+    fixed [1:5] slice would silently truncate 5+-digit indices and attach
+    robots rules / crawl delays to the wrong hosts at n_hosts > 9999."""
+    if not host.startswith("h") or not host.endswith(".example.com"):
+        return None
+    try:
+        return int(host[1:host.index(".")])
+    except ValueError:
+        return None
+
+
 def robots_disallow_for_host(host: str, cfg: SynthWebConfig) -> list[str]:
     """Disallow paths for user-agent:* — substring-match semantics exactly as
     the reference's ``isPathDisallowed`` (core/WebCrawler.java:530-532)."""
-    if not host.startswith("h") or not host.endswith(".example.com"):
-        return []
-    try:
-        host_idx = int(host[1:5])
-    except ValueError:
+    host_idx = _host_idx_of(host)
+    if host_idx is None:
         return []
     if cfg.robots_every > 0 and host_idx % cfg.robots_every == 0 and host_idx > 0:
         return list(cfg.robots_disallow)
@@ -166,11 +176,8 @@ def robots_crawl_delay_for_host(host: str,
     min(host_budget_per_round, ceil(round_seconds / delay)) — the batch
     analog of the reference's crawl_state.crawl_delay column
     (schema.cql:19-24, schema-only intent in the reference)."""
-    if not host.startswith("h") or not host.endswith(".example.com"):
-        return None
-    try:
-        host_idx = int(host[1:5])
-    except ValueError:
+    host_idx = _host_idx_of(host)
+    if host_idx is None:
         return None
     if (cfg.crawl_delay_every > 0 and host_idx > 0
             and host_idx % cfg.crawl_delay_every == 0):

@@ -132,7 +132,7 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
             budget = cfg.host_budget_per_round
             if delay is not None and delay > 0:
                 budget = min(budget,
-                             math.ceil(cfg.round_seconds / delay))
+                             max(1, math.ceil(cfg.round_seconds / delay)))
             selected.extend(qs[:budget])
             over = qs[budget:]
             if cfg.enable_delay_retry:

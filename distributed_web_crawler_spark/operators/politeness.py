@@ -60,10 +60,18 @@ def apply_politeness(frontier: DataFrame, cfg: CrawlConfig,
         delay = robots.select("host", "crawl_delay").where(
             F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0))
         frontier = frontier.join(F.broadcast(delay), "host", "left")
-        budget = F.coalesce(
-            F.least(base, F.ceil(F.lit(float(cfg.round_seconds))
-                                 / F.col("crawl_delay")).cast("int")),
-            base)
+        # max(1, ceil(...)): a finite delay always ceils to >=1, but a
+        # non-finite delay smuggled into host state must throttle to
+        # 1/round, never to a permanently starved 0 budget. The clamp is
+        # guarded on isNotNull: Spark's greatest() SKIPS nulls, so an
+        # unguarded greatest(1, null) would hand every delay-free host a
+        # budget of 1 instead of the configured base.
+        delay_budget = F.least(base, F.greatest(
+            F.lit(1),
+            F.ceil(F.lit(float(cfg.round_seconds))
+                   / F.col("crawl_delay")).cast("int")))
+        budget = F.when(F.col("crawl_delay").isNotNull(),
+                        delay_budget).otherwise(base)
         frontier = (frontier.withColumn("_budget", budget)
                     .drop("crawl_delay"))
         budget = F.col("_budget")
