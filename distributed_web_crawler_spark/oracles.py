@@ -357,6 +357,69 @@ def image_resize_sql(n: int = 128, dup_mod: int = 96,
 """
 
 
+# -- audio/video oracles (scale-free: content is f(doc_id % dup_mod)) -------
+
+def audio_features_sql(n: int = 96, dup_mod: int = 64,
+                       seed: int = 42) -> str:
+    """VALUES mirror of pipeline.multimodal.audio_features: each group's
+    features come from the SAME audio_feature_row the Spark operator runs,
+    so both sides execute one IEEE op sequence; floats ride as repr strings
+    (shortest-roundtrip) cast to DOUBLE."""
+    from .pipeline.multimodal import _audio_payload, audio_feature_row
+
+    rows = []
+    for m in range(dup_mod):
+        buf, _, _ = _audio_payload(seed, m)
+        r = audio_feature_row(buf)
+        rows.append(
+            "({m}, {sr}, {ns}, '{dur!r}', '{rms!r}', {pk}, {zc})".format(
+                m=m, sr=r["sample_rate"], ns=r["n_samples"],
+                dur=r["duration_s"], rms=r["rms"], pk=r["peak"],
+                zc=r["zero_crossings"]))
+    vals = ",\n    ".join(rows)
+    return f"""
+  WITH {_IDS_CTE.format(n=n)},
+  v(m, sample_rate, n_samples, duration_s, rms, peak, zero_crossings)
+    AS (VALUES
+    {vals})
+  SELECT printf('aud-%08d', ids.doc_id) AS audio_id,
+         CAST(v.sample_rate AS INTEGER) AS sample_rate,
+         CAST(v.n_samples AS INTEGER) AS n_samples,
+         CAST(v.duration_s AS DOUBLE) AS duration_s,
+         CAST(v.rms AS DOUBLE) AS rms,
+         CAST(v.peak AS INTEGER) AS peak,
+         CAST(v.zero_crossings AS BIGINT) AS zero_crossings
+  FROM ids JOIN v ON ids.doc_id % {dup_mod} = v.m
+"""
+
+
+def video_frame_sample_sql(n: int = 96, dup_mod: int = 64,
+                           every_k: int = 3, seed: int = 42) -> str:
+    """VALUES mirror of pipeline.multimodal.video_frame_sample — one row
+    per (group, sampled frame), via the shared video_frames function."""
+    from .pipeline.multimodal import _video_payload, video_frames
+
+    rows = []
+    for m in range(dup_mod):
+        buf, *_ = _video_payload(seed, m)
+        for fr in video_frames(buf, every_k):
+            rows.append("({m}, {fi}, {t}, '{mp!r}', {ph})".format(
+                m=m, fi=fr["frame_idx"], t=fr["t_ms"], mp=fr["mean_px"],
+                ph=fr["phash"]))
+    vals = ",\n    ".join(rows)
+    return f"""
+  WITH {_IDS_CTE.format(n=n)},
+  v(m, frame_idx, t_ms, mean_px, phash) AS (VALUES
+    {vals})
+  SELECT printf('vid-%08d', ids.doc_id) AS video_id,
+         CAST(v.frame_idx AS INTEGER) AS frame_idx,
+         CAST(v.t_ms AS BIGINT) AS t_ms,
+         CAST(v.mean_px AS DOUBLE) AS mean_px,
+         CAST(v.phash AS BIGINT) AS phash
+  FROM ids JOIN v ON ids.doc_id % {dup_mod} = v.m
+"""
+
+
 # -- crawl flagship (scale-free: pure function of seed + config) ------------
 
 def crawl_flagship_sql() -> str:

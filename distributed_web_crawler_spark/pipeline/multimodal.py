@@ -143,3 +143,262 @@ def phash_hamming_neardup(pages: DataFrame, max_hamming: int = 6) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# audio / video plumbing — same opaque-binary + typed-metadata design as
+# images. The synthetic container formats below are deterministic stand-ins
+# (counter-mode sha256 payloads, zlib frames) so encode→decode→feature can
+# be tested bit-for-bit; real codecs (libsndfile, ffmpeg/PyAV) are gated
+# behind import-tries exactly like decode_real_image.
+#
+# Scale shape: every operator here is a map-only mapInPandas — no shuffle.
+# Raw media bytes never cross an exchange; frame sampling explodes WORKER-
+# side and only the per-frame feature rows (a few dozen bytes each) flow
+# downstream. At 100 TB the input split carries the parallelism and the
+# Arrow batch (spark.sql.execution.arrow.maxRecordsPerBatch) bounds worker
+# memory to batch_rows × max_media_bytes.
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+_AUD_MAGIC = b"sAUD"
+_VID_MAGIC = b"sVID"
+
+
+def encode_audio(samples: np.ndarray, rate: int) -> bytes:
+    """int16 PCM mono → synthetic container (magic, rate, n, zlib PCM)."""
+    pcm = samples.astype("<i2").tobytes()
+    return (_AUD_MAGIC + struct.pack("<IH", len(samples), rate)
+            + zlib.compress(pcm, 6))
+
+
+def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    if buf[:4] != _AUD_MAGIC:
+        raise ValueError("not a synthetic audio payload")
+    n, rate = struct.unpack("<IH", buf[4:10])
+    pcm = np.frombuffer(zlib.decompress(buf[10:]), dtype="<i2")[:n]
+    return pcm, rate
+
+
+def encode_video(frames: np.ndarray, fps: int) -> bytes:
+    """uint8 [n, h, w] grayscale frames → synthetic container."""
+    n, h, w = frames.shape
+    return (_VID_MAGIC + struct.pack("<BHHH", fps, n, w, h)
+            + zlib.compress(frames.tobytes(), 6))
+
+
+def decode_video(buf: bytes) -> tuple[np.ndarray, int]:
+    if buf[:4] != _VID_MAGIC:
+        raise ValueError("not a synthetic video payload")
+    fps, n, w, h = struct.unpack("<BHHH", buf[4:11])
+    frames = np.frombuffer(zlib.decompress(buf[11:]),
+                           dtype=np.uint8).reshape(n, h, w)
+    return frames, fps
+
+
+def decode_real_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    """Real-codec decode path — STUB in this container (no libsndfile)."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real audio decode requires soundfile/libsndfile, absent in "
+            "this container; synthetic corpus uses decode_audio") from e
+    import io
+    import soundfile as sf
+    data, rate = sf.read(io.BytesIO(buf), dtype="int16")
+    return data, rate
+
+
+def decode_real_video(buf: bytes) -> tuple[np.ndarray, int]:
+    """Real-codec decode path — STUB in this container (no ffmpeg/PyAV)."""
+    try:
+        import av  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real video decode requires PyAV/ffmpeg, absent in this "
+            "container; synthetic corpus uses decode_video") from e
+    raise NotImplementedError("wire PyAV frame iteration here")
+
+
+SYNTH_AUDIO_SCHEMA = "audio_id string, bytes binary, sample_rate int, n_samples int"
+SYNTH_VIDEO_SCHEMA = ("video_id string, bytes binary, fps int, n_frames int, "
+                      "w int, h int")
+
+
+def _audio_payload(seed: int, m: int) -> tuple[bytes, int, int]:
+    from ..crawl.synthweb import _byte_stream, _dint
+    h = _dint(seed, "aud", m)
+    n = 2048 + h % 2048
+    rate = 8000 if (h >> 16) % 2 == 0 else 16000
+    pcm = (_byte_stream(seed, f"aud:{m}", 2 * n)
+           .view("<i2").astype(np.int16))
+    return encode_audio(pcm, rate), rate, n
+
+
+def _video_payload(seed: int, m: int) -> tuple[bytes, int, int, int, int]:
+    from ..crawl.synthweb import _byte_stream, _dint
+    hsh = _dint(seed, "vid", m)
+    n = 8 + hsh % 9                  # 8..16 frames
+    w = 16 + (hsh >> 8) % 17         # 16..32 px
+    h = 16 + (hsh >> 16) % 17
+    fps = 4 if (hsh >> 24) % 2 == 0 else 8
+    frames = _byte_stream(seed, f"vid:{m}", n * h * w).reshape(n, h, w)
+    return encode_video(frames, fps), fps, n, w, h
+
+
+def audios_for_keys(seed: int = 42, dup_mod: int = 0):
+    """Arrow-batched generator of synthetic audio rows keyed by `doc_id`
+    (the images_for_keys analog). dup_mod > 0 folds keys into
+    exact-duplicate payload groups."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("audio_id", "bytes", "sample_rate", "n_samples")}
+            for key in pdf["doc_id"]:
+                m = int(key) % dup_mod if dup_mod else int(key)
+                buf, rate, n = _audio_payload(seed, m)
+                rows["audio_id"].append(f"aud-{int(key):08d}")
+                rows["bytes"].append(buf)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+            yield pd.DataFrame({
+                "audio_id": rows["audio_id"], "bytes": rows["bytes"],
+                "sample_rate": pd.array(rows["sample_rate"], dtype="Int32"),
+                "n_samples": pd.array(rows["n_samples"], dtype="Int32")})
+
+    return gen
+
+
+def videos_for_keys(seed: int = 42, dup_mod: int = 0):
+    """Arrow-batched generator of synthetic video rows keyed by `doc_id`."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("video_id", "bytes", "fps", "n_frames", "w", "h")}
+            for key in pdf["doc_id"]:
+                m = int(key) % dup_mod if dup_mod else int(key)
+                buf, fps, n, w, h = _video_payload(seed, m)
+                rows["video_id"].append(f"vid-{int(key):08d}")
+                rows["bytes"].append(buf)
+                rows["fps"].append(fps)
+                rows["n_frames"].append(n)
+                rows["w"].append(w)
+                rows["h"].append(h)
+            yield pd.DataFrame({
+                "video_id": rows["video_id"], "bytes": rows["bytes"],
+                **{c: pd.array(rows[c], dtype="Int32")
+                   for c in ("fps", "n_frames", "w", "h")}})
+
+    return gen
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("audio_id", T.StringType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.IntegerType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def audio_feature_row(buf: bytes) -> dict:
+    """Decode + feature-extract one payload — shared verbatim by the Spark
+    operator and the DuckDB VALUES-oracle mirror (oracles._audio_group), so
+    both sides run the identical IEEE op sequence."""
+    pcm, rate = decode_audio(buf)
+    x = pcm.astype(np.float64)
+    return {
+        "sample_rate": rate,
+        "n_samples": len(pcm),
+        "duration_s": float(len(pcm)) / float(rate),
+        "rms": float(np.sqrt(np.mean(x * x))),
+        "peak": int(np.max(np.abs(pcm.astype(np.int32)))),
+        "zero_crossings": int(np.sum(x[:-1] * x[1:] < 0.0)),
+    }
+
+
+def audio_features(audios: DataFrame, bytes_col: str = "bytes",
+                   id_col: str = "audio_id") -> DataFrame:
+    """Per-clip acoustic features (duration, RMS energy, peak, zero-crossing
+    count) — the language-/quality-filter primitives of an audio training
+    pipeline. Map-only; raw bytes never shuffle."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA}
+            for aid, buf in zip(pdf[id_col], pdf[bytes_col]):
+                row = audio_feature_row(bytes(buf))
+                out["audio_id"].append(aid)
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame({
+                "audio_id": out["audio_id"],
+                "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                "n_samples": pd.array(out["n_samples"], dtype="Int32"),
+                "duration_s": out["duration_s"],
+                "rms": out["rms"],
+                "peak": pd.array(out["peak"], dtype="Int32"),
+                "zero_crossings": pd.array(out["zero_crossings"],
+                                           dtype="Int64")})
+
+    return audios.select(id_col, bytes_col).mapInPandas(
+        feats, AUDIO_FEATURES_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("video_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("t_ms", T.LongType()),
+    T.StructField("mean_px", T.DoubleType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def video_frames(buf: bytes, every_k: int) -> list[dict]:
+    """Sampled-frame feature rows for one payload — shared by the operator
+    and the oracle mirror."""
+    frames, fps = decode_video(buf)
+    out = []
+    for i in range(0, frames.shape[0], every_k):
+        out.append({
+            "frame_idx": i,
+            "t_ms": i * 1000 // fps,
+            "mean_px": float(frames[i].mean()),
+            "phash": average_phash(frames[i]),
+        })
+    return out
+
+
+def video_frame_sample(videos: DataFrame, every_k: int = 4,
+                       bytes_col: str = "bytes",
+                       id_col: str = "video_id") -> DataFrame:
+    """Sample every k-th frame and emit per-frame features — the
+    frame-extraction stage of a video training pipeline. The explode
+    happens WORKER-side inside the Arrow batch: one input row fans out to
+    ceil(n_frames/k) small feature rows, and the multi-GB raw payload is
+    dropped before anything reaches a shuffle."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in VIDEO_FRAME_SCHEMA}
+            for vid, buf in zip(pdf[id_col], pdf[bytes_col]):
+                for row in video_frames(bytes(buf), every_k):
+                    out["video_id"].append(vid)
+                    for k, v in row.items():
+                        out[k].append(v)
+            yield pd.DataFrame({
+                "video_id": out["video_id"],
+                "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+                "t_ms": pd.array(out["t_ms"], dtype="Int64"),
+                "mean_px": out["mean_px"],
+                "phash": pd.array(out["phash"], dtype="Int64")})
+
+    return videos.select(id_col, bytes_col).mapInPandas(
+        sample, VIDEO_FRAME_SCHEMA)

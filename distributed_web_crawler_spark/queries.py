@@ -749,6 +749,30 @@ def phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _images_df(spark, sf_dir), max_hamming=10)
 
 
+def _media_keys(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    return (_t(spark, sf_dir, "documents").select("doc_id")
+            .orderBy("doc_id").limit(n))
+
+
+@q("audio_features", lambda: _oracles.audio_features_sql())
+def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over opaque binary clips (duration, RMS,
+    peak, zero-crossings) — deterministic synthetic payloads keyed by
+    doc_id, mirroring BASELINE.json's input-table shape for media."""
+    audios = _media_keys(spark, sf_dir, 96).mapInPandas(
+        multimodal.audios_for_keys(dup_mod=64), multimodal.SYNTH_AUDIO_SCHEMA)
+    return multimodal.audio_features(audios)
+
+
+@q("video_frame_sample", lambda: _oracles.video_frame_sample_sql(every_k=3))
+def video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every 3rd frame's features, exploded
+    worker-side so raw payloads never shuffle."""
+    videos = _media_keys(spark, sf_dir, 96).mapInPandas(
+        multimodal.videos_for_keys(dup_mod=64), multimodal.SYNTH_VIDEO_SCHEMA)
+    return multimodal.video_frame_sample(videos, every_k=3)
+
+
 # ---------------------------------------------------------------------------
 # R2: retry scheduling — deferred rows re-enter the next frontier with
 # retry_count+1 and scheduled_for = next round (core/WebCrawler.java:283-310,

@@ -185,3 +185,73 @@ def test_ivf_lloyd_refinement_improves_recall(spark):
     assert r0 <= 0.44, f"unrefined baseline moved: {r0}"
     assert r2 >= 0.45, f"refined recall too low: {r2}"
     assert r2 > r0
+
+
+def test_audio_codec_roundtrip():
+    import numpy as np
+    pcm = np.arange(-500, 500, dtype=np.int16)
+    buf = multimodal.encode_audio(pcm, 8000)
+    dec, rate = multimodal.decode_audio(buf)
+    assert rate == 8000 and (dec == pcm).all()
+
+
+def test_video_codec_roundtrip():
+    import numpy as np
+    frames = (np.arange(3 * 4 * 5, dtype=np.uint8)).reshape(3, 4, 5)
+    buf = multimodal.encode_video(frames, 8)
+    dec, fps = multimodal.decode_video(buf)
+    assert fps == 8 and dec.shape == (3, 4, 5) and (dec == frames).all()
+
+
+def test_audio_features_match_payload_metadata(spark):
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    audios = ids.mapInPandas(multimodal.audios_for_keys(),
+                             multimodal.SYNTH_AUDIO_SCHEMA)
+    meta = {r["audio_id"]: (r["sample_rate"], r["n_samples"])
+            for r in audios.select("audio_id", "sample_rate",
+                                   "n_samples").collect()}
+    feats = multimodal.audio_features(audios).collect()
+    assert len(feats) == 12
+    for r in feats:
+        rate, n = meta[r["audio_id"]]
+        # decode recovers the typed metadata; duration is n/rate exactly
+        assert (r["sample_rate"], r["n_samples"]) == (rate, n)
+        assert r["duration_s"] == n / rate
+        assert r["rms"] > 0.0 and r["peak"] > 0
+        assert 0 <= r["zero_crossings"] < n
+
+
+def test_video_frame_sample_fanout_and_determinism(spark):
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    videos = ids.mapInPandas(multimodal.videos_for_keys(),
+                             multimodal.SYNTH_VIDEO_SCHEMA)
+    meta = {r["video_id"]: (r["n_frames"], r["fps"])
+            for r in videos.select("video_id", "n_frames", "fps").collect()}
+    rows = multimodal.video_frame_sample(videos, every_k=2).collect()
+    by_vid: dict = {}
+    for r in rows:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    for vid, (n, fps) in meta.items():
+        got = sorted(by_vid[vid], key=lambda r: r["frame_idx"])
+        # every 2nd frame, starting at 0 — exact fan-out
+        assert [r["frame_idx"] for r in got] == list(range(0, n, 2))
+        for r in got:
+            assert r["t_ms"] == r["frame_idx"] * 1000 // fps
+            assert 0.0 <= r["mean_px"] <= 255.0
+    # duplicate payload groups (dup_mod) yield identical per-frame features
+    dups = ids.mapInPandas(multimodal.videos_for_keys(dup_mod=3),
+                           multimodal.SYNTH_VIDEO_SCHEMA)
+    drows = multimodal.video_frame_sample(dups, every_k=2).collect()
+    sig = {}
+    for r in drows:
+        k = int(r["video_id"][4:]) % 3
+        sig.setdefault((k, r["frame_idx"]), set()).add(
+            (r["t_ms"], r["mean_px"], r["phash"]))
+    assert all(len(v) == 1 for v in sig.values())
+
+
+def test_decode_real_audio_video_are_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real_audio(b"RIFF")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real_video(b"\x00\x00\x00 ftyp")
