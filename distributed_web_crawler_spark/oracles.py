@@ -357,6 +357,26 @@ def image_resize_sql(n: int = 128, dup_mod: int = 96,
 """
 
 
+def doc_sample_sql(rate: float = 0.25, denom: int = 1_000_000) -> str:
+    """Mirror of pipeline.text.deterministic_sample over doc_id: the kept
+    bucket membership is recomputed with the Python XXH64 mirror and
+    embedded as VALUES."""
+    from .functions.xxh64 import xxhash64
+
+    thresh = int(round(rate * denom))
+    ids = [d for d, _ in _docs(ORACLE_SF_DIR)
+           if xxhash64(int(d)) % denom < thresh]
+    if not ids:
+        return ("SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars "
+                "FROM documents WHERE FALSE")
+    vals = ", ".join(f"({d})" for d in ids)
+    return f"""
+  WITH keep(doc_id) AS (VALUES {vals})
+  SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars
+  FROM documents d JOIN keep USING (doc_id)
+"""
+
+
 # -- audio/video oracles (scale-free: content is f(doc_id % dup_mod)) -------
 
 def audio_features_sql(n: int = 96, dup_mod: int = 64,

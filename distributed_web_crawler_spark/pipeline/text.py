@@ -91,3 +91,57 @@ def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing — the redaction stage of a curation pipeline.
+# Patterns use only explicit ASCII classes (no \d, \s, \w, \b) so Java
+# regex (Spark) and RE2 (DuckDB oracle) match identically; categories are
+# applied in PII_ORDER on both sides, so overlap resolution is fixed.
+# Pure Catalyst — one scan, zero UDFs, zero shuffle.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "phone": r"\+[0-9]{7,15}|[0-9]{3}-[0-9]{3}-[0-9]{4}",
+}
+PII_ORDER = ("email", "ipv4", "ssn", "phone")
+
+
+def pii_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts by category, counted on the residual
+    text after scrubbing the EARLIER categories — so an SSN inside an
+    already-redacted email is not double-counted, and the counts equal
+    exactly what pii_scrub redacts."""
+    t = F.col(text_col)
+    out = [F.col("doc_id")]
+    for cat in PII_ORDER:
+        out.append(F.regexp_count(t, F.lit(PII_PATTERNS[cat]))
+                   .cast("long").alias(f"n_{cat}"))
+        t = F.regexp_replace(t, PII_PATTERNS[cat], f"[{cat.upper()}]")
+    total = None
+    for cat in PII_ORDER:
+        c = F.col(f"n_{cat}")
+        total = c if total is None else total + c
+    return documents.select(*out).withColumn("n_pii", total.cast("long"))
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace each PII category with a typed sentinel, in PII_ORDER."""
+    t = F.col(text_col)
+    for cat in PII_ORDER:
+        t = F.regexp_replace(t, PII_PATTERNS[cat], f"[{cat.upper()}]")
+    return documents.select("doc_id", t.alias("clean_text"))
+
+
+def deterministic_sample(df: DataFrame, key_col: str, rate: float,
+                         denom: int = 1_000_000) -> DataFrame:
+    """Stable corpus sampling: keep rows where
+    pmod(xxhash64(key), denom) < rate*denom. The same key always lands on
+    the same side at any scale and any partitioning — the reproducible
+    train/eval-split primitive (a random() sample is neither reproducible
+    nor stable under retries)."""
+    return df.where(F.pmod(F.xxhash64(F.col(key_col)), F.lit(denom))
+                    < F.lit(int(round(rate * denom))))

@@ -611,6 +611,82 @@ def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrub/stats (pipeline/text.pii_*). The synthetic corpus carries no
+# PII, so both sides append the same deterministic PII suffixes (keyed by
+# doc_id) before the operator runs — the operator itself is what's under
+# test; the injection is restated in the oracle CTE.
+# ---------------------------------------------------------------------------
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    suffix = (
+        F.when(d % 4 == 0, F.concat(F.lit(" mail u"), d.cast("string"),
+                                    F.lit("@mail.example.com")))
+        .when(d % 4 == 1, F.concat(F.lit(" ip 10.0.0."),
+                                   (d % 256).cast("string")))
+        .when(d % 4 == 2, F.lit(" ssn 123-45-6789"))
+        .otherwise(F.lit(" call +14155551234 or 555-867-5309")))
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.concat(F.col("text"), suffix).alias("text")))
+
+
+_PII_DOCS_SQL = """pii_docs AS (
+    SELECT doc_id, text || CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+      WHEN 1 THEN ' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+      WHEN 2 THEN ' ssn 123-45-6789'
+      ELSE ' call +14155551234 or 555-867-5309' END AS text
+    FROM documents)"""
+
+
+def _pii_stats_sql() -> str:
+    prev, ctes = "pii_docs", [_PII_DOCS_SQL]
+    for i, cat in enumerate(ptext.PII_ORDER):
+        pat = ptext.PII_PATTERNS[cat]
+        ctes.append(
+            f"""s{i} AS (
+    SELECT *, CAST(len(regexp_extract_all(t_{i}, '{pat}')) AS BIGINT)
+                AS n_{cat},
+           regexp_replace(t_{i}, '{pat}', '[{cat.upper()}]', 'g')
+                AS t_{i + 1}
+    FROM {'(SELECT doc_id, text AS t_0 FROM pii_docs)' if i == 0 else prev})""")
+        prev = f"s{i}"
+    cols = ", ".join(f"n_{c}" for c in ptext.PII_ORDER)
+    total = " + ".join(f"n_{c}" for c in ptext.PII_ORDER)
+    return (f"\n  WITH {', '.join(ctes)}\n"
+            f"  SELECT doc_id, {cols}, CAST({total} AS BIGINT) AS n_pii\n"
+            f"  FROM {prev}\n")
+
+
+def _pii_scrub_sql() -> str:
+    expr = "text"
+    for cat in ptext.PII_ORDER:
+        expr = (f"regexp_replace({expr}, '{ptext.PII_PATTERNS[cat]}', "
+                f"'[{cat.upper()}]', 'g')")
+    return (f"\n  WITH {_PII_DOCS_SQL}\n"
+            f"  SELECT doc_id, {expr} AS clean_text FROM pii_docs\n")
+
+
+@q("pii_stats", _pii_stats_sql)
+def pii_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ptext.pii_stats(_pii_docs(spark, sf_dir))
+
+
+@q("pii_scrub", _pii_scrub_sql)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ptext.pii_scrub(_pii_docs(spark, sf_dir))
+
+
+@q("doc_sample", lambda: _oracles.doc_sample_sql(rate=0.25))
+def doc_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic xxhash64-bucket corpus sample (reproducible
+    train/eval split) — oracled through the Python XXH64 mirror."""
+    docs = _t(spark, sf_dir, "documents")
+    return ptext.deterministic_sample(docs, "doc_id", 0.25).select(
+        "doc_id", F.length("text").cast("int").alias("n_chars"))
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs (pipeline/dedup.ngram_jaccard_pairs)
 # ---------------------------------------------------------------------------
 

@@ -255,3 +255,49 @@ def test_decode_real_audio_video_are_gated():
         multimodal.decode_real_audio(b"RIFF")
     with pytest.raises(NotImplementedError):
         multimodal.decode_real_video(b"\x00\x00\x00 ftyp")
+
+
+def test_pii_scrub_and_stats(spark):
+    from distributed_web_crawler_spark.pipeline import text as ptext
+    rows = [
+        (1, "reach me at bob.smith+x@corp.example.org today"),
+        (2, "server 192.168.1.17 answered"),
+        (3, "ssn is 123-45-6789 ok"),
+        (4, "call +14155551234 or 555-867-5309"),
+        (5, "clean document with no identifiers"),
+        # email whose local part contains digits: scrubbed as ONE email,
+        # not counted again as phone/ssn on the residual pass
+        (6, "mail 555-867-5309@spam.example.net now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clean = {r["doc_id"]: r["clean_text"]
+             for r in ptext.pii_scrub(docs).collect()}
+    assert clean[1] == "reach me at [EMAIL] today"
+    assert clean[2] == "server [IPV4] answered"
+    assert clean[3] == "ssn is [SSN] ok"
+    assert clean[4] == "call [PHONE] or [PHONE]"
+    assert clean[5] == rows[4][1]
+    assert clean[6] == "mail [EMAIL] now"
+    stats = {r["doc_id"]: r for r in ptext.pii_stats(docs).collect()}
+    assert (stats[1]["n_email"], stats[1]["n_pii"]) == (1, 1)
+    assert (stats[4]["n_phone"], stats[4]["n_pii"]) == (2, 2)
+    assert stats[5]["n_pii"] == 0
+    # category counts equal what the scrub redacted (residual-text rule)
+    assert (stats[6]["n_email"], stats[6]["n_phone"],
+            stats[6]["n_ssn"]) == (1, 0, 0)
+
+
+def test_deterministic_sample_is_stable_and_partition_invariant(spark):
+    from distributed_web_crawler_spark.pipeline import text as ptext
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    kept1 = {r["doc_id"] for r in
+             ptext.deterministic_sample(docs, "doc_id", 0.3).collect()}
+    kept2 = {r["doc_id"] for r in ptext.deterministic_sample(
+        docs.repartition(17), "doc_id", 0.3).collect()}
+    assert kept1 == kept2                      # partitioning-invariant
+    assert 0.25 < len(kept1) / 2000 < 0.35     # rate is approximately met
+    # mirror agreement: the Python XXH64 mirror picks the same rows
+    from distributed_web_crawler_spark.functions.xxh64 import xxhash64
+    mirror = {d for d in range(2000)
+              if xxhash64(d) % 1_000_000 < 300_000}
+    assert kept1 == mirror
