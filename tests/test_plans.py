@@ -62,3 +62,25 @@ def test_crawl_phase_b_never_reads_payload_bytes(spark, tmp_path):
     plan = _plan(stored)
     for chunk in plan.split("ReadSchema")[1:]:
         assert "bytes" not in chunk[:400], chunk[:400]
+
+
+def test_text_curation_ops_are_single_scan_no_exchange(spark):
+    # pii_stats / pii_scrub / doc_sample: one pruned parquet scan inside
+    # whole-stage codegen — no exchange, no UDF (PLANS.md)
+    for name in ("pii_stats", "pii_scrub", "doc_sample"):
+        plan = _plan(Q.QUERIES[name](spark, SF))
+        assert "Exchange" not in plan, f"{name} shuffles: {plan[:1200]}"
+        assert "Python" not in plan, f"{name} leaves the JVM: {plan[:1200]}"
+        read = plan.split("ReadSchema", 1)[1][:200]
+        assert "doc_id" in read and "lang" not in read, read
+
+
+def test_media_ops_are_map_only(spark):
+    # audio_features / video_frame_sample: MapInPandas chains with no
+    # exchange after the (test-input-only) key limit — raw media bytes
+    # never cross a shuffle (PLANS.md)
+    for name in ("audio_features", "video_frame_sample"):
+        plan = _plan(Q.QUERIES[name](spark, SF))
+        body = plan.split("TakeOrderedAndProject", 1)[0]
+        assert "Exchange" not in body, f"{name}: {plan[:1200]}"
+        assert "MapInPandas" in plan, plan[:1200]
