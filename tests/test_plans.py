@@ -84,3 +84,9 @@ def test_media_ops_are_map_only(spark):
         body = plan.split("TakeOrderedAndProject", 1)[0]
         assert "Exchange" not in body, f"{name}: {plan[:1200]}"
         assert "MapInPandas" in plan, plan[:1200]
+
+
+def test_sq8_topk_broadcasts_queries_no_cartesian(spark):
+    plan = _plan(Q.QUERIES["ann_sq8_topk"](spark, SF))
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
