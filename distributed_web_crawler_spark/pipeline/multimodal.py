@@ -168,17 +168,18 @@ _VID_MAGIC = b"sVID"
 
 
 def encode_audio(samples: np.ndarray, rate: int) -> bytes:
-    """int16 PCM mono → synthetic container (magic, rate, n, zlib PCM)."""
+    """int16 PCM mono → synthetic container (magic, rate, n, zlib PCM).
+    rate rides as uint32 so standard hi-rate PCM (88.2k/96k/192k) fits."""
     pcm = samples.astype("<i2").tobytes()
-    return (_AUD_MAGIC + struct.pack("<IH", len(samples), rate)
+    return (_AUD_MAGIC + struct.pack("<II", len(samples), rate)
             + zlib.compress(pcm, 6))
 
 
 def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
     if buf[:4] != _AUD_MAGIC:
         raise ValueError("not a synthetic audio payload")
-    n, rate = struct.unpack("<IH", buf[4:10])
-    pcm = np.frombuffer(zlib.decompress(buf[10:]), dtype="<i2")[:n]
+    n, rate = struct.unpack("<II", buf[4:12])
+    pcm = np.frombuffer(zlib.decompress(buf[12:]), dtype="<i2")[:n]
     return pcm, rate
 
 

@@ -191,24 +191,32 @@ def quantize_embeddings(embeddings: DataFrame,
         F.col("_scale").alias("scale"))
 
 
-def sq8_topk(embeddings: DataFrame, queries: DataFrame,
+def sq8_topk(corpus: DataFrame, queries: DataFrame,
              k: int = 5) -> DataFrame:
-    """Brute-force cosine top-k against the SQ8-quantized corpus
+    """Brute-force cosine top-k against an SQ8-quantized corpus
     (asymmetric: full-precision queries, int8 corpus). Same plan shape as
     brute_force_topk — broadcast queries, codegen'd integer dot products,
-    one window shuffle — but the corpus scan reads 4-8× fewer bytes at
-    scale. Returns (query_id, vec_id, cosine, rank) where cosine is the
-    quantized approximation."""
-    corpus = quantize_embeddings(embeddings).select(
+    one window shuffle.
+
+    ``corpus`` is either a pre-quantized frame carrying ``qvec`` (the
+    quantize_embeddings output persisted to parquet — the scale path,
+    where the corpus scan reads 4-8× fewer bytes) or a raw ``embedding``
+    frame, quantized on the fly as a convenience. Returns
+    (query_id, vec_id, cosine, rank) with the quantized cosine
+    approximation; an all-zero corpus vector scores cosine 0.0 (never
+    NaN, which Spark would rank above every real neighbor)."""
+    if "qvec" not in corpus.columns:
+        corpus = quantize_embeddings(corpus)
+    corpus = corpus.select(
         "vec_id", F.col("qvec").cast("array<double>").alias("qd"))
     q = queries.select("query_id", _unit(F.col("embedding")).alias("q_unit"))
     qnorm = F.sqrt(F.aggregate(F.col("qd"), F.lit(0.0),
                                lambda a, x: a + x * x))
+    cosine = F.when(qnorm == 0.0, F.lit(0.0)).otherwise(
+        F.round(_cos(F.col("q_unit"), F.col("qd")) / qnorm, 6))
     scored = (
         corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id",
-                F.round(_cos(F.col("q_unit"), F.col("qd")) / qnorm, 6)
-                .alias("cosine"))
+        .select("query_id", "vec_id", cosine.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id"))

@@ -773,7 +773,10 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
   q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 8),
   scored AS (
     SELECT query_id, vec_id,
-           round(list_cosine_similarity(q_emb, qd), 6) AS cosine
+           CASE WHEN list_sum(list_transform(qd, x -> x * x)) = 0
+                THEN 0.0
+                ELSE round(list_cosine_similarity(q_emb, qd), 6)
+           END AS cosine
     FROM q JOIN qz ON vec_id <> query_id)
   SELECT query_id, vec_id, cosine,
          CAST(rank AS INTEGER) AS rank
@@ -826,6 +829,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, n_lists=16, nprobe=4)
 
 
+def _media_keys(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Deterministic key frame shared by every synthetic-media table."""
+    return (_t(spark, sf_dir, "documents").select("doc_id")
+            .orderBy("doc_id").limit(n))
+
+
 def _images_df(spark: SparkSession, sf_dir: str, n: int = 128,
                dup_mod: int = 96) -> DataFrame:
     """Deterministic image table per BASELINE.json input_hint, derived from
@@ -833,10 +842,9 @@ def _images_df(spark: SparkSession, sf_dir: str, n: int = 128,
     creates exact-duplicate payload groups (phash Hamming 0) so the image
     near-dup operator has real work."""
     from .crawl.synthweb import SYNTH_IMAGE_SCHEMA, images_for_keys
-    ids = (_t(spark, sf_dir, "documents").select("doc_id")
-           .orderBy("doc_id").limit(n))
-    return ids.mapInPandas(images_for_keys(SynthWebConfig(), dup_mod=dup_mod),
-                           SYNTH_IMAGE_SCHEMA)
+    return _media_keys(spark, sf_dir, n).mapInPandas(
+        images_for_keys(SynthWebConfig(), dup_mod=dup_mod),
+        SYNTH_IMAGE_SCHEMA)
 
 
 @q("image_stats", lambda: _oracles.image_stats_sql())
@@ -853,11 +861,6 @@ def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_hamming_neardup(
         _images_df(spark, sf_dir), max_hamming=10)
-
-
-def _media_keys(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    return (_t(spark, sf_dir, "documents").select("doc_id")
-            .orderBy("doc_id").limit(n))
 
 
 @q("audio_features", lambda: _oracles.audio_features_sql())

@@ -320,13 +320,26 @@ def test_sq8_quantization_bounds_and_topk_recall(spark):
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     brute = {(r["query_id"], r["vec_id"])
              for r in similarity.brute_force_topk(vecs, queries, k=5).collect()}
-    sq8 = {(r["query_id"], r["vec_id"])
-           for r in similarity.sq8_topk(vecs, queries, k=5).collect()}
+    sq8_rows = similarity.sq8_topk(vecs, queries, k=5).collect()
+    sq8 = {(r["query_id"], r["vec_id"]) for r in sq8_rows}
     # int8 cosine error ~1e-2 worst case; on separated gaussians the
     # top-5 sets should agree almost everywhere
     assert len(brute & sq8) / len(brute) >= 0.9
     # the engineered near-dup is always rank 1
-    top = {r["query_id"]: r["vec_id"]
-           for r in similarity.sq8_topk(vecs, queries, k=5).collect()
-           if r["rank"] == 1}
+    top = {r["query_id"]: r["vec_id"] for r in sq8_rows if r["rank"] == 1}
     assert top[0] == 1
+    # the pre-quantized path (the scale API: corpus persisted as qvec)
+    # ranks identically to quantize-on-the-fly
+    pre = {(r["query_id"], r["vec_id"], r["rank"]) for r in similarity
+           .sq8_topk(similarity.quantize_embeddings(vecs), queries, k=5)
+           .collect()}
+    assert pre == {(r["query_id"], r["vec_id"], r["rank"]) for r in sq8_rows}
+    # an all-zero corpus vector scores 0.0, never NaN-above-everything
+    import math
+    zvecs = vecs.union(spark.createDataFrame(
+        [(99, [0.0] * 32)], "vec_id long, embedding array<double>"))
+    zrows = similarity.sq8_topk(zvecs, queries, k=5).collect()
+    assert all(not math.isnan(r["cosine"]) for r in zrows)
+    assert all(r["vec_id"] != 99 or r["cosine"] == 0.0 for r in zrows)
+    assert {r["query_id"]: r["vec_id"] for r in zrows
+            if r["rank"] == 1}[0] == 1
