@@ -343,3 +343,29 @@ def test_sq8_quantization_bounds_and_topk_recall(spark):
     assert all(r["vec_id"] != 99 or r["cosine"] == 0.0 for r in zrows)
     assert {r["query_id"]: r["vec_id"] for r in zrows
             if r["rank"] == 1}[0] == 1
+
+
+# -- property tests: the synthetic media codecs are lossless round-trips --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(n=st.integers(0, 4000), rate=st.sampled_from([8000, 44100, 96000]),
+       seed=st.integers(0, 2**31))
+def test_audio_codec_roundtrip_property(n, rate, seed):
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32768, n, dtype=np.int16)
+    dec, drate = multimodal.decode_audio(multimodal.encode_audio(pcm, rate))
+    assert drate == rate and dec.dtype == np.int16 and (dec == pcm).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(1, 12), h=st.integers(1, 24), w=st.integers(1, 24),
+       fps=st.sampled_from([1, 8, 30]), seed=st.integers(0, 2**31))
+def test_video_codec_roundtrip_property(n, h, w, fps, seed):
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    dec, dfps = multimodal.decode_video(multimodal.encode_video(frames, fps))
+    assert dfps == fps and dec.shape == (n, h, w) and (dec == frames).all()

@@ -137,3 +137,28 @@ def test_stateful_first_seen_suppresses_across_batches(spark, tmp_path):
     assert got == [(1, 11, "click"),   # batch-1 arg-min by (ts, event_id)
                    (2, 12, "view"),
                    (3, 22, "view")]    # batch 2 emits ONLY the new user
+
+
+def test_pii_scrub_composes_with_readstream(spark, tmp_path):
+    """Curation ops are plain Catalyst expressions, so the SAME operator
+    runs unchanged over readStream — the batch/streaming parity Spark's
+    incremental execution promises for stateless transforms."""
+    from distributed_web_crawler_spark.pipeline import text as ptext
+
+    rows = [(1, "mail bob@corp.example.org now"),
+            (2, "server 10.1.2.3 up"),
+            (3, "nothing sensitive")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(str(tmp_path / "in"))
+    stream = (spark.readStream.schema(df.schema)
+              .parquet(str(tmp_path / "in")))
+    q = (ptext.pii_scrub(stream).writeStream.format("memory")
+         .queryName("pii_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["clean_text"]
+           for r in spark.sql("SELECT * FROM pii_stream").collect()}
+    want = {r["doc_id"]: r["clean_text"]
+            for r in ptext.pii_scrub(df).collect()}
+    assert got == want
+    assert got[1] == "mail [EMAIL] now" and got[2] == "server [IPV4] up"
