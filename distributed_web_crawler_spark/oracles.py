@@ -253,6 +253,56 @@ def ann_ivf_sql(sf_dir: str = ORACLE_SF_DIR, k: int = 5, n_lists: int = 16,
 """
 
 
+def ann_ivf_sq8_sql(sf_dir: str = ORACLE_SF_DIR, k: int = 5,
+                    n_lists: int = 16, nprobe: int = 4) -> str:
+    """ann_ivf_sql with the probed-list scoring done against SQ8-quantized
+    vectors (the engine's ivf_sq8_topk): the quantizer is restated in SQL
+    exactly as in the ann_sq8_topk oracle — quantization is of the raw
+    embedding, cosine scale-invariance makes ranking independent of the
+    dropped per-vector scale."""
+    cents = ",".join(f"({v})" for v in ivf_centroid_ids(sf_dir, n_lists))
+    return f"""
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+  qz AS (SELECT vec_id,
+           list_transform(emb, x -> floor(x / greatest(
+               list_aggregate(list_transform(emb, y -> abs(y)), 'max')
+                 / 127.0, 1e-30) + 0.5)) AS qd
+         FROM e),
+  cents AS (SELECT e.vec_id AS list_id, e.emb AS c_emb
+            FROM e JOIN (VALUES {cents}) c(vec_id) USING (vec_id)),
+  assign AS (
+    SELECT vec_id, list_id FROM (
+      SELECT e.vec_id, c.list_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.emb, c.c_emb), 6)
+                        DESC, c.list_id) AS rn
+      FROM e, cents c) WHERE rn = 1),
+  q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 8),
+  probes AS (
+    SELECT query_id, q_emb, list_id FROM (
+      SELECT q.query_id, q.q_emb, c.list_id,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(q.q_emb, c.c_emb), 6)
+                        DESC, c.list_id) AS rn
+      FROM q, cents c) WHERE rn <= {nprobe}),
+  scored AS (
+    SELECT p.query_id, a.vec_id,
+           CASE WHEN list_sum(list_transform(z.qd, x -> x * x)) = 0
+                THEN 0.0
+                ELSE round(list_cosine_similarity(p.q_emb, z.qd), 6)
+           END AS cosine
+    FROM probes p
+    JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+    JOIN qz z ON z.vec_id = a.vec_id)
+  SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+  WHERE rank <= {k}
+"""
+
+
 # -- image-table oracles (scale-free: content is f(doc_id % dup_mod)) -------
 
 def _image_group(m: int, dup_mod: int):

@@ -222,3 +222,50 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame,
         F.col("cosine").desc(), F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def ivf_sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                 n_lists: int = 16, nprobe: int = 4,
+                 refine_iters: int = 0) -> DataFrame:
+    """IVF probe over SQ8-quantized inverted lists — the combined
+    memory + compute path for 10^10-vector corpora: each query touches
+    only ~nprobe/n_lists of the data (IVF) AND the stored list vectors
+    are int8, so the probed partitions scan 4-8× fewer bytes (SQ8).
+
+    The index build (centroid pick + argmax assignment + quantization) is
+    the one full-precision corpus pass — at scale its output
+    (list_id, vec_id, qvec) is what gets persisted, partitioned by
+    list_id so a probe prunes to nprobe partitions. Quantization is of
+    the RAW embedding (not the unit vector): cosine is scale-invariant,
+    so ranking is unchanged and an independent SQL mirror can restate
+    the quantizer without replicating the normalization op order.
+    Scoring guards the all-zero qvec case to 0.0 like sq8_topk."""
+    centroids, assigned = ivf_assign(embeddings, n_lists, refine_iters)
+    lists = (assigned.select("vec_id", "list_id")
+             .join(quantize_embeddings(embeddings)
+                   .select("vec_id",
+                           F.col("qvec").cast("array<double>").alias("qd")),
+                   "vec_id"))
+    q = queries.select("query_id", _unit(F.col("embedding")).alias("q_unit"))
+    qc = q.join(F.broadcast(centroids))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("list_id"))
+    probe_lists = (
+        qc.withColumn("csim", F.round(_cos(F.col("q_unit"),
+                                           F.col("c_unit")), 6))
+        .withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= nprobe)
+        .select("query_id", "q_unit", "list_id")
+    )
+    qnorm = F.sqrt(F.aggregate(F.col("qd"), F.lit(0.0),
+                               lambda a, x: a + x * x))
+    cosine = F.when(qnorm == 0.0, F.lit(0.0)).otherwise(
+        F.round(_cos(F.col("q_unit"), F.col("qd")) / qnorm, 6))
+    scored = (
+        probe_lists.join(lists, "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine.alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k))

@@ -815,6 +815,18 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), max_hamming=8)
 
 
+@q("ann_ivf_sq8_topk", lambda: _oracles.ann_ivf_sq8_sql(
+    k=5, n_lists=16, nprobe=4))
+def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over SQ8-quantized inverted lists — nprobe/n_lists data
+    touched AND int8 list storage (the combined 10^10-vector path)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.ivf_sq8_topk(emb, queries, k=5, n_lists=16, nprobe=4)
+
+
 @q("ann_ivf_topk", lambda: _oracles.ann_ivf_sql(k=5, n_lists=16, nprobe=4))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (scale path). Oracle: centroid ids from the XXH64 mirror as

@@ -369,3 +369,26 @@ def test_video_codec_roundtrip_property(n, h, w, fps, seed):
     frames = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
     dec, dfps = multimodal.decode_video(multimodal.encode_video(frames, fps))
     assert dfps == fps and dec.shape == (n, h, w) and (dec == frames).all()
+
+
+def test_ivf_sq8_full_probe_equals_sq8_brute_force(spark):
+    rng = np.random.default_rng(23)
+    rows = [(i, [float(x) for x in v])
+            for i, v in enumerate(rng.standard_normal((30, 16)))]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (vecs.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    brute = {(r["query_id"], r["vec_id"], r["rank"], r["cosine"])
+             for r in similarity.sq8_topk(vecs, queries, k=4).collect()}
+    # nprobe = n_lists ⇒ every list probed ⇒ identical to quantized brute
+    full = {(r["query_id"], r["vec_id"], r["rank"], r["cosine"])
+            for r in similarity.ivf_sq8_topk(vecs, queries, k=4,
+                                             n_lists=4, nprobe=4).collect()}
+    assert full == brute
+    # partial probe returns a subset of probed-list candidates with the
+    # same quantized scores for overlapping hits
+    part = similarity.ivf_sq8_topk(vecs, queries, k=4,
+                                   n_lists=4, nprobe=2).collect()
+    brute_cos = {(q, v): c for q, v, _, c in brute}
+    assert all(brute_cos.get((r["query_id"], r["vec_id"]), r["cosine"])
+               == r["cosine"] for r in part)
