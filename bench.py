@@ -49,6 +49,7 @@ HEADLINE = [
 # round-over-round `value` series stays comparable (ops added round 3)
 EXTRAS = [
     "ann_sq8_topk",          # quantized-corpus ANN (int8 scan path)
+    "ann_ivf_sq8_topk",      # IVF probe over int8 inverted lists
     "pii_stats",             # chained JVM regex curation scan
     "doc_sample",            # xxhash64 deterministic sampling
     "audio_features",        # Arrow map-only media decode
