@@ -407,15 +407,21 @@ def image_resize_sql(n: int = 128, dup_mod: int = 96,
 """
 
 
+def sample_keep_ids(rate: float, denom: int = 1_000_000) -> list[int]:
+    """doc_ids the deterministic sample keeps — the XXH64-mirror
+    restatement of pipeline.text.deterministic_sample's bucket test."""
+    from .functions.xxh64 import xxhash64
+
+    thresh = int(round(rate * denom))
+    return [d for d, _ in _docs(ORACLE_SF_DIR)
+            if xxhash64(int(d)) % denom < thresh]
+
+
 def doc_sample_sql(rate: float = 0.25, denom: int = 1_000_000) -> str:
     """Mirror of pipeline.text.deterministic_sample over doc_id: the kept
     bucket membership is recomputed with the Python XXH64 mirror and
     embedded as VALUES."""
-    from .functions.xxh64 import xxhash64
-
-    thresh = int(round(rate * denom))
-    ids = [d for d, _ in _docs(ORACLE_SF_DIR)
-           if xxhash64(int(d)) % denom < thresh]
+    ids = sample_keep_ids(rate, denom)
     if not ids:
         return ("SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars "
                 "FROM documents WHERE FALSE")

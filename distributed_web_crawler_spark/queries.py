@@ -686,6 +686,71 @@ def doc_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length("text").cast("int").alias("n_chars"))
 
 
+def _curation_pipeline_sql() -> str:
+    """The full curation chain restated in SQL: PII-injected corpus →
+    lang/quality gate → exact dedup → PII scrub → deterministic sample.
+    Reuses the per-stage mirrors (lang/quality exprs, scrub chain, XXH64
+    sample membership) verbatim."""
+    scrub = "text"
+    for cat in ptext.PII_ORDER:
+        scrub = (f"regexp_replace({scrub}, '{ptext.PII_PATTERNS[cat]}', "
+                 f"'[{cat.upper()}]', 'g')")
+    keep = ", ".join(f"({d})"
+                     for d in _oracles.sample_keep_ids(0.5)) or "(NULL)"
+    return f"""
+  WITH {_PII_DOCS_SQL},
+  scored AS (
+    SELECT doc_id, text,
+      CASE WHEN greatest({_LANG_SCORE_SQL['en']}, {_LANG_SCORE_SQL['es']},
+                         {_LANG_SCORE_SQL['fr']}, {_LANG_SCORE_SQL['de']})
+                <= 0 THEN 'und'
+           WHEN {_LANG_SCORE_SQL['en']} = greatest({_LANG_SCORE_SQL['en']},
+                {_LANG_SCORE_SQL['es']}, {_LANG_SCORE_SQL['fr']},
+                {_LANG_SCORE_SQL['de']}) THEN 'en'
+           ELSE 'other' END AS lang_pred,
+      round(0.5::DOUBLE
+          * least(CAST(length(text) AS DOUBLE) / 500::DOUBLE, 1.0::DOUBLE)
+        + 0.3::DOUBLE * least(CAST({_STOP_HITS_SQL} AS DOUBLE)
+            / greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
+                            AS DOUBLE), 1.0::DOUBLE) * 5.0::DOUBLE,
+            1.0::DOUBLE)
+        + 0.2::DOUBLE * (1.0::DOUBLE
+            - least(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                                               'g')) AS DOUBLE)
+                / greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
+                               AS DOUBLE), 1.0::DOUBLE), 1.0::DOUBLE)),
+        6) AS quality
+    FROM pii_docs),
+  kept AS (SELECT doc_id, text FROM scored
+           WHERE lang_pred = 'en' AND quality >= 0.5),
+  dedup AS (SELECT doc_id, text FROM kept
+            QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) = 1),
+  keep(doc_id) AS (VALUES {keep})
+  SELECT d.doc_id, {scrub.replace('text', 'd.text')} AS clean_text
+  FROM dedup d JOIN keep USING (doc_id)
+"""
+
+
+@q("curation_pipeline", _curation_pipeline_sql)
+def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation flagship: one declarative plan chaining the
+    stages a training-data pass runs — language/quality gate → exact
+    dedup → PII scrub → reproducible 50% sample. Catalyst fuses the
+    scans; the only exchange is the dedup hash aggregate."""
+    docs = _pii_docs(spark, sf_dir)
+    t = F.col("text")
+    kept = (docs.select("doc_id", "text",
+                        ptext.lang_id(t).alias("lang_pred"),
+                        ptext.quality_score(t).alias("quality"))
+            .where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+            .select("doc_id", "text"))
+    from .pipeline.dedup import exact_dedup
+    deduped = exact_dedup(kept)
+    scrubbed = ptext.pii_scrub(deduped)
+    return ptext.deterministic_sample(scrubbed, "doc_id", 0.5)
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs (pipeline/dedup.ngram_jaccard_pairs)
 # ---------------------------------------------------------------------------

@@ -90,3 +90,12 @@ def test_sq8_topk_broadcasts_queries_no_cartesian(spark):
     plan = _plan(Q.QUERIES["ann_sq8_topk"](spark, SF))
     assert "CartesianProduct" not in plan, plan[:1200]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_curation_pipeline_single_exchange_no_python(spark):
+    # lang/quality gate → exact dedup → PII scrub → sample fuse into ONE
+    # exchange (the dedup hash agg, partial map-side) with zero Python
+    plan = _plan(Q.QUERIES["curation_pipeline"](spark, SF))
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert "Python" not in plan
+    assert "partial_min_by" in plan
