@@ -44,10 +44,7 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
         .select("query_id", "vec_id",
                 F.round(_cos(F.col("q_unit"), F.col("unit")), 6).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return _rank_topk(scored, k)
 
 
 def _lloyd_refine(corpus: DataFrame, cent_arr: DataFrame,
@@ -74,7 +71,8 @@ def _lloyd_refine(corpus: DataFrame, cent_arr: DataFrame,
 
 
 def ivf_assign(embeddings: DataFrame, n_lists: int = 16,
-               refine_iters: int = 0) -> tuple[DataFrame, DataFrame]:
+               refine_iters: int = 0,
+               carry_embedding: bool = False) -> tuple[DataFrame, DataFrame]:
     """Deterministic centroids and max-cosine list assignment.
 
     Centroid pick: the n_lists corpus vectors with the smallest
@@ -94,7 +92,12 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16,
     per pass, trading refine_iters extra corpus scans for tighter lists
     (higher recall at equal nprobe — pinned by the recall pytest). Scale
     callers running several passes should persist/checkpoint the (tiny)
-    centroid frame between iterations to truncate the growing lineage."""
+    centroid frame between iterations to truncate the growing lineage.
+
+    ``carry_embedding`` keeps the raw embedding column on the assigned
+    frame, so a downstream per-row transform (e.g. SQ8 quantization of
+    the inverted lists) fuses into the SAME map stage — no second corpus
+    scan, no corpus-sized self-join."""
     centroids = (
         embeddings
         .select("vec_id", "embedding", F.xxhash64("vec_id").alias("_hk"))
@@ -102,7 +105,9 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16,
         .select(F.col("vec_id").alias("list_id"),
                 _unit(F.col("embedding")).alias("c_unit"))
     )
-    corpus = embeddings.select("vec_id", _unit(F.col("embedding")).alias("unit"))
+    extra = ["embedding"] if carry_embedding else []
+    corpus = embeddings.select(
+        "vec_id", _unit(F.col("embedding")).alias("unit"), *extra)
 
     def cent_arr(c: DataFrame) -> DataFrame:
         return c.agg(
@@ -134,9 +139,45 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16,
         centroids = _lloyd_refine(corpus, cent_arr(centroids), argmax_fold)
     assigned = (
         corpus.join(F.broadcast(cent_arr(centroids)))
-        .select("vec_id", argmax_fold()["list_id"].alias("list_id"), "unit")
+        .select("vec_id", argmax_fold()["list_id"].alias("list_id"), "unit",
+                *extra)
     )
     return centroids, assigned
+
+
+def _probe_lists(queries: DataFrame, centroids: DataFrame,
+                 nprobe: int) -> DataFrame:
+    """Per query: the nprobe nearest inverted lists (rounded-cosine ties
+    break to the lowest list_id, mirroring the assignment tie rule).
+    Returns (query_id, q_unit, list_id)."""
+    q = queries.select("query_id", _unit(F.col("embedding")).alias("q_unit"))
+    qc = q.join(F.broadcast(centroids))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("list_id"))
+    return (
+        qc.withColumn("csim", F.round(_cos(F.col("q_unit"),
+                                           F.col("c_unit")), 6))
+        .withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= nprobe)
+        .select("query_id", "q_unit", "list_id")
+    )
+
+
+def _q8_cosine() -> F.Column:
+    """Quantized cosine of q_unit against an int qd vector, zero-guarded:
+    an all-zero qvec scores 0.0 (never NaN, which Spark ranks above every
+    real neighbor). Shared by sq8_topk and ivf_sq8_topk so the ANN
+    variants cannot fork semantics."""
+    qnorm = F.sqrt(F.aggregate(F.col("qd"), F.lit(0.0),
+                               lambda a, x: a + x * x))
+    return F.when(qnorm == 0.0, F.lit(0.0)).otherwise(
+        F.round(_cos(F.col("q_unit"), F.col("qd")) / qnorm, 6))
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -144,27 +185,13 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              refine_iters: int = 0) -> DataFrame:
     """ANN top-k probing the nprobe nearest inverted lists per query."""
     centroids, assigned = ivf_assign(embeddings, n_lists, refine_iters)
-    q = queries.select("query_id", _unit(F.col("embedding")).alias("q_unit"))
-    qc = q.join(F.broadcast(centroids))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("csim").desc(), F.col("list_id"))
-    probe_lists = (
-        # rounded for the same deterministic-tie reason as the assignment
-        qc.withColumn("csim", F.round(_cos(F.col("q_unit"),
-                                           F.col("c_unit")), 6))
-        .withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= nprobe)
-        .select("query_id", "q_unit", "list_id")
-    )
     scored = (
-        probe_lists.join(assigned, "list_id")
+        _probe_lists(queries, centroids, nprobe).join(assigned, "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id",
                 F.round(_cos(F.col("q_unit"), F.col("unit")), 6).alias("cosine"))
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w2))
-            .where(F.col("rank") <= k))
+    return _rank_topk(scored, k)
 
 
 def quantize_embeddings(embeddings: DataFrame,
@@ -210,18 +237,11 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame,
     corpus = corpus.select(
         "vec_id", F.col("qvec").cast("array<double>").alias("qd"))
     q = queries.select("query_id", _unit(F.col("embedding")).alias("q_unit"))
-    qnorm = F.sqrt(F.aggregate(F.col("qd"), F.lit(0.0),
-                               lambda a, x: a + x * x))
-    cosine = F.when(qnorm == 0.0, F.lit(0.0)).otherwise(
-        F.round(_cos(F.col("q_unit"), F.col("qd")) / qnorm, 6))
     scored = (
         corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cosine.alias("cosine"))
+        .select("query_id", "vec_id", _q8_cosine().alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return _rank_topk(scored, k)
 
 
 def ivf_sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -233,39 +253,24 @@ def ivf_sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     are int8, so the probed partitions scan 4-8× fewer bytes (SQ8).
 
     The index build (centroid pick + argmax assignment + quantization) is
-    the one full-precision corpus pass — at scale its output
-    (list_id, vec_id, qvec) is what gets persisted, partitioned by
-    list_id so a probe prunes to nprobe partitions. Quantization is of
-    the RAW embedding (not the unit vector): cosine is scale-invariant,
-    so ranking is unchanged and an independent SQL mirror can restate
-    the quantizer without replicating the normalization op order.
-    Scoring guards the all-zero qvec case to 0.0 like sq8_topk."""
-    centroids, assigned = ivf_assign(embeddings, n_lists, refine_iters)
-    lists = (assigned.select("vec_id", "list_id")
-             .join(quantize_embeddings(embeddings)
-                   .select("vec_id",
-                           F.col("qvec").cast("array<double>").alias("qd")),
-                   "vec_id"))
-    q = queries.select("query_id", _unit(F.col("embedding")).alias("q_unit"))
-    qc = q.join(F.broadcast(centroids))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("csim").desc(), F.col("list_id"))
-    probe_lists = (
-        qc.withColumn("csim", F.round(_cos(F.col("q_unit"),
-                                           F.col("c_unit")), 6))
-        .withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= nprobe)
-        .select("query_id", "q_unit", "list_id")
-    )
-    qnorm = F.sqrt(F.aggregate(F.col("qd"), F.lit(0.0),
-                               lambda a, x: a + x * x))
-    cosine = F.when(qnorm == 0.0, F.lit(0.0)).otherwise(
-        F.round(_cos(F.col("q_unit"), F.col("qd")) / qnorm, 6))
+    ONE full-precision corpus pass: assignment carries the raw embedding
+    through (ivf_assign carry_embedding) and quantization fuses into the
+    same map stage — no second corpus scan, no corpus-sized self-join.
+    At scale the output (list_id, vec_id, qvec) is what gets persisted,
+    partitioned by list_id so a probe prunes to nprobe partitions.
+    Quantization is of the RAW embedding (not the unit vector): cosine is
+    scale-invariant, so ranking is unchanged and an independent SQL
+    mirror can restate the quantizer without replicating the
+    normalization op order. Scoring shares sq8_topk's zero-guarded
+    quantized cosine."""
+    centroids, assigned = ivf_assign(embeddings, n_lists, refine_iters,
+                                     carry_embedding=True)
+    lists = quantize_embeddings(
+        assigned.select("vec_id", "list_id", "embedding")).select(
+        "vec_id", "list_id", F.col("qvec").cast("array<double>").alias("qd"))
     scored = (
-        probe_lists.join(lists, "list_id")
+        _probe_lists(queries, centroids, nprobe).join(lists, "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cosine.alias("cosine"))
+        .select("query_id", "vec_id", _q8_cosine().alias("cosine"))
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w2))
-            .where(F.col("rank") <= k))
+    return _rank_topk(scored, k)

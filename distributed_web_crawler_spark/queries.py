@@ -575,9 +575,13 @@ _LANG_SCORE_SQL = {
     for lang, words in ptext.LANG_MARKERS.items()
 }
 
-@q("text_lang_quality", rf"""
-  WITH scored AS (
-    SELECT doc_id,
+def _lang_quality_ctes(src: str) -> str:
+    """The lang-ID + quality-score SQL mirror as CTEs over ``src``
+    (columns doc_id, text) — the ONE restatement of pipeline.text's
+    lang_id/quality_score arithmetic, shared by the text_lang_quality and
+    curation_pipeline oracles so the formula cannot drift between them."""
+    return rf"""scored0 AS (
+    SELECT doc_id, text,
       CAST(length(text) AS DOUBLE) AS n_len,
       CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS words,
       CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
@@ -585,21 +589,27 @@ _LANG_SCORE_SQL = {
       CAST({_STOP_HITS_SQL} AS DOUBLE) AS stop_hits,
       {_LANG_SCORE_SQL['en']} AS s_en, {_LANG_SCORE_SQL['es']} AS s_es,
       {_LANG_SCORE_SQL['fr']} AS s_fr, {_LANG_SCORE_SQL['de']} AS s_de
-    FROM documents)
-  SELECT doc_id,
-    CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
-         WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
-         WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
-         WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-         WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
-         ELSE 'und' END AS lang_pred,
-    round(0.5::DOUBLE * least(n_len / 500::DOUBLE, 1.0::DOUBLE)
-        + 0.3::DOUBLE * least(stop_hits / greatest(words, 1.0::DOUBLE)
-                              * 5.0::DOUBLE, 1.0::DOUBLE)
-        + 0.2::DOUBLE * (1.0::DOUBLE
-            - least(punct / greatest(words, 1.0::DOUBLE), 1.0::DOUBLE)),
-      6) AS quality
-  FROM scored
+    FROM {src}),
+  scored AS (
+    SELECT doc_id, text,
+      CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+           WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+           WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+           WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+           WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+           ELSE 'und' END AS lang_pred,
+      round(0.5::DOUBLE * least(n_len / 500::DOUBLE, 1.0::DOUBLE)
+          + 0.3::DOUBLE * least(stop_hits / greatest(words, 1.0::DOUBLE)
+                                * 5.0::DOUBLE, 1.0::DOUBLE)
+          + 0.2::DOUBLE * (1.0::DOUBLE
+              - least(punct / greatest(words, 1.0::DOUBLE), 1.0::DOUBLE)),
+        6) AS quality
+    FROM scored0)"""
+
+
+@q("text_lang_quality", f"""
+  WITH {_lang_quality_ctes('documents')}
+  SELECT doc_id, lang_pred, quality FROM scored
 """)
 def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -639,6 +649,16 @@ _PII_DOCS_SQL = """pii_docs AS (
     FROM documents)"""
 
 
+def _scrub_chain(base: str) -> str:
+    """The nested regexp_replace scrub expression over ``base`` — the one
+    SQL restatement of pipeline.text.pii_scrub's category chain."""
+    expr = base
+    for cat in ptext.PII_ORDER:
+        expr = (f"regexp_replace({expr}, '{ptext.PII_PATTERNS[cat]}', "
+                f"'[{cat.upper()}]', 'g')")
+    return expr
+
+
 def _pii_stats_sql() -> str:
     prev, ctes = "pii_docs", [_PII_DOCS_SQL]
     for i, cat in enumerate(ptext.PII_ORDER):
@@ -659,12 +679,9 @@ def _pii_stats_sql() -> str:
 
 
 def _pii_scrub_sql() -> str:
-    expr = "text"
-    for cat in ptext.PII_ORDER:
-        expr = (f"regexp_replace({expr}, '{ptext.PII_PATTERNS[cat]}', "
-                f"'[{cat.upper()}]', 'g')")
     return (f"\n  WITH {_PII_DOCS_SQL}\n"
-            f"  SELECT doc_id, {expr} AS clean_text FROM pii_docs\n")
+            f"  SELECT doc_id, {_scrub_chain('text')} AS clean_text "
+            f"FROM pii_docs\n")
 
 
 @q("pii_stats", _pii_stats_sql)
@@ -689,45 +706,21 @@ def doc_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _curation_pipeline_sql() -> str:
     """The full curation chain restated in SQL: PII-injected corpus →
     lang/quality gate → exact dedup → PII scrub → deterministic sample.
-    Reuses the per-stage mirrors (lang/quality exprs, scrub chain, XXH64
-    sample membership) verbatim."""
-    scrub = "text"
-    for cat in ptext.PII_ORDER:
-        scrub = (f"regexp_replace({scrub}, '{ptext.PII_PATTERNS[cat]}', "
-                 f"'[{cat.upper()}]', 'g')")
+    Every stage is the SHARED per-stage mirror (_lang_quality_ctes,
+    _scrub_chain, XXH64 sample membership) — no formula is restated a
+    second time, so engine/oracle parity has one source of truth."""
     keep = ", ".join(f"({d})"
                      for d in _oracles.sample_keep_ids(0.5)) or "(NULL)"
     return f"""
   WITH {_PII_DOCS_SQL},
-  scored AS (
-    SELECT doc_id, text,
-      CASE WHEN greatest({_LANG_SCORE_SQL['en']}, {_LANG_SCORE_SQL['es']},
-                         {_LANG_SCORE_SQL['fr']}, {_LANG_SCORE_SQL['de']})
-                <= 0 THEN 'und'
-           WHEN {_LANG_SCORE_SQL['en']} = greatest({_LANG_SCORE_SQL['en']},
-                {_LANG_SCORE_SQL['es']}, {_LANG_SCORE_SQL['fr']},
-                {_LANG_SCORE_SQL['de']}) THEN 'en'
-           ELSE 'other' END AS lang_pred,
-      round(0.5::DOUBLE
-          * least(CAST(length(text) AS DOUBLE) / 500::DOUBLE, 1.0::DOUBLE)
-        + 0.3::DOUBLE * least(CAST({_STOP_HITS_SQL} AS DOUBLE)
-            / greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
-                            AS DOUBLE), 1.0::DOUBLE) * 5.0::DOUBLE,
-            1.0::DOUBLE)
-        + 0.2::DOUBLE * (1.0::DOUBLE
-            - least(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
-                                               'g')) AS DOUBLE)
-                / greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
-                               AS DOUBLE), 1.0::DOUBLE), 1.0::DOUBLE)),
-        6) AS quality
-    FROM pii_docs),
+  {_lang_quality_ctes('pii_docs')},
   kept AS (SELECT doc_id, text FROM scored
            WHERE lang_pred = 'en' AND quality >= 0.5),
   dedup AS (SELECT doc_id, text FROM kept
             QUALIFY row_number() OVER (PARTITION BY md5(text)
                                        ORDER BY doc_id) = 1),
   keep(doc_id) AS (VALUES {keep})
-  SELECT d.doc_id, {scrub.replace('text', 'd.text')} AS clean_text
+  SELECT d.doc_id, {_scrub_chain('d.text')} AS clean_text
   FROM dedup d JOIN keep USING (doc_id)
 """
 
@@ -745,8 +738,7 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ptext.quality_score(t).alias("quality"))
             .where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
             .select("doc_id", "text"))
-    from .pipeline.dedup import exact_dedup
-    deduped = exact_dedup(kept)
+    deduped = pdedup.exact_dedup(kept)
     scrubbed = ptext.pii_scrub(deduped)
     return ptext.deterministic_sample(scrubbed, "doc_id", 0.5)
 

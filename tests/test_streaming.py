@@ -155,6 +155,7 @@ def test_pii_scrub_composes_with_readstream(spark, tmp_path):
     q = (ptext.pii_scrub(stream).writeStream.format("memory")
          .queryName("pii_stream").outputMode("append")
          .trigger(availableNow=True).start())
+    q.processAllAvailable()
     q.awaitTermination(120)
     got = {r["doc_id"]: r["clean_text"]
            for r in spark.sql("SELECT * FROM pii_stream").collect()}
