@@ -52,6 +52,7 @@ EXTRAS = [
     "ann_ivf_sq8_topk",      # IVF probe over int8 inverted lists
     "pii_stats",             # chained JVM regex curation scan
     "doc_sample",            # xxhash64 deterministic sampling
+    "curation_pipeline",     # composed gate→dedup→scrub→sample flagship
     "audio_features",        # Arrow map-only media decode
     "video_frame_sample",    # worker-side frame explode
 ]
