@@ -25,9 +25,30 @@ LANG_MARKERS = {
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 
-def _count_word(text: Column, word: str) -> Column:
-    """Occurrences of a whole word — size(split)-1, JVM-side."""
-    return F.size(F.split(text, rf"\b{word}\b")) - F.lit(1)
+# Every word the scoring heuristics look for, folded into ONE alternation:
+# a single regexp_extract_all pass per document replaces the ~24 per-word
+# split() scans the naive form needs. Equivalence: \b<word>\b matches are
+# exactly the word tokens equal to <word>, tokens are disjoint, and for a
+# given token exactly one alternative can satisfy both boundaries — so the
+# multiset of alternation matches equals the union of per-word matches
+# (the form the DuckDB oracle mirrors). The collapsed expression tree also
+# keeps the enclosing whole-stage-codegen method under the JVM's 64 KB
+# limit — the per-word form blew past it when fused with a partial
+# aggregate in curation_pipeline and fell back to interpreted execution.
+_SCORED_WORDS = tuple(sorted(
+    set(STOPWORDS) | {w for ws in LANG_MARKERS.values() for w in ws}))
+_HITS_PATTERN = r"\b(" + "|".join(_SCORED_WORDS) + r")\b"
+
+
+def word_hits(text: Column) -> Column:
+    """All marker/stopword occurrences in one regex pass (array of words).
+    Compute once and pass to quality_score() AND lang_id() to share it."""
+    return F.regexp_extract_all(F.lower(text), F.lit(_HITS_PATTERN), F.lit(1))
+
+
+def _hits_in(hits: Column, words) -> Column:
+    """How many extracted hits fall in ``words`` — cheap array op."""
+    return F.size(F.filter(hits, lambda x: x.isin(*words)))
 
 
 def tokens(text: Column) -> Column:
@@ -47,14 +68,17 @@ def bpe_ish_token_count(text: Column) -> Column:
     return alnum_runs + puncts
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, hits: Column | None = None) -> Column:
     """0..1 heuristic: longer docs, low punctuation density and a healthy
-    stopword ratio score higher. Deterministic closed form."""
+    stopword ratio score higher. Deterministic closed form. Pass the shared
+    ``word_hits(text)`` column when also computing lang_id to keep the
+    scan at one regex pass total."""
+    if hits is None:
+        hits = word_hits(text)
     n = F.length(text)
     words = token_count(text).cast("double")
     punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).cast("double")
-    stop_hits = sum((_count_word(F.lower(text), wrd) for wrd in STOPWORDS),
-                    F.lit(0)).cast("double")
+    stop_hits = _hits_in(hits, STOPWORDS).cast("double")
     len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
     punct_penalty = F.least(punct / F.greatest(words, F.lit(1.0)), F.lit(1.0))
     stop_score = F.least(stop_hits / F.greatest(words, F.lit(1.0)) * 5.0,
@@ -63,11 +87,12 @@ def quality_score(text: Column) -> Column:
                    + 0.2 * (1.0 - punct_penalty), 6)
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, hits: Column | None = None) -> Column:
     """Pick the language with the most marker-word hits; 'und' if none.
     Ties break by fixed language order (en, es, fr, de)."""
-    lowered = F.lower(text)
-    scores = {lang: sum((_count_word(lowered, wrd) for wrd in words), F.lit(0))
+    if hits is None:
+        hits = word_hits(text)
+    scores = {lang: _hits_in(hits, words)
               for lang, words in LANG_MARKERS.items()}
     best = F.greatest(*scores.values())
     expr = F.when(best <= 0, F.lit("und"))
@@ -83,12 +108,13 @@ def fingerprint(text: Column) -> Column:
 
 def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
+    h = word_hits(t)
     return documents.select(
         "doc_id",
         token_count(t).alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_subtokens"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_pred"),
+        quality_score(t, hits=h).alias("quality"),
+        lang_id(t, hits=h).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
 

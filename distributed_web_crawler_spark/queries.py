@@ -614,10 +614,11 @@ def _lang_quality_ctes(src: str) -> str:
 def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
+    h = ptext.word_hits(t)
     return docs.select(
         "doc_id",
-        ptext.lang_id(t).alias("lang_pred"),
-        ptext.quality_score(t).alias("quality"))
+        ptext.lang_id(t, hits=h).alias("lang_pred"),
+        ptext.quality_score(t, hits=h).alias("quality"))
 
 
 # ---------------------------------------------------------------------------
@@ -733,9 +734,10 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans; the only exchange is the dedup hash aggregate."""
     docs = _pii_docs(spark, sf_dir)
     t = F.col("text")
+    h = ptext.word_hits(t)
     kept = (docs.select("doc_id", "text",
-                        ptext.lang_id(t).alias("lang_pred"),
-                        ptext.quality_score(t).alias("quality"))
+                        ptext.lang_id(t, hits=h).alias("lang_pred"),
+                        ptext.quality_score(t, hits=h).alias("quality"))
             .where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
             .select("doc_id", "text"))
     deduped = pdedup.exact_dedup(kept)

@@ -99,3 +99,19 @@ def test_curation_pipeline_single_exchange_no_python(spark):
     assert plan.count("Exchange") == 1, plan[:1500]
     assert "Python" not in plan
     assert "partial_min_by" in plan
+
+
+def test_curation_pipeline_codegen_compiles(spark):
+    # The fused gate+dedup stage once blew the JVM 64 KB method limit
+    # (per-stopword regex splits inlined into sort_addToSorter_0) and
+    # silently fell back to interpreted execution. With fallback disabled
+    # a compile failure raises instead of degrading — run the whole plan
+    # that way so a codegen-size regression fails loudly.
+    old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        rows = Q.QUERIES["curation_pipeline"](spark, SF).count()
+        assert rows >= 0
+        assert Q.QUERIES["text_lang_quality"](spark, SF).count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
