@@ -53,6 +53,7 @@ EXTRAS = [
     "pii_stats",             # chained JVM regex curation scan
     "doc_sample",            # xxhash64 deterministic sampling
     "curation_pipeline",     # composed gate→dedup→scrub→sample flagship
+    "neardup_clusters",      # iterative large-star/small-star components
     "audio_features",        # Arrow map-only media decode
     "video_frame_sample",    # worker-side frame explode
 ]

@@ -412,3 +412,93 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     bucket = sum((bit * F.lit(2 ** i) for i, bit in enumerate(sign_bits)),
                  F.lit(0))
     return _tiled_pairs(e, bucket, threshold, block_size)
+
+
+# --------------------------------------------------------------------------
+# near-dup cluster formation: distributed connected components
+# --------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iters: int = 50) -> DataFrame:
+    """(node, cluster_id) for every node with at least one non-self edge
+    in ``pairs``; cluster_id is the component's minimum node id.
+
+    Turns the pairwise output of ANY near-dup generator (exact / n-gram /
+    MinHash / SimHash / pHash / embedding) into dedup groups — the step
+    between "these documents look alike" and "keep one representative per
+    group". Reference analog: the content_hash grouping intent of
+    /root/reference/schema.cql:17, generalized to fuzzy edges.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", public). Converges in
+    O(log² n) rounds on ANY graph (near-dup graphs are usually dense
+    band-bucket cliques that finish in 2-3), each round two shuffles on
+    the node-id key. Neighborhoods are never materialized as arrays —
+    both stars are min-aggregate + join-back, so a hub node costs a
+    hash-agg row, not a collect_list — and every intermediate edge set is
+    id-pairs only, O(E) rows. Iterates via localCheckpoint to truncate
+    lineage (on a real cluster point spark.checkpoint.dir at durable
+    storage and use checkpoint() if executor loss matters; rounds are
+    few). Convergence test is (count, bit_xor of pair-hash) equality —
+    order-independent, overflow-free.
+    """
+    a, b = F.col("a"), F.col("b")
+    # canonical directed form: a > b, nulls/self-loops dropped, distinct
+    edges = (pairs.select(F.greatest(src, dst).alias("a"),
+                          F.least(src, dst).alias("b"))
+             .where(a.isNotNull() & b.isNotNull() & (a != b))
+             .distinct())
+
+    def _stats(e: DataFrame) -> tuple:
+        row = e.agg(F.count(F.lit(1)).alias("n"),
+                    F.expr("bit_xor(xxhash64(a, b))").alias("x")).first()
+        return (row["n"], row["x"])
+
+    edges = edges.localCheckpoint(eager=True)
+    # node set from the CHECKPOINTED edges, not raw `pairs`: the (possibly
+    # expensive) pair-generator plan is evaluated exactly once. Nodes whose
+    # only edges were self-loops are excluded — they are singletons, which
+    # assign_clusters restores via its left join.
+    all_nodes = (edges.select(a.alias("node"))
+                 .union(edges.select(b.alias("node"))).distinct())
+    prev = _stats(edges)
+    for _ in range(max_iters):
+        # large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
+        nbr = edges.union(edges.select(b.alias("a"), a.alias("b")))
+        lmins = nbr.groupBy("a").agg(F.min("b").alias("mn"))
+        large = (nbr.join(lmins, "a").where(b > a)
+                 .select(b.alias("a"), F.least(F.col("mn"), a).alias("b"))
+                 .distinct())
+        # small-star on the (a > b) form: m = min neighbors-below ∪ self
+        smins = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (smins.select("a", F.col("m").alias("b"))
+                 .union(large.join(smins, "a")
+                        .where(b != F.col("m"))
+                        .select(b.alias("a"), F.col("m").alias("b")))
+                 .distinct())
+        edges = small.localCheckpoint(eager=True)
+        cur = _stats(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds")
+    # converged star graph: one (node → component-min) edge per non-root
+    return (all_nodes.join(edges, all_nodes["node"] == edges["a"], "left")
+            .select("node", F.coalesce("b", "node").alias("cluster_id")))
+
+
+def assign_clusters(documents: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id", src: str = "doc_a",
+                    dst: str = "doc_b") -> DataFrame:
+    """Documents + (cluster_id, is_canonical): singletons form their own
+    cluster; the minimum id in each component is the kept representative.
+    `where(is_canonical)` IS fuzzy dedup."""
+    labels = connected_components(pairs, src=src, dst=dst)
+    d = documents.join(labels, documents[id_col] == labels["node"], "left")
+    cid = F.coalesce(F.col("cluster_id"), documents[id_col])
+    return (d.select(*documents.columns, cid.alias("cluster_id"))
+            .withColumn("is_canonical",
+                        (F.col(id_col) == F.col("cluster_id"))))

@@ -749,8 +749,10 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard near-dup pairs (pipeline/dedup.ngram_jaccard_pairs)
 # ---------------------------------------------------------------------------
 
-@q("ngram_jaccard", r"""
-  WITH toks AS (
+# the word-3-gram Jaccard candidate/verify chain as CTEs ending in
+# njp(doc_a, doc_b, jaccard) — the ONE SQL restatement, shared by the
+# ngram_jaccard oracle and the neardup_clusters recursive-CTE oracle
+_NGRAM_PAIRS_CTES = r"""toks AS (
     SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
     FROM documents),
   sh AS (
@@ -765,19 +767,51 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
     FROM capped a JOIN capped b
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2)
-  SELECT doc_a, doc_b,
-         round(CAST(n_common AS DOUBLE)
-               / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
-  FROM common
-  JOIN sizes na ON na.doc_id = doc_a
-  JOIN sizes nb ON nb.doc_id = doc_b
-  WHERE round(CAST(n_common AS DOUBLE)
-              / (na.n_sh + nb.n_sh - n_common), 6) >= 0.3
+    GROUP BY 1, 2),
+  njp AS (
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE)
+                 / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE round(CAST(n_common AS DOUBLE)
+                / (na.n_sh + nb.n_sh - n_common), 6) >= 0.3)"""
+
+
+@q("ngram_jaccard", f"""
+  WITH {_NGRAM_PAIRS_CTES}
+  SELECT doc_a, doc_b, jaccard FROM njp
 """)
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.3, max_df=200)
+
+
+@q("neardup_clusters", f"""
+  WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+  edges AS (SELECT doc_a AS a, doc_b AS b FROM njp
+            UNION SELECT doc_b, doc_a FROM njp),
+  reach(node, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node),
+  labels AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+  SELECT d.doc_id,
+         coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+""")
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup group formation: n-gram near-dup pairs → connected
+    components (alternating large-star/small-star, O(log² n) rounds) →
+    per-document (cluster_id, is_canonical). `where(is_canonical)` is the
+    dedup; the oracle recomputes reachability as a DuckDB recursive CTE,
+    so the iterative distributed algorithm is value-checked end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = pdedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=200)
+    return (pdedup.assign_clusters(docs, pairs)
+            .select("doc_id", "cluster_id", "is_canonical"))
 
 
 # ---------------------------------------------------------------------------

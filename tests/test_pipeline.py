@@ -392,3 +392,56 @@ def test_ivf_sq8_full_probe_equals_sq8_brute_force(spark):
     brute_cos = {(q, v): c for q, v, _, c in brute}
     assert all(brute_cos.get((r["query_id"], r["vec_id"]), r["cosine"])
                == r["cosine"] for r in part)
+
+
+# ---------------------------------------------------------------------------
+# connected components / cluster assignment
+# ---------------------------------------------------------------------------
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    return {v: find(v) for v in touched}
+
+
+def test_connected_components_path_graph_worst_case(spark):
+    # a 12-node path is the adversarial case for naive label propagation;
+    # large-star/small-star must still converge (O(log² n) rounds)
+    edges = [(i, i + 1) for i in range(11)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    out = {r["node"]: r["cluster_id"]
+           for r in pdedup.connected_components(df).collect()}
+    assert out == {i: 0 for i in range(12)}
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = np.random.default_rng(11)
+    n = 200
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, n, size=(150, 2)) if a != b]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["node"]: r["cluster_id"]
+           for r in pdedup.connected_components(df).collect()}
+    assert got == _uf_components(n, edges)
+
+
+def test_assign_clusters_singletons_and_canonicals(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 3)], ["doc_a", "doc_b"])
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in pdedup.assign_clusters(docs, pairs).collect()}
+    assert rows == {0: (0, True), 1: (0, False), 2: (0, False),
+                    3: (3, True), 4: (3, False), 5: (5, True)}
