@@ -54,6 +54,8 @@ EXTRAS = [
     "doc_sample",            # xxhash64 deterministic sampling
     "curation_pipeline",     # composed gate→dedup→scrub→sample flagship
     "neardup_clusters",      # iterative large-star/small-star components
+    "line_dedup",            # explode → df-count → anti-join → reassemble
+    "repetition_signals",    # Gopher dup-line/2-gram fractions, map-only
     "audio_features",        # Arrow map-only media decode
     "video_frame_sample",    # worker-side frame explode
 ]

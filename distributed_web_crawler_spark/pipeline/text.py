@@ -171,3 +171,126 @@ def deterministic_sample(df: DataFrame, key_col: str, rate: float,
     nor stable under retries)."""
     return df.where(F.pmod(F.xxhash64(F.col(key_col)), F.lit(denom))
                     < F.lit(int(round(rate * denom))))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line-level dedup (CCNet-style boilerplate removal):
+# drop every line shared by more than max_df documents, keep the rest in
+# original order. The public CCNet pipeline does this with line hashes;
+# we anti-join on the exact trimmed line so no collision can drop a good
+# line (at extreme scale, key the exchange on xxhash64(line) and verify
+# the few positives exactly — same two-tier shape as the crawl's bloom
+# probes).
+# ---------------------------------------------------------------------------
+
+def line_dedup(documents: DataFrame, max_df: int = 5,
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_lines, n_kept): remove boilerplate lines.
+
+    Shuffle profile at 100 TB: explode lines (map-side) → distinct
+    (doc_id, line) → line-frequency count (one exchange on the line key,
+    partial agg combines map-side) → anti-join lines against the
+    over-frequent set (same key, exchange reused; AQE broadcasts when the
+    violator set is small, which boilerplate usually is) → per-document
+    reassembly (one exchange on doc_id). Empty/whitespace-only lines are
+    dropped outright. A document whose every line is boilerplate still
+    yields a row with clean_text = ''.
+    """
+    d = documents.select("doc_id", F.col(text_col).alias("_t"))
+    lines = (d.select("doc_id",
+                      F.posexplode(F.split("_t", "\n"))
+                      .alias("pos", "raw"))
+             .select("doc_id", "pos", F.trim("raw").alias("line"))
+             .where(F.length("line") > 0))
+    # document frequency: a line counts once per document containing it
+    too_common = (lines.select("line", "doc_id").distinct()
+                  .groupBy("line").agg(F.count(F.lit(1)).alias("df"))
+                  .where(F.col("df") > max_df)
+                  .select("line"))
+    kept = lines.join(too_common, "line", "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]),
+                        "\n").alias("clean_text"),
+                    F.count(F.lit(1)).alias("n_kept")))
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept")))
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition signals (the Gopher-paper quality filters):
+# duplicate-line fraction, duplicate-line character fraction, duplicate
+# 2-gram fraction, top-2-gram fraction. Pure Catalyst array expressions —
+# a single scan with zero exchange and zero Python, so at 100 TB the cost
+# is scan bandwidth; per-row work is O(lines² + grams·distinct_grams)
+# over one document's own content, bounded by document size.
+# ---------------------------------------------------------------------------
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.round(F.when(den > 0, num.cast("double") / den.cast("double"))
+                   .otherwise(F.lit(0.0)), 6)
+
+
+def _char_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0),
+                       lambda acc, x: acc + F.length(x)).cast("double")
+
+
+def repetition_signals(documents: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    # Each intermediate array is pinned to its own projection on purpose:
+    # higher-order functions are CodegenFallback expressions with no
+    # common-subexpression elimination, so if `grams` stayed an inline
+    # expression the nested top-count lambda would re-derive it (split,
+    # transform and all) once PER DISTINCT GRAM — O(n²) document
+    # re-parses. Referencing a non-cheap alias more than once stops
+    # Catalyst's CollapseProject from inlining, so every array below is
+    # computed exactly once per row.
+    t = F.col(text_col)
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    s1 = documents.select(
+        "doc_id",
+        F.filter(F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+                 lambda x: F.length(x) > 0).alias("_lines"),
+        toks.alias("_toks"))
+    n_grams = F.size(F.col("_toks")) - 1
+    s2 = s1.select(
+        "doc_id", "_lines",
+        F.array_distinct("_lines").alias("_dlines"),
+        F.when(
+            n_grams >= 1,
+            F.transform(F.sequence(F.lit(1), n_grams),
+                        lambda i: F.concat(F.element_at(F.col("_toks"), i),
+                                           F.lit(" "),
+                                           F.element_at(F.col("_toks"),
+                                                        i + 1)))
+        ).otherwise(F.array().cast("array<string>")).alias("_grams"))
+    s3 = s2.select("doc_id", "_lines", "_dlines", "_grams",
+                   F.array_distinct("_grams").alias("_dgrams"))
+
+    lines, dlines = F.col("_lines"), F.col("_dlines")
+    grams, dgrams = F.col("_grams"), F.col("_dgrams")
+    n_lines = F.size(lines)
+    top_count = F.when(
+        F.size(grams) >= 1,
+        F.array_max(F.transform(
+            dgrams, lambda g: F.size(F.filter(grams, lambda x: x == g))))
+    ).otherwise(F.lit(0))
+    return s3.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        _frac(n_lines - F.size(dlines), n_lines).alias("dup_line_frac"),
+        _frac(_char_sum(lines) - _char_sum(dlines),
+              _char_sum(lines)).alias("dup_line_char_frac"),
+        _frac(F.size(grams) - F.size(dgrams),
+              F.size(grams)).alias("dup_2gram_frac"),
+        _frac(top_count, F.size(grams)).alias("top_2gram_frac"))

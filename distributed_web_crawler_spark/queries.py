@@ -704,6 +704,119 @@ def doc_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length("text").cast("int").alias("n_chars"))
 
 
+# ---------------------------------------------------------------------------
+# line-level dedup (pipeline/text.line_dedup). The synthetic corpus is flat
+# word-soup, so both sides derive the same multi-line corpus: tokens folded
+# into 8-word lines plus three appended boilerplate lines with document
+# frequencies 500 / 10 / 1 — the operator under test is the cross-document
+# line-frequency dedup, the derivation is restated in the oracle CTE.
+# ---------------------------------------------------------------------------
+
+def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_lines - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * 8 + 1, 8), " ")),
+        "\n")
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(body,
+                 F.lit("\nfollow us\ncopyright host "),
+                 (d % 50).cast("string"),
+                 F.lit("\nsection "), d.cast("string")).alias("text"))
+
+
+_MULTILINE_DOCS_SQL = """mdocs AS (
+    SELECT doc_id,
+      array_to_string(
+        list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+                       i -> array_to_string(toks[i*8+1 : i*8+8], ' ')),
+        chr(10))
+      || chr(10) || 'follow us'
+      || chr(10) || 'copyright host ' || CAST(doc_id % 50 AS VARCHAR)
+      || chr(10) || 'section ' || CAST(doc_id AS VARCHAR) AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))"""
+
+
+@q("line_dedup", f"""
+  WITH {_MULTILINE_DOCS_SQL},
+  lines AS (
+    SELECT doc_id, i AS pos, trim(l[i]) AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM mdocs),
+         UNNEST(range(1, len(l) + 1)) AS u(i)
+    WHERE length(trim(l[i])) > 0),
+  toocommon AS (
+    SELECT line FROM (SELECT DISTINCT line, doc_id FROM lines)
+    GROUP BY line HAVING count(*) > 5),
+  kept AS (SELECT * FROM lines
+           WHERE line NOT IN (SELECT line FROM toocommon)),
+  rebuilt AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id),
+  totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+  SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+         CAST(t.n_lines AS BIGINT) AS n_lines,
+         CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+  FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+""")
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: drop lines shared by >5 documents,
+    reassemble the survivors in order."""
+    return ptext.line_dedup(_multiline_docs(spark, sf_dir), max_df=5)
+
+
+@q("repetition_signals", f"""
+  WITH {_MULTILINE_DOCS_SQL},
+  sig AS (
+    SELECT doc_id,
+      list_filter(list_transform(string_split(text, chr(10)),
+                                 x -> trim(x)),
+                  x -> length(x) > 0) AS lines,
+      string_split_regex(trim(lower(text)), '\\s+') AS toks
+    FROM mdocs),
+  g AS (
+    SELECT doc_id, lines, list_distinct(lines) AS dlines,
+      CASE WHEN len(toks) >= 2
+           THEN list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])
+           ELSE CAST([] AS VARCHAR[]) END AS grams
+    FROM sig),
+  h AS (
+    SELECT doc_id, lines, dlines, grams, list_distinct(grams) AS dgrams,
+      coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+        AS lchars,
+      coalesce(list_sum(list_transform(dlines, x -> length(x))), 0)
+        AS dchars
+    FROM g)
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    round(CASE WHEN len(lines) > 0 THEN
+      CAST(len(lines) - len(dlines) AS DOUBLE) / len(lines)
+      ELSE 0.0 END, 6) AS dup_line_frac,
+    round(CASE WHEN lchars > 0 THEN
+      CAST(lchars - dchars AS DOUBLE) / lchars ELSE 0.0 END, 6)
+      AS dup_line_char_frac,
+    round(CASE WHEN len(grams) > 0 THEN
+      CAST(len(grams) - len(dgrams) AS DOUBLE) / len(grams)
+      ELSE 0.0 END, 6) AS dup_2gram_frac,
+    round(CASE WHEN len(grams) > 0 THEN
+      CAST(list_max(list_transform(dgrams,
+             g2 -> len(list_filter(grams, x -> x = g2)))) AS DOUBLE)
+        / len(grams)
+      ELSE 0.0 END, 6) AS top_2gram_frac
+  FROM h
+""")
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality signals over the
+    derived multi-line corpus — single scan, zero exchange."""
+    return ptext.repetition_signals(_multiline_docs(spark, sf_dir))
+
+
 def _curation_pipeline_sql() -> str:
     """The full curation chain restated in SQL: PII-injected corpus →
     lang/quality gate → exact dedup → PII scrub → deterministic sample.

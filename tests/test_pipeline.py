@@ -445,3 +445,42 @@ def test_assign_clusters_singletons_and_canonicals(spark):
             for r in pdedup.assign_clusters(docs, pairs).collect()}
     assert rows == {0: (0, True), 1: (0, False), 2: (0, False),
                     3: (3, True), 4: (3, False), 5: (5, True)}
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    from distributed_web_crawler_spark.pipeline import text as ptext
+    docs = spark.createDataFrame(
+        [(1, "alpha one\nFOOTER\nbravo two"),
+         (2, "charlie\nFOOTER\n  \ndelta"),
+         (3, "FOOTER\necho"),
+         (4, "FOOTER"),               # every line boilerplate
+         (5, "FOOTER\nFOOTER\nfox")], # dup line within one doc: df counts once
+        ["doc_id", "text"])
+    out = {r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_kept"])
+           for r in ptext.line_dedup(docs, max_df=2).collect()}
+    assert out[1] == ("alpha one\nbravo two", 3, 2)
+    assert out[2] == ("charlie\ndelta", 3, 2)   # blank line dropped outright
+    assert out[3] == ("echo", 2, 1)
+    assert out[4] == ("", 1, 0)                 # row survives full removal
+    assert out[5] == ("fox", 3, 1)
+
+
+def test_repetition_signals_closed_form(spark):
+    from distributed_web_crawler_spark.pipeline import text as ptext
+    docs = spark.createDataFrame(
+        [(1, "a b\na b\nc d"),    # dup line 1/3; grams: "a b","b a","a b","b c","c d" -> dup 1/5, top 2/5
+         (2, "x\n\n x "),         # blank dropped; "x" duplicated
+         (3, "solo")],            # one line, one token, no grams
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in
+           ptext.repetition_signals(docs).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 3 and abs(r1["dup_line_frac"] - 1/3) < 1e-6
+    assert abs(r1["dup_line_char_frac"] - 3/9) < 1e-6
+    assert abs(r1["dup_2gram_frac"] - 0.2) < 1e-6
+    assert abs(r1["top_2gram_frac"] - 0.4) < 1e-6
+    r2 = out[2]
+    assert r2["n_lines"] == 2 and abs(r2["dup_line_frac"] - 0.5) < 1e-6
+    r3 = out[3]
+    assert (r3["n_lines"], r3["dup_2gram_frac"], r3["top_2gram_frac"]) == \
+        (1, 0.0, 0.0)
