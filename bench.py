@@ -56,6 +56,7 @@ EXTRAS = [
     "neardup_clusters",      # iterative large-star/small-star components
     "line_dedup",            # explode → df-count → anti-join → reassemble
     "repetition_signals",    # Gopher dup-line/2-gram fractions, map-only
+    "events_asof_join",      # union+running-last, one exchange + sort
     "audio_features",        # Arrow map-only media decode
     "video_frame_sample",    # worker-side frame explode
 ]

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from . import oracles as _oracles
 from .config import CrawlConfig, SynthWebConfig
+from .operators.asof import asof_join
 from .operators.extract import extract_children
 from .operators.gates import apply_gates
 from .operators.politeness import apply_politeness
@@ -1448,6 +1449,51 @@ def robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X10: timestamp arithmetic — politeness remaining-delay / retry-at shapes
 # (core/WebCrawler.java:243-247,289)
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# as-of join (operators/asof.py): each click joined to the user's most
+# recent view at-or-before it, voided when staler than 10 minutes. The
+# oracle is DuckDB's NATIVE ASOF LEFT JOIN — the engine's union+running-
+# last implementation is value-checked against a reference implementation
+# of the semantics, not a restatement of its own formula.
+# ---------------------------------------------------------------------------
+
+@q("events_asof_join", """
+  WITH r0 AS (
+    SELECT user_id, ts, value FROM (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id) AS rn
+      FROM events WHERE event_type = 'view') WHERE rn = 1),
+  l AS (SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'click')
+  SELECT l.event_id, l.user_id, l.ts, l.value,
+         epoch_us(CASE WHEN r.ts >= l.ts - INTERVAL 10 MINUTE
+                       THEN r.ts END) AS asof_ts_us,
+         CASE WHEN r.ts >= l.ts - INTERVAL 10 MINUTE THEN r.value END
+           AS asof_value
+  FROM l ASOF LEFT JOIN r0 r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id", "value"))
+    # right side made unique per (user, ts) — min event_id wins — so the
+    # as-of match is deterministic; hash agg, map-side partial
+    views = (ev.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.min_by("value", "event_id").alias("value")))
+    joined = asof_join(clicks, views, on="user_id", ts_col="ts",
+                       tolerance=F.expr("INTERVAL 10 MINUTES"))
+    # matched ts projected as nullable epoch micros: the harness compare
+    # (pandas assert_frame_equal) can't equate NaT across the ns/us
+    # datetime units the two engines return; int64-with-null is stable
+    return joined.select("event_id", "user_id", "ts", "value",
+                         F.unix_micros(F.col("asof_ts").cast("timestamp"))
+                         .alias("asof_ts_us"),
+                         "asof_value")
+
 
 @q("time_arithmetic", """
   SELECT event_id,

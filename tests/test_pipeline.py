@@ -484,3 +484,32 @@ def test_repetition_signals_closed_form(spark):
     r3 = out[3]
     assert (r3["n_lines"], r3["dup_2gram_frac"], r3["top_2gram_frac"]) == \
         (1, 0.0, 0.0)
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime as dt
+    from distributed_web_crawler_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 0), "l1"),
+         (1, dt(2024, 1, 1, 11, 0), "l2"),
+         (1, dt(2024, 1, 1, 9, 0), "l0"),   # before any right row
+         (2, dt(2024, 1, 1, 10, 30), "l3")],
+        ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 0), 100.0),   # equal ts: valid match
+         (1, dt(2024, 1, 1, 10, 45), 200.0),
+         (2, dt(2024, 1, 1, 7, 0), 300.0)],   # stale for the tolerance case
+        ["k", "ts", "v"])
+    out = {r["tag"]: (r["asof_ts"], r["asof_v"])
+           for r in asof_join(left, right, on="k").collect()}
+    assert out["l1"] == (dt(2024, 1, 1, 10, 0), 100.0)   # inclusive tie
+    assert out["l2"] == (dt(2024, 1, 1, 10, 45), 200.0)  # latest prior
+    assert out["l0"] == (None, None)                     # nothing before
+    assert out["l3"] == (dt(2024, 1, 1, 7, 0), 300.0)
+
+    tol = F.expr("INTERVAL 1 HOUR")
+    out2 = {r["tag"]: (r["asof_ts"], r["asof_v"])
+            for r in asof_join(left, right, on="k",
+                               tolerance=tol).collect()}
+    assert out2["l1"] == (dt(2024, 1, 1, 10, 0), 100.0)
+    assert out2["l3"] == (None, None)                    # match too stale

@@ -115,3 +115,11 @@ def test_curation_pipeline_codegen_compiles(spark):
         assert Q.QUERIES["text_lang_quality"](spark, SF).count() > 0
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_asof_join_is_union_window_not_range_join(spark):
+    # one hash exchange + window sort; never a cartesian/range explosion
+    plan = _plan(Q.QUERIES["events_asof_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
