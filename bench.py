@@ -142,12 +142,17 @@ def run_headline() -> dict:
     spark = get_spark("bench")
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    # construction is INSIDE the timed region: for declarative queries it
+    # is millisecond plan building, but iterative operators (e.g. the
+    # connected-components loop in neardup_clusters) do their distributed
+    # work during construction — timing only the final action would
+    # under-report them by orders of magnitude
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
-            df = qs[name](spark, SF_DIR)
             t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
+            qs[name](spark, SF_DIR).write.format("noop") \
+                .mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
@@ -155,9 +160,9 @@ def run_headline() -> dict:
     for name in EXTRAS:
         best = float("inf")
         for _ in range(2):
-            df = qs[name](spark, SF_DIR)
             t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
+            qs[name](spark, SF_DIR).write.format("noop") \
+                .mode("overwrite").save()
             best = min(best, time.time() - t0)
         extras[name] = round(best, 3)
 

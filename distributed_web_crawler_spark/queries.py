@@ -1549,6 +1549,23 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts_stream(spark, sf_dir)
 
 
+@q("events_stream_join", """
+  SELECT c.event_id AS click_id, c.user_id,
+         epoch_us(c.ts) AS click_ts_us, epoch_us(v.ts) AS view_ts_us,
+         v.value AS view_value
+  FROM events c JOIN events v
+    ON v.user_id = c.user_id
+   AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 60 MINUTE
+  WHERE c.event_type = 'click' AND v.event_type = 'view'
+""")
+def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks × views within the hour per
+    user), watermark-bounded state on both sides; the oracle is the batch
+    interval join."""
+    from .streaming import interval_join_stream
+    return interval_join_stream(spark, sf_dir, lookback="60 minutes")
+
+
 @q("events_first_seen", """
   SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM (
     SELECT user_id, event_id, ts, event_type,

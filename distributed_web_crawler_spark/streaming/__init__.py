@@ -1,4 +1,5 @@
 from .events_stream import (
+    interval_join_stream,
     sliding_counts_stream,
     tumbling_counts_stream,
     windowed_counts_update_query,

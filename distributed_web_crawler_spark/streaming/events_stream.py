@@ -100,3 +100,51 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str,
     return _drain_windowed_counts(spark, sf_dir,
                                   F.window("ts", window, slide),
                                   watermark, "events_stream_sliding")
+
+
+def interval_join_stream(spark: SparkSession, sf_dir: str,
+                         lookback: str = "10 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner interval join: every (click, view) pair for the
+    same user with view.ts in [click.ts - lookback, click.ts].
+
+    Both sides carry an event-time watermark and the join condition bounds
+    the time skew, so Spark can evict buffered state once the watermark
+    passes a row's ts + lookback — the state-bounded shape that survives
+    an unbounded deployment (an unbounded stream-stream join without the
+    time-range condition buffers both streams forever). Inner-join results
+    emit as found, so one availableNow drain in append mode equals the
+    batch interval join bit-for-bit — which is what the DuckDB oracle
+    checks."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    def src() -> DataFrame:
+        return (spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+                .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    clicks = (src().where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", watermark))
+    views = (src().where(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("v_ts"),
+                     F.col("value").alias("view_value"))
+             .withWatermark("v_ts", watermark))
+    joined = clicks.join(
+        views,
+        F.expr(f"c_user = v_user AND v_ts <= c_ts "
+               f"AND v_ts >= c_ts - INTERVAL {lookback}"))
+    out = joined.select(
+        "click_id", F.col("c_user").alias("user_id"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+        F.unix_micros("v_ts").alias("view_ts_us"), "view_value")
+    qname = f"events_stream_join_{next(_COUNTER)}"
+    query = (out.writeStream.outputMode("append")
+             .format("memory").queryName(qname)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(qname)

@@ -163,3 +163,30 @@ def test_pii_scrub_composes_with_readstream(spark, tmp_path):
             for r in ptext.pii_scrub(df).collect()}
     assert got == want
     assert got[1] == "mail [EMAIL] now" and got[2] == "server [IPV4] up"
+
+
+def test_stream_interval_join_equals_batch(spark):
+    from distributed_web_crawler_spark.streaming import interval_join_stream
+    streamed = interval_join_stream(spark, SF_DIR, lookback="60 minutes")
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    c = (ev.where(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id"), F.col("ts").alias("c_ts")))
+    v = (ev.where(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("v_ts"),
+                 F.col("value").alias("view_value")))
+    batch = (c.join(v, (F.col("user_id") == F.col("v_user"))
+                    & (F.col("v_ts") <= F.col("c_ts"))
+                    & (F.col("v_ts") >= F.col("c_ts")
+                       - F.expr("INTERVAL 60 MINUTES")))
+             .select("click_id", "user_id",
+                     F.unix_micros("c_ts").alias("click_ts_us"),
+                     F.unix_micros("v_ts").alias("view_ts_us"),
+                     "view_value"))
+    key = lambda r: (r["click_id"], r["view_ts_us"])  # noqa: E731
+    s = sorted(streamed.collect(), key=key)
+    b = sorted(batch.collect(), key=key)
+    assert len(s) > 0
+    assert [tuple(r) for r in s] == [tuple(r) for r in b]
