@@ -622,6 +622,67 @@ def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ptext.quality_score(t, hits=h).alias("quality"))
 
 
+@q("corpus_stats", f"""
+  WITH {_lang_quality_ctes('documents')},
+  toks AS (
+    SELECT s.doc_id, s.lang_pred, s.quality,
+           len(string_split_regex(trim(d.text), '\\s+')) AS n_tokens
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+  SELECT lang_pred, count(*) AS n_docs,
+         round(avg(quality), 6) AS avg_quality,
+         round(quantile_cont(n_tokens, 0.5), 6) AS med_tokens,
+         round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens
+  FROM toks GROUP BY lang_pred
+""")
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile with EXACT quantiles (sort-based
+    percentile, linear interpolation — matches DuckDB quantile_cont
+    bit-for-bit after rounding). One shuffle on lang_pred; the percentile
+    buffer is per-group. At extreme cardinality swap percentile for
+    approx_percentile and accept the sketch (documented trade)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    h = ptext.word_hits(t)
+    scored = docs.select(
+        ptext.lang_id(t, hits=h).alias("lang_pred"),
+        ptext.quality_score(t, hits=h).alias("quality"),
+        ptext.token_count(t).alias("n_tokens"))
+    return (scored.groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("quality"), 6).alias("avg_quality"),
+                 F.round(F.percentile("n_tokens", F.lit(0.5)), 6)
+                 .alias("med_tokens"),
+                 F.round(F.percentile("n_tokens", F.lit(0.9)), 6)
+                 .alias("p90_tokens")))
+
+
+@q("corpus_rollup", f"""
+  WITH {_lang_quality_ctes('documents')}
+  SELECT coalesce(lang_pred, '(all)') AS lang,
+         coalesce(CAST(floor(quality * 5) AS INT), -1) AS q_bucket,
+         count(*) AS n_docs
+  FROM scored
+  GROUP BY ROLLUP (lang_pred, CAST(floor(quality * 5) AS INT))
+""")
+def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (language × quality-bucket) rollup — subtotals and a
+    grand total in one pass; Spark plans ROLLUP as a single Expand +
+    hash aggregate, still one exchange. Null grouping keys are projected
+    to sentinels so the compare harness never sorts mixed None/str."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    h = ptext.word_hits(t)
+    scored = docs.select(
+        ptext.lang_id(t, hits=h).alias("lang_pred"),
+        F.floor(ptext.quality_score(t, hits=h) * 5).cast("int")
+        .alias("qb"))
+    return (scored.rollup("lang_pred", "qb")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(F.coalesce("lang_pred", F.lit("(all)")).alias("lang"),
+                    F.coalesce("qb", F.lit(-1)).alias("q_bucket"),
+                    "n_docs"))
+
+
 # ---------------------------------------------------------------------------
 # PII scrub/stats (pipeline/text.pii_*). The synthetic corpus carries no
 # PII, so both sides append the same deterministic PII suffixes (keyed by
