@@ -338,20 +338,50 @@ def _image_group(m: int, dup_mod: int):
 _IDS_CTE = "ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n})"
 
 
-def phash_neardup_sql(n: int = 128, dup_mod: int = 96,
-                      max_hamming: int = 10) -> str:
+def _phash_sigs_ctes(n: int, dup_mod: int) -> str:
+    """ids/ph/sigs CTE chain: per-image phash signatures from the Python
+    codec mirror — shared by the pair and cluster oracles."""
     vals = ",\n    ".join(
         f"({m}, {_image_group(m, dup_mod)['phash']})"
         for m in range(dup_mod))
-    return f"""
-  WITH {_IDS_CTE.format(n=n)},
+    return f"""{_IDS_CTE.format(n=n)},
   ph(m, phash) AS (VALUES
     {vals}),
   sigs AS (SELECT printf('img-%08d', ids.doc_id) AS image_id,
                   CAST(ph.phash AS BIGINT) AS sig
-           FROM ids JOIN ph ON ids.doc_id % {dup_mod} = ph.m),
+           FROM ids JOIN ph ON ids.doc_id % {dup_mod} = ph.m)"""
+
+
+def phash_neardup_sql(n: int = 128, dup_mod: int = 96,
+                      max_hamming: int = 10) -> str:
+    return f"""
+  WITH {_phash_sigs_ctes(n, dup_mod)},
   {_hamming_band_join_sql('sigs', 'image_id', 'img_a', 'img_b',
                           max_hamming)}
+"""
+
+
+def image_clusters_sql(n: int = 128, dup_mod: int = 96,
+                       max_hamming: int = 10) -> str:
+    """phash pairs → connected components via recursive reachability —
+    the image-side mirror of the neardup_clusters oracle."""
+    pair_query = _hamming_band_join_sql('sigs', 'image_id',
+                                        'img_a', 'img_b', max_hamming)
+    return f"""
+  WITH RECURSIVE {_phash_sigs_ctes(n, dup_mod)},
+  pairs AS (WITH {pair_query}),
+  edges AS (SELECT img_a AS a, img_b AS b FROM pairs
+            UNION SELECT img_b, img_a FROM pairs),
+  reach(node, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node),
+  labels AS (SELECT node, min(comp) AS cluster_id FROM reach
+             GROUP BY node)
+  SELECT s.image_id,
+         coalesce(l.cluster_id, s.image_id) AS cluster_id,
+         coalesce(l.cluster_id, s.image_id) = s.image_id AS is_canonical
+  FROM sigs s LEFT JOIN labels l ON l.node = s.image_id
 """
 
 

@@ -1143,6 +1143,22 @@ def phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _images_df(spark, sf_dir), max_hamming=10)
 
 
+@q("image_dedup_clusters", lambda: _oracles.image_clusters_sql(
+    max_hamming=10))
+def image_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image fuzzy dedup end-to-end: phash Hamming pairs → connected
+    components → per-image (cluster_id, is_canonical) — the composed
+    image-side dedup a crawl-to-training pipeline runs. cluster_id is the
+    lexicographic-min image id; the oracle recomputes reachability from
+    the codec-mirror phash VALUES as a recursive CTE."""
+    imgs = _images_df(spark, sf_dir)
+    pairs = multimodal.phash_hamming_neardup(imgs, max_hamming=10)
+    return (pdedup.assign_clusters(imgs.select("image_id"), pairs,
+                                   id_col="image_id",
+                                   src="img_a", dst="img_b")
+            .select("image_id", "cluster_id", "is_canonical"))
+
+
 @q("audio_features", lambda: _oracles.audio_features_sql())
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction over opaque binary clips (duration, RMS,
