@@ -123,3 +123,33 @@ def test_asof_join_is_union_window_not_range_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    # bucketBy records the hash layout in the catalog: an equi-join of two
+    # tables bucketed the same way on the join key shuffles NOTHING
+    from distributed_web_crawler_spark.tables.bucketed import write_bucketed
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = write_bucketed(spark, docs.select("doc_id", "text"),
+                           "bkt_docs_a", "doc_id", 8,
+                           path=str(tmp_path / "a"))
+        b = write_bucketed(spark, docs.select(
+                               "doc_id", F.length("text").alias("n")),
+                           "bkt_docs_b", "doc_id", 8,
+                           path=str(tmp_path / "b"))
+        j = a.join(b, "doc_id")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan[:2000]
+        assert j.count() == docs.count()
+        # the same join on unbucketed parquet shuffles both sides
+        plain = docs.select("doc_id", "text").join(
+            docs.select("doc_id", F.length("text").alias("n")), "doc_id")
+        assert "Exchange" in _plan(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_docs_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_docs_b")
