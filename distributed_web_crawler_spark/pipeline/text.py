@@ -294,3 +294,75 @@ def repetition_signals(documents: DataFrame,
         _frac(F.size(grams) - F.size(dgrams),
               F.size(grams)).alias("dup_2gram_frac"),
         _frac(top_count, F.size(grams)).alias("top_2gram_frac"))
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary — heavy hitters and per-document TF-IDF keywords.
+# The building blocks of tokenizer training (BPE seed vocab) and of
+# keyword-based corpus slicing at training-pipeline scale.
+# ---------------------------------------------------------------------------
+
+def _token_rows(documents: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, token) rows: lowercased whitespace tokens, empties dropped.
+    explode() runs inside the scan stage, so the shuffle downstream carries
+    tokens, never document text."""
+    return (documents
+            .select("doc_id",
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("token"))
+            .where(F.col("token") != ""))
+
+
+def vocab_topk(documents: DataFrame, k: int = 50,
+               text_col: str = "text") -> DataFrame:
+    """Top-k corpus vocabulary by term frequency (ties broken by token).
+
+    Scale shape: one partial-aggregating shuffle on the token, then a
+    per-partition top-k merged on the driver (TakeOrderedAndProject) — no
+    global sort. df (document frequency) rides on the same aggregate as a
+    distinct-count, which Spark plans as the standard two-phase expand;
+    at 100 TB swap count_distinct for approx_count_distinct and the plan
+    collapses back to a single phase (kept exact here for oracle parity).
+    Returns (token, tf, df)."""
+    return (_token_rows(documents, text_col)
+            .groupBy("token")
+            .agg(F.count("*").alias("tf"),
+                 F.count_distinct("doc_id").alias("df"))
+            .orderBy(F.desc("tf"), F.asc("token"))
+            .limit(k))
+
+
+def tfidf_topterms(documents: DataFrame, k: int = 3,
+                   text_col: str = "text") -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF.
+
+    tfidf = tf * ln((N+1)/(df+1)), quantized to 1e-6 before ranking so
+    float ties break identically on any engine (ranking order:
+    tfidf desc, token asc). N (corpus size) is a one-row aggregate
+    broadcast into the scoring join — never a driver-side count.
+
+    Scale shape: tf = one shuffle on (doc_id, token) with map-side
+    combine; df = a second partial agg over the *already reduced* tf
+    table; the df table joins back on the token (shuffle join — df is
+    O(vocabulary), broadcastable in practice but kept robust here); the
+    final top-k per document is a window over the doc_id partition.
+    Returns (doc_id, token, tf, df, tfidf, rank)."""
+    from pyspark.sql import Window
+
+    tf = (_token_rows(documents, text_col)
+          .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (tf.join(dfreq, "token")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+                  "tfidf",
+                  F.round(F.col("tf").cast("double") *
+                          F.log((F.col("n_docs") + F.lit(1)).cast("double")
+                                / (F.col("df") + F.lit(1)).cast("double")),
+                          6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"),
+                                             F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "token", "tf", "df", "tfidf", "rank"))

@@ -684,6 +684,56 @@ def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# vocabulary heavy hitters + per-document TF-IDF keywords (pipeline/text)
+# ---------------------------------------------------------------------------
+
+@q("vocab_topk", r"""
+  WITH tok0 AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents),
+  agg AS (
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM tok0 WHERE token <> '' GROUP BY token)
+  SELECT token, tf, df FROM agg ORDER BY tf DESC, token LIMIT 50
+""")
+def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50: partial-agg shuffle on the token, then
+    TakeOrderedAndProject (per-partition top-k, no global sort)."""
+    return ptext.vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+@q("tfidf_topterms", r"""
+  WITH tok0 AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents),
+  tfreq AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM tok0 WHERE token <> '' GROUP BY doc_id, token),
+  dfreq AS (SELECT token, count(*) AS df FROM tfreq GROUP BY token),
+  n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+  scored AS (
+    SELECT t.doc_id, t.token, t.tf, d.df,
+           round(CAST(t.tf AS DOUBLE)
+                 * ln(CAST(n.n_docs + 1 AS DOUBLE)
+                      / CAST(d.df + 1 AS DOUBLE)), 6) AS tfidf
+    FROM tfreq t JOIN dfreq d USING (token) CROSS JOIN n),
+  ranked AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+    FROM scored)
+  SELECT doc_id, token, tf, df, tfidf, CAST(rank AS INTEGER) AS rank
+  FROM ranked WHERE rank <= 3
+""")
+def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords. tfidf is quantized to 1e-6 on
+    BOTH sides before ranking, so the window order (tfidf desc, token)
+    cannot be perturbed by the ~1-ulp latitude engines have on ln()."""
+    return ptext.tfidf_topterms(_t(spark, sf_dir, "documents"), k=3)
+
+
+# ---------------------------------------------------------------------------
 # PII scrub/stats (pipeline/text.pii_*). The synthetic corpus carries no
 # PII, so both sides append the same deterministic PII suffixes (keyed by
 # doc_id) before the operator runs — the operator itself is what's under

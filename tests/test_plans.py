@@ -153,3 +153,17 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_docs_a")
         spark.sql("DROP TABLE IF EXISTS bkt_docs_b")
+
+
+def test_vocab_topk_take_ordered_no_global_sort(spark):
+    plan = _plan(Q.QUERIES["vocab_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "partial_count" in plan, "must combine map-side"
+
+
+def test_tfidf_topk_window_group_limit(spark):
+    """The per-doc top-k must push below the window exchange as a partial
+    WindowGroupLimit (rank filter evaluated per-partition first)."""
+    plan = _plan(Q.QUERIES["tfidf_topterms"](spark, SF))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
