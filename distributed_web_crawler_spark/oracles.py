@@ -551,3 +551,42 @@ def crawl_flagship_sql() -> str:
   FROM (VALUES
     {vals}) t(round, metric, value)
 """
+
+
+def host_pagerank_sql(n_nodes: int = 32, iterations: int = 6,
+                      damping: float = 0.5) -> str:
+    """Unrolled-iteration PageRank oracle. Bit-exact vs Spark because the
+    query's parameters keep every intermediate a dyadic rational (see
+    pipeline/graph.pagerank docstring): summation order cannot matter.
+    Constants ride as quoted strings → DOUBLE (bare decimals parse as
+    DECIMAL and would re-round)."""
+    from .pipeline.graph import HOST_EDGE_FNS
+
+    teleport = (1.0 - damping) / n_nodes
+    edge_sel = "\n    UNION ALL ".join(
+        f"SELECT node AS src, (node * {a} + {b}) % {n_nodes} AS dst "
+        f"FROM nodes"
+        for a, b in HOST_EDGE_FNS)
+    ctes = [f"""nodes AS (
+    SELECT DISTINCT doc_id % {n_nodes} AS node FROM documents),
+  edges AS (
+    {edge_sel}),
+  deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+  edeg AS (SELECT e.src, e.dst, d.outdeg
+           FROM edges e JOIN deg d ON d.src = e.src),
+  r0 AS (SELECT node, CAST(1 AS DOUBLE) / {n_nodes} AS rank FROM nodes)"""]
+    for k in range(iterations):
+        ctes.append(f"""r{k + 1} AS (
+    SELECT n.node,
+           CAST('{teleport!r}' AS DOUBLE)
+             + CAST('{damping!r}' AS DOUBLE)
+               * coalesce(inc.s, CAST(0 AS DOUBLE)) AS rank
+    FROM nodes n LEFT JOIN (
+      SELECT e.dst AS node, sum(r.rank / e.outdeg) AS s
+      FROM edeg e JOIN r{k} r ON r.node = e.src
+      GROUP BY e.dst) inc ON inc.node = n.node)""")
+    joined = ",\n  ".join(ctes)
+    return f"""
+  WITH {joined}
+  SELECT node, rank FROM r{iterations}
+"""

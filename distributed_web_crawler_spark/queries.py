@@ -734,6 +734,26 @@ def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# iterative host PageRank over the link graph (pipeline/graph)
+# ---------------------------------------------------------------------------
+
+@q("host_pagerank", lambda: _oracles.host_pagerank_sql(
+    n_nodes=32, iterations=6, damping=0.5))
+def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six PageRank iterations over a 4-regular host graph whose node set
+    is discovered from the data. Edges are partitioned by dst once and
+    cached; each iteration broadcasts the rank vector and aggregates
+    exchange-free. Bit-exact vs the unrolled-CTE oracle because damping,
+    1/n and every out-degree are powers of two (dyadic doubles: summation
+    order cannot change the result)."""
+    from .pipeline import graph as pgraph
+    nodes, edges = pgraph.host_graph(_t(spark, sf_dir, "documents"),
+                                     n_nodes=32)
+    return pgraph.pagerank(nodes, edges, n_nodes=32, iterations=6,
+                           damping=0.5)
+
+
+# ---------------------------------------------------------------------------
 # PII scrub/stats (pipeline/text.pii_*). The synthetic corpus carries no
 # PII, so both sides append the same deterministic PII suffixes (keyed by
 # doc_id) before the operator runs — the operator itself is what's under

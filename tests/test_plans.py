@@ -167,3 +167,34 @@ def test_tfidf_topk_window_group_limit(spark):
     plan = _plan(Q.QUERIES["tfidf_topterms"](spark, SF))
     assert "WindowGroupLimit" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iteration_aggregate_is_exchange_free(spark):
+    """Each PageRank iteration must reuse the cached dst-partitioning of
+    the edge table: no ENSURE_REQUIREMENTS shuffle on dst in the loop
+    body (the only dst exchange is the one-time REPARTITION_BY_COL cache
+    build), and the rank vector must broadcast, never sort-merge."""
+    from distributed_web_crawler_spark.pipeline import graph as pgraph
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    nodes, edges = pgraph.host_graph(docs, 32)
+    df = pgraph.pagerank(nodes, edges, 32, iterations=3)
+    plan = _plan(df)
+    ensure_dst = [ln for ln in plan.splitlines()
+                  if "Exchange hashpartitioning(dst" in ln
+                  and "ENSURE_REQUIREMENTS" in ln]
+    assert not ensure_dst, ensure_dst
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_mass_is_exactly_conserved(spark):
+    """4-regular bijective graph + dyadic damping ⇒ total rank mass is
+    EXACTLY 1.0 after any number of iterations — the bit-exactness
+    contract the oracle relies on."""
+    from distributed_web_crawler_spark.pipeline import graph as pgraph
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    nodes, edges = pgraph.host_graph(docs, 32)
+    rows = pgraph.pagerank(nodes, edges, 32, iterations=6).collect()
+    assert sum(r["rank"] for r in rows) == 1.0
+    assert len(rows) == 32
