@@ -291,11 +291,15 @@ SYNTH_IMAGE_SCHEMA = (
 )
 
 
-def images_for_keys(cfg: SynthWebConfig, dup_mod: int = 0):
+def images_for_keys(cfg: SynthWebConfig, dup_mod: int = 0,
+                    caption_dup_mod: int | None = None):
     """Arrow-batched generator of input_hint image rows — one deterministic
     image+caption per input key (`doc_id` column). Used to materialize the
     BASELINE.json input table at any scale without external data.
-    dup_mod > 0 folds keys modulo dup_mod, creating exact-duplicate groups."""
+    dup_mod > 0 folds keys modulo dup_mod, creating exact-duplicate groups.
+    caption_dup_mod (default: follow dup_mod) folds the CAPTION key
+    separately — a coarser caption modulus yields caption-duplicate groups
+    spanning several distinct payloads, the shape cross-modal dedup needs."""
     import pandas as pd
 
     def gen(batches):
@@ -304,6 +308,8 @@ def images_for_keys(cfg: SynthWebConfig, dup_mod: int = 0):
                     ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
             for key in pdf["doc_id"]:
                 ck = f"doc:{int(key) % dup_mod if dup_mod else int(key)}"
+                cap_mod = caption_dup_mod if caption_dup_mod else dup_mod
+                ck_cap = f"doc:{int(key) % cap_mod if cap_mod else int(key)}"
                 h = _dint(cfg.seed, "img", ck)
                 span = max(1, cfg.max_dim - cfg.min_dim + 1)
                 w = cfg.min_dim + (h % span)
@@ -317,7 +323,8 @@ def images_for_keys(cfg: SynthWebConfig, dup_mod: int = 0):
                 rows["h"].append(ht)
                 rows["fmt"].append(fmt)
                 rows["caption"].append(
-                    f"cap {ck} " + _digest(cfg.seed, "cap", ck).hex()[:16])
+                    f"cap {ck_cap} "
+                    + _digest(cfg.seed, "cap", ck_cap).hex()[:16])
                 rows["phash"].append(average_phash(decode_image(buf)[0]))
             yield pd.DataFrame({
                 "image_id": rows["image_id"], "bytes": rows["bytes"],

@@ -590,3 +590,91 @@ def host_pagerank_sql(n_nodes: int = 32, iterations: int = 6,
   WITH {joined}
   SELECT node, rank FROM r{iterations}
 """
+
+
+def _caption_for(mc: int) -> str:
+    """The synthetic caption for caption-group key mc — mirrors
+    crawl/synthweb.images_for_keys (pure ASCII, safe as a SQL literal)."""
+    from .config import SynthWebConfig
+    from .crawl.synthweb import _digest
+
+    cfg = SynthWebConfig()
+    ck = f"doc:{mc}"
+    return f"cap {ck} " + _digest(cfg.seed, "cap", ck).hex()[:16]
+
+
+def _image_caption_ctes(n: int, dup_mod: int, caption_dup_mod: int) -> str:
+    """ids/v/imgs CTE chain exposing (image_id, w, h, fmt, caption, phash)
+    from the codec + caption Python mirrors — the oracle-side restatement
+    of queries._images_df(n, dup_mod, caption_dup_mod)."""
+    vals = ",\n    ".join(
+        "({m}, {w}, {h}, '{fmt}', '{cap}', {phash})".format(
+            m=m, w=g["w"], h=g["h"], fmt=g["fmt"],
+            cap=_caption_for(m % caption_dup_mod), phash=g["phash"])
+        for m, g in ((m, _image_group(m, dup_mod)) for m in range(dup_mod)))
+    return f"""{_IDS_CTE.format(n=n)},
+  v(m, w, h, fmt, caption, phash) AS (VALUES
+    {vals}),
+  imgs AS (SELECT printf('img-%08d', ids.doc_id) AS image_id,
+                  CAST(v.w AS INTEGER) AS w, CAST(v.h AS INTEGER) AS h,
+                  v.fmt, v.caption, CAST(v.phash AS BIGINT) AS phash
+           FROM ids JOIN v ON ids.doc_id % {dup_mod} = v.m)"""
+
+
+def caption_phash_dedup_sql(n: int = 128, dup_mod: int = 96,
+                            caption_dup_mod: int = 48) -> str:
+    return rf"""
+  WITH {_image_caption_ctes(n, dup_mod, caption_dup_mod)},
+  base AS (
+    SELECT image_id,
+           sha256(regexp_replace(lower(trim(caption)), '\s+', ' ', 'g'))
+             AS caption_fp,
+           phash
+    FROM imgs),
+  grp AS (SELECT caption_fp, count(*) AS n_caption_dups,
+                 count(DISTINCT phash) AS n_phash_variants
+          FROM base GROUP BY caption_fp),
+  var AS (SELECT caption_fp, phash, min(image_id) AS keeper
+          FROM base GROUP BY caption_fp, phash)
+  SELECT b.image_id, b.caption_fp, g.n_caption_dups,
+         CAST(g.n_phash_variants AS BIGINT) AS n_phash_variants,
+         b.image_id = var.keeper AS keep
+  FROM base b
+  JOIN grp g USING (caption_fp)
+  JOIN var ON var.caption_fp = b.caption_fp AND var.phash = b.phash
+"""
+
+
+def image_curation_sql(n: int = 128, dup_mod: int = 96,
+                       caption_dup_mod: int = 48) -> str:
+    from .pipeline.multimodal import (
+        CURATION_BUCKET,
+        CURATION_FMTS,
+        CURATION_MAX_ASPECT_NUM,
+        CURATION_MIN_CAPTION_TOKENS,
+        CURATION_MIN_SIDE,
+    )
+
+    fmts = ", ".join(f"'{f}'" for f in CURATION_FMTS)
+    return rf"""
+  WITH {_image_caption_ctes(n, dup_mod, caption_dup_mod)},
+  sized AS (
+    SELECT image_id, w, h, fmt,
+           least(w, h) AS short, greatest(w, h) AS lng,
+           len(string_split_regex(trim(caption), '\s+')) AS cap_toks
+    FROM imgs),
+  decided AS (
+    SELECT image_id, w, h, fmt,
+           (short - (short % {CURATION_BUCKET})) AS bucket,
+           CASE
+             WHEN short < {CURATION_MIN_SIDE} THEN 'too_small'
+             WHEN lng > {CURATION_MAX_ASPECT_NUM} * short THEN 'bad_aspect'
+             WHEN cap_toks < {CURATION_MIN_CAPTION_TOKENS}
+               THEN 'short_caption'
+             WHEN fmt NOT IN ({fmts}) THEN 'bad_format'
+             ELSE 'ok'
+           END AS reason
+    FROM sized)
+  SELECT image_id, w, h, fmt, bucket, reason, reason = 'ok' AS keep
+  FROM decided
+"""

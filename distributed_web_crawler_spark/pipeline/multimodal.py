@@ -403,3 +403,78 @@ def video_frame_sample(videos: DataFrame, every_k: int = 4,
 
     return videos.select(id_col, bytes_col).mapInPandas(
         sample, VIDEO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# cross-modal dedup + curation over the image+caption input table
+# (BASELINE.json input_hint shape). Both are pure Catalyst — the payload
+# `bytes` column is never touched, so the scans column-prune it away.
+# ---------------------------------------------------------------------------
+
+def caption_phash_dedup(images: DataFrame) -> DataFrame:
+    """Caption-group dedup verified cross-modally against the pixels.
+
+    Images are grouped by a normalized caption fingerprint; within a
+    caption group, rows whose phash also matches are true duplicates (keep
+    one), while rows sharing the caption but differing in pixels are
+    distinct training pairs that text-only dedup would wrongly collapse —
+    they all survive, one per payload variant:
+        keep = image_id == min(image_id) over (caption_fp, phash).
+
+    Scale shape: ONE exchange. The caption-level window runs first (hash
+    clustering on caption_fp), then the (caption_fp, phash) window — its
+    clustering requirement is satisfied by the existing caption_fp
+    partitioning, so Spark adds only a re-sort, no second shuffle
+    (pinned in tests/test_plans.py).
+
+    Returns (image_id, caption_fp, n_caption_dups, n_phash_variants,
+    keep)."""
+    from pyspark.sql import Window
+
+    fp = F.sha2(F.regexp_replace(F.lower(F.trim(F.col("caption"))),
+                                 r"\s+", " "), 256)
+    base = images.select("image_id", fp.alias("caption_fp"), "phash")
+    w_cap = Window.partitionBy("caption_fp")
+    w_var = Window.partitionBy("caption_fp", "phash")
+    return (base
+            .withColumn("n_caption_dups",
+                        F.count(F.lit(1)).over(w_cap))
+            .withColumn("n_phash_variants",
+                        F.size(F.collect_set("phash").over(w_cap))
+                        .cast("long"))
+            .withColumn("keep",
+                        F.col("image_id") == F.min("image_id").over(w_var))
+            .select("image_id", "caption_fp", "n_caption_dups",
+                    "n_phash_variants", "keep"))
+
+
+# curation rule thresholds (LAION-style pre-training filters)
+CURATION_MIN_SIDE = 12
+CURATION_MAX_ASPECT_NUM = 2   # greatest(w,h) <= 2 * least(w,h)
+CURATION_MIN_CAPTION_TOKENS = 3
+CURATION_FMTS = ("png", "jpeg")
+CURATION_BUCKET = 8
+
+
+def image_curation(images: DataFrame) -> DataFrame:
+    """Per-image curation decision for a text-image pre-training corpus:
+    resolution floor, aspect-ratio cap, caption-richness floor, format
+    whitelist — first failing rule wins (fixed order), survivors get
+    reason 'ok'. bucket is the short-side resolution bucket the sampler
+    groups by. Integer arithmetic only — engine-exact by construction.
+    Map-only: no shuffle, no UDF, payload bytes pruned from the scan."""
+    short = F.least(F.col("w"), F.col("h"))
+    long_ = F.greatest(F.col("w"), F.col("h"))
+    cap_toks = F.size(F.split(F.trim(F.col("caption")), r"\s+"))
+    reason = (
+        F.when(short < CURATION_MIN_SIDE, F.lit("too_small"))
+        .when(long_ > CURATION_MAX_ASPECT_NUM * short, F.lit("bad_aspect"))
+        .when(cap_toks < CURATION_MIN_CAPTION_TOKENS,
+              F.lit("short_caption"))
+        .when(~F.col("fmt").isin(*CURATION_FMTS), F.lit("bad_format"))
+        .otherwise(F.lit("ok")))
+    return images.select(
+        "image_id", "w", "h", "fmt",
+        (short - short % CURATION_BUCKET).alias("bucket"),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"))

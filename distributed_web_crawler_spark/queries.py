@@ -1186,14 +1186,17 @@ def _media_keys(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
 
 
 def _images_df(spark: SparkSession, sf_dir: str, n: int = 128,
-               dup_mod: int = 96) -> DataFrame:
+               dup_mod: int = 96,
+               caption_dup_mod: int | None = None) -> DataFrame:
     """Deterministic image table per BASELINE.json input_hint, derived from
     doc_ids through the synthetic codec (crawl/synthweb.py). dup_mod < n
     creates exact-duplicate payload groups (phash Hamming 0) so the image
-    near-dup operator has real work."""
+    near-dup operator has real work; a coarser caption_dup_mod makes
+    caption groups span several payload variants (cross-modal dedup)."""
     from .crawl.synthweb import SYNTH_IMAGE_SCHEMA, images_for_keys
     return _media_keys(spark, sf_dir, n).mapInPandas(
-        images_for_keys(SynthWebConfig(), dup_mod=dup_mod),
+        images_for_keys(SynthWebConfig(), dup_mod=dup_mod,
+                        caption_dup_mod=caption_dup_mod),
         SYNTH_IMAGE_SCHEMA)
 
 
@@ -1227,6 +1230,25 @@ def image_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    id_col="image_id",
                                    src="img_a", dst="img_b")
             .select("image_id", "cluster_id", "is_canonical"))
+
+
+@q("caption_phash_dedup", lambda: _oracles.caption_phash_dedup_sql(
+    n=128, dup_mod=96, caption_dup_mod=48))
+def caption_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup: caption groups (coarse, mod 48) span two payload
+    variants each (mod 96); text-only dedup would drop half the corpus,
+    the phash verification keeps one image per payload variant."""
+    return multimodal.caption_phash_dedup(
+        _images_df(spark, sf_dir, caption_dup_mod=48))
+
+
+@q("image_curation", lambda: _oracles.image_curation_sql(
+    n=128, dup_mod=96, caption_dup_mod=48))
+def image_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style pre-training curation filter: resolution floor, aspect
+    cap, caption richness, format whitelist + short-side bucket."""
+    return multimodal.image_curation(
+        _images_df(spark, sf_dir, caption_dup_mod=48))
 
 
 @q("audio_features", lambda: _oracles.audio_features_sql())

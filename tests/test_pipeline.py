@@ -513,3 +513,22 @@ def test_asof_join_semantics(spark):
                                tolerance=tol).collect()}
     assert out2["l1"] == (dt(2024, 1, 1, 10, 0), 100.0)
     assert out2["l3"] == (None, None)                    # match too stale
+
+
+def test_caption_phash_dedup_keeps_one_per_payload_variant(spark):
+    """Caption groups built at mod 48 span exactly two payload variants
+    (mod 96): text-only dedup would keep 48 canonicals, the cross-modal
+    verification must keep one per (caption, phash) variant instead."""
+    from distributed_web_crawler_spark import queries as Q
+
+    out = Q.QUERIES["caption_phash_dedup"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 128
+    by_fp = {}
+    for r in out:
+        by_fp.setdefault(r["caption_fp"], []).append(r)
+    assert len(by_fp) == 48
+    kept = [r for r in out if r["keep"]]
+    assert all(r["n_phash_variants"] == 2 for r in out)
+    # one survivor per (caption, payload-variant): 96 keepers, not 48
+    assert len(kept) == 96

@@ -198,3 +198,25 @@ def test_pagerank_mass_is_exactly_conserved(spark):
     rows = pgraph.pagerank(nodes, edges, 32, iterations=6).collect()
     assert sum(r["rank"] for r in rows) == 1.0
     assert len(rows) == 32
+
+
+def test_caption_phash_dedup_single_exchange(spark):
+    """Both windows (caption-level stats, per-variant winner) must share
+    ONE hash exchange: the (caption_fp, phash) window's clustering is
+    satisfied by the caption_fp partitioning, costing only a re-sort."""
+    from distributed_web_crawler_spark.pipeline import multimodal
+
+    imgs = spark.range(256).repartition(8).select(
+        F.concat(F.lit("img-"), F.col("id")).alias("image_id"),
+        (F.col("id") % 48).cast("string").alias("caption"),
+        (F.col("id") % 96).alias("phash"))
+    plan = _plan(multimodal.caption_phash_dedup(imgs))
+    n_hash_ex = plan.count("Exchange hashpartitioning")
+    assert n_hash_ex == 1, plan[:2000]
+    assert plan.count("+- Window") == 2
+
+
+def test_image_curation_is_map_only(spark):
+    plan = _plan(Q.QUERIES["image_curation"](spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "bytes" not in plan.split("ReadSchema", 1)[-1][:300]
