@@ -502,3 +502,89 @@ def assign_clusters(documents: DataFrame, pairs: DataFrame,
     return (d.select(*documents.columns, cid.alias("cluster_id"))
             .withColumn("is_canonical",
                         (F.col(id_col) == F.col("cluster_id"))))
+
+
+# --------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup: new batch vs historical corpus
+# --------------------------------------------------------------------------
+
+def incremental_dedup(new_docs: DataFrame, old_docs: DataFrame, n: int = 3,
+                      threshold: float = 0.3, max_df: int = 100,
+                      text_col: str = "text") -> DataFrame:
+    """Dedup a NEW document batch against the HISTORICAL corpus — the
+    steady-state shape of a growing training corpus, where new×new and
+    old×old comparisons are never re-done.
+
+    Two tiers, cheap one first:
+    1. exact: normalized-sha256 fingerprint probe of the history (an
+       equi-join on a 32-byte key; at scale the history side is a
+       hash-partitioned compacted table, the same access path the
+       crawl's seen-state uses).
+    2. fuzzy: survivors only. The HISTORY side is indexed — shingle
+       fingerprints df-capped on history frequency — and the new batch
+       probes it; the candidate join is new×old only, with the same
+       lossless size-ratio prefilter as ngram_jaccard_pairs. Best match
+       per new doc by (jaccard desc, old_id asc) on the 1e-6-quantized
+       score.
+
+    Returns one row per new doc:
+    (doc_id, keep, match_kind 'exact'|'fuzzy'|null, matched_old, jaccard
+    — null for exact matches)."""
+    from pyspark.sql import Window
+
+    def norm_fp(c):
+        return F.sha2(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "),
+                      256)
+
+    nfp = new_docs.select("doc_id", norm_fp(F.col(text_col)).alias("fp"))
+    ofp = old_docs.select(F.col("doc_id").alias("old_id"),
+                          norm_fp(F.col(text_col)).alias("fp"))
+    exact = (nfp.join(ofp, "fp")
+             .groupBy("doc_id").agg(F.min("old_id").alias("matched_old")))
+
+    surv = new_docs.join(exact.select("doc_id"), "doc_id", "left_anti")
+    sh_new = _shingle_fingerprints(surv, n, text_col)
+    sh_old = _shingle_fingerprints(old_docs, n, text_col)
+    sizes_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("n_new"))
+    sizes_old = sh_old.groupBy("doc_id").agg(F.count("*").alias("n_old"))
+    dfreq = sh_old.groupBy("h1", "h2").agg(F.count("*").alias("df"))
+    old_idx = (sh_old.join(dfreq.where(F.col("df") <= max_df),
+                           ["h1", "h2"])
+               .join(sizes_old, "doc_id")
+               .select(F.col("doc_id").alias("old_id"), "h1", "h2",
+                       "n_old"))
+    new_probe = sh_new.join(sizes_new, "doc_id")
+    ratio_ok = (F.least(F.col("n_new"), F.col("n_old"))
+                >= F.lit(threshold - 5e-7) * F.greatest(F.col("n_new"),
+                                                        F.col("n_old")))
+    common = (new_probe
+              .join(old_idx,
+                    (new_probe["h1"] == old_idx["h1"])
+                    & (new_probe["h2"] == old_idx["h2"]) & ratio_ok)
+              .groupBy("doc_id", "old_id", "n_new", "n_old")
+              .agg(F.count("*").alias("n_common")))
+    scored = (common
+              .withColumn("jaccard", F.round(
+                  F.col("n_common")
+                  / (F.col("n_new") + F.col("n_old") - F.col("n_common")),
+                  6))
+              .where(F.col("jaccard") >= threshold))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"),
+                                             F.asc("old_id"))
+    best = (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", F.col("old_id").alias("matched_old"),
+                    "jaccard"))
+
+    matches = (exact
+               .select("doc_id", "matched_old",
+                       F.lit("exact").alias("match_kind"),
+                       F.lit(None).cast("double").alias("jaccard"))
+               .unionByName(best.select(
+                   "doc_id", "matched_old",
+                   F.lit("fuzzy").alias("match_kind"), "jaccard")))
+    return (new_docs.select("doc_id")
+            .join(matches, "doc_id", "left")
+            .select("doc_id",
+                    F.col("match_kind").isNull().alias("keep"),
+                    "match_kind", "matched_old", "jaccard"))

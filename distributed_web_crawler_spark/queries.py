@@ -1033,6 +1033,75 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), n=3, threshold=0.3, max_df=200)
 
 
+@q("incremental_dedup", r"""
+  WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+  old AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+  nfp AS (
+    SELECT doc_id,
+           sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM newd),
+  ofp AS (
+    SELECT doc_id AS old_id,
+           sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM old),
+  exact AS (
+    SELECT n.doc_id, min(o.old_id) AS matched_old
+    FROM nfp n JOIN ofp o USING (fp) GROUP BY n.doc_id),
+  survt AS (SELECT doc_id, text FROM newd
+            WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+  ntoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+              AS t FROM survt),
+  otoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+              AS t FROM old),
+  nsh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM ntoks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+  osh AS (
+    SELECT DISTINCT doc_id AS old_id, array_to_string(t[i:i+2], ' ')
+      AS shingle
+    FROM otoks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+  nsz AS (SELECT doc_id, count(*) AS n_new FROM nsh GROUP BY 1),
+  osz AS (SELECT old_id, count(*) AS n_old FROM osh GROUP BY 1),
+  odf AS (SELECT shingle, count(*) AS df FROM osh GROUP BY 1),
+  ocap AS (SELECT o.old_id, o.shingle FROM osh o
+           JOIN odf USING (shingle) WHERE df <= 100),
+  common AS (
+    SELECT n.doc_id, o.old_id, count(*) AS n_common
+    FROM nsh n JOIN ocap o USING (shingle) GROUP BY 1, 2),
+  fz AS (
+    SELECT c.doc_id, c.old_id,
+           round(CAST(n_common AS DOUBLE)
+                 / (nsz.n_new + osz.n_old - n_common), 6) AS jaccard
+    FROM common c JOIN nsz USING (doc_id) JOIN osz USING (old_id)
+    WHERE round(CAST(n_common AS DOUBLE)
+                / (nsz.n_new + osz.n_old - n_common), 6) >= 0.3),
+  best AS (
+    SELECT doc_id, old_id AS matched_old, jaccard
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY jaccard DESC, old_id) AS rn
+          FROM fz)
+    WHERE rn = 1),
+  matches AS (
+    SELECT doc_id, matched_old, 'exact' AS match_kind,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM exact
+    UNION ALL
+    SELECT doc_id, matched_old, 'fuzzy', jaccard FROM best)
+  SELECT n.doc_id, m.doc_id IS NULL AS keep,
+         m.match_kind, m.matched_old, m.jaccard
+  FROM newd n LEFT JOIN matches m ON m.doc_id = n.doc_id
+""")
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup: odd doc_ids are the incoming batch, even ones
+    the historical corpus — exact fingerprint probe first, then the
+    history-indexed fuzzy tier over survivors only."""
+    docs = _t(spark, sf_dir, "documents")
+    return pdedup.incremental_dedup(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        n=3, threshold=0.3, max_df=100)
+
+
 @q("neardup_clusters", f"""
   WITH RECURSIVE {_NGRAM_PAIRS_CTES},
   edges AS (SELECT doc_a AS a, doc_b AS b FROM njp

@@ -532,3 +532,33 @@ def test_caption_phash_dedup_keeps_one_per_payload_variant(spark):
     assert all(r["n_phash_variants"] == 2 for r in out)
     # one survivor per (caption, payload-variant): 96 keepers, not 48
     assert len(kept) == 96
+
+
+def test_incremental_dedup_tiers(spark):
+    """Exact tier catches normalized-identical text, fuzzy tier catches
+    near-identical text, novel docs keep — and new×new duplicates are
+    deliberately NOT collapsed (history-only comparison)."""
+    from distributed_web_crawler_spark.pipeline import dedup as pdedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark woods tonight")
+    old = spark.createDataFrame(
+        [(0, base), (2, "completely different historical text about "
+                        "spark physical plans and shuffle exchanges")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "  THE quick   brown fox jumps over the lazy dog and then "
+             "runs far away into the deep dark woods tonight "),  # exact
+         (3, base + " extra"),                                    # fuzzy
+         (5, "an entirely novel document with no relatives at all "
+             "anywhere in the corpus it is simply new today"),    # novel
+         (7, "an entirely novel document with no relatives at all "
+             "anywhere in the corpus it is simply new today")],   # new×new
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in pdedup.incremental_dedup(
+        new, old, n=3, threshold=0.3, max_df=100).collect()}
+    assert not rows[1]["keep"] and rows[1]["match_kind"] == "exact" \
+        and rows[1]["matched_old"] == 0 and rows[1]["jaccard"] is None
+    assert not rows[3]["keep"] and rows[3]["match_kind"] == "fuzzy" \
+        and rows[3]["matched_old"] == 0 and rows[3]["jaccard"] >= 0.3
+    assert rows[5]["keep"] and rows[7]["keep"]
