@@ -59,6 +59,12 @@ EXTRAS = [
     "events_asof_join",      # union+running-last, one exchange + sort
     "audio_features",        # Arrow map-only media decode
     "video_frame_sample",    # worker-side frame explode
+    "vocab_topk",            # token heavy hitters, TakeOrdered top-k
+    "tfidf_topterms",        # staged aggs + WindowGroupLimit top-k
+    "host_pagerank",         # iterative broadcast-rank PageRank
+    "caption_phash_dedup",   # cross-modal dedup, one shared exchange
+    "image_curation",        # map-only integer curation gates
+    "incremental_dedup",     # new-batch vs history two-tier dedup
 ]
 
 
