@@ -508,9 +508,40 @@ def assign_clusters(documents: DataFrame, pairs: DataFrame,
 # incremental (cross-snapshot) dedup: new batch vs historical corpus
 # --------------------------------------------------------------------------
 
-def incremental_dedup(new_docs: DataFrame, old_docs: DataFrame, n: int = 3,
-                      threshold: float = 0.3, max_df: int = 100,
-                      text_col: str = "text") -> DataFrame:
+def _norm_fp(c):
+    """Normalized-text sha256 fingerprint (the exact-dedup key)."""
+    return F.sha2(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), 256)
+
+
+def history_index(old_docs: DataFrame, n: int = 3, max_df: int = 100,
+                  text_col: str = "text") -> dict[str, DataFrame]:
+    """The historical corpus's dedup index: exact fingerprints and the
+    df-capped shingle-fingerprint index every incoming batch probes.
+
+    At production scale this is a MATERIALIZED artifact — built once,
+    written to hash-partitioned tables (fp / (h1,h2) respectively), and
+    appended to as batches are accepted — so the 100 TB history is never
+    re-shingled per batch. incremental_dedup() accepts this dict (each
+    DataFrame may be a table read back from storage) via `index=`; tests
+    pin that a round-tripped index yields identical output."""
+    ofp = old_docs.select(F.col("doc_id").alias("old_id"),
+                          _norm_fp(F.col(text_col)).alias("fp"))
+    sh_old = _shingle_fingerprints(old_docs, n, text_col)
+    sizes_old = sh_old.groupBy("doc_id").agg(F.count("*").alias("n_old"))
+    dfreq = sh_old.groupBy("h1", "h2").agg(F.count("*").alias("df"))
+    shingle_idx = (sh_old.join(dfreq.where(F.col("df") <= max_df),
+                               ["h1", "h2"])
+                   .join(sizes_old, "doc_id")
+                   .select(F.col("doc_id").alias("old_id"), "h1", "h2",
+                           "n_old"))
+    return {"fp": ofp, "shingles": shingle_idx}
+
+
+def incremental_dedup(new_docs: DataFrame, old_docs: DataFrame | None,
+                      n: int = 3, threshold: float = 0.3,
+                      max_df: int = 100, text_col: str = "text",
+                      index: dict[str, DataFrame] | None = None
+                      ) -> DataFrame:
     """Dedup a NEW document batch against the HISTORICAL corpus — the
     steady-state shape of a growing training corpus, where new×new and
     old×old comparisons are never re-done.
@@ -527,32 +558,27 @@ def incremental_dedup(new_docs: DataFrame, old_docs: DataFrame, n: int = 3,
        per new doc by (jaccard desc, old_id asc) on the 1e-6-quantized
        score.
 
+    Pass `index=history_index(...)` (typically read back from
+    materialized tables) to skip re-deriving the history side; otherwise
+    it is built inline from `old_docs`.
+
     Returns one row per new doc:
     (doc_id, keep, match_kind 'exact'|'fuzzy'|null, matched_old, jaccard
     — null for exact matches)."""
     from pyspark.sql import Window
 
-    def norm_fp(c):
-        return F.sha2(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "),
-                      256)
+    if index is None:
+        index = history_index(old_docs, n=n, max_df=max_df,
+                              text_col=text_col)
+    ofp, old_idx = index["fp"], index["shingles"]
 
-    nfp = new_docs.select("doc_id", norm_fp(F.col(text_col)).alias("fp"))
-    ofp = old_docs.select(F.col("doc_id").alias("old_id"),
-                          norm_fp(F.col(text_col)).alias("fp"))
+    nfp = new_docs.select("doc_id", _norm_fp(F.col(text_col)).alias("fp"))
     exact = (nfp.join(ofp, "fp")
              .groupBy("doc_id").agg(F.min("old_id").alias("matched_old")))
 
     surv = new_docs.join(exact.select("doc_id"), "doc_id", "left_anti")
     sh_new = _shingle_fingerprints(surv, n, text_col)
-    sh_old = _shingle_fingerprints(old_docs, n, text_col)
     sizes_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("n_new"))
-    sizes_old = sh_old.groupBy("doc_id").agg(F.count("*").alias("n_old"))
-    dfreq = sh_old.groupBy("h1", "h2").agg(F.count("*").alias("df"))
-    old_idx = (sh_old.join(dfreq.where(F.col("df") <= max_df),
-                           ["h1", "h2"])
-               .join(sizes_old, "doc_id")
-               .select(F.col("doc_id").alias("old_id"), "h1", "h2",
-                       "n_old"))
     new_probe = sh_new.join(sizes_new, "doc_id")
     ratio_ok = (F.least(F.col("n_new"), F.col("n_old"))
                 >= F.lit(threshold - 5e-7) * F.greatest(F.col("n_new"),

@@ -562,3 +562,25 @@ def test_incremental_dedup_tiers(spark):
     assert not rows[3]["keep"] and rows[3]["match_kind"] == "fuzzy" \
         and rows[3]["matched_old"] == 0 and rows[3]["jaccard"] >= 0.3
     assert rows[5]["keep"] and rows[7]["keep"]
+
+
+def test_incremental_dedup_with_materialized_index(spark, tmp_path):
+    """history_index() written to parquet and read back must yield output
+    identical to the inline build — the 100 TB contract: the history is
+    indexed once, batches only probe."""
+    from distributed_web_crawler_spark.pipeline import dedup as pdedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.where("doc_id % 2 = 1")
+    old = docs.where("doc_id % 2 = 0")
+    inline = sorted(map(tuple, pdedup.incremental_dedup(
+        new, old, n=3, threshold=0.3, max_df=100).collect()))
+    idx = pdedup.history_index(old, n=3, max_df=100)
+    paths = {}
+    for k, df in idx.items():
+        paths[k] = f"{tmp_path}/{k}"
+        df.write.parquet(paths[k])
+    loaded = {k: spark.read.parquet(p) for k, p in paths.items()}
+    via_index = sorted(map(tuple, pdedup.incremental_dedup(
+        new, None, n=3, threshold=0.3, index=loaded).collect()))
+    assert via_index == inline and len(inline) > 0
