@@ -734,6 +734,36 @@ def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# bucketized range join (operators/rangejoin): interval lookup as hash join
+# ---------------------------------------------------------------------------
+
+@q("range_bracket_join", """
+  WITH brackets AS (
+    SELECT p_partkey AS bracket_id,
+           CAST((p_partkey % 59) * 8 AS DOUBLE) AS lo,
+           CAST((p_partkey % 59) * 8 + 5 + p_partkey % 23 AS DOUBLE) AS hi
+    FROM part WHERE p_partkey < 300)
+  SELECT e.event_id, e.value, b.bracket_id, b.lo, b.hi
+  FROM events e JOIN brackets b ON e.value >= b.lo AND e.value < b.hi
+""")
+def range_bracket_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping value brackets matched to events by a bucketized hash
+    join; the oracle states the NAIVE non-equi join, so the hash-match
+    proves the bucket rewrite lossless."""
+    from .operators.rangejoin import range_bucket_join
+    pk = F.col("p_partkey")
+    brackets = (_t(spark, sf_dir, "part")
+                .where(pk < 300)
+                .select(pk.alias("bracket_id"),
+                        ((pk % 59) * 8).cast("double").alias("lo"),
+                        ((pk % 59) * 8 + 5 + pk % 23).cast("double")
+                        .alias("hi")))
+    points = _t(spark, sf_dir, "events").select("event_id", "value")
+    return range_bucket_join(points, brackets, value_col="value",
+                             bucket_width=16)
+
+
+# ---------------------------------------------------------------------------
 # iterative host PageRank over the link graph (pipeline/graph)
 # ---------------------------------------------------------------------------
 

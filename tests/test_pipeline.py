@@ -584,3 +584,25 @@ def test_incremental_dedup_with_materialized_index(spark, tmp_path):
     via_index = sorted(map(tuple, pdedup.incremental_dedup(
         new, None, n=3, threshold=0.3, index=loaded).collect()))
     assert via_index == inline and len(inline) > 0
+
+
+def test_range_bucket_join_boundaries(spark):
+    """Half-open semantics and bucket-boundary intervals: value == hi
+    never matches, value == lo does, intervals wholly inside one bucket
+    and spanning several both work, overlaps return multiple rows."""
+    from distributed_web_crawler_spark.operators.rangejoin import (
+        range_bucket_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 16.0), (3, 15.999), (4, 47.5), (5, 500.0)],
+        "event_id long, value double")
+    ranges = spark.createDataFrame(
+        [(10, 0.0, 16.0),    # exactly one bucket [0,16)
+         (11, 8.0, 50.0),    # spans buckets 0..3
+         (12, 40.0, 48.0)],  # inside bucket 2, overlaps 11
+        "bracket_id long, lo double, hi double")
+    got = sorted((r["event_id"], r["bracket_id"])
+                 for r in range_bucket_join(points, ranges,
+                                            bucket_width=16).collect())
+    assert got == [(1, 10), (2, 11), (3, 10), (3, 11), (4, 11), (4, 12)]

@@ -220,3 +220,12 @@ def test_image_curation_is_map_only(spark):
     plan = _plan(Q.QUERIES["image_curation"](spark, SF))
     assert "Exchange hashpartitioning" not in plan
     assert "bytes" not in plan.split("ReadSchema", 1)[-1][:300]
+
+
+def test_range_bucket_join_is_hash_join_not_nested_loop(spark):
+    """The bucket rewrite must plan as an equi hash join — never the
+    O(n*m) BroadcastNestedLoopJoin the naive BETWEEN predicate gets."""
+    plan = _plan(Q.QUERIES["range_bracket_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
