@@ -366,3 +366,40 @@ def tfidf_topterms(documents: DataFrame, k: int = 3,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("doc_id", "token", "tf", "df", "tfidf", "rank"))
+
+
+def sequence_packing(documents: DataFrame, ctx_len: int = 256,
+                     n_shards: int = 8,
+                     text_col: str = "text") -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end to end and cut
+    fixed ctx_len-token training sequences — the last preprocessing step
+    before a pre-training run. Emits, per document, where its tokens land:
+    (doc_id, shard, n_tokens, offset_in_chunk, chunk_start, chunk_end).
+
+    Packing is inherently sequential (each doc's offset depends on every
+    predecessor), so the corpus is split into independent shards packed in
+    parallel: ONE window (cumulative token count over a deterministic
+    in-shard order) per shard partition — a single exchange, integer
+    arithmetic only, any per-shard tail waste < ctx_len tokens. shard =
+    doc_id % n_shards keeps the oracle pure SQL; production would use
+    pmod(xxhash64(doc_id), n_shards) for balance under arbitrary id
+    distributions (same plan)."""
+    n_tok = token_count(F.col(text_col)).cast("long")
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    staged = (documents
+              .select("doc_id",
+                      (F.col("doc_id") % n_shards).alias("shard"),
+                      n_tok.alias("n_tokens"))
+              .withColumn("cum_before",
+                          F.coalesce(F.sum("n_tokens").over(w),
+                                     F.lit(0).cast("long"))))
+    ctx = F.lit(ctx_len)
+    return staged.select(
+        "doc_id", "shard", "n_tokens",
+        (F.col("cum_before") % ctx).alias("offset_in_chunk"),
+        F.expr(f"cum_before DIV {ctx_len}").alias("chunk_start"),
+        F.expr(f"(cum_before + n_tokens - 1) DIV {ctx_len}")
+        .alias("chunk_end"))

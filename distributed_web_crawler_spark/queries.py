@@ -783,6 +783,32 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                            damping=0.5)
 
 
+@q("sequence_packing", r"""
+  WITH staged AS (
+    SELECT doc_id, doc_id % 8 AS shard,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+    FROM documents),
+  packed AS (
+    SELECT doc_id, shard, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS cum_before
+    FROM staged)
+  SELECT doc_id, shard, n_tokens,
+         cum_before % 256 AS offset_in_chunk,
+         cum_before // 256 AS chunk_start,
+         (cum_before + n_tokens - 1) // 256 AS chunk_end
+  FROM packed
+""")
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing into 256-token training sequences, 8
+    independent shards packed in parallel (one window exchange)."""
+    return ptext.sequence_packing(_t(spark, sf_dir, "documents"),
+                                  ctx_len=256, n_shards=8)
+
+
 # ---------------------------------------------------------------------------
 # PII scrub/stats (pipeline/text.pii_*). The synthetic corpus carries no
 # PII, so both sides append the same deterministic PII suffixes (keyed by

@@ -606,3 +606,23 @@ def test_range_bucket_join_boundaries(spark):
                  for r in range_bucket_join(points, ranges,
                                             bucket_width=16).collect())
     assert got == [(1, 10), (2, 11), (3, 10), (3, 11), (4, 11), (4, 12)]
+
+
+def test_sequence_packing_layout(spark):
+    """Docs lay end-to-end per shard: offsets are the running token sum,
+    chunk spans split exactly at ctx_len boundaries."""
+    from distributed_web_crawler_spark.pipeline import text as ptext
+
+    mk = lambda n: " ".join(["tok"] * n)
+    docs = spark.createDataFrame(
+        [(0, mk(100)), (8, mk(200)), (16, mk(300)), (1, mk(10))],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in ptext.sequence_packing(
+        docs, ctx_len=256, n_shards=8).collect()}
+    assert (rows[0]["shard"], rows[0]["offset_in_chunk"],
+            rows[0]["chunk_start"], rows[0]["chunk_end"]) == (0, 0, 0, 0)
+    assert (rows[8]["offset_in_chunk"], rows[8]["chunk_start"],
+            rows[8]["chunk_end"]) == (100, 0, 1)       # spans the boundary
+    assert (rows[16]["offset_in_chunk"], rows[16]["chunk_start"],
+            rows[16]["chunk_end"]) == (300 % 256, 1, 2)
+    assert (rows[1]["shard"], rows[1]["offset_in_chunk"]) == (1, 0)
