@@ -65,6 +65,10 @@ EXTRAS = [
     "caption_phash_dedup",   # cross-modal dedup, one shared exchange
     "image_curation",        # map-only integer curation gates
     "incremental_dedup",     # new-batch vs history two-tier dedup
+    "range_bracket_join",    # interval lookup as bucketized hash join
+    "sequence_packing",      # per-shard cumulative-window chunk layout
+    "bigram_lm_counts",      # corpus bigram LM stats, staged aggs
+    "events_stream_enrich",  # stream-static broadcast join + windowed agg
 ]
 
 

@@ -403,3 +403,37 @@ def sequence_packing(documents: DataFrame, ctx_len: int = 256,
         F.expr(f"cum_before DIV {ctx_len}").alias("chunk_start"),
         F.expr(f"(cum_before + n_tokens - 1) DIV {ctx_len}")
         .alias("chunk_end"))
+
+
+def bigram_lm_counts(documents: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """Corpus bigram language-model counts: per bigram (w1, w2) its count,
+    the left-context total c_w1 = Σ_w c(w1, w), and the Kneser-Ney
+    continuation fan-out n_followers = |{w : c(w1, w) > 0}| — the three
+    ingredients of an interpolated bigram LM (the KenLM-prep shape).
+
+    Scale: bigrams explode worker-side from the token array (the array is
+    aliased to its own projection first — higher-order functions get no
+    common-subexpression elimination, so an inline expression would
+    re-split the document once per element); one partial-agg shuffle on
+    (w1, w2); the context marginals aggregate the ALREADY-REDUCED bigram
+    table (second, vocabulary-sized shuffle) and join back on w1."""
+    toks = tokens(F.lower(F.col(text_col)))
+    staged = documents.select(toks.alias("_t"))
+    t = F.col("_t")
+    pairs = staged.select(F.explode(
+        F.when(F.size(t) >= 2,
+               F.transform(F.sequence(F.lit(1), F.size(t) - 1),
+                           lambda i: F.struct(
+                               F.element_at(t, i).alias("w1"),
+                               F.element_at(t, i + 1).alias("w2"))))
+        .otherwise(F.array().cast(
+            "array<struct<w1:string,w2:string>>"))).alias("bg"))
+    big = (pairs.groupBy(F.col("bg.w1").alias("w1"),
+                         F.col("bg.w2").alias("w2"))
+           .agg(F.count("*").alias("c_big")))
+    ctx = (big.groupBy("w1")
+           .agg(F.sum("c_big").alias("c_w1"),
+                F.count("*").alias("n_followers")))
+    return big.join(ctx, "w1").select("w1", "w2", "c_big", "c_w1",
+                                      "n_followers")

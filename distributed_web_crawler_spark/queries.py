@@ -783,6 +783,26 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                            damping=0.5)
 
 
+@q("bigram_lm_counts", r"""
+  WITH toks AS (
+    SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents),
+  bg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    WHERE len(t) >= 2),
+  big AS (SELECT w1, w2, count(*) AS c_big FROM bg GROUP BY w1, w2),
+  ctx AS (SELECT w1, CAST(sum(c_big) AS BIGINT) AS c_w1,
+                 count(*) AS n_followers
+          FROM big GROUP BY w1)
+  SELECT big.w1, big.w2, big.c_big, ctx.c_w1, ctx.n_followers
+  FROM big JOIN ctx USING (w1)
+""")
+def bigram_lm_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM counts with Kneser-Ney continuation fan-out."""
+    return ptext.bigram_lm_counts(_t(spark, sf_dir, "documents"))
+
+
 @q("sequence_packing", r"""
   WITH staged AS (
     SELECT doc_id, doc_id % 8 AS shard,
@@ -1858,6 +1878,20 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval join."""
     from .streaming import interval_join_stream
     return interval_join_stream(spark, sf_dir, lookback="60 minutes")
+
+
+@q("events_stream_enrich", """
+  SELECT epoch_us(CAST(time_bucket(INTERVAL 1 HOUR, e.ts) AS TIMESTAMP))
+           AS win_start_us,
+         n.n_name AS nation, count(*) AS n
+  FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+  GROUP BY 1, 2
+""")
+def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (event stream × geography dim)
+    feeding a watermarked windowed count; oracle is the batch join+agg."""
+    from .streaming import static_enriched_stream
+    return static_enriched_stream(spark, sf_dir)
 
 
 @q("events_first_seen", """

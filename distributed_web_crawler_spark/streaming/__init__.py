@@ -1,6 +1,7 @@
 from .events_stream import (
     interval_join_stream,
     sliding_counts_stream,
+    static_enriched_stream,
     tumbling_counts_stream,
     windowed_counts_update_query,
 )

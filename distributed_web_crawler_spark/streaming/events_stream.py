@@ -148,3 +148,41 @@ def interval_join_stream(spark: SparkSession, sf_dir: str,
              .trigger(availableNow=True).start())
     query.awaitTermination()
     return spark.table(qname)
+
+
+def static_enriched_stream(spark: SparkSession, sf_dir: str,
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Stream–static join: the event stream enriched with a batch dim
+    table (user geography) before the windowed aggregation.
+
+    The static side joins as an ordinary broadcast hash join inside every
+    micro-batch — no state store is involved for the join (only the
+    windowed agg keeps state), which is why stream-static enrichment is
+    the cheap, unconditionally-safe join flavor in Structured Streaming
+    (versus stream-stream, which must buffer both sides). One availableNow
+    drain in complete mode equals the batch join+agg bit-for-bit — what
+    the DuckDB oracle checks."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    nations = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+               .select(F.col("n_nationkey").cast("long").alias("nk"),
+                       F.col("n_name").alias("nation")))
+    agg = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("nk", F.col("user_id") % 25)
+        .join(F.broadcast(nations), "nk")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "nation")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("win_start_us"),
+                "nation", "n")
+    )
+    qname = f"events_stream_enrich_{next(_COUNTER)}"
+    query = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(qname)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(qname)
