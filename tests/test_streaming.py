@@ -190,3 +190,56 @@ def test_stream_interval_join_equals_batch(spark):
     b = sorted(batch.collect(), key=key)
     assert len(s) > 0
     assert [tuple(r) for r in s] == [tuple(r) for r in b]
+
+
+def test_append_mode_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Append-mode windowed agg → parquet sink, stopped and restarted
+    twice from the same checkpoint: window state and the watermark carry
+    across process boundaries, every finalized window is emitted EXACTLY
+    once (no duplicates after restart), and nothing finalized is lost —
+    the resumability contract a production stream relies on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timezone
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    (tmp_path / "src").mkdir()
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m, tzinfo=timezone.utc)
+
+    def us(h):
+        return int(t(h).timestamp()) * 1_000_000
+
+    def write(name, rows):
+        pq.write_table(pa.table({
+            "ts": pa.array([r[0] for r in rows],
+                           pa.timestamp("us", tz="UTC")),
+            "event_type": pa.array([r[1] for r in rows])}),
+            f"{src}/{name}")
+
+    def run_once():
+        agg = (spark.readStream.schema("ts timestamp, event_type string")
+               .parquet(src)
+               .withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+               .agg(F.count("*").alias("n"))
+               .select(F.unix_micros("w.start").alias("win_start_us"),
+                       "event_type", "n"))
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    write("b1.parquet", [(t(10), "a"), (t(10, 30), "a"), (t(12, 30), "b")])
+    assert run_once() == [(us(10), "a", 2)]
+    write("b2.parquet", [(t(13, 30), "b")])
+    # restart: [10,11) must NOT re-emit; [12,13) finalizes one trigger later
+    assert run_once() == [(us(10), "a", 2)]
+    write("b3.parquet", [(t(15), "c")])
+    assert run_once() == [(us(10), "a", 2), (us(12), "b", 1),
+                          (us(13), "b", 1)]
