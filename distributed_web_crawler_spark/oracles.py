@@ -678,3 +678,48 @@ def image_curation_sql(n: int = 128, dup_mod: int = 96,
   SELECT image_id, w, h, fmt, bucket, reason, reason = 'ok' AS keep
   FROM decided
 """
+
+
+def ann_pq_sql(sf_dir: str = ORACLE_SF_DIR, k: int = 5, m_sub: int = 4,
+               k_cent: int = 16, dim: int = 64) -> str:
+    """PQ/ADC top-k restated in SQL. Codebook vec_ids come from the XXH64
+    mirror (the same deterministic sample order as IVF centroids); DuckDB
+    independently re-derives subspace codes (argmin on 1e-6-rounded
+    squared L2, ties to the lowest code), the per-query distance tables,
+    and the table-lookup sums."""
+    d_sub = dim // m_sub
+    ids = ivf_centroid_ids(sf_dir, k_cent)
+    cbv = ", ".join(f"({c}, {v})" for c, v in enumerate(ids))
+    def d2(a: str, b: str) -> str:
+        return (f"round(list_sum(list_transform(range(1, {d_sub + 1}), "
+                f"i -> ({a}[s.j * {d_sub} + i]"
+                f" - {b}[s.j * {d_sub} + i]) ^ 2)), 6)")
+    return f"""
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+  cbv(code, vec_id) AS (VALUES {cbv}),
+  cb AS (SELECT cbv.code, e.emb AS cemb FROM cbv JOIN e USING (vec_id)),
+  subs AS (SELECT unnest(range(0, {m_sub})) AS j),
+  enc AS (
+    SELECT vec_id, j, code FROM (
+      SELECT e.vec_id, s.j, cb.code,
+             row_number() OVER (PARTITION BY e.vec_id, s.j ORDER BY
+               {d2('e.emb', 'cb.cemb')},
+               cb.code) AS rn
+      FROM e, subs s, cb) WHERE rn = 1),
+  q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 8),
+  qtab AS (
+    SELECT q.query_id, s.j, cb.code,
+           {d2('q.qemb', 'cb.cemb')} AS d2
+    FROM q, subs s, cb),
+  scored AS (
+    SELECT t.query_id, c.vec_id, round(sum(t.d2), 6) AS adist
+    FROM enc c JOIN qtab t ON t.j = c.j AND t.code = c.code
+    WHERE c.vec_id <> t.query_id
+    GROUP BY t.query_id, c.vec_id)
+  SELECT query_id, vec_id, adist, CAST(rank AS INTEGER) AS rank
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+        FROM scored)
+  WHERE rank <= {k}
+"""

@@ -274,3 +274,89 @@ def ivf_sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         .select("query_id", "vec_id", _q8_cosine().alias("cosine"))
     )
     return _rank_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound 10^10 tier: each vector is
+# stored as m_sub small codes (4 bytes here vs 256 bytes of floats, 64×),
+# queries scan codes with precomputed distance tables (ADC).
+# ---------------------------------------------------------------------------
+
+def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+            m_sub: int = 4, k_cent: int = 16, dim: int = 64) -> DataFrame:
+    """PQ approximate top-k by squared-L2 with asymmetric distance
+    computation.
+
+    Codebook: the k_cent corpus vectors with the smallest xxhash64(vec_id)
+    (TakeOrderedAndProject — same deterministic-sample shape as IVF, no
+    global sort, no driver count); subspace j's codebook is their j-th
+    dim/m_sub-slice, code = array position.
+
+    Encode: ONE map-only corpus scan — per subspace, an argmin fold over
+    the broadcast codebook on 1e-6-quantized distances (ties to the lowest
+    code, stable cross-engine). At scale the (vec_id, codes) table IS the
+    stored index: m_sub bytes/vector instead of 4·dim.
+
+    Query (ADC): each query precomputes its m_sub × k_cent distance-table
+    ONCE (map-only over the broadcast codebook); the candidate scan then
+    costs m_sub table lookups + adds per vector — never a per-dim product.
+    Top-k per query by (adist asc, vec_id asc) on quantized sums.
+
+    Returns (query_id, vec_id, adist, rank)."""
+    d_sub = dim // m_sub
+
+    def l2q(a, b) -> F.Column:
+        return F.round(
+            F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda acc, v: acc + v), 6)
+
+    def sub(arr, j):
+        return F.slice(arr, j * d_sub + 1, d_sub)
+
+    cb = (embeddings
+          .select("vec_id", "embedding", F.xxhash64("vec_id").alias("_hk"))
+          .orderBy("_hk", "vec_id").limit(k_cent)
+          .agg(F.array_sort(
+              F.collect_list(F.struct(
+                  "_hk", "vec_id", F.col("embedding").alias("emb"))))
+              .alias("cb")))
+
+    def code_for(emb, j) -> F.Column:
+        scored = F.transform(
+            F.col("cb"),
+            lambda c, i: F.struct(l2q(sub(emb, j), sub(c["emb"], j))
+                                  .alias("d"), i.alias("code")))
+        return F.aggregate(
+            scored,
+            F.struct(F.lit(float("inf")).alias("d"),
+                     F.lit(None).cast("integer").alias("code")),
+            lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc)
+        )["code"]
+
+    corpus = (embeddings.crossJoin(F.broadcast(cb))
+              .select("vec_id",
+                      F.transform(F.sequence(F.lit(0), F.lit(m_sub - 1)),
+                                  lambda j: code_for(F.col("embedding"), j))
+                      .alias("codes")))
+    qtab = (queries.crossJoin(F.broadcast(cb))
+            .select("query_id",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+                        lambda j: F.transform(
+                            F.col("cb"),
+                            lambda c: l2q(sub(F.col("embedding"), j),
+                                          sub(c["emb"], j))))
+                    .alias("tables")))
+    adist = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m_sub - 1)), F.lit(0.0),
+            lambda acc, j: acc + F.element_at(
+                F.element_at(F.col("tables"), j + 1),
+                F.element_at(F.col("codes"), j + 1) + 1)), 6)
+    scored = (corpus
+              .join(F.broadcast(qtab), F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", adist.alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

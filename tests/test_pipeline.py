@@ -626,3 +626,42 @@ def test_sequence_packing_layout(spark):
     assert (rows[16]["offset_in_chunk"], rows[16]["chunk_start"],
             rows[16]["chunk_end"]) == (300 % 256, 1, 2)
     assert (rows[1]["shard"], rows[1]["offset_in_chunk"]) == (1, 0)
+
+
+def test_pq_exact_when_codebook_covers_corpus(spark):
+    # k_cent >= n: every vector is its own codeword (d2 = 0 to itself),
+    # so the ADC sum IS the exact subspace-rounded squared L2 and PQ
+    # reduces to brute-force L2 top-k.
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((12, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(12)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (vecs.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = similarity.pq_topk(vecs, queries, k=3, m_sub=4, k_cent=12,
+                             dim=16).collect()
+    for q in range(3):
+        want = [v for _, v in sorted(
+            (round(sum(round(float(((base[q][j * 4:(j + 1) * 4]
+                                     - base[v][j * 4:(j + 1) * 4]) ** 2)
+                                   .sum()), 6) for j in range(4)), 6), v)
+            for v in range(12) if v != q)[:3]]
+        got_q = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_id"] == q), key=lambda r: r["rank"])]
+        assert got_q == want
+
+
+def test_pq_near_dup_is_rank1_in_lossy_regime(spark):
+    # k_cent << n: the near dup of the query encodes to the query's own
+    # codes, so its ADC distance is the per-subspace table minimum -- no
+    # candidate can beat it, and vec_id tie-break keeps it rank 1.
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((40, 32))
+    base[1] = base[0] + 1e-4 * rng.standard_normal(32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (vecs.where(F.col("vec_id") == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = similarity.pq_topk(vecs, queries, k=3, m_sub=4, k_cent=8,
+                             dim=32).collect()
+    assert [r["vec_id"] for r in got if r["rank"] == 1] == [1]

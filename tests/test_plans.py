@@ -229,3 +229,12 @@ def test_range_bucket_join_is_hash_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pq_topk_broadcast_join_no_cartesian_no_global_sort(spark):
+    plan = _plan(Q.QUERIES["ann_pq_topk"](spark, SF))
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # codebook pick is TakeOrderedAndProject, final rank a per-query
+    # window -- nothing range-partitions the corpus
+    assert "rangepartitioning" not in plan, plan[:1200]
