@@ -51,6 +51,7 @@ EXTRAS = [
     "ann_sq8_topk",          # quantized-corpus ANN (int8 scan path)
     "ann_ivf_sq8_topk",      # IVF probe over int8 inverted lists
     "ann_pq_topk",           # PQ codes + ADC distance-table scan
+    "ann_ivf_pq_topk",       # IVF probe over byte-code inverted lists
     "pii_stats",             # chained JVM regex curation scan
     "doc_sample",            # xxhash64 deterministic sampling
     "curation_pipeline",     # composed gate→dedup→scrub→sample flagship

@@ -680,6 +680,73 @@ def image_curation_sql(n: int = 128, dup_mod: int = 96,
 """
 
 
+def ann_ivf_pq_sql(sf_dir: str = ORACLE_SF_DIR, k: int = 5,
+                   n_lists: int = 16, nprobe: int = 4, m_sub: int = 4,
+                   k_cent: int = 16, dim: int = 64) -> str:
+    """IVF×PQ restated in SQL: ann_ivf_sql's coarse assignment/probe CTEs
+    composed with ann_pq_sql's encode/distance-table CTEs — candidates
+    come only from probed lists, scored by the ADC table-lookup sum."""
+    d_sub = dim // m_sub
+    cents = ",".join(f"({v})" for v in ivf_centroid_ids(sf_dir, n_lists))
+    ids = ivf_centroid_ids(sf_dir, k_cent)
+    cbv = ", ".join(f"({c}, {v})" for c, v in enumerate(ids))
+
+    def d2(a: str, b: str) -> str:
+        return (f"round(list_sum(list_transform(range(1, {d_sub + 1}), "
+                f"i -> ({a}[s.j * {d_sub} + i]"
+                f" - {b}[s.j * {d_sub} + i]) ^ 2)), 6)")
+
+    return f"""
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+  cents AS (SELECT e.vec_id AS list_id, e.emb AS c_emb
+            FROM e JOIN (VALUES {cents}) c(vec_id) USING (vec_id)),
+  assign AS (
+    SELECT vec_id, list_id FROM (
+      SELECT e.vec_id, c.list_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.emb, c.c_emb), 6)
+                        DESC, c.list_id) AS rn
+      FROM e, cents c) WHERE rn = 1),
+  cbv(code, vec_id) AS (VALUES {cbv}),
+  cb AS (SELECT cbv.code, e.emb AS cemb FROM cbv JOIN e USING (vec_id)),
+  subs AS (SELECT unnest(range(0, {m_sub})) AS j),
+  enc AS (
+    SELECT vec_id, j, code FROM (
+      SELECT e.vec_id, s.j, cb.code,
+             row_number() OVER (PARTITION BY e.vec_id, s.j ORDER BY
+               {d2('e.emb', 'cb.cemb')},
+               cb.code) AS rn
+      FROM e, subs s, cb) WHERE rn = 1),
+  q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 8),
+  probes AS (
+    SELECT query_id, list_id FROM (
+      SELECT q.query_id, c.list_id,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(q.qemb, c.c_emb), 6)
+                        DESC, c.list_id) AS rn
+      FROM q, cents c) WHERE rn <= {nprobe}),
+  qtab AS (
+    SELECT q.query_id, s.j, cb.code,
+           {d2('q.qemb', 'cb.cemb')} AS d2
+    FROM q, subs s, cb),
+  scored AS (
+    SELECT t.query_id, c.vec_id, round(sum(t.d2), 6) AS adist
+    FROM probes p
+    JOIN assign a ON a.list_id = p.list_id
+    JOIN enc c ON c.vec_id = a.vec_id
+    JOIN qtab t ON t.query_id = p.query_id
+              AND t.j = c.j AND t.code = c.code
+    WHERE c.vec_id <> p.query_id
+    GROUP BY t.query_id, c.vec_id)
+  SELECT query_id, vec_id, adist, CAST(rank AS INTEGER) AS rank
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+        FROM scored)
+  WHERE rank <= {k}
+"""
+
+
 def ann_pq_sql(sf_dir: str = ORACLE_SF_DIR, k: int = 5, m_sub: int = 4,
                k_cent: int = 16, dim: int = 64) -> str:
     """PQ/ADC top-k restated in SQL. Codebook vec_ids come from the XXH64

@@ -282,49 +282,40 @@ def ivf_sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 # queries scan codes with precomputed distance tables (ADC).
 # ---------------------------------------------------------------------------
 
-def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-            m_sub: int = 4, k_cent: int = 16, dim: int = 64) -> DataFrame:
-    """PQ approximate top-k by squared-L2 with asymmetric distance
-    computation.
+def _pq_l2q(a, b) -> F.Column:
+    """Subspace squared-L2 quantized to 1e-6 — the shared distance unit of
+    encode and ADC, so ties are exact cross-engine."""
+    return F.round(
+        F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, v: acc + v), 6)
 
-    Codebook: the k_cent corpus vectors with the smallest xxhash64(vec_id)
-    (TakeOrderedAndProject — same deterministic-sample shape as IVF, no
-    global sort, no driver count); subspace j's codebook is their j-th
-    dim/m_sub-slice, code = array position.
 
-    Encode: ONE map-only corpus scan — per subspace, an argmin fold over
-    the broadcast codebook on 1e-6-quantized distances (ties to the lowest
-    code, stable cross-engine). At scale the (vec_id, codes) table IS the
-    stored index: m_sub bytes/vector instead of 4·dim.
+def _pq_codebook(embeddings: DataFrame, k_cent: int) -> DataFrame:
+    """1-row frame carrying the broadcastable codebook array: the k_cent
+    corpus vectors with the smallest xxhash64(vec_id)
+    (TakeOrderedAndProject — no global sort, no driver count); subspace
+    j's codebook is their j-th dim/m_sub-slice, code = array position."""
+    return (embeddings
+            .select("vec_id", "embedding", F.xxhash64("vec_id").alias("_hk"))
+            .orderBy("_hk", "vec_id").limit(k_cent)
+            .agg(F.array_sort(
+                F.collect_list(F.struct(
+                    "_hk", "vec_id", F.col("embedding").alias("emb"))))
+                .alias("cb")))
 
-    Query (ADC): each query precomputes its m_sub × k_cent distance-table
-    ONCE (map-only over the broadcast codebook); the candidate scan then
-    costs m_sub table lookups + adds per vector — never a per-dim product.
-    Top-k per query by (adist asc, vec_id asc) on quantized sums.
 
-    Returns (query_id, vec_id, adist, rank)."""
-    d_sub = dim // m_sub
-
-    def l2q(a, b) -> F.Column:
-        return F.round(
-            F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                        F.lit(0.0), lambda acc, v: acc + v), 6)
-
+def _pq_codes(emb, m_sub: int, d_sub: int) -> F.Column:
+    """codes array for one vector vs the in-scope `cb` column: per
+    subspace, an argmin fold over the codebook on 1e-6-quantized
+    distances (strict < keeps the EARLIEST minimum → ties to the lowest
+    code, stable cross-engine)."""
     def sub(arr, j):
         return F.slice(arr, j * d_sub + 1, d_sub)
 
-    cb = (embeddings
-          .select("vec_id", "embedding", F.xxhash64("vec_id").alias("_hk"))
-          .orderBy("_hk", "vec_id").limit(k_cent)
-          .agg(F.array_sort(
-              F.collect_list(F.struct(
-                  "_hk", "vec_id", F.col("embedding").alias("emb"))))
-              .alias("cb")))
-
-    def code_for(emb, j) -> F.Column:
+    def code_for(j) -> F.Column:
         scored = F.transform(
             F.col("cb"),
-            lambda c, i: F.struct(l2q(sub(emb, j), sub(c["emb"], j))
+            lambda c, i: F.struct(_pq_l2q(sub(emb, j), sub(c["emb"], j))
                                   .alias("d"), i.alias("code")))
         return F.aggregate(
             scored,
@@ -333,30 +324,113 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc)
         )["code"]
 
-    corpus = (embeddings.crossJoin(F.broadcast(cb))
-              .select("vec_id",
-                      F.transform(F.sequence(F.lit(0), F.lit(m_sub - 1)),
-                                  lambda j: code_for(F.col("embedding"), j))
-                      .alias("codes")))
-    qtab = (queries.crossJoin(F.broadcast(cb))
+    return F.transform(F.sequence(F.lit(0), F.lit(m_sub - 1)),
+                       lambda j: code_for(j))
+
+
+def _pq_qtables(queries: DataFrame, cb: DataFrame, m_sub: int,
+                d_sub: int) -> DataFrame:
+    """(query_id, tables): each query's m_sub × k_cent ADC distance
+    tables, computed ONCE map-only over the broadcast codebook."""
+    def sub(arr, j):
+        return F.slice(arr, j * d_sub + 1, d_sub)
+
+    return (queries.crossJoin(F.broadcast(cb))
             .select("query_id",
                     F.transform(
                         F.sequence(F.lit(0), F.lit(m_sub - 1)),
                         lambda j: F.transform(
                             F.col("cb"),
-                            lambda c: l2q(sub(F.col("embedding"), j),
-                                          sub(c["emb"], j))))
+                            lambda c: _pq_l2q(sub(F.col("embedding"), j),
+                                              sub(c["emb"], j))))
                     .alias("tables")))
-    adist = F.round(
+
+
+def _pq_adist(m_sub: int) -> F.Column:
+    """ADC sum: m_sub table lookups + adds per candidate — never a
+    per-dim product."""
+    return F.round(
         F.aggregate(
             F.sequence(F.lit(0), F.lit(m_sub - 1)), F.lit(0.0),
             lambda acc, j: acc + F.element_at(
                 F.element_at(F.col("tables"), j + 1),
                 F.element_at(F.col("codes"), j + 1) + 1)), 6)
-    scored = (corpus
-              .join(F.broadcast(qtab), F.col("vec_id") != F.col("query_id"))
-              .select("query_id", "vec_id", adist.alias("adist")))
+
+
+def _pq_rank(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"),
                                                F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+            m_sub: int = 4, k_cent: int = 16, dim: int = 64) -> DataFrame:
+    """PQ approximate top-k by squared-L2 with asymmetric distance
+    computation.
+
+    Encode: ONE map-only corpus scan (_pq_codes over the broadcast
+    codebook). At scale the (vec_id, codes) table IS the stored index:
+    m_sub bytes/vector instead of 4·dim.
+
+    Query (ADC): per-query distance tables precomputed once map-only
+    (_pq_qtables); the candidate scan costs m_sub table lookups + adds
+    per vector. Top-k per query by (adist asc, vec_id asc) on quantized
+    sums.
+
+    Returns (query_id, vec_id, adist, rank)."""
+    d_sub = dim // m_sub
+    cb = _pq_codebook(embeddings, k_cent)
+    corpus = (embeddings.crossJoin(F.broadcast(cb))
+              .select("vec_id",
+                      _pq_codes(F.col("embedding"), m_sub, d_sub)
+                      .alias("codes")))
+    qtab = _pq_qtables(queries, cb, m_sub, d_sub)
+    scored = (corpus
+              .join(F.broadcast(qtab), F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", _pq_adist(m_sub).alias("adist")))
+    return _pq_rank(scored, k)
+
+
+def ivf_pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                n_lists: int = 16, nprobe: int = 4, m_sub: int = 4,
+                k_cent: int = 16, dim: int = 64) -> DataFrame:
+    """IVF coarse pruning × PQ byte codes — the FAISS-IVFPQ shape, the
+    full memory+compute answer for 10^10-vector corpora: a query touches
+    only ~nprobe/n_lists of the index (IVF) AND the index rows it scans
+    are m_sub BYTES each (PQ), so the probed partitions are ~64× smaller
+    than float lists and scoring is ADC table lookups, not dot products.
+
+    Index build is ONE full-precision corpus pass: the coarse argmax
+    assignment carries the raw embedding through (ivf_assign
+    carry_embedding) and PQ encoding folds over a second broadcast (the
+    codebook) in the SAME map stage — no second corpus scan, no
+    corpus-sized self-join. At scale the persisted index is
+    (list_id, vec_id, codes) partitioned by list_id, so a probe prunes
+    to nprobe partitions of byte codes.
+
+    Codes are of the RAW embedding (not the per-list residual): residual
+    encoding would tie every code to its list's centroid — a refinement
+    that buys accuracy at the cost of an independent SQL restatement;
+    the tradeoff is documented, the simpler form is what the oracle
+    proves. Coarse layer ranks by unit cosine (shared with ivf_topk);
+    ADC by subspace squared-L2 (shared with pq_topk).
+
+    Returns (query_id, vec_id, adist, rank)."""
+    d_sub = dim // m_sub
+    centroids, assigned = ivf_assign(embeddings, n_lists,
+                                     carry_embedding=True)
+    cb = _pq_codebook(embeddings, k_cent)
+    lists = (assigned.crossJoin(F.broadcast(cb))
+             .select("list_id", "vec_id",
+                     _pq_codes(F.col("embedding"), m_sub, d_sub)
+                     .alias("codes")))
+    qtab = _pq_qtables(queries, cb, m_sub, d_sub)
+    scored = (
+        _probe_lists(queries, centroids, nprobe)
+        .select("query_id", "list_id")
+        .join(lists, "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qtab), "query_id")
+        .select("query_id", "vec_id", _pq_adist(m_sub).alias("adist")))
+    return _pq_rank(scored, k)

@@ -1310,6 +1310,19 @@ def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_sq8_topk(emb, queries, k=5, n_lists=16, nprobe=4)
 
 
+@q("ann_ivf_pq_topk", lambda: _oracles.ann_ivf_pq_sql(
+    k=5, n_lists=16, nprobe=4, m_sub=4, k_cent=16, dim=64))
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse pruning x PQ byte codes (the FAISS-IVFPQ shape): probes
+    touch ~nprobe/n_lists of an index whose rows are m_sub bytes."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.ivf_pq_topk(emb, queries, k=5, n_lists=16, nprobe=4,
+                                  m_sub=4, k_cent=16, dim=64)
+
+
 @q("ann_pq_topk", lambda: _oracles.ann_pq_sql(
     k=5, m_sub=4, k_cent=16, dim=64))
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

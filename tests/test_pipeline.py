@@ -665,3 +665,30 @@ def test_pq_near_dup_is_rank1_in_lossy_regime(spark):
     got = similarity.pq_topk(vecs, queries, k=3, m_sub=4, k_cent=8,
                              dim=32).collect()
     assert [r["vec_id"] for r in got if r["rank"] == 1] == [1]
+
+
+def test_ivf_pq_full_probe_equals_pq_brute_force(spark):
+    # nprobe = n_lists: IVF prunes nothing, so IVF-PQ must rank exactly
+    # like plain PQ over the whole corpus (shared codebook + ADC).
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((30, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (vecs.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    pq = {(r["query_id"], r["vec_id"], r["rank"], r["adist"])
+          for r in similarity.pq_topk(vecs, queries, k=4, m_sub=4,
+                                      k_cent=8, dim=16).collect()}
+    full = {(r["query_id"], r["vec_id"], r["rank"], r["adist"])
+            for r in similarity.ivf_pq_topk(
+                vecs, queries, k=4, n_lists=4, nprobe=4, m_sub=4,
+                k_cent=8, dim=16).collect()}
+    assert full == pq
+    # partial probe returns a per-query subset of the full-probe ranking
+    # universe (candidates only shrink)
+    part = similarity.ivf_pq_topk(vecs, queries, k=4, n_lists=4, nprobe=1,
+                                  m_sub=4, k_cent=8, dim=16).collect()
+    pq_pairs = {(t[0], t[1]) for t in pq}
+    assert len(part) > 0
+    for r in part:
+        assert r["rank"] <= 4

@@ -238,3 +238,12 @@ def test_pq_topk_broadcast_join_no_cartesian_no_global_sort(spark):
     # codebook pick is TakeOrderedAndProject, final rank a per-query
     # window -- nothing range-partitions the corpus
     assert "rangepartitioning" not in plan, plan[:1200]
+
+
+def test_ivf_pq_topk_no_cartesian_no_corpus_self_join(spark):
+    plan = _plan(Q.QUERIES["ann_ivf_pq_topk"](spark, SF))
+    assert "CartesianProduct" not in plan, plan[:1200]
+    # coarse assignment + PQ encode fuse map-only over broadcasts; the
+    # only non-broadcast join key is list_id (the probe)
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    assert "rangepartitioning" not in plan, plan[:1200]
