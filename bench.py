@@ -70,6 +70,7 @@ EXTRAS = [
     "range_bracket_join",    # interval lookup as bucketized hash join
     "sequence_packing",      # per-shard cumulative-window chunk layout
     "bigram_lm_counts",      # corpus bigram LM stats, staged aggs
+    "lm_perplexity",         # CCNet-style bigram-LM quality scoring
     "events_stream_enrich",  # stream-static broadcast join + windowed agg
 ]
 

@@ -437,3 +437,67 @@ def bigram_lm_counts(documents: DataFrame,
                 F.count("*").alias("n_followers")))
     return big.join(ctx, "w1").select("w1", "w2", "c_big", "c_w1",
                                       "n_followers")
+
+
+def lm_perplexity(documents: DataFrame, model_documents: DataFrame | None = None,
+                  text_col: str = "text") -> DataFrame:
+    """Bigram-LM perplexity scoring — the CCNet-style quality filter: train
+    bigram counts on a reference corpus (``model_documents``; defaults to
+    the scored corpus itself), score every document's bigram stream, and
+    emit per-document log-likelihood and perplexity. Low ppl ≈ fluent,
+    in-domain text; high ppl ≈ boilerplate/gibberish — threshold or
+    bucket downstream exactly like the CCNet head/middle/tail split.
+
+    Smoothing is Laplace on the bigram with the context marginal:
+    p(w2|w1) = (c(w1,w2) + 1) / (c_w1 + V), V = |distinct contexts| —
+    an unseen context scores 1/V. (Interpolated Kneser-Ney is the
+    production refinement; bigram_lm_counts already carries its
+    continuation fan-out, but Laplace keeps the independent SQL
+    restatement exact.)
+
+    Scale shape: the model is a corpus-level TABLE, never a broadcast —
+    at 100 TB the bigram table is itself huge. Scoring is two hash joins
+    of the exploded doc-bigram stream against the reduced model tables
+    (keyed (w1,w2) and (w1)), then one per-doc aggregation; V rides along
+    as a 1-row broadcast cross join (never a driver count). Per-bigram
+    logprobs are rounded to 1e-6 BEFORE summation so independent engines
+    aggregate the identical multiset, and ppl = exp(−avg) is taken of the
+    already-rounded average so both engines exponentiate the same input.
+
+    Documents with < 2 tokens have no bigrams and are excluded.
+    Returns (doc_id, n_bigrams, n_oov, avg_logprob, ppl)."""
+    model = bigram_lm_counts(
+        documents if model_documents is None else model_documents, text_col)
+    big = model.select("w1", "w2", "c_big")
+    ctx = model.select("w1", "c_w1").distinct()
+    vocab = ctx.agg(F.count("*").cast("double").alias("_V"))
+
+    toks = tokens(F.lower(F.col(text_col)))
+    staged = documents.select("doc_id", toks.alias("_t"))
+    t = F.col("_t")
+    pairs = (staged.select("doc_id", F.explode(
+        F.when(F.size(t) >= 2,
+               F.transform(F.sequence(F.lit(1), F.size(t) - 1),
+                           lambda i: F.struct(
+                               F.element_at(t, i).alias("w1"),
+                               F.element_at(t, i + 1).alias("w2"))))
+        .otherwise(F.array().cast(
+            "array<struct<w1:string,w2:string>>"))).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"),
+                F.col("bg.w2").alias("w2")))
+    scored = (pairs
+              .join(big, ["w1", "w2"], "left")
+              .join(ctx, ["w1"], "left")
+              .crossJoin(F.broadcast(vocab))
+              .select("doc_id",
+                      F.col("c_big").isNull().cast("long").alias("oov"),
+                      F.round(F.log(
+                          (F.coalesce(F.col("c_big"), F.lit(0)) + F.lit(1.0))
+                          / (F.coalesce(F.col("c_w1"), F.lit(0))
+                             + F.col("_V"))), 6).alias("lp")))
+    agg = (scored.groupBy("doc_id")
+           .agg(F.count("*").alias("n_bigrams"),
+                F.sum("oov").alias("n_oov"),
+                F.round(F.sum("lp") / F.count("*"), 6).alias("avg_logprob")))
+    return agg.select("doc_id", "n_bigrams", "n_oov", "avg_logprob",
+                      F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"))

@@ -803,6 +803,50 @@ def bigram_lm_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptext.bigram_lm_counts(_t(spark, sf_dir, "documents"))
 
 
+@q("lm_perplexity", r"""
+  WITH mt AS (
+    SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents WHERE doc_id % 2 = 0),
+  mbg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM mt, UNNEST(range(1, len(t))) AS u(i)
+    WHERE len(t) >= 2),
+  big AS (SELECT w1, w2, count(*) AS c_big FROM mbg GROUP BY w1, w2),
+  ctx AS (SELECT w1, CAST(sum(c_big) AS BIGINT) AS c_w1
+          FROM big GROUP BY w1),
+  v AS (SELECT CAST(count(*) AS DOUBLE) AS vsz FROM ctx),
+  dt AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents),
+  dbg AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM dt, UNNEST(range(1, len(t))) AS u(i)
+    WHERE len(t) >= 2),
+  sc AS (
+    SELECT d.doc_id,
+           CASE WHEN big.c_big IS NULL THEN 1 ELSE 0 END AS oov,
+           round(ln((coalesce(big.c_big, 0) + 1.0)
+                    / (coalesce(ctx.c_w1, 0) + v.vsz)), 6) AS lp
+    FROM dbg d
+    LEFT JOIN big ON big.w1 = d.w1 AND big.w2 = d.w2
+    LEFT JOIN ctx ON ctx.w1 = d.w1, v),
+  agg AS (
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(sum(lp) / count(*), 6) AS avg_logprob
+    FROM sc GROUP BY doc_id)
+  SELECT doc_id, n_bigrams, n_oov, avg_logprob,
+         round(exp(-avg_logprob), 6) AS ppl
+  FROM agg
+""")
+def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality scoring: model trained on the even
+    half of the corpus (the 'reference'), every document scored — odd
+    documents exercise the unseen-bigram smoothing path."""
+    docs = _t(spark, sf_dir, "documents")
+    return ptext.lm_perplexity(docs, docs.where(F.col("doc_id") % 2 == 0))
+
+
 @q("sequence_packing", r"""
   WITH staged AS (
     SELECT doc_id, doc_id % 8 AS shard,

@@ -692,3 +692,30 @@ def test_ivf_pq_full_probe_equals_pq_brute_force(spark):
     assert len(part) > 0
     for r in part:
         assert r["rank"] <= 4
+
+
+def test_lm_perplexity_hand_computed(spark):
+    import math
+
+    from distributed_web_crawler_spark.pipeline import text as ptext
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b x"), (2, "z")],
+        "doc_id long, text string")
+    model = docs.where(F.col("doc_id") == 0)
+    # model bigrams: (a,b)x2, (b,a)x1 -> c_a=2, c_b=1, V=2 contexts
+    got = {r["doc_id"]: r
+           for r in ptext.lm_perplexity(docs, model).collect()}
+    assert 2 not in got                      # single token: no bigrams
+    lab = round(math.log((2 + 1) / (2 + 2.0)), 6)   # seen (a,b)
+    lba = round(math.log((1 + 1) / (1 + 2.0)), 6)   # seen (b,a)
+    lbx = round(math.log((0 + 1) / (1 + 2.0)), 6)   # unseen (b,x), seen ctx
+    d0 = got[0]
+    assert (d0["n_bigrams"], d0["n_oov"]) == (3, 0)
+    avg0 = round((2 * lab + lba) / 3, 6)
+    assert d0["avg_logprob"] == avg0
+    assert d0["ppl"] == round(math.exp(-avg0), 6)
+    d1 = got[1]
+    assert (d1["n_bigrams"], d1["n_oov"]) == (2, 1)
+    assert d1["avg_logprob"] == round((lab + lbx) / 2, 6)
+    # the in-domain doc is more fluent under its own model
+    assert d0["ppl"] < d1["ppl"]
