@@ -71,6 +71,7 @@ EXTRAS = [
     "sequence_packing",      # per-shard cumulative-window chunk layout
     "bigram_lm_counts",      # corpus bigram LM stats, staged aggs
     "lm_perplexity",         # CCNet-style bigram-LM quality scoring
+    "dup_span_stats",        # Lee-et-al duplicated-window signals
     "events_stream_enrich",  # stream-static broadcast join + windowed agg
 ]
 

@@ -614,3 +614,59 @@ def incremental_dedup(new_docs: DataFrame, old_docs: DataFrame | None,
             .select("doc_id",
                     F.col("match_kind").isNull().alias("keep"),
                     "match_kind", "matched_old", "jaccard"))
+
+
+def duplicate_span_stats(documents: DataFrame, w: int = 8,
+                         text_col: str = "text") -> DataFrame:
+    """Cross-document repeated-substring signals (the exact-substring
+    dedup criterion of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better": a span repeated anywhere in the corpus is
+    memorization fuel). Every w-token window of every document is
+    fingerprinted; a window is DUP if its fingerprint occurs more than
+    once corpus-wide (another document OR another position of the same
+    document). Per document:
+
+      (doc_id, n_windows, n_dup_windows, dup_fraction, max_dup_run)
+
+    max_dup_run = the longest run of consecutive duplicated windows — a
+    run of r windows ≈ a verbatim shared span of w+r-1 tokens, the thing
+    span-removal would cut.
+
+    Scale shape: windows shuffle as 128-bit xxhash64 fingerprints (fixed
+    16-byte keys, like ngram_jaccard — the window TEXT never crosses an
+    exchange); one (h1,h2) count agg (map-side partial), one join back,
+    then doc-keyed aggregation + an islands window (pos − row_number)
+    for the run lengths. Documents with < w tokens have no windows and
+    are excluded."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    staged = (documents.select("doc_id", toks.alias("_t"))
+              .where(F.size(F.col("_t")) >= w))
+    win = staged.select(
+        "doc_id", "_t",
+        F.explode(F.sequence(F.lit(1), F.size(F.col("_t")) - w + 1))
+        .alias("pos"))
+    key = F.array_join(F.slice(F.col("_t"), F.col("pos"), w), " ")
+    keyed = win.select(
+        "doc_id", "pos",
+        F.xxhash64(key).alias("h1"),
+        F.xxhash64(F.lit(1), key).alias("h2"))
+    cnts = keyed.groupBy("h1", "h2").agg(F.count("*").alias("_c"))
+    flagged = (keyed.join(cnts, ["h1", "h2"])
+               .select("doc_id", "pos", (F.col("_c") > 1).alias("dup")))
+    tot = (flagged.groupBy("doc_id")
+           .agg(F.count("*").alias("n_windows"),
+                F.sum(F.col("dup").cast("long")).alias("n_dup_windows")))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos"))
+    runs = (flagged.where("dup")
+            .withColumn("_grp", F.col("pos") - rn)
+            .groupBy("doc_id", "_grp").agg(F.count("*").alias("_run")))
+    mx = runs.groupBy("doc_id").agg(F.max("_run").alias("max_dup_run"))
+    return (tot.join(mx, "doc_id", "left")
+            .select("doc_id", "n_windows", "n_dup_windows",
+                    F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
+                    .alias("dup_fraction"),
+                    F.coalesce(F.col("max_dup_run"), F.lit(0).cast("long"))
+                    .alias("max_dup_run")))

@@ -1144,6 +1144,42 @@ _NGRAM_PAIRS_CTES = r"""toks AS (
                 / (na.n_sh + nb.n_sh - n_common), 6) >= 0.3)"""
 
 
+@q("dup_span_stats", r"""
+  WITH dt AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents),
+  win AS (
+    SELECT doc_id, i AS pos, array_to_string(t[i:i + 7], ' ') AS key
+    FROM dt, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+    WHERE len(t) >= 8),
+  cnt AS (SELECT key, count(*) AS c FROM win GROUP BY key),
+  fl AS (SELECT w.doc_id, w.pos, (c.c > 1) AS dup
+         FROM win w JOIN cnt c USING (key)),
+  tot AS (
+    SELECT doc_id, count(*) AS n_windows,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows
+    FROM fl GROUP BY doc_id),
+  runs AS (
+    SELECT doc_id, count(*) AS run FROM (
+      SELECT doc_id,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM fl WHERE dup)
+    GROUP BY doc_id, grp),
+  mx AS (SELECT doc_id, max(run) AS max_dup_run FROM runs GROUP BY doc_id)
+  SELECT t.doc_id, t.n_windows, t.n_dup_windows,
+         round(CAST(t.n_dup_windows AS DOUBLE) / t.n_windows, 6)
+           AS dup_fraction,
+         CAST(COALESCE(mx.max_dup_run, 0) AS BIGINT) AS max_dup_run
+  FROM tot t LEFT JOIN mx ON mx.doc_id = t.doc_id
+""")
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signals (Lee et al.): per-document duplicated
+    8-token-window counts and the longest consecutive duplicated run."""
+    return pdedup.duplicate_span_stats(_t(spark, sf_dir, "documents"), w=8)
+
+
 @q("ngram_jaccard", f"""
   WITH {_NGRAM_PAIRS_CTES}
   SELECT doc_a, doc_b, jaccard FROM njp

@@ -719,3 +719,27 @@ def test_lm_perplexity_hand_computed(spark):
     assert d1["avg_logprob"] == round((lab + lbx) / 2, 6)
     # the in-domain doc is more fluent under its own model
     assert d0["ppl"] < d1["ppl"]
+
+
+def test_duplicate_span_stats_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"),        # shares "a b c d" with doc 1
+         (1, "x y a b c d q"),
+         (2, "m m m m"),            # self-repeating window
+         (3, "p q")],               # < w tokens: excluded
+        "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in pdedup.duplicate_span_stats(docs, w=3).collect()}
+    assert set(got) == {0, 1, 2}
+    # doc0 windows: abc bcd cde def; abc+bcd shared with doc1 -> run 2
+    assert (got[0]["n_windows"], got[0]["n_dup_windows"],
+            got[0]["max_dup_run"]) == (4, 2, 2)
+    assert got[0]["dup_fraction"] == 0.5
+    # doc1 dups at pos 3,4 (consecutive)
+    assert (got[1]["n_windows"], got[1]["n_dup_windows"],
+            got[1]["max_dup_run"]) == (5, 2, 2)
+    # doc2: "m m m" occurs at pos 1 AND 2 -> both windows dup via
+    # same-document repetition
+    assert (got[2]["n_windows"], got[2]["n_dup_windows"],
+            got[2]["max_dup_run"]) == (2, 2, 2)
+    assert got[2]["dup_fraction"] == 1.0
