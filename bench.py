@@ -72,6 +72,7 @@ EXTRAS = [
     "bigram_lm_counts",      # corpus bigram LM stats, staged aggs
     "lm_perplexity",         # CCNet-style bigram-LM quality scoring
     "dup_span_stats",        # Lee-et-al duplicated-window signals
+    "decontaminate",         # eval-overlap flags, broadcast probe
     "events_stream_enrich",  # stream-static broadcast join + windowed agg
 ]
 

@@ -616,6 +616,26 @@ def incremental_dedup(new_docs: DataFrame, old_docs: DataFrame | None,
                     "match_kind", "matched_old", "jaccard"))
 
 
+def _window_fps(documents: DataFrame, w: int,
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, h1, h2): every w-token window of every document as a
+    128-bit xxhash64 fingerprint — fixed 16-byte keys; the window text
+    never leaves the map stage. Documents with < w tokens produce no
+    rows. Shared by duplicate_span_stats and decontaminate_flags."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    staged = (documents.select("doc_id", toks.alias("_t"))
+              .where(F.size(F.col("_t")) >= w))
+    win = staged.select(
+        "doc_id", "_t",
+        F.explode(F.sequence(F.lit(1), F.size(F.col("_t")) - w + 1))
+        .alias("pos"))
+    key = F.array_join(F.slice(F.col("_t"), F.col("pos"), w), " ")
+    return win.select(
+        "doc_id", "pos",
+        F.xxhash64(key).alias("h1"),
+        F.xxhash64(F.lit(1), key).alias("h2"))
+
+
 def duplicate_span_stats(documents: DataFrame, w: int = 8,
                          text_col: str = "text") -> DataFrame:
     """Cross-document repeated-substring signals (the exact-substring
@@ -640,18 +660,7 @@ def duplicate_span_stats(documents: DataFrame, w: int = 8,
     are excluded."""
     from pyspark.sql import Window
 
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    staged = (documents.select("doc_id", toks.alias("_t"))
-              .where(F.size(F.col("_t")) >= w))
-    win = staged.select(
-        "doc_id", "_t",
-        F.explode(F.sequence(F.lit(1), F.size(F.col("_t")) - w + 1))
-        .alias("pos"))
-    key = F.array_join(F.slice(F.col("_t"), F.col("pos"), w), " ")
-    keyed = win.select(
-        "doc_id", "pos",
-        F.xxhash64(key).alias("h1"),
-        F.xxhash64(F.lit(1), key).alias("h2"))
+    keyed = _window_fps(documents, w, text_col)
     cnts = keyed.groupBy("h1", "h2").agg(F.count("*").alias("_c"))
     flagged = (keyed.join(cnts, ["h1", "h2"])
                .select("doc_id", "pos", (F.col("_c") > 1).alias("dup")))
@@ -670,3 +679,37 @@ def duplicate_span_stats(documents: DataFrame, w: int = 8,
                     .alias("dup_fraction"),
                     F.coalesce(F.col("max_dup_run"), F.lit(0).cast("long"))
                     .alias("max_dup_run")))
+
+
+def decontaminate_flags(documents: DataFrame, eval_documents: DataFrame,
+                        w: int = 8, text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    verbatim w-token window with an evaluation/benchmark set (the
+    GPT-3/PaLM-style n-gram overlap rule — an eval answer memorized from
+    a contaminated train doc inflates benchmark scores).
+
+    Returns one row PER CONTAMINATED document:
+      (doc_id, n_hit_windows, n_windows, hit_fraction)
+    n_hit_windows counts the document's window POSITIONS that match any
+    eval window; hit_fraction = n_hit_windows / n_windows.
+
+    Scale shape: the eval set is tiny next to a 100 TB corpus, so its
+    distinct window fingerprints BROADCAST — flagging is a map-only
+    broadcast semi-join over the corpus window stream (no corpus-keyed
+    shuffle for the probe), then one doc-keyed aggregation; per-doc
+    totals ride the same aggregate via a pre-join hit marker, so the
+    corpus windows are scanned ONCE."""
+    eval_fps = (_window_fps(eval_documents, w, text_col)
+                .select("h1", "h2").distinct())
+    corpus = _window_fps(documents, w, text_col)
+    marked = (corpus.join(
+        F.broadcast(eval_fps.withColumn("_hit", F.lit(1))),
+        ["h1", "h2"], "left")
+        .select("doc_id", F.coalesce("_hit", F.lit(0)).alias("_hit")))
+    agg = (marked.groupBy("doc_id")
+           .agg(F.count("*").alias("n_windows"),
+                F.sum("_hit").alias("n_hit_windows")))
+    return (agg.where(F.col("n_hit_windows") > 0)
+            .select("doc_id", "n_hit_windows", "n_windows",
+                    F.round(F.col("n_hit_windows") / F.col("n_windows"), 6)
+                    .alias("hit_fraction")))

@@ -1180,6 +1180,38 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdedup.duplicate_span_stats(_t(spark, sf_dir, "documents"), w=8)
 
 
+@q("decontaminate", r"""
+  WITH dt AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents),
+  ew AS (
+    SELECT DISTINCT array_to_string(t[i:i + 7], ' ') AS key
+    FROM dt, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+    WHERE len(t) >= 8 AND doc_id % 5 = 0),
+  cw AS (
+    SELECT doc_id, array_to_string(t[i:i + 7], ' ') AS key
+    FROM dt, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+    WHERE len(t) >= 8 AND doc_id % 5 <> 0),
+  agg AS (
+    SELECT c.doc_id, count(*) AS n_windows,
+           CAST(sum(CASE WHEN e.key IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit_windows
+    FROM cw c LEFT JOIN ew e USING (key)
+    GROUP BY c.doc_id)
+  SELECT doc_id, n_hit_windows, n_windows,
+         round(CAST(n_hit_windows AS DOUBLE) / n_windows, 6)
+           AS hit_fraction
+  FROM agg WHERE n_hit_windows > 0
+""")
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (doc_id % 5 != 0) sharing a
+    verbatim 8-token window with the eval split (doc_id % 5 == 0)."""
+    docs = _t(spark, sf_dir, "documents")
+    return pdedup.decontaminate_flags(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0), w=8)
+
+
 @q("ngram_jaccard", f"""
   WITH {_NGRAM_PAIRS_CTES}
   SELECT doc_a, doc_b, jaccard FROM njp

@@ -743,3 +743,23 @@ def test_duplicate_span_stats_hand_computed(spark):
     assert (got[2]["n_windows"], got[2]["n_dup_windows"],
             got[2]["max_dup_run"]) == (2, 2, 2)
     assert got[2]["dup_fraction"] == 1.0
+
+
+def test_decontaminate_flags_hand_computed(spark):
+    train = spark.createDataFrame(
+        [(0, "the secret eval answer is forty two ok extra pad"),
+         (1, "completely unrelated training text with no overlap here"),
+         (2, "prefix words the secret eval answer is forty two")],
+        "doc_id long, text string")
+    evald = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in pdedup.decontaminate_flags(train, evald, w=7).collect()}
+    # doc1 is clean; docs 0 and 2 carry the verbatim 7-token eval window
+    assert set(got) == {0, 2}
+    # doc0: 10 tokens -> 4 windows, window at pos 1 hits
+    assert (got[0]["n_hit_windows"], got[0]["n_windows"]) == (1, 4)
+    assert got[0]["hit_fraction"] == 0.25
+    # doc2: 9 tokens -> 3 windows, hit at pos 3
+    assert (got[2]["n_hit_windows"], got[2]["n_windows"]) == (1, 3)

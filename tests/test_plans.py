@@ -247,3 +247,11 @@ def test_ivf_pq_topk_no_cartesian_no_corpus_self_join(spark):
     # only non-broadcast join key is list_id (the probe)
     assert "SortMergeJoin" not in plan, plan[:1200]
     assert "rangepartitioning" not in plan, plan[:1200]
+
+
+def test_decontaminate_probe_is_broadcast_join(spark):
+    # the eval fingerprint set broadcasts: the corpus window stream is
+    # probed map-only, never shuffled on the window key
+    plan = _plan(Q.QUERIES["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
