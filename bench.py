@@ -73,6 +73,7 @@ EXTRAS = [
     "lm_perplexity",         # CCNet-style bigram-LM quality scoring
     "dup_span_stats",        # Lee-et-al duplicated-window signals
     "decontaminate",         # eval-overlap flags, broadcast probe
+    "source_quota",          # per-domain cap, WindowGroupLimit
     "events_stream_enrich",  # stream-static broadcast join + windowed agg
 ]
 

@@ -680,6 +680,27 @@ def image_curation_sql(n: int = 128, dup_mod: int = 96,
 """
 
 
+def source_quota_sql(cap: int = 10, denom: int = 1_000_000) -> str:
+    """Mirror of pipeline.text.source_quota_sample: the per-doc rank key
+    pmod(xxhash64(doc_id), denom) is recomputed with the Python XXH64
+    mirror and embedded as VALUES; DuckDB re-derives the per-source
+    window rank and the cap filter."""
+    from .functions.xxh64 import xxhash64
+
+    vals = ", ".join(f"({d}, {xxhash64(int(d)) % denom})"
+                     for d, _ in _docs(ORACLE_SF_DIR))
+    return f"""
+  WITH h(doc_id, hk) AS (VALUES {vals}),
+  r AS (
+    SELECT d.doc_id, d.source,
+           row_number() OVER (PARTITION BY d.source
+                              ORDER BY h.hk, d.doc_id) AS rn
+    FROM documents d JOIN h USING (doc_id))
+  SELECT doc_id, source, CAST(rn AS INTEGER) AS quota_rank
+  FROM r WHERE rn <= {cap}
+"""
+
+
 def ann_ivf_pq_sql(sf_dir: str = ORACLE_SF_DIR, k: int = 5,
                    n_lists: int = 16, nprobe: int = 4, m_sub: int = 4,
                    k_cent: int = 16, dim: int = 64) -> str:

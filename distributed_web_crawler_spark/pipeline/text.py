@@ -173,6 +173,33 @@ def deterministic_sample(df: DataFrame, key_col: str, rate: float,
                     < F.lit(int(round(rate * denom))))
 
 
+def source_quota_sample(df: DataFrame, cap: int = 10,
+                        group_col: str = "source",
+                        id_col: str = "doc_id",
+                        denom: int = 1_000_000) -> DataFrame:
+    """Per-group quota cap — domain balancing for a training mix: keep at
+    most ``cap`` rows per group, chosen DETERMINISTICALLY by
+    (pmod(xxhash64(id), denom), id) rank. A reproducible uniform pick
+    per group, stable under partitioning and retries; unlike rate-based
+    sampling, the cap bounds a dominant domain's contribution outright
+    (the Common-Crawl dominant-host problem) and a domain's kept set
+    never changes when OTHER domains grow.
+
+    Plan: one rank window per group; Spark plans the rank ≤ cap filter
+    as WindowGroupLimit with a PARTIAL limit below the exchange — every
+    map task forwards at most cap rows per group it sees, so the
+    exchange carries O(groups × cap) rows per task, never the corpus.
+
+    Returns (id_col, group_col, quota_rank)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)), F.col(id_col))
+    return (df.select(id_col, group_col)
+            .withColumn("quota_rank", F.row_number().over(w))
+            .where(F.col("quota_rank") <= cap))
+
+
 # ---------------------------------------------------------------------------
 # Cross-document line-level dedup (CCNet-style boilerplate removal):
 # drop every line shared by more than max_df documents, keep the rest in

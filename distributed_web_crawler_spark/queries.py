@@ -947,6 +947,14 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptext.pii_scrub(_pii_docs(spark, sf_dir))
 
 
+@q("source_quota", lambda: _oracles.source_quota_sql(cap=10))
+def source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balancing quota: at most 10 docs per source, picked by the
+    deterministic xxhash64 rank (WindowGroupLimit partial below the
+    exchange)."""
+    return ptext.source_quota_sample(_t(spark, sf_dir, "documents"), cap=10)
+
+
 @q("doc_sample", lambda: _oracles.doc_sample_sql(rate=0.25))
 def doc_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic xxhash64-bucket corpus sample (reproducible

@@ -763,3 +763,26 @@ def test_decontaminate_flags_hand_computed(spark):
     assert got[0]["hit_fraction"] == 0.25
     # doc2: 9 tokens -> 3 windows, hit at pos 3
     assert (got[2]["n_hit_windows"], got[2]["n_windows"]) == (1, 3)
+
+
+def test_source_quota_cap_and_determinism(spark):
+    from distributed_web_crawler_spark.functions.xxh64 import xxhash64
+    from distributed_web_crawler_spark.pipeline import text as ptext
+    rows = [(i, f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = ptext.source_quota_sample(df, cap=4).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for src, members in by_src.items():
+        assert len(members) == 4
+        assert sorted(r["quota_rank"] for r in members) == [1, 2, 3, 4]
+        # the kept set is exactly the 4 lowest (pmod(xxh64), id) keys
+        ids = [i for i, s in rows if s == src]
+        want = sorted(ids, key=lambda i: (xxhash64(i) % 1_000_000, i))[:4]
+        assert sorted(r["doc_id"] for r in members) == sorted(want)
+    # partition-invariance: a different input layout keeps the same set
+    kept2 = ptext.source_quota_sample(df.repartition(7), cap=4).collect()
+    assert {(r["doc_id"], r["quota_rank"]) for r in kept2} == \
+           {(r["doc_id"], r["quota_rank"]) for r in kept}

@@ -255,3 +255,10 @@ def test_decontaminate_probe_is_broadcast_join(spark):
     plan = _plan(Q.QUERIES["decontaminate"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_source_quota_window_group_limit(spark):
+    # the rank<=cap filter must plan as WindowGroupLimit (partial below
+    # the exchange): map tasks forward at most cap rows per group
+    plan = _plan(Q.QUERIES["source_quota"](spark, SF))
+    assert "WindowGroupLimit" in plan, plan[:1500]
