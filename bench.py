@@ -74,6 +74,7 @@ EXTRAS = [
     "dup_span_stats",        # Lee-et-al duplicated-window signals
     "decontaminate",         # eval-overlap flags, broadcast probe
     "source_quota",          # per-domain cap, WindowGroupLimit
+    "semantic_dedup",        # SemDeDup cluster-then-prune
     "events_stream_enrich",  # stream-static broadcast join + windowed agg
 ]
 

@@ -701,6 +701,38 @@ def source_quota_sql(cap: int = 10, denom: int = 1_000_000) -> str:
 """
 
 
+def semantic_dedup_sql(sf_dir: str = ORACLE_SF_DIR, n_lists: int = 16,
+                       threshold: float = 0.4) -> str:
+    """SemDeDup restated in SQL: ann_ivf_sql's centroid/assignment CTEs,
+    a within-list self-join for above-threshold pairs, and the min-id
+    survivor rule as a distinct + left join."""
+    cents = ",".join(f"({v})" for v in ivf_centroid_ids(sf_dir, n_lists))
+    return f"""
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+  cents AS (SELECT e.vec_id AS list_id, e.emb AS c_emb
+            FROM e JOIN (VALUES {cents}) c(vec_id) USING (vec_id)),
+  assign AS (
+    SELECT vec_id, list_id FROM (
+      SELECT e.vec_id, c.list_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.emb, c.c_emb), 6)
+                        DESC, c.list_id) AS rn
+      FROM e, cents c) WHERE rn = 1),
+  p AS (
+    SELECT b.vec_id AS vb
+    FROM assign a
+    JOIN assign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id
+    WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6)
+          >= {threshold}),
+  drops AS (SELECT DISTINCT vb AS vec_id FROM p)
+  SELECT a.vec_id, a.list_id, (d.vec_id IS NULL) AS keep
+  FROM assign a LEFT JOIN drops d USING (vec_id)
+"""
+
+
 def ann_ivf_pq_sql(sf_dir: str = ORACLE_SF_DIR, k: int = 5,
                    n_lists: int = 16, nprobe: int = 4, m_sub: int = 4,
                    k_cent: int = 16, dim: int = 64) -> str:

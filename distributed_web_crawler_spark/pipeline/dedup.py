@@ -713,3 +713,38 @@ def decontaminate_flags(documents: DataFrame, eval_documents: DataFrame,
             .select("doc_id", "n_hit_windows", "n_windows",
                     F.round(F.col("n_hit_windows") / F.col("n_windows"), 6)
                     .alias("hit_fraction")))
+
+
+def semantic_dedup(embeddings: DataFrame, n_lists: int = 16,
+                   threshold: float = 0.9) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, compare pairs only WITHIN a cluster, and drop
+    every vector that is ≥ threshold cosine-similar to a lower-id vector
+    of its cluster (the deterministic survivor rule; the paper's
+    farthest-from-centroid keeper is a one-line ORDER BY swap).
+
+    The cluster pass is what makes semantic dedup tractable: the
+    quadratic pair search runs per cluster — O(Σ|list|²) ≈ O(n²/k) for k
+    balanced lists — never corpus². Clustering reuses ivf_assign (the
+    deterministic hash-sampled centroids + broadcast argmax assignment,
+    optional Lloyd refinement), so the ANN index and the dedup pass
+    share one clustering. A pathologically hot list is an AQE skew-join
+    cell; at extreme skew swap the self-join for dedup's _tiled_pairs.
+
+    Returns (vec_id, list_id, keep)."""
+    from .similarity import _cos, ivf_assign
+
+    _, assigned = ivf_assign(embeddings, n_lists)
+    a = assigned.select("list_id", F.col("vec_id").alias("vec_a"),
+                        F.col("unit").alias("_ua"))
+    b = assigned.select("list_id", F.col("vec_id").alias("vec_b"),
+                        F.col("unit").alias("_ub"))
+    pairs = (a.join(b, "list_id")
+             .where((F.col("vec_a") < F.col("vec_b"))
+                    & (F.round(_cos(F.col("_ua"), F.col("_ub")), 6)
+                       >= threshold)))
+    drops = (pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+             .withColumn("_d", F.lit(1)))
+    return (assigned.join(drops, "vec_id", "left")
+            .select("vec_id", "list_id",
+                    F.col("_d").isNull().alias("keep")))

@@ -1328,6 +1328,16 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding cosine near-dup + ANN top-k (pipeline/dedup, pipeline/similarity)
 # ---------------------------------------------------------------------------
 
+@q("semantic_dedup", lambda: _oracles.semantic_dedup_sql(
+    n_lists=16, threshold=0.4))
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within-cluster near-identical vectors dropped (min-id
+    survivor), clustering shared with the IVF ANN index."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return pdedup.semantic_dedup(emb, n_lists=16, threshold=0.4)
+
+
 @q("embedding_neardup", """
   WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
              FROM embeddings)

@@ -786,3 +786,23 @@ def test_source_quota_cap_and_determinism(spark):
     kept2 = ptext.source_quota_sample(df.repartition(7), cap=4).collect()
     assert {(r["doc_id"], r["quota_rank"]) for r in kept2} == \
            {(r["doc_id"], r["quota_rank"]) for r in kept}
+
+
+def test_semantic_dedup_drops_within_cluster_near_dup(spark):
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((24, 16))
+    base[7] = base[3] + 1e-3 * rng.standard_normal(16)   # near-dup of 3
+    rows = [(i, [float(x) for x in base[i]]) for i in range(24)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r
+           for r in pdedup.semantic_dedup(vecs, n_lists=4,
+                                          threshold=0.95).collect()}
+    assert len(got) == 24                       # every vector classified
+    # the near-identical pair shares a cluster; the higher id is dropped,
+    # the lower id survives
+    assert got[7]["list_id"] == got[3]["list_id"]
+    assert not got[7]["keep"]
+    assert got[3]["keep"]
+    # random gaussians in 16-d are nowhere near 0.95 cosine: only the
+    # engineered duplicate is dropped
+    assert sum(not r["keep"] for r in got.values()) == 1
