@@ -75,6 +75,7 @@ EXTRAS = [
     "decontaminate",         # eval-overlap flags, broadcast probe
     "source_quota",          # per-domain cap, WindowGroupLimit
     "semantic_dedup",        # SemDeDup cluster-then-prune
+    "mix_weights",           # temperature data-mixing table
     "events_stream_enrich",  # stream-static broadcast join + windowed agg
 ]
 

@@ -528,3 +528,33 @@ def lm_perplexity(documents: DataFrame, model_documents: DataFrame | None = None
                 F.round(F.sum("lp") / F.count("*"), 6).alias("avg_logprob")))
     return agg.select("doc_id", "n_bigrams", "n_oov", "avg_logprob",
                       F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"))
+
+
+def mixture_weights(documents: DataFrame, alpha: float = 0.3,
+                    group_col: str = "source") -> DataFrame:
+    """Temperature-scaled data-mixing table (the multilingual-LM n^α
+    rule): a group's sampling weight is n_s^α / Σ n^α — α < 1 upsamples
+    the tail and damps dominant sources; α = 1 is proportional, α = 0
+    uniform. ``repeat_factor`` = weight · N / n_s is the expected epochs
+    over that source when drawing N documents under the mix (> 1 means
+    the source repeats, the low-resource upsampling signal).
+
+    Plan: one count aggregation (map-side partial) over the corpus, then
+    the Σ n^α normalizer and corpus total ride a 1-row broadcast cross
+    join over the GROUP-level table (never a driver collect; the second
+    agg is groups-sized, not corpus-sized). Weights round to 1e-6 for
+    cross-engine parity.
+
+    Returns (source, n_docs, weight, repeat_factor)."""
+    counts = (documents.groupBy(group_col)
+              .agg(F.count("*").alias("n_docs")))
+    norm = counts.agg(
+        F.sum(F.pow(F.col("n_docs"), F.lit(alpha))).alias("_z"),
+        F.sum("n_docs").alias("_n"))
+    return (counts.crossJoin(F.broadcast(norm))
+            .select(group_col, "n_docs",
+                    F.round(F.pow(F.col("n_docs"), F.lit(alpha))
+                            / F.col("_z"), 6).alias("weight"),
+                    F.round(F.pow(F.col("n_docs"), F.lit(alpha))
+                            / F.col("_z") * F.col("_n")
+                            / F.col("n_docs"), 6).alias("repeat_factor")))

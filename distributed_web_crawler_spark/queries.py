@@ -947,6 +947,24 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptext.pii_scrub(_pii_docs(spark, sf_dir))
 
 
+@q("mix_weights", r"""
+  WITH c AS (SELECT source, count(*) AS n_docs
+             FROM documents GROUP BY source),
+  z AS (SELECT sum(power(n_docs, 0.3)) AS z,
+               CAST(sum(n_docs) AS BIGINT) AS n FROM c)
+  SELECT source, n_docs,
+         round(power(n_docs, 0.3) / z.z, 6) AS weight,
+         round(power(n_docs, 0.3) / z.z * z.n / n_docs, 6)
+           AS repeat_factor
+  FROM c, z
+""")
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixing table: per-source sampling weight
+    n^0.3 / sum(n^0.3) and the implied repeat factor (epochs) per
+    source."""
+    return ptext.mixture_weights(_t(spark, sf_dir, "documents"), alpha=0.3)
+
+
 @q("source_quota", lambda: _oracles.source_quota_sql(cap=10))
 def source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-balancing quota: at most 10 docs per source, picked by the

@@ -806,3 +806,24 @@ def test_semantic_dedup_drops_within_cluster_near_dup(spark):
     # random gaussians in 16-d are nowhere near 0.95 cosine: only the
     # engineered duplicate is dropped
     assert sum(not r["keep"] for r in got.values()) == 1
+
+
+def test_mixture_weights_temperature_math(spark):
+    from distributed_web_crawler_spark.pipeline import text as ptext
+    rows = ([(i, "big") for i in range(80)]
+            + [(100 + i, "small") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: r
+           for r in ptext.mixture_weights(df, alpha=0.5).collect()}
+    z = 80 ** 0.5 + 10 ** 0.5
+    assert got["big"]["weight"] == round(80 ** 0.5 / z, 6)
+    assert got["small"]["weight"] == round(10 ** 0.5 / z, 6)
+    # alpha < 1 upsamples the tail: small repeats, big is downsampled
+    assert got["small"]["repeat_factor"] > 1.0 > got["big"]["repeat_factor"]
+    assert got["small"]["repeat_factor"] == round(
+        (10 ** 0.5 / z) * 90 / 10, 6)
+    # weights sum to 1 (up to the per-row rounding)
+    assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 2e-6
+    # alpha = 1 is proportional sampling: every repeat factor is exactly 1
+    prop = {r["source"]: r for r in ptext.mixture_weights(df, 1.0).collect()}
+    assert all(r["repeat_factor"] == 1.0 for r in prop.values())
