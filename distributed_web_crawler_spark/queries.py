@@ -2055,6 +2055,16 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join_stream(spark, sf_dir, lookback="60 minutes")
 
 
+@q("events_stream_dedup", """
+  SELECT DISTINCT user_id, event_type FROM events
+""")
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    key-only output, one availableNow drain == batch DISTINCT."""
+    from .streaming import watermark_dedup_stream
+    return watermark_dedup_stream(spark, sf_dir)
+
+
 @q("events_stream_enrich", """
   SELECT epoch_us(CAST(time_bucket(INTERVAL 1 HOUR, e.ts) AS TIMESTAMP))
            AS win_start_us,

@@ -186,3 +186,36 @@ def static_enriched_stream(spark: SparkSession, sf_dir: str,
              .trigger(availableNow=True).start())
     query.awaitTermination()
     return spark.table(qname)
+
+
+def watermark_dedup_stream(spark: SparkSession, sf_dir: str,
+                           watermark: str = "24 hours") -> DataFrame:
+    """Built-in bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps one arrival per key and —
+    unlike the unbounded first-seen operator in streaming/stateful.py —
+    EXPIRES a key's state once the watermark passes its event time +
+    delay, so state is O(keys active in the watermark window), not
+    O(keys ever). That expiry is exactly what an endless deployment
+    needs (and what the expiry pytest proves: a key reappearing after
+    its state expired is emitted again).
+
+    Output is the KEY COLUMNS ONLY: which physical row survives a
+    duplicate group is arrival-order-dependent, the key set is not —
+    key-only projection makes the drain deterministic, and one
+    availableNow drain equals batch SELECT DISTINCT (the oracle)."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    out = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    qname = f"events_stream_dedup_{next(_COUNTER)}"
+    query = (out.writeStream.outputMode("append")
+             .format("memory").queryName(qname)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(qname)

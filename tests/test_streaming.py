@@ -243,3 +243,50 @@ def test_append_mode_checkpoint_restart_exactly_once(spark, tmp_path):
     write("b3.parquet", [(t(15), "c")])
     assert run_once() == [(us(10), "a", 2), (us(12), "b", 1),
                           (us(13), "b", 1)]
+
+
+def test_watermark_dedup_state_expires_and_reemits(spark, tmp_path):
+    """dropDuplicatesWithinWatermark is BOUNDED-state dedup: a key whose
+    state expired (watermark moved past its event time + delay) is
+    emitted AGAIN on reappearance — unlike the unbounded first-seen
+    operator. Two file triggers, hand-computed append output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timezone
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m, tzinfo=timezone.utc)
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table({"ts": pa.array([r[0] for r in rows],
+                                     pa.timestamp("us", tz="UTC")),
+                      "k": pa.array([r[1] for r in rows])}),
+            str(tmp_path / name))
+
+    # trigger 1: "dup" twice (one emission); "adv" at 13:00 pushes the
+    # watermark to 12:00 (delay 1h), expiring dup's 10:00 state
+    write("b1.parquet", [(t(10, 0), "dup"), (t(10, 30), "dup"),
+                         (t(13, 0), "adv")])
+    stream = (spark.readStream.schema("ts timestamp, k string")
+              .parquet(str(tmp_path))
+              .withWatermark("ts", "1 hour")
+              .dropDuplicatesWithinWatermark(["k"])
+              .select("k"))
+    qname = "wm_dedup_expiry"
+    query = (stream.writeStream.outputMode("append")
+             .format("memory").queryName(qname)
+             .option("checkpointLocation", str(tmp_path / "_ckpt"))
+             .start())
+    try:
+        query.processAllAvailable()
+        batch1 = sorted(r["k"] for r in spark.table(qname).collect())
+        assert batch1 == ["adv", "dup"]          # dup deduped within batch
+        # trigger 2: dup reappears AFTER its state expired -> re-emitted;
+        # adv (state still live: 13:00 + 1h > watermark) stays suppressed
+        write("b2.parquet", [(t(13, 30), "dup"), (t(13, 40), "adv")])
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    got = sorted(r["k"] for r in spark.table(qname).collect())
+    assert got == ["adv", "dup", "dup"]
