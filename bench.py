@@ -76,6 +76,7 @@ EXTRAS = [
     "source_quota",          # per-domain cap, WindowGroupLimit
     "semantic_dedup",        # SemDeDup cluster-then-prune
     "mix_weights",           # temperature data-mixing table
+    "training_mix",          # composed corpus→packed-sequences flagship
     "events_stream_enrich",  # stream-static broadcast join + windowed agg
     "events_stream_dedup",   # bounded-state dedup within watermark
 ]

@@ -680,15 +680,22 @@ def image_curation_sql(n: int = 128, dup_mod: int = 96,
 """
 
 
+def doc_hash_values(denom: int = 1_000_000) -> str:
+    """VALUES rows `(doc_id, pmod(xxhash64(doc_id), denom))` for every
+    document — the XXH64-mirror rank keys shared by the source_quota and
+    training_mix oracles."""
+    from .functions.xxh64 import xxhash64
+
+    return ", ".join(f"({d}, {xxhash64(int(d)) % denom})"
+                     for d, _ in _docs(ORACLE_SF_DIR))
+
+
 def source_quota_sql(cap: int = 10, denom: int = 1_000_000) -> str:
     """Mirror of pipeline.text.source_quota_sample: the per-doc rank key
     pmod(xxhash64(doc_id), denom) is recomputed with the Python XXH64
     mirror and embedded as VALUES; DuckDB re-derives the per-source
     window rank and the cap filter."""
-    from .functions.xxh64 import xxhash64
-
-    vals = ", ".join(f"({d}, {xxhash64(int(d)) % denom})"
-                     for d, _ in _docs(ORACLE_SF_DIR))
+    vals = doc_hash_values(denom)
     return f"""
   WITH h(doc_id, hk) AS (VALUES {vals}),
   r AS (

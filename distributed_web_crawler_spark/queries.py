@@ -947,6 +947,87 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptext.pii_scrub(_pii_docs(spark, sf_dir))
 
 
+def _training_mix_sql() -> str:
+    """The whole training-mix chain restated in SQL from the SHARED
+    per-stage mirrors: lang/quality gate (_lang_quality_ctes) → exact
+    dedup (QUALIFY min-id) → eval-split holdout + 8-gram decontamination
+    → per-source quota (XXH64-mirror rank VALUES) → sequence packing."""
+    return rf"""
+  WITH {_lang_quality_ctes('documents')},
+  kept AS (SELECT s.doc_id, d.source, s.text
+           FROM scored s JOIN documents d USING (doc_id)
+           WHERE s.lang_pred = 'en' AND s.quality >= 0.5),
+  dedup AS (SELECT doc_id, source, text FROM kept
+            QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) = 1),
+  train AS (SELECT * FROM dedup WHERE doc_id % 5 <> 0),
+  etok AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents WHERE doc_id % 5 = 0),
+  ew AS (SELECT DISTINCT array_to_string(t[i:i + 7], ' ') AS key
+         FROM etok, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+         WHERE len(t) >= 8),
+  dtok AS (SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM train),
+  cw AS (SELECT doc_id, array_to_string(t[i:i + 7], ' ') AS key
+         FROM dtok, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+         WHERE len(t) >= 8),
+  contam AS (SELECT DISTINCT c.doc_id FROM cw c JOIN ew e USING (key)),
+  clean AS (SELECT * FROM train
+            WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+  h(doc_id, hk) AS (VALUES {_oracles.doc_hash_values()}),
+  quota AS (SELECT c.doc_id, c.text
+            FROM clean c JOIN h USING (doc_id)
+            QUALIFY row_number() OVER (PARTITION BY c.source
+                                       ORDER BY h.hk, c.doc_id) <= 10),
+  staged AS (
+    SELECT doc_id, doc_id % 8 AS shard,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+    FROM quota),
+  packed AS (
+    SELECT doc_id, shard, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS cum_before
+    FROM staged)
+  SELECT doc_id, shard, n_tokens,
+         cum_before % 256 AS offset_in_chunk,
+         cum_before // 256 AS chunk_start,
+         (cum_before + n_tokens - 1) // 256 AS chunk_end
+  FROM packed
+"""
+
+
+@q("training_mix", _training_mix_sql)
+def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end TRAINING-MIX flagship — raw corpus to packed training
+    sequences in one declarative plan: lang/quality gate → exact dedup →
+    eval-split holdout (doc_id % 5 == 0) → 8-gram benchmark
+    decontamination → per-source quota cap → concat-and-chunk sequence
+    packing. Every stage is the same operator the standalone queries
+    run; Catalyst stitches them — the gate fuses into the dedup scan,
+    the decontamination probe is a broadcast join, the quota and packing
+    windows are the only added exchanges."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    h = ptext.word_hits(t)
+    gated = (docs.select("doc_id", "source", "text",
+                         ptext.lang_id(t, hits=h).alias("_lang"),
+                         ptext.quality_score(t, hits=h).alias("_q"))
+             .where((F.col("_lang") == "en") & (F.col("_q") >= 0.5))
+             .select("doc_id", "source", "text"))
+    deduped = pdedup.exact_dedup(gated)
+    train = deduped.where(F.col("doc_id") % 5 != 0)
+    evald = docs.where(F.col("doc_id") % 5 == 0)
+    contam = pdedup.decontaminate_flags(train, evald, w=8).select("doc_id")
+    clean = train.join(contam, "doc_id", "left_anti")
+    quota_ids = ptext.source_quota_sample(clean, cap=10).select("doc_id")
+    final = clean.join(quota_ids, "doc_id")
+    return ptext.sequence_packing(final, ctx_len=256, n_shards=8)
+
+
 @q("mix_weights", r"""
   WITH c AS (SELECT source, count(*) AS n_docs
              FROM documents GROUP BY source),

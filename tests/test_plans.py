@@ -262,3 +262,10 @@ def test_source_quota_window_group_limit(spark):
     # the exchange): map tasks forward at most cap rows per group
     plan = _plan(Q.QUERIES["source_quota"](spark, SF))
     assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_training_mix_flagship_no_python_no_cartesian(spark):
+    # six composed stages stay entirely JVM-side and join-safe
+    plan = _plan(Q.QUERIES["training_mix"](spark, SF))
+    assert "Python" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
