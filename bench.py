@@ -77,6 +77,7 @@ EXTRAS = [
     "semantic_dedup",        # SemDeDup cluster-then-prune
     "mix_weights",           # temperature data-mixing table
     "training_mix",          # composed corpus→packed-sequences flagship
+    "corpus_drift",          # snapshot JS-divergence drift table
     "events_stream_enrich",  # stream-static broadcast join + windowed agg
     "events_stream_dedup",   # bounded-state dedup within watermark
 ]

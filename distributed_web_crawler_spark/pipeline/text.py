@@ -558,3 +558,40 @@ def mixture_weights(documents: DataFrame, alpha: float = 0.3,
                     F.round(F.pow(F.col("n_docs"), F.lit(alpha))
                             / F.col("_z") * F.col("_n")
                             / F.col("n_docs"), 6).alias("repeat_factor")))
+
+
+def distribution_drift(old_docs: DataFrame, new_docs: DataFrame,
+                       group_col: str = "source") -> DataFrame:
+    """Corpus drift between two snapshots: per group, its share in each
+    snapshot and its Jensen-Shannon divergence contribution
+    (Σ js_term = JSD(P‖Q), base-2, bounded [0,1]) — the
+    retrain-the-mix / data-drift alarm for a recurring crawl. JS is used
+    instead of KL because a group present in only ONE snapshot (p or q
+    zero) still has a finite, defined term (0·log0 = 0).
+
+    Scale: one count agg per snapshot (map-side partial, group-level
+    output), a full outer join on the group key, totals via a 1-row
+    broadcast cross join — nothing corpus-sized past the first aggs.
+
+    Returns (source, p_old, q_new, js_term), shares and terms rounded
+    1e-6."""
+    oc = old_docs.groupBy(group_col).agg(F.count("*").alias("_no"))
+    nc = new_docs.groupBy(group_col).agg(F.count("*").alias("_nn"))
+    both = (oc.join(nc, group_col, "full_outer")
+            .select(group_col,
+                    F.coalesce("_no", F.lit(0)).alias("_no"),
+                    F.coalesce("_nn", F.lit(0)).alias("_nn")))
+    tot = both.agg(F.sum("_no").cast("double").alias("_to"),
+                   F.sum("_nn").cast("double").alias("_tn"))
+    p = F.col("_no") / F.col("_to")
+    q = F.col("_nn") / F.col("_tn")
+    m = (p + q) / 2
+
+    def term(x):
+        return F.when(x > 0, x / 2 * F.log2(x / m)).otherwise(F.lit(0.0))
+
+    return (both.crossJoin(F.broadcast(tot))
+            .select(group_col,
+                    F.round(p, 6).alias("p_old"),
+                    F.round(q, 6).alias("q_new"),
+                    F.round(term(p) + term(q), 6).alias("js_term")))

@@ -1028,6 +1028,36 @@ def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptext.sequence_packing(final, ctx_len=256, n_shards=8)
 
 
+@q("corpus_drift", r"""
+  WITH oc AS (SELECT source, count(*) AS no FROM documents
+              WHERE doc_id % 3 = 0 GROUP BY source),
+  nc AS (SELECT source, count(*) AS nn FROM documents
+         WHERE doc_id % 3 <> 0 GROUP BY source),
+  both_ AS (
+    SELECT COALESCE(oc.source, nc.source) AS source,
+           COALESCE(no, 0) AS no, COALESCE(nn, 0) AS nn
+    FROM oc FULL OUTER JOIN nc ON oc.source = nc.source),
+  tot AS (SELECT CAST(sum(no) AS DOUBLE) AS t_o,
+                 CAST(sum(nn) AS DOUBLE) AS t_n FROM both_)
+  SELECT source,
+         round(no / t_o, 6) AS p_old,
+         round(nn / t_n, 6) AS q_new,
+         round(CASE WHEN no > 0 THEN no / t_o / 2 * log2(
+                 (no / t_o) / ((no / t_o + nn / t_n) / 2)) ELSE 0 END
+             + CASE WHEN nn > 0 THEN nn / t_n / 2 * log2(
+                 (nn / t_n) / ((no / t_o + nn / t_n) / 2)) ELSE 0 END,
+               6) AS js_term
+  FROM both_, tot
+""")
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift: per-source share in two deterministic snapshot
+    splits plus the Jensen-Shannon divergence contribution."""
+    docs = _t(spark, sf_dir, "documents")
+    return ptext.distribution_drift(
+        docs.where(F.col("doc_id") % 3 == 0),
+        docs.where(F.col("doc_id") % 3 != 0))
+
+
 @q("mix_weights", r"""
   WITH c AS (SELECT source, count(*) AS n_docs
              FROM documents GROUP BY source),

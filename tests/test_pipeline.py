@@ -827,3 +827,34 @@ def test_mixture_weights_temperature_math(spark):
     # alpha = 1 is proportional sampling: every repeat factor is exactly 1
     prop = {r["source"]: r for r in ptext.mixture_weights(df, 1.0).collect()}
     assert all(r["repeat_factor"] == 1.0 for r in prop.values())
+
+
+def test_distribution_drift_js_properties(spark):
+    import math
+
+    from distributed_web_crawler_spark.pipeline import text as ptext
+    old = spark.createDataFrame(
+        [(i, "a") for i in range(6)] + [(10 + i, "b") for i in range(2)],
+        "doc_id long, source string")
+    new = spark.createDataFrame(
+        [(i, "a") for i in range(2)] + [(10 + i, "b") for i in range(2)]
+        + [(20 + i, "c") for i in range(4)],
+        "doc_id long, source string")
+    got = {r["source"]: r
+           for r in ptext.distribution_drift(old, new).collect()}
+    assert set(got) == {"a", "b", "c"}
+    # hand-computed: p = (.75, .25, 0), q = (.25, .25, .5)
+    def term(p, q):
+        m = (p + q) / 2
+        return round((p / 2 * math.log2(p / m) if p else 0)
+                     + (q / 2 * math.log2(q / m) if q else 0), 6)
+    assert got["a"]["js_term"] == term(0.75, 0.25)
+    assert got["b"]["js_term"] == term(0.25, 0.25) == 0.0
+    # 'c' exists only in the new snapshot: KL would be infinite, the JS
+    # term is finite and positive
+    assert got["c"]["p_old"] == 0.0 and got["c"]["js_term"] == term(0, 0.5)
+    total = sum(r["js_term"] for r in got.values())
+    assert 0.0 < total <= 1.0 + 1e-9        # JSD (base 2) is in [0, 1]
+    # identical snapshots -> zero divergence everywhere
+    same = ptext.distribution_drift(old, old).collect()
+    assert all(r["js_term"] == 0.0 for r in same)
