@@ -78,6 +78,7 @@ EXTRAS = [
     "mix_weights",           # temperature data-mixing table
     "training_mix",          # composed corpus→packed-sequences flagship
     "corpus_drift",          # snapshot JS-divergence drift table
+    "chunk_manifest",        # per-chunk dataloader gather list
     "events_stream_enrich",  # stream-static broadcast join + windowed agg
     "events_stream_dedup",   # bounded-state dedup within watermark
 ]

@@ -595,3 +595,39 @@ def distribution_drift(old_docs: DataFrame, new_docs: DataFrame,
                     F.round(p, 6).alias("p_old"),
                     F.round(q, 6).alias("q_new"),
                     F.round(term(p) + term(q), 6).alias("js_term")))
+
+
+def packed_chunk_manifest(documents: DataFrame, ctx_len: int = 256,
+                          n_shards: int = 8,
+                          text_col: str = "text") -> DataFrame:
+    """The trainer-facing shard manifest: sequence_packing's per-document
+    layout exploded into per-(shard, chunk) slice rows — for every chunk
+    a document touches, which of its tokens land there and where:
+
+      (shard, chunk_id, doc_id, tok_from, tok_to, chunk_off)
+
+    tok_from/tok_to are the doc-local token span [from, to) and
+    chunk_off the position inside the chunk — exactly the gather list a
+    dataloader executes to emit chunk chunk_id of shard shard. Rows per
+    doc = chunks touched (≥ 1); Σ (tok_to − tok_from) per chunk = ctx_len
+    for every full chunk. Integer-only arithmetic on top of the packing
+    window — one exchange (the per-shard cumulative sum), then a
+    map-side explode of at most ⌈n/ctx⌉+1 rows per doc."""
+    packed = sequence_packing(documents, ctx_len, n_shards, text_col)
+    c = F.col("chunk_id")
+    b = F.col("cum_before")
+    n = F.col("n_tokens")
+    ctx = F.lit(ctx_len)
+    return (packed
+            .withColumn("cum_before",
+                        F.col("chunk_start") * ctx + F.col("offset_in_chunk"))
+            .select("doc_id", "shard", "n_tokens", "cum_before",
+                    F.explode(F.sequence(F.col("chunk_start"),
+                                         F.col("chunk_end")))
+                    .alias("chunk_id"))
+            .select("shard", "chunk_id", "doc_id",
+                    F.greatest(c * ctx - b, F.lit(0).cast("long"))
+                    .alias("tok_from"),
+                    F.least(n, (c + 1) * ctx - b).alias("tok_to"),
+                    F.greatest(b - c * ctx, F.lit(0).cast("long"))
+                    .alias("chunk_off")))

@@ -873,6 +873,38 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ctx_len=256, n_shards=8)
 
 
+@q("chunk_manifest", r"""
+  WITH staged AS (
+    SELECT doc_id, doc_id % 8 AS shard,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+    FROM documents),
+  packed AS (
+    SELECT doc_id, shard, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS BIGINT) AS cum_before
+    FROM staged),
+  m AS (
+    SELECT doc_id, shard, n_tokens, cum_before,
+           unnest(range(cum_before // 256,
+                        (cum_before + n_tokens - 1) // 256 + 1))
+             AS chunk_id
+    FROM packed)
+  SELECT shard, chunk_id, doc_id,
+         greatest(chunk_id * 256 - cum_before, 0) AS tok_from,
+         least(n_tokens, (chunk_id + 1) * 256 - cum_before) AS tok_to,
+         greatest(cum_before - chunk_id * 256, 0) AS chunk_off
+  FROM m
+""")
+def chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-facing shard manifest: per (shard, chunk) the ordered
+    document token slices a dataloader gathers to emit that chunk."""
+    return ptext.packed_chunk_manifest(_t(spark, sf_dir, "documents"),
+                                       ctx_len=256, n_shards=8)
+
+
 # ---------------------------------------------------------------------------
 # PII scrub/stats (pipeline/text.pii_*). The synthetic corpus carries no
 # PII, so both sides append the same deterministic PII suffixes (keyed by

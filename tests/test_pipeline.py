@@ -858,3 +858,38 @@ def test_distribution_drift_js_properties(spark):
     # identical snapshots -> zero divergence everywhere
     same = ptext.distribution_drift(old, old).collect()
     assert all(r["js_term"] == 0.0 for r in same)
+
+
+def test_packed_chunk_manifest_reconstructs_full_chunks(spark):
+    from distributed_web_crawler_spark.pipeline import text as ptext
+    # shard 0 only (ids all multiples of 2, n_shards=2): token counts
+    # 3, 5, 4, 10 -> stream of 22 tokens in ctx_len=8 chunks
+    docs = spark.createDataFrame(
+        [(0, "a " * 3), (2, "b " * 5), (4, "c " * 4), (6, "d " * 10),
+         (1, "x " * 8)],
+        "doc_id long, text string")
+    rows = ptext.packed_chunk_manifest(docs, ctx_len=8, n_shards=2).collect()
+    s0 = [r for r in rows if r["shard"] == 0]
+    # doc 6 (10 tokens at offset 12) spans chunks 1 and 2
+    spans = {(r["doc_id"], r["chunk_id"]): r for r in s0}
+    assert (6, 1) in spans and (6, 2) in spans
+    a, b = spans[(6, 1)], spans[(6, 2)]
+    assert (a["tok_from"], a["tok_to"], a["chunk_off"]) == (0, 4, 4)
+    assert (b["tok_from"], b["tok_to"], b["chunk_off"]) == (4, 10, 0)
+    # every doc's slices cover [0, n_tokens) without gap or overlap
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append((r["tok_from"], r["tok_to"]))
+    n_tok = {0: 3, 2: 5, 4: 4, 6: 10, 1: 8}
+    for d, sl in per_doc.items():
+        sl.sort()
+        assert sl[0][0] == 0 and sl[-1][1] == n_tok[d]
+        assert all(sl[i][1] == sl[i + 1][0] for i in range(len(sl) - 1))
+    # every FULL chunk gathers exactly ctx_len tokens
+    per_chunk = {}
+    for r in rows:
+        per_chunk.setdefault((r["shard"], r["chunk_id"]), 0)
+        per_chunk[(r["shard"], r["chunk_id"])] += r["tok_to"] - r["tok_from"]
+    # shard 0 holds 22 tokens: chunks 0,1 full (8), chunk 2 tail (6)
+    assert per_chunk[(0, 0)] == 8 and per_chunk[(0, 1)] == 8
+    assert per_chunk[(0, 2)] == 6
