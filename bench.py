@@ -79,6 +79,7 @@ EXTRAS = [
     "training_mix",          # composed corpus→packed-sequences flagship
     "corpus_drift",          # snapshot JS-divergence drift table
     "chunk_manifest",        # per-chunk dataloader gather list
+    "stratified_split",      # exact per-stratum 90/5/5 split
     "events_stream_enrich",  # stream-static broadcast join + windowed agg
     "events_stream_dedup",   # bounded-state dedup within watermark
 ]

@@ -631,3 +631,32 @@ def packed_chunk_manifest(documents: DataFrame, ctx_len: int = 256,
                     F.least(n, (c + 1) * ctx - b).alias("tok_to"),
                     F.greatest(b - c * ctx, F.lit(0).cast("long"))
                     .alias("chunk_off")))
+
+
+def stratified_split(df: DataFrame, key_col: str = "doc_id",
+                     strata_col: str = "lang",
+                     pct: tuple[int, int, int] = (90, 5, 5),
+                     denom: int = 1_000_000) -> DataFrame:
+    """Exact deterministic train/val/test split, stratified: within each
+    stratum, rows rank by (pmod(xxhash64(key), denom), key) and integer
+    percentile cuts assign splits — rank·100 ≤ n·pct comparisons are
+    pure integer arithmetic, so the boundaries are bit-exact
+    cross-engine and the split is reproducible under any partitioning.
+    Unlike a global hash-threshold split (deterministic_sample), the
+    per-stratum fractions here are EXACT (±1 row), which is what keeps
+    a rare language from losing its whole eval slice to hash variance.
+
+    One exchange on the stratum key: the rank window and the stratum
+    count share it. Returns (key, stratum, split)."""
+    from pyspark.sql import Window
+
+    p_train, p_val, _ = pct
+    w = Window.partitionBy(strata_col).orderBy(
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(denom)), F.col(key_col))
+    n = F.count("*").over(Window.partitionBy(strata_col))
+    rank = F.row_number().over(w)
+    split = (F.when(rank * 100 <= n * p_train, "train")
+             .when(rank * 100 <= n * (p_train + p_val), "val")
+             .otherwise("test"))
+    return df.select(key_col, strata_col,
+                     split.alias("split"))

@@ -1108,6 +1108,31 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptext.mixture_weights(_t(spark, sf_dir, "documents"), alpha=0.3)
 
 
+def _stratified_split_sql() -> str:
+    return f"""
+  WITH h(doc_id, hk) AS (VALUES {_oracles.doc_hash_values()}),
+  r AS (
+    SELECT d.doc_id, d.lang,
+           row_number() OVER (PARTITION BY d.lang
+                              ORDER BY h.hk, d.doc_id) AS rn,
+           count(*) OVER (PARTITION BY d.lang) AS n
+    FROM documents d JOIN h USING (doc_id))
+  SELECT doc_id, lang,
+         CASE WHEN rn * 100 <= n * 90 THEN 'train'
+              WHEN rn * 100 <= n * 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM r
+"""
+
+
+@q("stratified_split", _stratified_split_sql)
+def stratified_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language 90/5/5 train/val/test split: per-stratum hash
+    rank + integer percentile cuts (bit-exact cross-engine)."""
+    return ptext.stratified_split(_t(spark, sf_dir, "documents"),
+                                  strata_col="lang", pct=(90, 5, 5))
+
+
 @q("source_quota", lambda: _oracles.source_quota_sql(cap=10))
 def source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-balancing quota: at most 10 docs per source, picked by the

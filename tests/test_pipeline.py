@@ -893,3 +893,27 @@ def test_packed_chunk_manifest_reconstructs_full_chunks(spark):
     # shard 0 holds 22 tokens: chunks 0,1 full (8), chunk 2 tail (6)
     assert per_chunk[(0, 0)] == 8 and per_chunk[(0, 1)] == 8
     assert per_chunk[(0, 2)] == 6
+
+
+def test_stratified_split_exact_fractions_and_stability(spark):
+    from distributed_web_crawler_spark.pipeline import text as ptext
+    rows = ([(i, "en") for i in range(200)]
+            + [(1000 + i, "de") for i in range(20)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = ptext.stratified_split(df, strata_col="lang",
+                                 pct=(90, 5, 5)).collect()
+    by = {}
+    for r in got:
+        by.setdefault((r["lang"], r["split"]), 0)
+        by[(r["lang"], r["split"])] += 1
+    # exact per-stratum fractions — even the 20-row stratum keeps its
+    # 1-row val and test slices (a global hash split would often not)
+    assert by[("en", "train")] == 180 and by[("en", "val")] == 10
+    assert by[("en", "test")] == 10
+    assert by[("de", "train")] == 18 and by[("de", "val")] == 1
+    assert by[("de", "test")] == 1
+    # partition-invariant: same assignment under a different layout
+    got2 = ptext.stratified_split(df.repartition(13), strata_col="lang",
+                                  pct=(90, 5, 5)).collect()
+    assert {(r["doc_id"], r["split"]) for r in got2} == \
+           {(r["doc_id"], r["split"]) for r in got}
