@@ -329,14 +329,16 @@ def _pq_codes(emb, m_sub: int, d_sub: int) -> F.Column:
 
 
 def _pq_qtables(queries: DataFrame, cb: DataFrame, m_sub: int,
-                d_sub: int) -> DataFrame:
-    """(query_id, tables): each query's m_sub × k_cent ADC distance
-    tables, computed ONCE map-only over the broadcast codebook."""
+                d_sub: int, extra_cols: tuple = ()) -> DataFrame:
+    """(query_id, *extra_cols, tables): each query's m_sub × k_cent ADC
+    distance tables, computed ONCE map-only over the broadcast codebook.
+    ``extra_cols`` carries through e.g. the probed list_id for the
+    residual variant (one table set per (query, list))."""
     def sub(arr, j):
         return F.slice(arr, j * d_sub + 1, d_sub)
 
     return (queries.crossJoin(F.broadcast(cb))
-            .select("query_id",
+            .select("query_id", *extra_cols,
                     F.transform(
                         F.sequence(F.lit(0), F.lit(m_sub - 1)),
                         lambda j: F.transform(
@@ -394,7 +396,8 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 def ivf_pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                 n_lists: int = 16, nprobe: int = 4, m_sub: int = 4,
-                k_cent: int = 16, dim: int = 64) -> DataFrame:
+                k_cent: int = 16, dim: int = 64,
+                residual: bool = False) -> DataFrame:
     """IVF coarse pruning × PQ byte codes — the FAISS-IVFPQ shape, the
     full memory+compute answer for 10^10-vector corpora: a query touches
     only ~nprobe/n_lists of the index (IVF) AND the index rows it scans
@@ -409,28 +412,66 @@ def ivf_pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     (list_id, vec_id, codes) partitioned by list_id, so a probe prunes
     to nprobe partitions of byte codes.
 
-    Codes are of the RAW embedding (not the per-list residual): residual
-    encoding would tie every code to its list's centroid — a refinement
-    that buys accuracy at the cost of an independent SQL restatement;
-    the tradeoff is documented, the simpler form is what the oracle
-    proves. Coarse layer ranks by unit cosine (shared with ivf_topk);
-    ADC by subspace squared-L2 (shared with pq_topk).
+    By default codes are of the RAW embedding (not the per-list
+    residual): residual encoding ties every code to its list's centroid
+    — a refinement that buys accuracy at the cost of an independent SQL
+    restatement; the simpler form is what the oracle proves.
+    ``residual=True`` enables the FAISS-style refinement: vectors are
+    unit-normalized, each encodes (unit − c_unit[list]) against a
+    RESIDUAL codebook (the hash-sampled vectors' own residuals), and the
+    query builds one distance-table set PER PROBED LIST on
+    (q_unit − c_unit). Because ‖(u−c)−(q−c)‖ = ‖u−q‖, approximation
+    error comes only from codebook coverage — and residual clouds are
+    far tighter than raw clouds on clustered data (pinned by the
+    error-reduction pytest). Same plan shape: the per-(query, list)
+    tables are nprobe× more rows of an already-tiny broadcast; encode
+    is still one map-only pass. Coarse layer ranks by unit cosine
+    (shared with ivf_topk); ADC by subspace squared-L2 (shared with
+    pq_topk).
 
     Returns (query_id, vec_id, adist, rank)."""
     d_sub = dim // m_sub
-    centroids, assigned = ivf_assign(embeddings, n_lists,
-                                     carry_embedding=True)
-    cb = _pq_codebook(embeddings, k_cent)
-    lists = (assigned.crossJoin(F.broadcast(cb))
+    if not residual:
+        centroids, assigned = ivf_assign(embeddings, n_lists,
+                                         carry_embedding=True)
+        cb = _pq_codebook(embeddings, k_cent)
+        lists = (assigned.crossJoin(F.broadcast(cb))
+                 .select("list_id", "vec_id",
+                         _pq_codes(F.col("embedding"), m_sub, d_sub)
+                         .alias("codes")))
+        qtab = _pq_qtables(queries, cb, m_sub, d_sub)
+        scored = (
+            _probe_lists(queries, centroids, nprobe)
+            .select("query_id", "list_id")
+            .join(lists, "list_id")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .join(F.broadcast(qtab), "query_id")
+            .select("query_id", "vec_id", _pq_adist(m_sub).alias("adist")))
+        return _pq_rank(scored, k)
+
+    centroids, assigned = ivf_assign(embeddings, n_lists)
+    base = (assigned.join(F.broadcast(centroids), "list_id")
+            .select("vec_id", "list_id",
+                    F.zip_with("unit", "c_unit", lambda x, y: x - y)
+                    .alias("res")))
+    cb = (base
+          .select("vec_id", "res", F.xxhash64("vec_id").alias("_hk"))
+          .orderBy("_hk", "vec_id").limit(k_cent)
+          .agg(F.array_sort(
+              F.collect_list(F.struct(
+                  "_hk", "vec_id", F.col("res").alias("emb"))))
+              .alias("cb")))
+    lists = (base.crossJoin(F.broadcast(cb))
              .select("list_id", "vec_id",
-                     _pq_codes(F.col("embedding"), m_sub, d_sub)
-                     .alias("codes")))
-    qtab = _pq_qtables(queries, cb, m_sub, d_sub)
-    scored = (
-        _probe_lists(queries, centroids, nprobe)
-        .select("query_id", "list_id")
-        .join(lists, "list_id")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(qtab), "query_id")
-        .select("query_id", "vec_id", _pq_adist(m_sub).alias("adist")))
+                     _pq_codes(F.col("res"), m_sub, d_sub).alias("codes")))
+    qres = (_probe_lists(queries, centroids, nprobe)
+            .join(F.broadcast(centroids), "list_id")
+            .select("query_id", "list_id",
+                    F.zip_with("q_unit", "c_unit", lambda x, y: x - y)
+                    .alias("embedding")))
+    qtab = _pq_qtables(qres, cb, m_sub, d_sub, extra_cols=("list_id",))
+    scored = (lists
+              .join(F.broadcast(qtab), "list_id")
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", _pq_adist(m_sub).alias("adist")))
     return _pq_rank(scored, k)

@@ -917,3 +917,64 @@ def test_stratified_split_exact_fractions_and_stability(spark):
                                   pct=(90, 5, 5)).collect()
     assert {(r["doc_id"], r["split"]) for r in got2} == \
            {(r["doc_id"], r["split"]) for r in got}
+
+
+def test_ivf_pq_residual_exact_when_codebook_covers(spark):
+    # residual invariant: ||(u-c)-(q-c)|| == ||u-q||, so with the
+    # codebook covering every residual (k_cent >= n) and a full probe,
+    # residual IVF-PQ equals brute-force L2 over the unit vectors.
+    rng = np.random.default_rng(29)
+    base = rng.standard_normal((12, 16))
+    unit = base / np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(12)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (vecs.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = similarity.ivf_pq_topk(vecs, queries, k=3, n_lists=3, nprobe=3,
+                                 m_sub=4, k_cent=12, dim=16,
+                                 residual=True).collect()
+    for q in range(3):
+        want = [v for _, v in sorted(
+            (round(sum(round(float(((unit[q][j * 4:(j + 1) * 4]
+                                     - unit[v][j * 4:(j + 1) * 4]) ** 2)
+                                   .sum()), 6) for j in range(4)), 6), v)
+            for v in range(12) if v != q)[:3]]
+        got_q = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_id"] == q), key=lambda r: r["rank"])]
+        assert got_q == want
+
+
+def test_ivf_pq_residual_reduces_adc_error_on_clustered_data(spark):
+    # 6 well-separated blobs, k_cent=6: the raw codebook must cover 6
+    # distant blobs with 6 codewords (hash sampling leaves some blobs
+    # uncovered -> large errors); residual clouds all live in one small
+    # ball, so the same budget quantizes them far more finely.
+    # Measured with seed 17: mean |adist - true| 0.151 raw vs 0.027
+    # residual (5.6x).
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((6, 16)) * 3
+    pts = np.vstack([c + 0.05 * rng.standard_normal((8, 16))
+                     for c in centers])
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    n = len(pts)
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(n)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (vecs.where(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+    def true_d2(q, v):
+        return round(sum(
+            round(float(((pts[q][j * 4:(j + 1) * 4]
+                          - pts[v][j * 4:(j + 1) * 4]) ** 2).sum()), 6)
+            for j in range(4)), 6)
+
+    def mean_err(residual):
+        got = similarity.ivf_pq_topk(
+            vecs, queries, k=n, n_lists=6, nprobe=6, m_sub=4, k_cent=6,
+            dim=16, residual=residual).collect()
+        errs = [abs(r["adist"] - true_d2(r["query_id"], r["vec_id"]))
+                for r in got]
+        return sum(errs) / len(errs)
+
+    e_raw, e_res = mean_err(False), mean_err(True)
+    assert e_res < e_raw / 2
