@@ -80,6 +80,7 @@ EXTRAS = [
     "corpus_drift",          # snapshot JS-divergence drift table
     "chunk_manifest",        # per-chunk dataloader gather list
     "stratified_split",      # exact per-stratum 90/5/5 split
+    "knn_label_vote",        # kNN majority-vote embedding probe
     "events_stream_enrich",  # stream-static broadcast join + windowed agg
     "events_stream_dedup",   # bounded-state dedup within watermark
 ]

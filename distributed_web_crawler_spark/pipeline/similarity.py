@@ -475,3 +475,34 @@ def ivf_pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
               .where(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id", _pq_adist(m_sub).alias("adist")))
     return _pq_rank(scored, k)
+
+
+def knn_label_vote(embeddings: DataFrame, queries: DataFrame,
+                   k: int = 5) -> DataFrame:
+    """k-NN label prediction by neighbor majority vote — the standard
+    embedding-quality probe (kNN accuracy): each query's k nearest
+    corpus neighbors (cosine, self excluded) vote with their labels;
+    ties break (votes desc, label asc). ``embeddings`` carries
+    (vec_id, embedding, label); ``queries`` (query_id, embedding,
+    true_label).
+
+    Plan: the vote stage runs on query×k rows (tiny), so the cost IS
+    the neighbor search — brute-force here; at 10^9+ swap in
+    ivf_topk/ivf_pq_topk unchanged, since only (query_id, vec_id) pairs
+    feed the vote. Returns
+    (query_id, true_label, pred_label, votes, correct)."""
+    top = brute_force_topk(
+        embeddings.select("vec_id", "embedding"), queries, k)
+    votes = (top.join(embeddings.select("vec_id", "label"), "vec_id")
+             .groupBy("query_id", "label")
+             .agg(F.count("*").alias("votes")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"),
+                                               F.asc("label"))
+    pred = (votes.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select("query_id", F.col("label").alias("pred_label"),
+                    "votes"))
+    return (pred.join(queries.select("query_id", "true_label"), "query_id")
+            .select("query_id", "true_label", "pred_label", "votes",
+                    (F.col("pred_label") == F.col("true_label"))
+                    .alias("correct")))

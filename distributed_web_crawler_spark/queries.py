@@ -1639,6 +1639,45 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   m_sub=4, k_cent=16, dim=64)
 
 
+@q("knn_label_vote", """
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+             FROM embeddings),
+  q AS (SELECT vec_id AS query_id, emb AS q_emb, label AS true_label
+        FROM e WHERE vec_id < 40),
+  scored AS (
+    SELECT query_id, vec_id,
+           round(list_cosine_similarity(q_emb, emb), 6) AS cosine
+    FROM q JOIN e ON vec_id <> query_id),
+  topk AS (
+    SELECT query_id, vec_id FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= 5),
+  votes AS (
+    SELECT t.query_id, e.label, count(*) AS votes
+    FROM topk t JOIN e ON e.vec_id = t.vec_id
+    GROUP BY 1, 2),
+  pred AS (
+    SELECT query_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+          FROM votes) WHERE rn = 1)
+  SELECT p.query_id, q.true_label, p.pred_label, p.votes,
+         (p.pred_label = q.true_label) AS correct
+  FROM pred p JOIN q USING (query_id)
+""")
+def knn_label_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality probe: k-NN majority-vote label prediction for
+    the first 40 vectors, scored against their true labels."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+        "label")
+    queries = (emb.where(F.col("vec_id") < 40)
+               .select(F.col("vec_id").alias("query_id"), "embedding",
+                       F.col("label").alias("true_label")))
+    return similarity.knn_label_vote(emb, queries, k=5)
+
+
 @q("ann_pq_topk", lambda: _oracles.ann_pq_sql(
     k=5, m_sub=4, k_cent=16, dim=64))
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

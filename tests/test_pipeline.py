@@ -978,3 +978,28 @@ def test_ivf_pq_residual_reduces_adc_error_on_clustered_data(spark):
 
     e_raw, e_res = mean_err(False), mean_err(True)
     assert e_res < e_raw / 2
+
+
+def test_knn_label_vote_majority_and_ties(spark):
+    rng = np.random.default_rng(37)
+    centers = rng.standard_normal((2, 8)) * 4
+    # class 0: vectors 0..4 around center A; class 1: 5..9 around B
+    pts = np.vstack([centers[i // 5] + 0.05 * rng.standard_normal(8)
+                     for i in range(10)])
+    rows = [(i, [float(x) for x in pts[i]], i // 5) for i in range(10)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    queries = (vecs.where(F.col("vec_id").isin(0, 5))
+               .select(F.col("vec_id").alias("query_id"), "embedding",
+                       F.col("label").alias("true_label")))
+    got = {r["query_id"]: r
+           for r in similarity.knn_label_vote(vecs, queries, k=3).collect()}
+    # each query's 3 nearest neighbors are its own tight cluster
+    assert got[0]["pred_label"] == 0 and got[0]["correct"]
+    assert got[5]["pred_label"] == 1 and got[5]["correct"]
+    assert got[0]["votes"] == 3 and got[5]["votes"] == 3
+    # with k=4 the vote can split 2-2 across labels only if a cross-
+    # cluster neighbor enters; clusters are far apart, so still 4-0
+    got4 = {r["query_id"]: r
+            for r in similarity.knn_label_vote(vecs, queries, k=4).collect()}
+    assert got4[0]["votes"] == 4 and got4[0]["pred_label"] == 0
