@@ -708,6 +708,58 @@ def source_quota_sql(cap: int = 10, denom: int = 1_000_000) -> str:
 """
 
 
+def bpe_merges_sql(n_merges: int = 10) -> str:
+    """Golden-model oracle for pipeline.text.bpe_train: pure-Python BPE
+    (Sennrich) over the same corpus — ASCII-whitespace tokenization
+    (mirroring Java \\s), greedy left-to-right merge application, ties to
+    the lexicographically smallest pair — emitted as VALUES."""
+    import re
+    from collections import Counter
+
+    key = ("bpe", ORACLE_SF_DIR, n_merges)
+    if key not in _cache:
+        freq: Counter = Counter()
+        for _, text in _docs(ORACLE_SF_DIR):
+            for w in re.split(r"[ \t\n\x0b\f\r]+", text.lower()):
+                if w:
+                    freq[w] += 1
+        words = [(list(w), c) for w, c in freq.items()]
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pc: Counter = Counter()
+            for syms, c in words:
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += c
+            if not pc:
+                break
+            (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, a, b, cnt))
+            merged = a + b
+            for idx, (syms, c) in enumerate(words):
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[idx] = (out, c)
+        _cache[key] = merges
+
+    def sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(f"({r}, {sq(a)}, {sq(b)}, {c})"
+                     for r, a, b, c in _cache[key])
+    return f"""
+  SELECT CAST(rank AS INTEGER) AS rank, "left", "right",
+         CAST(freq AS BIGINT) AS freq
+  FROM (VALUES {vals}) t(rank, "left", "right", freq)
+"""
+
+
 def semantic_dedup_sql(sf_dir: str = ORACLE_SF_DIR, n_lists: int = 16,
                        threshold: float = 0.4) -> str:
     """SemDeDup restated in SQL: ann_ivf_sql's centroid/assignment CTEs,

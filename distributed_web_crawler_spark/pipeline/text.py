@@ -660,3 +660,70 @@ def stratified_split(df: DataFrame, key_col: str = "doc_id",
              .otherwise("test"))
     return df.select(key_col, strata_col,
                      split.alias("split"))
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 10,
+              text_col: str = "text") -> DataFrame:
+    """Distributed BPE vocabulary training (the tokenizer-prep step): from
+    character symbols, repeatedly merge the corpus-wide most frequent
+    adjacent symbol pair (ties → lexicographically smallest pair), the
+    Sennrich et al. algorithm. Returns the merge table
+    (rank, left, right, freq) — rank is the merge order, freq the pair's
+    weighted count at merge time.
+
+    Scale shape: the working set is the WORD-FREQUENCY table (vocabulary-
+    sized, not corpus-sized — one corpus scan builds it, every iteration
+    after that touches only distinct words). Per merge: one pair-explode
+    + sum aggregate (map-side partial) and one TakeOrderedAndProject
+    argmax — the only driver-side data is the single winning pair
+    (a few bytes, like host_pagerank's convergence probe). The merge
+    application is a map-only greedy left-to-right fold (correct without
+    an overlap flag: a merged symbol's text can never equal its own left
+    half). Each iteration localCheckpoints the (small) vocab frame —
+    without it the fold-in-fold lambda nesting grows the plan
+    exponentially."""
+    vocab = (documents
+             .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+             .where(F.length("w") > 0)
+             .groupBy("w").agg(F.count("*").alias("freq"))
+             .select("freq", F.split("w", "").alias("syms"))
+             .localCheckpoint(eager=True))
+
+    def pair_counts(v: DataFrame) -> DataFrame:
+        s = F.col("syms")
+        prs = F.when(
+            F.size(s) >= 2,
+            F.transform(F.sequence(F.lit(1), F.size(s) - 1),
+                        lambda i: F.struct(
+                            F.element_at(s, i).alias("a"),
+                            F.element_at(s, i + 1).alias("b")))
+        ).otherwise(F.array().cast(
+            "array<struct<a:string,b:string>>"))
+        return (v.select("freq", F.explode(prs).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt")))
+
+    def apply_merge(a: str, b: str) -> F.Column:
+        merged = a + b
+        return F.aggregate(
+            F.col("syms"), F.array().cast("array<string>"),
+            lambda acc, sym: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a))
+                & (sym == F.lit(b)),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                         F.array(F.lit(merged))))
+            .otherwise(F.concat(acc, F.array(sym))))
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        best = (pair_counts(vocab)
+                .orderBy(F.desc("cnt"), "a", "b").limit(1).collect())
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
+        merges.append((rank, a, b, cnt))
+        vocab = (vocab.select("freq", apply_merge(a, b).alias("syms"))
+                 .localCheckpoint(eager=True))
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, freq long")

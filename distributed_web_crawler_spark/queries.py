@@ -803,6 +803,14 @@ def bigram_lm_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptext.bigram_lm_counts(_t(spark, sf_dir, "documents"))
 
 
+@q("bpe_merges", lambda: _oracles.bpe_merges_sql(n_merges=12))
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training: the first 12 merge rules
+    learned from the corpus (Sennrich), oracled against a pure-Python
+    golden model."""
+    return ptext.bpe_train(_t(spark, sf_dir, "documents"), n_merges=12)
+
+
 @q("lm_perplexity", r"""
   WITH mt AS (
     SELECT string_split_regex(trim(lower(text)), '\s+') AS t

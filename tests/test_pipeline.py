@@ -1003,3 +1003,23 @@ def test_knn_label_vote_majority_and_ties(spark):
     got4 = {r["query_id"]: r
             for r in similarity.knn_label_vote(vecs, queries, k=4).collect()}
     assert got4[0]["votes"] == 4 and got4[0]["pred_label"] == 0
+
+
+def test_bpe_train_hand_computed_merges(spark):
+    from distributed_web_crawler_spark.pipeline import text as ptext
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab"), (1, "ab ab ab")], "doc_id long, text string")
+    got = [(r["rank"], r["left"], r["right"], r["freq"])
+           for r in ptext.bpe_train(docs, n_merges=3)
+           .orderBy("rank").collect()]
+    # pair counts: (a,b) = 2+3 = 5 beats (a,a) = 4 -> merge 1
+    # then (a,a) = 2 ties (a,ab) = 2 -> lexicographically smallest wins
+    # then the only pair left in "aaab" is (aa, ab)
+    assert got == [(1, "a", "b", 5), (2, "a", "a", 2), (3, "aa", "ab", 2)]
+    # greedy left-to-right: "aaaa" under merge (a,a) yields aa,aa -> the
+    # follow-up merge is (aa,aa), never an overlapping (a,aa)
+    docs2 = spark.createDataFrame([(0, "aaaa")], "doc_id long, text string")
+    got2 = [(r["rank"], r["left"], r["right"])
+            for r in ptext.bpe_train(docs2, n_merges=2)
+            .orderBy("rank").collect()]
+    assert got2 == [(1, "a", "a"), (2, "aa", "aa")]
