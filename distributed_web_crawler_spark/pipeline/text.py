@@ -727,3 +727,56 @@ def bpe_train(documents: DataFrame, n_merges: int = 10,
     spark = documents.sparkSession
     return spark.createDataFrame(
         merges, "rank int, left string, right string, freq long")
+
+
+def bm25_search(documents: DataFrame, query_terms: list[str], k: int = 20,
+                k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text") -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Lucene formulation) for a fixed
+    bag of query terms — the relevance-ranking counterpart to
+    tfidf_topterms, and the scoring layer a corpus-slicing pipeline uses
+    to pull topical subsets out of a crawl.
+
+    score(D) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*len/avg))
+    with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (always positive).
+    Per-term scores are quantized to 1e-6 BEFORE the per-doc sum and the
+    sum re-quantized, so ln()'s ~1-ulp engine latitude cannot reorder the
+    final ranking (same contract as tfidf/lm_perplexity).
+
+    Scale shape: the token explode filters to the query terms inside the
+    scan stage, so only matching postings ever shuffle — tf is one
+    partial-agg shuffle on (doc_id, token), O(postings of the query
+    terms), not O(corpus tokens). Document length is a map-only column on
+    the same scan (no second pass); N/avgdl is a one-row aggregate
+    cross-joined broadcast; df is a tiny per-term aggregate over the
+    already-reduced tf table, also broadcast. Top-k is orderBy().limit()
+    = TakeOrderedAndProject (per-partition heap merge, no global sort).
+    Returns (doc_id, score, n_terms) — n_terms = distinct query terms hit.
+    """
+    tf = (documents
+          .select("doc_id",
+                  token_count(F.col(text_col)).alias("doclen"),
+                  F.explode(F.filter(
+                      tokens(F.lower(F.col(text_col))),
+                      lambda t: t.isin(*query_terms)))
+                  .alias("token"))
+          .groupBy("doc_id", "token", "doclen")
+          .agg(F.count("*").alias("tf")))
+    stats = documents.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(token_count(F.col(text_col))).alias("avgdl"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tfn = (F.col("tf") * (F.lit(k1) + 1.0)
+           / (F.col("tf") + F.lit(k1)
+              * (F.lit(1.0 - b)
+                 + F.lit(b) * F.col("doclen") / F.col("avgdl"))))
+    return (tf.join(F.broadcast(dfreq), "token")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", F.round(idf * tfn, 6).alias("term_score"))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("term_score"), 6).alias("score"),
+                 F.count("*").alias("n_terms"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))

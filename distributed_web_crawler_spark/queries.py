@@ -733,6 +733,41 @@ def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptext.tfidf_topterms(_t(spark, sf_dir, "documents"), k=3)
 
 
+@q("bm25_search", r"""
+  WITH tok AS (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS doclen,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents),
+  tf AS (
+    SELECT doc_id, token, doclen, count(*) AS tf
+    FROM tok WHERE token IN ('spark', 'merge', 'vector')
+    GROUP BY doc_id, token, doclen),
+  stats AS (
+    SELECT count(*) AS n_docs,
+           avg(len(string_split_regex(trim(text), '\s+'))) AS avgdl
+    FROM documents),
+  dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+  scored AS (
+    SELECT t.doc_id,
+           round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * (1.2 + 1.0))
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.doclen / s.avgdl)),
+                 6) AS term_score
+    FROM tf t JOIN dfreq d USING (token) CROSS JOIN stats s)
+  SELECT doc_id, round(sum(term_score), 6) AS score,
+         count(*) AS n_terms
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT 20
+""")
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the fixed query bag (spark, merge, vector).
+    Per-term scores quantized to 1e-6 pre-sum on both engines (the
+    lm_perplexity contract), so ln() latitude cannot reorder the top-k."""
+    return ptext.bm25_search(_t(spark, sf_dir, "documents"),
+                             ["spark", "merge", "vector"], k=20)
+
+
 # ---------------------------------------------------------------------------
 # bucketized range join (operators/rangejoin): interval lookup as hash join
 # ---------------------------------------------------------------------------

@@ -1023,3 +1023,31 @@ def test_bpe_train_hand_computed_merges(spark):
             for r in ptext.bpe_train(docs2, n_merges=2)
             .orderBy("rank").collect()]
     assert got2 == [(1, "a", "a"), (2, "aa", "aa")]
+
+
+def test_bm25_matches_python_mirror(spark):
+    import math
+    from distributed_web_crawler_spark.pipeline import text as ptext
+    corpus = [(0, "spark spark merge"), (1, "merge table"),
+              (2, "table row"), (3, "spark row row table")]
+    terms, k1, b = ["spark", "merge"], 1.2, 0.75
+    lens = {d: len(t.split()) for d, t in corpus}
+    avgdl = sum(lens.values()) / len(corpus)
+    tf = {(d, w): t.split().count(w)
+          for d, t in corpus for w in terms if w in t.split()}
+    df = {w: sum(1 for (d2, w2) in tf if w2 == w) for w in terms}
+    want = {}
+    for (d, w), f in tf.items():
+        idf = math.log(1 + (len(corpus) - df[w] + 0.5) / (df[w] + 0.5))
+        ts = round(idf * f * (k1 + 1)
+                   / (f + k1 * (1 - b + b * lens[d] / avgdl)), 6)
+        s, n = want.get(d, (0.0, 0))
+        want[d] = (round(s + ts, 6), n + 1)
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: (r["score"], r["n_terms"])
+           for r in ptext.bm25_search(docs, terms, k=10).collect()}
+    assert got == want
+    # ranking is (score desc, doc_id): doc 0 has both terms and the
+    # highest tf, so it must lead
+    top = ptext.bm25_search(docs, terms, k=1).collect()[0]
+    assert top["doc_id"] == 0

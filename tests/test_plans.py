@@ -269,3 +269,14 @@ def test_training_mix_flagship_no_python_no_cartesian(spark):
     plan = _plan(Q.QUERIES["training_mix"](spark, SF))
     assert "Python" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_bm25_take_ordered_broadcast_no_corpus_shuffle_of_text(spark):
+    """Top-k must be a TakeOrderedAndProject (no global sort); df/stats
+    sides must broadcast (no SortMergeJoin); the only exchange carries
+    reduced postings, with map-side partial aggregation."""
+    plan = _plan(Q.QUERIES["bm25_search"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
