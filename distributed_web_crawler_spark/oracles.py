@@ -708,11 +708,25 @@ def source_quota_sql(cap: int = 10, denom: int = 1_000_000) -> str:
 """
 
 
-def bpe_merges_sql(n_merges: int = 10) -> str:
-    """Golden-model oracle for pipeline.text.bpe_train: pure-Python BPE
-    (Sennrich) over the same corpus — ASCII-whitespace tokenization
-    (mirroring Java \\s), greedy left-to-right merge application, ties to
-    the lexicographically smallest pair — emitted as VALUES."""
+def _bpe_apply_py(syms: list, a: str, b: str) -> list:
+    """Greedy left-to-right application of one merge — the exact Python
+    mirror of pipeline.text._apply_merge's Catalyst fold."""
+    merged, out, i = a + b, [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_merges_py(n_merges: int) -> list:
+    """Train-and-cache the golden BPE merge table [(rank, a, b, cnt)]:
+    pure-Python Sennrich BPE over the oracle corpus — ASCII-whitespace
+    tokenization (mirroring Java \\s), greedy left-to-right merge
+    application, ties to the lexicographically smallest pair."""
     import re
     from collections import Counter
 
@@ -734,29 +748,55 @@ def bpe_merges_sql(n_merges: int = 10) -> str:
                 break
             (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
             merges.append((rank, a, b, cnt))
-            merged = a + b
             for idx, (syms, c) in enumerate(words):
-                out, i = [], 0
-                while i < len(syms):
-                    if (i + 1 < len(syms) and syms[i] == a
-                            and syms[i + 1] == b):
-                        out.append(merged)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                words[idx] = (out, c)
+                words[idx] = (_bpe_apply_py(syms, a, b), c)
         _cache[key] = merges
+    return _cache[key]
 
+
+def bpe_merges_sql(n_merges: int = 10) -> str:
+    """Golden-model oracle for pipeline.text.bpe_train, emitted as
+    VALUES."""
     def sq(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
 
     vals = ", ".join(f"({r}, {sq(a)}, {sq(b)}, {c})"
-                     for r, a, b, c in _cache[key])
+                     for r, a, b, c in _bpe_merges_py(n_merges))
     return f"""
   SELECT CAST(rank AS INTEGER) AS rank, "left", "right",
          CAST(freq AS BIGINT) AS freq
   FROM (VALUES {vals}) t(rank, "left", "right", freq)
+"""
+
+
+def bpe_encode_sql(n_merges: int = 12) -> str:
+    """Golden-model oracle for pipeline.text.bpe_encode_lengths: train the
+    same merge table, encode every word greedily in rank order, and emit
+    per-document (n_words, n_tokens) as VALUES."""
+    import re
+
+    merges = [(a, b) for _, a, b, _ in _bpe_merges_py(n_merges)]
+    enc_len: dict = {}
+
+    def wlen(w: str) -> int:
+        if w not in enc_len:
+            syms = list(w)
+            for a, b in merges:
+                syms = _bpe_apply_py(syms, a, b)
+            enc_len[w] = len(syms)
+        return enc_len[w]
+
+    rows = []
+    for doc_id, text in _docs(ORACLE_SF_DIR):
+        ws = [w for w in re.split(r"[ \t\n\x0b\f\r]+", text.lower()) if w]
+        if ws:
+            rows.append((doc_id, len(ws), sum(wlen(w) for w in ws)))
+    vals = ", ".join(f"({d}, {nw}, {nt})" for d, nw, nt in rows)
+    return f"""
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_words AS BIGINT) AS n_words,
+         CAST(n_tokens AS BIGINT) AS n_tokens
+  FROM (VALUES {vals}) t(doc_id, n_words, n_tokens)
 """
 
 

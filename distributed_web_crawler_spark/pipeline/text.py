@@ -662,6 +662,22 @@ def stratified_split(df: DataFrame, key_col: str = "doc_id",
                      split.alias("split"))
 
 
+def _apply_merge(a: str, b: str) -> Column:
+    """One BPE merge applied to a `syms` array column: greedy
+    left-to-right fold replacing each adjacent (a, b) with a+b. Correct
+    without an overlap flag because a merged symbol's text can never
+    equal its own left half (b is non-empty)."""
+    merged = a + b
+    return F.aggregate(
+        F.col("syms"), F.array().cast("array<string>"),
+        lambda acc, sym: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a))
+            & (sym == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.lit(merged))))
+        .otherwise(F.concat(acc, F.array(sym))))
+
+
 def bpe_train(documents: DataFrame, n_merges: int = 10,
               text_col: str = "text") -> DataFrame:
     """Distributed BPE vocabulary training (the tokenizer-prep step): from
@@ -703,17 +719,6 @@ def bpe_train(documents: DataFrame, n_merges: int = 10,
                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
                 .agg(F.sum("freq").alias("cnt")))
 
-    def apply_merge(a: str, b: str) -> F.Column:
-        merged = a + b
-        return F.aggregate(
-            F.col("syms"), F.array().cast("array<string>"),
-            lambda acc, sym: F.when(
-                (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a))
-                & (sym == F.lit(b)),
-                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
-                         F.array(F.lit(merged))))
-            .otherwise(F.concat(acc, F.array(sym))))
-
     merges = []
     for rank in range(1, n_merges + 1):
         best = (pair_counts(vocab)
@@ -722,7 +727,7 @@ def bpe_train(documents: DataFrame, n_merges: int = 10,
             break
         a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
         merges.append((rank, a, b, cnt))
-        vocab = (vocab.select("freq", apply_merge(a, b).alias("syms"))
+        vocab = (vocab.select("freq", _apply_merge(a, b).alias("syms"))
                  .localCheckpoint(eager=True))
     spark = documents.sparkSession
     return spark.createDataFrame(
@@ -780,3 +785,42 @@ def bm25_search(documents: DataFrame, query_terms: list[str], k: int = 20,
                  F.count("*").alias("n_terms"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))
+
+
+def bpe_encode_lengths(documents: DataFrame, n_merges: int = 12,
+                       checkpoint_every: int = 4,
+                       text_col: str = "text") -> DataFrame:
+    """Tokenize every document with a BPE vocabulary trained in-flight by
+    bpe_train and return the per-document encoded length
+    (doc_id, n_words, n_tokens) — the sizing pass a training pipeline
+    runs before sequence packing.
+
+    Scale shape: the merge table (the tokenizer model) is O(n_merges)
+    rows collected to the driver — a model artifact, same footprint class
+    as pagerank's convergence probe. Encoding work is done once per
+    DISTINCT word (vocabulary-sized, not corpus-sized): the merge rules
+    replay over the distinct-word table as chained map-only folds
+    (localCheckpoint every `checkpoint_every` merges bounds codegen
+    depth), then word→token_len maps back onto the (doc_id, word) stream
+    with a hash join (vocab side broadcastable in practice; kept a
+    shuffle join for robustness at 10^9-word vocabularies) and a per-doc
+    partial-agg sum."""
+    merges = [(r["left"], r["right"])
+              for r in bpe_train(documents, n_merges, text_col)
+              .orderBy("rank").collect()]
+    words = (documents
+             .select("doc_id",
+                     F.explode(tokens(F.lower(F.col(text_col))))
+                     .alias("w"))
+             .where(F.length("w") > 0))
+    vocab = (words.select("w").distinct()
+             .select("w", F.split("w", "").alias("syms")))
+    for i, (a, b) in enumerate(merges):
+        vocab = vocab.select("w", _apply_merge(a, b).alias("syms"))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
+            vocab = vocab.localCheckpoint(eager=True)
+    enc = vocab.select("w", F.size("syms").alias("wlen"))
+    return (words.join(enc, "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("wlen").alias("n_tokens")))

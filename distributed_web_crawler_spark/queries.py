@@ -838,6 +838,15 @@ def bigram_lm_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptext.bigram_lm_counts(_t(spark, sf_dir, "documents"))
 
 
+@q("bpe_encode", lambda: _oracles.bpe_encode_sql(n_merges=12))
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization sizing pass: train 12 BPE merges in-flight,
+    encode every distinct word once, and roll up per-document encoded
+    lengths — oracled against the pure-Python golden tokenizer."""
+    return ptext.bpe_encode_lengths(_t(spark, sf_dir, "documents"),
+                                    n_merges=12)
+
+
 @q("bpe_merges", lambda: _oracles.bpe_merges_sql(n_merges=12))
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary training: the first 12 merge rules

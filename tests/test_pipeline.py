@@ -1051,3 +1051,14 @@ def test_bm25_matches_python_mirror(spark):
     # highest tf, so it must lead
     top = ptext.bm25_search(docs, terms, k=1).collect()[0]
     assert top["doc_id"] == 0
+
+
+def test_bpe_encode_lengths_hand_computed(spark):
+    from distributed_web_crawler_spark.pipeline import text as ptext
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab"), (1, "ab ab ab")], "doc_id long, text string")
+    # merges learned: (a,b) then (a,a); "aaab" -> [aa, ab], "ab" -> [ab]
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in ptext.bpe_encode_lengths(docs, n_merges=2,
+                                             checkpoint_every=1).collect()}
+    assert got == {0: (2, 4), 1: (3, 3)}
