@@ -185,3 +185,38 @@ def combined_exclude_pattern(patterns: tuple[str, ...]) -> str | None:
     if not patterns:
         return None
     return "^(?:" + "|".join(f"(?:{p})" for p in patterns) + ")$"
+
+
+# crawl seen-set canonicalization: two URLs that differ only in scheme/host
+# case, an explicit default port, a fragment, tracking query params, or
+# query-param order name the same resource — canonicalizing before the
+# URL-seen probe collapses them so the frontier never re-fetches aliases.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL, pure Catalyst:
+    lowercase scheme+host, drop the fragment, drop an explicit default
+    port (:80 http / :443 https), drop tracking query params
+    (TRACKING_PARAM_RE), sort the surviving params bytewise, collapse
+    trailing path slashes ('' -> '/'). One expression tree, whole-stage
+    codegen — no UDF on the per-link hot path."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://",
+                                      1))
+    hostport = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
+    host = (F.when(scheme == "http",
+                   F.regexp_replace(hostport, r":80$", ""))
+            .when(scheme == "https",
+                  F.regexp_replace(hostport, r":443$", ""))
+            .otherwise(hostport))
+    raw_path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(F.regexp_replace(raw_path, r"/+$", "") == "", F.lit("/")) \
+            .otherwise(F.regexp_replace(raw_path, r"/+$", ""))
+    query = F.array_join(
+        F.array_sort(F.filter(
+            F.split(F.regexp_extract(url, r"\?([^#]*)", 1), "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))),
+        "&")
+    return F.concat(scheme, F.lit("://"), host, path,
+                    F.when(query == "", F.lit(""))
+                    .otherwise(F.concat(F.lit("?"), query)))

@@ -1995,6 +1995,69 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p_partkey", normalize_scheme(u).alias("url_norm")))
 
 
+@q("url_canonical_dedup", r"""
+  WITH raw AS (
+    SELECT p_partkey AS k,
+      CASE CAST(p_partkey % 3 AS INTEGER)
+        WHEN 0 THEN 'HTTP://WWW.Example.COM:80/item/'
+                    || CAST(p_partkey // 3 AS VARCHAR)
+                    || '/?utm_source=news&b=2&a=1#top'
+        WHEN 1 THEN 'http://www.example.com/item/'
+                    || CAST(p_partkey // 3 AS VARCHAR) || '?a=1&b=2'
+        ELSE 'http://www.example.com:80/item/'
+             || CAST(p_partkey // 3 AS VARCHAR) || '//?b=2&a=1&gclid=xyz'
+      END AS u
+    FROM part),
+  pieces AS (
+    SELECT k,
+      lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        AS scheme,
+      lower(regexp_extract(u, '^[^:]+://([^/?#]*)', 1)) AS hostport,
+      regexp_extract(u, '^[^:]+://[^/?#]*([^?#]*)', 1) AS raw_path,
+      array_to_string(list_sort(list_filter(
+        string_split(regexp_extract(u, '\?([^#]*)', 1), '&'),
+        x -> x <> '' AND NOT regexp_matches(
+               x, '^(utm_[^=]*|gclid|fbclid|ref)='))), '&') AS q
+    FROM raw),
+  canon AS (
+    SELECT k,
+      scheme || '://'
+      || CASE WHEN scheme = 'http'
+                THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https'
+                THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END
+      || CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(raw_path, '/+$', '') END
+      || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_canon
+    FROM pieces)
+  SELECT url_canon, count(*) AS n_variants, min(k) AS first_key
+  FROM canon GROUP BY url_canon
+""")
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler seen-set canonicalization: three messy aliases per logical
+    item (case, explicit default port, fragment, tracking params, param
+    order, trailing slashes) collapse to one canonical URL — pure
+    Catalyst, one partial-agg shuffle on the canonical key."""
+    from .functions.urls import canonicalize_url
+    k = F.col("p_partkey")
+    item = F.floor(k / 3).cast("string")
+    u = (F.when(k % 3 == 0,
+                F.concat(F.lit("HTTP://WWW.Example.COM:80/item/"), item,
+                         F.lit("/?utm_source=news&b=2&a=1#top")))
+         .when(k % 3 == 1,
+               F.concat(F.lit("http://www.example.com/item/"), item,
+                        F.lit("?a=1&b=2")))
+         .otherwise(
+             F.concat(F.lit("http://www.example.com:80/item/"), item,
+                      F.lit("//?b=2&a=1&gclid=xyz"))))
+    return (_t(spark, sf_dir, "part")
+            .select(k.alias("k"), canonicalize_url(u).alias("url_canon"))
+            .groupBy("url_canon")
+            .agg(F.count("*").alias("n_variants"),
+                 F.min("k").alias("first_key")))
+
+
 # ---------------------------------------------------------------------------
 # X2: URL → protocol extraction (core/WebCrawler.java:462)
 # ---------------------------------------------------------------------------
