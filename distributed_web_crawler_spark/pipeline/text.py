@@ -824,3 +824,32 @@ def bpe_encode_lengths(documents: DataFrame, n_merges: int = 12,
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_words"),
                  F.sum("wlen").alias("n_tokens")))
+
+
+def inverted_index(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token → postings list (token, df, tf_total, postings) with
+    postings serialized "doc:tf,doc:tf,…" in doc_id order — the search-
+    index build step over a curated corpus.
+
+    Scale shape: tf is one partial-agg shuffle on (doc_id, token) —
+    document text never shuffles; the postings build re-shuffles the
+    already-reduced tf table on the token. collect_list order is
+    partition-nondeterministic, so the list is pinned by array_sort on
+    the (doc_id, tf) struct BEFORE serialization — deterministic output
+    under any partitioning. A 10^10-doc stopword posting would overflow
+    one aggregation buffer; real deployments shard hot tokens by
+    (token, doc_id range) — here df-bounded corpora are the target
+    (see ngram_jaccard's max_df treatment of the same skew)."""
+    tf = (_token_rows(documents, text_col)
+          .groupBy("token", "doc_id").agg(F.count("*").alias("tf")))
+    return (tf.groupBy("token")
+            .agg(F.count("*").alias("df"),
+                 F.sum("tf").alias("tf_total"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(
+                             F.collect_list(F.struct("doc_id", "tf"))),
+                         lambda s: F.concat_ws(
+                             ":", s["doc_id"].cast("string"),
+                             s["tf"].cast("string"))),
+                     ",").alias("postings")))

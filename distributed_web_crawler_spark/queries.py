@@ -703,6 +703,26 @@ def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptext.vocab_topk(_t(spark, sf_dir, "documents"), k=50)
 
 
+@q("inverted_index", r"""
+  WITH tok0 AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents),
+  tf AS (
+    SELECT token, doc_id, count(*) AS tf
+    FROM tok0 WHERE token <> '' GROUP BY token, doc_id)
+  SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+         string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                    ',' ORDER BY doc_id) AS postings
+  FROM tf GROUP BY token
+""")
+def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index build: per-token postings lists in doc_id order,
+    deterministic under any partitioning (array_sort pins the
+    collect_list order before serialization)."""
+    return ptext.inverted_index(_t(spark, sf_dir, "documents"))
+
+
 @q("tfidf_topterms", r"""
   WITH tok0 AS (
     SELECT doc_id,
@@ -2399,6 +2419,82 @@ def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding a watermarked windowed count; oracle is the batch join+agg."""
     from .streaming import static_enriched_stream
     return static_enriched_stream(spark, sf_dir)
+
+
+@q("cohort_retention", """
+  WITH cohort AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events
+    GROUP BY user_id),
+  act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+  SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+         CAST(date_diff('day', c.cohort_day, a.d) AS INTEGER)
+           AS day_offset,
+         count(DISTINCT a.user_id) AS n_users
+  FROM act a JOIN cohort c USING (user_id)
+  GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.d)
+""")
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-active day,
+    counted on each later active day. Both aggregates reduce on user_id
+    first (events never join raw); the cohort dim then hash-joins the
+    distinct (user, day) activity table — partitioning from the first
+    aggregate is reused by the join's user_id requirement."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = (ev.groupBy("user_id")
+              .agg(F.min(F.to_date("ts")).alias("cohort_day")))
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (act.join(cohort, "user_id")
+            .groupBy(F.col("cohort_day").cast("string")
+                     .alias("cohort_day"),
+                     F.datediff("d", "cohort_day").alias("day_offset"))
+            .agg(F.count_distinct("user_id").alias("n_users")))
+
+
+@q("funnel_stages", """
+  WITH s1 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'signup' GROUP BY user_id),
+  s2 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+  s3 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id),
+  s4 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id)
+  SELECT 1 AS stage, 'signup' AS event_type, count(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'view', count(*) FROM s2
+  UNION ALL SELECT 3, 'click', count(*) FROM s3
+  UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+""")
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → view → click → purchase) with the
+    earliest-possible-timestamp chain: stage k+1 keeps a user only with
+    an event strictly after their stage-k time. Each stage is one
+    filtered partial-agg + a join on user_id — the stage tables shrink
+    monotonically, so every later join is cheaper, and nothing ever
+    collects per-user event lists."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(etype: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            e = (e.join(prev.select("user_id",
+                                    F.col("t").alias("prev_t")),
+                        "user_id")
+                 .where(F.col("ts") > F.col("prev_t")))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    out, prev = None, None
+    for i, etype in enumerate(("signup", "view", "click", "purchase"),
+                              start=1):
+        prev = stage(etype, prev)
+        cnt = (prev.agg(F.count("*").alias("n_users"))
+               .select(F.lit(i).alias("stage"),
+                       F.lit(etype).alias("event_type"), "n_users"))
+        out = cnt if out is None else out.unionAll(cnt)
+    return out
 
 
 @q("events_first_seen", """

@@ -1062,3 +1062,28 @@ def test_bpe_encode_lengths_hand_computed(spark):
            for r in ptext.bpe_encode_lengths(docs, n_merges=2,
                                              checkpoint_every=1).collect()}
     assert got == {0: (2, 4), 1: (3, 3)}
+
+
+def test_funnel_requires_strict_order(spark, tmp_path):
+    import datetime as dt
+    from distributed_web_crawler_spark import queries as Q
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1 completes the funnel in order
+        (1, t0, 1, "signup", 0.0, ""), (2, t0.replace(hour=1), 1, "view", 0.0, ""),
+        (3, t0.replace(hour=2), 1, "click", 0.0, ""),
+        (4, t0.replace(hour=3), 1, "purchase", 0.0, ""),
+        # user 2's purchase precedes the click -> stops at stage 3
+        (5, t0, 2, "signup", 0.0, ""), (6, t0.replace(hour=1), 2, "view", 0.0, ""),
+        (7, t0.replace(hour=3), 2, "click", 0.0, ""),
+        (8, t0.replace(hour=2), 2, "purchase", 0.0, ""),
+        # user 3 never signs up -> in no stage
+        (9, t0, 3, "view", 0.0, ""), (10, t0.replace(hour=1), 3, "purchase", 0.0, ""),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r["stage"]: r["n_users"]
+           for r in Q.QUERIES["funnel_stages"](spark, str(tmp_path)).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 1}
