@@ -703,6 +703,63 @@ def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptext.vocab_topk(_t(spark, sf_dir, "documents"), k=50)
 
 
+@q("zipf_fit", r"""
+  WITH tok0 AS (
+    SELECT source,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents),
+  tf AS (
+    SELECT source, token, count(*) AS freq
+    FROM tok0 WHERE token <> '' GROUP BY source, token),
+  r AS (
+    SELECT source, token, freq,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY freq DESC, token) AS rnk
+    FROM tf),
+  pts AS (
+    SELECT source, round(ln(CAST(rnk AS DOUBLE)), 6) AS x,
+           round(ln(CAST(freq AS DOUBLE)), 6) AS y
+    FROM r WHERE rnk <= 100)
+  SELECT source, count(*) AS n_terms,
+         round((count(*) * sum(x*y) - sum(x) * sum(y))
+               / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS zipf_slope
+  FROM pts GROUP BY source
+""")
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf exponent: least-squares slope of ln(freq) vs
+    ln(rank) over the top-100 terms — the corpus-health diagnostic that
+    flags template/boilerplate sources (slope near 0) vs natural text
+    (near -1). ln() inputs are quantized to 1e-6 before the sums (the
+    lm_perplexity contract) so both engines reduce identical values; the
+    closed-form slope avoids regr_slope's engine-specific accumulation.
+    Scale: one token shuffle, a WindowGroupLimit top-100 per source,
+    then a per-source partial agg — no driver math."""
+    from pyspark.sql import Window
+
+    tf = (_t(spark, sf_dir, "documents")
+          .select("source",
+                  F.explode(ptext.tokens(F.lower(F.col("text"))))
+                  .alias("token"))
+          .where(F.col("token") != "")
+          .groupBy("source", "token").agg(F.count("*").alias("freq")))
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), "token")
+    pts = (tf.withColumn("rnk", F.row_number().over(w))
+           .where(F.col("rnk") <= 100)
+           .select("source",
+                   F.round(F.log(F.col("rnk").cast("double")), 6)
+                   .alias("x"),
+                   F.round(F.log(F.col("freq").cast("double")), 6)
+                   .alias("y")))
+    n = F.count("*")
+    return (pts.groupBy("source")
+            .agg(n.alias("n_terms"),
+                 F.round((n * F.sum(F.col("x") * F.col("y"))
+                          - F.sum("x") * F.sum("y"))
+                         / (n * F.sum(F.col("x") * F.col("x"))
+                            - F.sum("x") * F.sum("x")), 6)
+                 .alias("zipf_slope")))
+
+
 @q("inverted_index", r"""
   WITH tok0 AS (
     SELECT doc_id,
