@@ -83,6 +83,14 @@ EXTRAS = [
     "knn_label_vote",        # kNN majority-vote embedding probe
     "events_stream_enrich",  # stream-static broadcast join + windowed agg
     "events_stream_dedup",   # bounded-state dedup within watermark
+    "bpe_merges",            # iterative BPE merge training (12 merges)
+    "bpe_encode",            # distinct-word tokenizer replay + join-back
+    "bm25_search",           # BM25 scoring, TakeOrdered top-k
+    "inverted_index",        # postings build, sort-pinned collect_list
+    "url_canonical_dedup",   # seen-set alias collapse, one partial agg
+    "zipf_fit",              # log-log least squares per source
+    "cohort_retention",      # first-seen cohorts × activity days
+    "funnel_stages",         # 4-stage ordered funnel chain
 ]
 
 
