@@ -942,3 +942,196 @@ def ann_pq_sql(sf_dir: str = ORACLE_SF_DIR, k: int = 5, m_sub: int = 4,
         FROM scored)
   WHERE rank <= {k}
 """
+
+
+# -- sketch-and-sample mirrors (pipeline/sketches.py) ------------------------
+
+def _docs_src(sf_dir: str) -> list[tuple[int, str, str]]:
+    key = ("docs_src", sf_dir)
+    if key not in _cache:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "source", "text"])
+        _cache[key] = list(zip(t.column("doc_id").to_pylist(),
+                               t.column("source").to_pylist(),
+                               t.column("text").to_pylist()))
+    return _cache[key]
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def hll_distinct_sql(sf_dir: str = ORACLE_SF_DIR, n: int = 3, p: int = 8,
+                     cap: int = 40) -> str:
+    """Mirror of pipeline.sketches.hll_distinct: the hash-dependent
+    register inputs (bucket, rho) for every distinct (source, n-gram)
+    are recomputed with the Python XXH64 mirror and embedded as VALUES;
+    DuckDB independently re-derives the max-per-bucket registers, the
+    integer harmonic sum, the bias/linear-counting estimate AND the
+    exact distinct count straight from the text."""
+    from .functions.xxh64 import xxhash64
+
+    m = 1 << p
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    rows = set()
+    for _, src, text in _docs_src(sf_dir):
+        toks = _tokens(text)
+        if len(toks) < n:
+            continue
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i:i + n])
+            h = xxhash64(g) & 0xFFFFFFFFFFFFFFFF
+            bucket = h & (m - 1)
+            w = h >> p
+            rho = (64 - p) + 1 if w == 0 else (64 - p) - w.bit_length() + 1
+            rows.add((src, bucket, min(rho, cap)))
+    vals = ", ".join(f"({_sql_str(s)}, {b}, {r})"
+                     for s, b, r in sorted(rows))
+    big = 1 << cap
+    return f"""
+  WITH hv(source, bucket, rho) AS (VALUES {vals}),
+  regs AS (
+    SELECT source, bucket, max(rho) AS reg FROM hv GROUP BY source, bucket),
+  agg AS (
+    SELECT source, count(*) AS present,
+           CAST(sum(CAST(pow(2.0, {cap} - reg) AS BIGINT)) AS BIGINT)
+             AS s_int
+    FROM regs GROUP BY source),
+  est0 AS (
+    SELECT source,
+           ({m} - present) AS zeros,
+           {alpha_m2!r} / (CAST(s_int + ({m} - present)
+                                * CAST({big} AS BIGINT) AS DOUBLE)
+                           / {float(big)!r}) AS e_raw
+    FROM agg),
+  sk AS (
+    SELECT source,
+           round(CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0
+                      THEN {float(m)!r}
+                           * ln({float(m)!r} / CAST(zeros AS DOUBLE))
+                      ELSE e_raw END, 6) AS hll_estimate
+    FROM est0),
+  toks AS (
+    SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS t
+    FROM documents),
+  g0 AS (
+    SELECT source, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+    FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS u(i)
+    WHERE len(t) >= {n}),
+  ex AS (
+    SELECT source, count(DISTINCT gram) AS exact_distinct
+    FROM g0 GROUP BY source)
+  SELECT ex.source, ex.exact_distinct, sk.hll_estimate,
+         round((sk.hll_estimate - CAST(ex.exact_distinct AS DOUBLE))
+               / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_error
+  FROM ex JOIN sk USING (source)
+"""
+
+
+def cms_heavy_hitters_sql(sf_dir: str = ORACLE_SF_DIR, d: int = 4,
+                          w: int = 16, k: int = 20) -> str:
+    """Mirror of pipeline.sketches.cms_heavy_hitters: the d per-token
+    column indices pmod(xxhash64(token, r), w) come from the XXH64
+    mirror as VALUES; DuckDB independently rebuilds the additive
+    sketch grid, the exact frequency table, the top-k candidate list
+    and the min-over-rows point estimates."""
+    from .functions.xxh64 import xxhash64
+
+    toks = set()
+    for _, _, text in _docs_src(sf_dir):
+        toks.update(t for t in _tokens(text) if t != "")
+    vals = ", ".join(
+        "(" + _sql_str(t) + ", "
+        + ", ".join(str(xxhash64(t, r) % w) for r in range(d)) + ")"
+        for t in sorted(toks))
+    cols = ", ".join(f"c{r}" for r in range(d))
+    case = " ".join(f"WHEN {r} THEN th.c{r}" for r in range(d))
+    return f"""
+  WITH th(token, {cols}) AS (VALUES {vals}),
+  tok0 AS (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    FROM documents),
+  tf AS (
+    SELECT token, count(*) AS exact_count
+    FROM tok0 WHERE token <> '' GROUP BY token),
+  hashed AS (
+    SELECT tf.token, tf.exact_count, u.r,
+           CASE u.r {case} END AS col
+    FROM tf JOIN th USING (token), UNNEST(range(0, {d})) AS u(r)),
+  sketch AS (
+    SELECT r, col, CAST(sum(exact_count) AS BIGINT) AS cell
+    FROM hashed GROUP BY r, col),
+  cand AS (
+    SELECT token, exact_count FROM tf
+    ORDER BY exact_count DESC, token LIMIT {k}),
+  probe AS (
+    SELECT c.token, c.exact_count, h.r, h.col
+    FROM cand c JOIN hashed h USING (token, exact_count))
+  SELECT p.token, p.exact_count, min(s.cell) AS cms_estimate,
+         min(s.cell) - p.exact_count AS overestimate
+  FROM probe p JOIN sketch s USING (r, col)
+  GROUP BY p.token, p.exact_count
+"""
+
+
+def weighted_reservoir_sql(k: int = 8, denom: int = 1 << 30) -> str:
+    """Mirror of pipeline.sketches.weighted_reservoir: the per-doc hash
+    rank input pmod(xxhash64(doc_id), denom) is mirrored as VALUES
+    (shared doc_hash_values generator); DuckDB re-derives the uniform,
+    the ln(u)/weight key (quantized to 1e-9, the cross-engine ranking
+    contract) and the per-source top-k window."""
+    vals = doc_hash_values(denom)
+    return f"""
+  WITH h(doc_id, hk) AS (VALUES {vals}),
+  keyed AS (
+    SELECT d.source, d.doc_id, d.n_chars AS weight,
+           round(ln((h.hk + 1) / {float(denom)!r})
+                 / CAST(d.n_chars AS DOUBLE), 9) AS samp_key
+    FROM documents d JOIN h USING (doc_id)),
+  r AS (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY samp_key DESC, doc_id) AS rn
+    FROM keyed)
+  SELECT source, doc_id, weight, samp_key, CAST(rn AS INTEGER) AS wr_rank
+  FROM r WHERE rn <= {k}
+"""
+
+
+def hashed_classifier_sql(sf_dir: str = ORACLE_SF_DIR,
+                          n_buckets: int = 256) -> str:
+    """Mirror of pipeline.text.hashed_quality_classifier: both hash
+    families — the bucket weights pmod(xxhash64(b), 2001)-1000 and the
+    per-token feature buckets pmod(xxhash64(token), B) — come from the
+    XXH64 mirror as VALUES; DuckDB re-derives the integer score sum,
+    the logit, the sigmoid and the keep threshold."""
+    from .functions.xxh64 import xxhash64
+
+    wvals = ", ".join(f"({b}, {xxhash64(b) % 2001 - 1000})"
+                      for b in range(n_buckets))
+    toks = set()
+    for _, _, text in _docs_src(sf_dir):
+        toks.update(t for t in _tokens(text) if t != "")
+    tvals = ", ".join(f"({_sql_str(t)}, {xxhash64(t) % n_buckets})"
+                      for t in sorted(toks))
+    return f"""
+  WITH wt(bucket, w) AS (VALUES {wvals}),
+  tb(token, bucket) AS (VALUES {tvals}),
+  tok0 AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    FROM documents),
+  scored AS (
+    SELECT t.doc_id, count(*) AS n_toks,
+           CAST(sum(wt.w) AS BIGINT) AS score_int
+    FROM tok0 t JOIN tb USING (token) JOIN wt USING (bucket)
+    WHERE t.token <> ''
+    GROUP BY t.doc_id)
+  SELECT doc_id, n_toks, score_int,
+         round(1.0 / (1.0 + exp(-(CAST(score_int AS DOUBLE)
+                                  / (250.0 * CAST(n_toks AS DOUBLE))))),
+               6) AS prob,
+         CASE WHEN score_int >= 0 THEN 1 ELSE 0 END AS keep
+  FROM scored
+"""

@@ -748,3 +748,43 @@ def semantic_dedup(embeddings: DataFrame, n_lists: int = 16,
     return (assigned.join(drops, "vec_id", "left")
             .select("vec_id", "list_id",
                     F.col("_d").isNull().alias("keep")))
+
+
+def cross_doc_spans(documents: DataFrame, n: int = 6) -> DataFrame:
+    """Cross-document duplicate-span detection — the distributed analog
+    of Lee et al. 2022's exact-substring dedup (suffix-array pass): for
+    every document, how many of its n-token windows also appear verbatim
+    in ANOTHER document. Complements dup_span_stats (WITHIN-doc
+    repetition): this is the cross-corpus boilerplate/mirror signal a
+    training pipeline trims before near-dup passes even run.
+
+    Plan shape: one window explode → distinct(doc_id, gram) → a gram
+    document-frequency agg → rejoin → per-doc rollup. Every stage is a
+    partial-aggregatable hash shuffle keyed on the gram; at 100 TB the
+    join key would be xxhash64(gram) (128-bit fingerprints shrink
+    shuffle bytes ~10×, collision odds ~n²/2^128 — the minhash_lsh
+    pattern), kept as the raw string here so the DuckDB oracle can
+    restate the whole operator relationally with zero mirrored values.
+
+    Returns (doc_id, total_spans, dup_spans, dup_frac) for documents
+    with at least one duplicated span."""
+    from .text import tokens as _tok
+
+    t = _tok(F.lower(F.col("text")))
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(t) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, n))))
+    gd = (documents.select("doc_id", F.explode(grams).alias("gram"))
+          .distinct())
+    gdf = gd.groupBy("gram").agg(F.count(F.lit(1)).alias("ndocs"))
+    per = (gd.join(gdf, "gram")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("total_spans"),
+                F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+                .alias("dup_spans")))
+    return (per.where(F.col("dup_spans") > 0)
+            .select("doc_id", "total_spans", "dup_spans",
+                    F.round(F.col("dup_spans").cast("double")
+                            / F.col("total_spans").cast("double"), 6)
+                    .alias("dup_frac")))

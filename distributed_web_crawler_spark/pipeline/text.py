@@ -853,3 +853,51 @@ def inverted_index(documents: DataFrame, text_col: str = "text") -> DataFrame:
                              ":", s["doc_id"].cast("string"),
                              s["tf"].cast("string"))),
                      ",").alias("postings")))
+
+
+def hashed_quality_classifier(documents: DataFrame,
+                              n_buckets: int = 256,
+                              text_col: str = "text") -> DataFrame:
+    """fastText-style hashed-feature linear classifier scoring pass —
+    the shape of every learned quality/toxicity filter in a training
+    pipeline (CCNet, Gopher, FineWeb): score = Σ w[h(token) mod B] over
+    token occurrences, squashed through a sigmoid, thresholded to a
+    keep/drop label.
+
+    The model here is synthesized IN-ENGINE — integer weights
+    w[b] = pmod(xxhash64(b), 2001) - 1000 over B buckets — standing in
+    for trained parameters; swapping in a real model is a parquet read
+    of the same (bucket, w) shape. Model-as-table is the point: the
+    weights broadcast to every executor and scoring is one hash join +
+    one partial-agg sum, no Python in the loop, identical plan whether
+    B is 2^8 or 2^24.
+
+    Numeric contract: the per-doc score accumulates as an exact BIGINT
+    (integer weights), so no float-summation order exists; the logit
+    divides once by (250.0 * n_toks); the sigmoid's exp() 1-ulp
+    latitude is absorbed by round(.., 6); and the keep label compares
+    the INTEGER score against 0, so the decision is bit-exact.
+
+    Returns (doc_id, n_toks, score_int, prob, keep)."""
+    spark = documents.sparkSession
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (F.pmod(F.xxhash64("id"), F.lit(2001)) - 1000).alias("w"))
+    tok = (documents
+           .select("doc_id",
+                   F.explode(tokens(F.lower(F.col(text_col))))
+                   .alias("token"))
+           .where(F.col("token") != "")
+           .select("doc_id",
+                   F.pmod(F.xxhash64("token"), F.lit(n_buckets))
+                   .alias("bucket")))
+    scored = (tok.join(F.broadcast(weights), "bucket")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_toks"),
+                   F.sum("w").alias("score_int")))
+    logit = (F.col("score_int").cast("double")
+             / (F.lit(250.0) * F.col("n_toks").cast("double")))
+    return scored.select(
+        "doc_id", "n_toks", "score_int",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob"),
+        F.when(F.col("score_int") >= 0, 1).otherwise(0).alias("keep"))

@@ -2640,6 +2640,176 @@ def crawl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("round", "metric"))
 
 
+# ---------------------------------------------------------------------------
+# sketch-and-sample operators (pipeline/sketches) + classifier + span dedup
+# ---------------------------------------------------------------------------
+
+@q("hll_distinct", lambda: _oracles.hll_distinct_sql(n=3, p=8))
+def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-3-gram cardinality: exact count next to an
+    explicit 256-register HyperLogLog estimate — the mergeable-sketch
+    answer when the exact distinct shuffle stops fitting."""
+    from .pipeline import sketches
+    return sketches.hll_distinct(_t(spark, sf_dir, "documents"), n=3, p=8)
+
+
+@q("cms_heavy_hitters", lambda: _oracles.cms_heavy_hitters_sql(
+    d=4, w=16, k=20))
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token heavy hitters with count-min point estimates (d=4, w=16 —
+    w kept small so collisions/overestimates are visible at test
+    scale); estimates are provably >= the exact counts."""
+    from .pipeline import sketches
+    return sketches.cms_heavy_hitters(_t(spark, sf_dir, "documents"),
+                                      d=4, w=16, k=20)
+
+
+@q("reservoir_sample", lambda: _oracles.weighted_reservoir_sql(k=8))
+def reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted reservoir sample (Efraimidis-Spirakis A-Res,
+    P ∝ n_chars), deterministic via hash-derived uniforms so the
+    'random' sample is reproducible and oracle-checkable."""
+    from .pipeline import sketches
+    return sketches.weighted_reservoir(_t(spark, sf_dir, "documents"), k=8)
+
+
+@q("cross_doc_spans", r"""
+  WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents),
+  g0 AS (
+    SELECT doc_id, array_to_string(t[i:i+5], ' ') AS gram
+    FROM toks, UNNEST(range(1, len(t) - 4)) AS u(i)
+    WHERE len(t) >= 6),
+  gd AS (SELECT DISTINCT doc_id, gram FROM g0),
+  gdf AS (SELECT gram, count(*) AS ndocs FROM gd GROUP BY gram),
+  per AS (
+    SELECT doc_id, count(*) AS total_spans,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_spans
+    FROM gd JOIN gdf USING (gram) GROUP BY doc_id)
+  SELECT doc_id, total_spans, dup_spans,
+         round(CAST(dup_spans AS DOUBLE) / CAST(total_spans AS DOUBLE), 6)
+           AS dup_frac
+  FROM per WHERE dup_spans > 0
+""")
+def cross_doc_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate 6-token spans (the Lee et al.
+    exact-substring dedup signal); fully-SQL oracle — the gram key
+    stays a raw string so DuckDB restates the whole operator."""
+    return pdedup.cross_doc_spans(_t(spark, sf_dir, "documents"), n=6)
+
+
+@q("quality_classifier", lambda: _oracles.hashed_classifier_sql(
+    n_buckets=256))
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (fastText shape):
+    broadcast model-as-table scoring with an exact-integer score sum
+    and a bit-exact keep decision."""
+    return ptext.hashed_quality_classifier(_t(spark, sf_dir, "documents"),
+                                           n_buckets=256)
+
+
+@q("quantile_stats", """
+  SELECT source, count(*) AS n_docs,
+         round(avg(n_chars), 6) AS mean_chars,
+         round(quantile_cont(n_chars, 0.5), 6) AS p50,
+         round(quantile_cont(n_chars, 0.9), 6) AS p90,
+         round(quantile_cont(n_chars, 0.99), 6) AS p99
+  FROM documents GROUP BY source
+""")
+def quantile_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EXACT length quantiles (linear interpolation at
+    p*(n-1)) — the distribution report a curation run reads before
+    setting length cutoffs. Spark's percentile() is a single
+    partial-aggregatable pass; no global sort."""
+    nc = F.col("n_chars")
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg(nc), 6).alias("mean_chars"),
+                 F.round(F.percentile(nc, F.lit(0.5)), 6).alias("p50"),
+                 F.round(F.percentile(nc, F.lit(0.9)), 6).alias("p90"),
+                 F.round(F.percentile(nc, F.lit(0.99)), 6).alias("p99")))
+
+
+@q("trap_detection", r"""
+  WITH urls AS (
+    SELECT 'h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+             || '.example.com' AS host,
+           CASE
+             WHEN o_custkey % 20 >= 15 THEN
+               '/' || repeat(chr(97 + CAST(o_orderkey % 26 AS INTEGER)),
+                             CAST(1 + o_orderkey % 3 AS INTEGER))
+                   || '/detail'
+             WHEN o_orderkey % 2 = 0 THEN
+               '/p/' || CAST(o_orderkey AS VARCHAR)
+               || CASE WHEN o_orderkey % 5 = 0
+                       THEN '?sess=' || CAST(o_custkey AS VARCHAR)
+                       ELSE '' END
+             ELSE '/cat/' || CAST(o_orderkey % 7 AS VARCHAR)
+                  || '/item' || CAST(o_orderkey AS VARCHAR)
+           END AS path
+    FROM orders),
+  tpl AS (
+    SELECT host,
+           regexp_replace(regexp_replace(path, '\?.*$', ''),
+                          '[0-9]+', 'N', 'g') AS template
+    FROM urls),
+  agg AS (
+    SELECT host, count(*) AS n_urls,
+           count(DISTINCT template) AS n_templates
+    FROM tpl GROUP BY host)
+  SELECT host, n_urls, n_templates,
+         round(CAST(n_templates AS DOUBLE) / CAST(n_urls AS DOUBLE), 6)
+           AS template_ratio,
+         CASE WHEN n_urls >= 100
+                   AND CAST(n_templates AS DOUBLE)
+                       / CAST(n_urls AS DOUBLE) < 0.05
+              THEN 1 ELSE 0 END AS is_trap
+  FROM agg
+""")
+def trap_detection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection: collapse each URL to a template (query
+    string stripped, digit runs folded to 'N') and flag hosts whose
+    template diversity collapses — the calendar/session-id/pagination
+    trap signal a frontier scheduler uses to throttle a host. One
+    partial-agg shuffle on host; the template fold is a pure
+    projection, pushed to the scan."""
+    okey, ckey = F.col("o_orderkey"), F.col("o_custkey")
+    host = F.concat(F.lit("h"),
+                    F.lpad((ckey % 20).cast("string"), 4, "0"),
+                    F.lit(".example.com"))
+    slug_path = F.concat(
+        F.lit("/"),
+        F.repeat(F.char(F.lit(97) + okey % 26), (1 + okey % 3).cast("int")),
+        F.lit("/detail"))
+    p_path = F.concat(
+        F.lit("/p/"), okey.cast("string"),
+        F.when(okey % 5 == 0,
+               F.concat(F.lit("?sess="), ckey.cast("string")))
+        .otherwise(F.lit("")))
+    cat_path = F.concat(F.lit("/cat/"), (okey % 7).cast("string"),
+                        F.lit("/item"), okey.cast("string"))
+    path = (F.when(ckey % 20 >= 15, slug_path)
+            .when(okey % 2 == 0, p_path)
+            .otherwise(cat_path))
+    template = F.regexp_replace(
+        F.regexp_replace(path, r"\?.*$", ""), "[0-9]+", "N")
+    nt, nu = F.col("n_templates"), F.col("n_urls")
+    return (_t(spark, sf_dir, "orders")
+            .select(host.alias("host"), template.alias("template"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct("template").alias("n_templates"))
+            .select("host", "n_urls", "n_templates",
+                    F.round(nt.cast("double") / nu.cast("double"), 6)
+                    .alias("template_ratio"),
+                    F.when((nu >= 100)
+                           & (nt.cast("double") / nu.cast("double") < 0.05),
+                           1).otherwise(0).alias("is_trap")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 3-round crawl lineage + a sf0.001 corpus summary row."""
     lineage = crawl_flagship(spark, "/root/testdata/sf0.001")
