@@ -91,6 +91,13 @@ EXTRAS = [
     "zipf_fit",              # log-log least squares per source
     "cohort_retention",      # first-seen cohorts × activity days
     "funnel_stages",         # 4-stage ordered funnel chain
+    "hll_distinct",          # mergeable HLL cardinality vs exact
+    "cms_heavy_hitters",     # count-min point estimates vs exact
+    "reservoir_sample",      # weighted A-Res per-source sample
+    "cross_doc_spans",       # cross-document duplicate 6-token spans
+    "quality_classifier",    # hashed-feature linear scorer, model-as-table
+    "quantile_stats",        # exact percentile() length distribution
+    "trap_detection",        # URL-template collapse per host
 ]
 
 
