@@ -98,6 +98,13 @@ EXTRAS = [
     "quality_classifier",    # hashed-feature linear scorer, model-as-table
     "quantile_stats",        # exact percentile() length distribution
     "trap_detection",        # URL-template collapse per host
+    "snapshot_diff",         # recrawl delta, one full-outer join
+    "recrawl_schedule",      # Poisson change-rate next-fetch intervals
+    "frontier_scoring",      # pagerank × trap × depth composed top-k
+    "containment_pairs",     # asymmetric shingle containment
+    "host_hits",             # division-free HITS hubs/authorities
+    "seed_distance",         # min-plus BFS crawl depth
+    "budget_allocation",     # largest-remainder host quotas
 ]
 
 

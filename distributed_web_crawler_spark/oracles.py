@@ -553,13 +553,11 @@ def crawl_flagship_sql() -> str:
 """
 
 
-def host_pagerank_sql(n_nodes: int = 32, iterations: int = 6,
-                      damping: float = 0.5) -> str:
-    """Unrolled-iteration PageRank oracle. Bit-exact vs Spark because the
-    query's parameters keep every intermediate a dyadic rational (see
-    pipeline/graph.pagerank docstring): summation order cannot matter.
-    Constants ride as quoted strings → DOUBLE (bare decimals parse as
-    DECIMAL and would re-round)."""
+def _pagerank_ctes(n_nodes: int = 32, iterations: int = 6,
+                   damping: float = 0.5) -> str:
+    """The unrolled PageRank CTE chain (nodes … r{iterations}); shared by
+    host_pagerank_sql and frontier_scoring_sql so the composed oracle can
+    never drift from the standalone one."""
     from .pipeline.graph import HOST_EDGE_FNS
 
     teleport = (1.0 - damping) / n_nodes
@@ -585,9 +583,18 @@ def host_pagerank_sql(n_nodes: int = 32, iterations: int = 6,
       SELECT e.dst AS node, sum(r.rank / e.outdeg) AS s
       FROM edeg e JOIN r{k} r ON r.node = e.src
       GROUP BY e.dst) inc ON inc.node = n.node)""")
-    joined = ",\n  ".join(ctes)
+    return ",\n  ".join(ctes)
+
+
+def host_pagerank_sql(n_nodes: int = 32, iterations: int = 6,
+                      damping: float = 0.5) -> str:
+    """Unrolled-iteration PageRank oracle. Bit-exact vs Spark because the
+    query's parameters keep every intermediate a dyadic rational (see
+    pipeline/graph.pagerank docstring): summation order cannot matter.
+    Constants ride as quoted strings → DOUBLE (bare decimals parse as
+    DECIMAL and would re-round)."""
     return f"""
-  WITH {joined}
+  WITH {_pagerank_ctes(n_nodes, iterations, damping)}
   SELECT node, rank FROM r{iterations}
 """
 
@@ -1134,4 +1141,138 @@ def hashed_classifier_sql(sf_dir: str = ORACLE_SF_DIR,
                6) AS prob,
          CASE WHEN score_int >= 0 THEN 1 ELSE 0 END AS keep
   FROM scored
+"""
+
+
+def frontier_scoring_sql(k: int = 100, n_nodes: int = 32,
+                         iterations: int = 6, damping: float = 0.5) -> str:
+    """Full-chain mirror of pipeline.recrawl.frontier_scoring: the
+    unrolled PageRank CTE chain (shared with host_pagerank_sql), the
+    frontier URL synthesis, the template/trap aggregate and the scored
+    top-k are ALL restated relationally — no mirrored values. Score
+    arithmetic is mul/div only, so round(·, 9) is engine-exact."""
+    return f"""
+  WITH {_pagerank_ctes(n_nodes, iterations, damping)},
+  urls AS (
+    SELECT 'h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+             || '.example.com' AS host,
+           o_custkey % 20 AS node,
+           o_orderkey % 6 AS depth,
+           CASE
+             WHEN o_custkey % 20 >= 15 THEN
+               '/' || repeat(chr(97 + CAST(o_orderkey % 26 AS INTEGER)),
+                             CAST(1 + o_orderkey % 3 AS INTEGER))
+                   || '/detail'
+             WHEN o_orderkey % 2 = 0 THEN
+               '/p/' || CAST(o_orderkey AS VARCHAR)
+               || CASE WHEN o_orderkey % 5 = 0
+                       THEN '?sess=' || CAST(o_custkey AS VARCHAR)
+                       ELSE '' END
+             ELSE '/cat/' || CAST(o_orderkey % 7 AS VARCHAR)
+                  || '/item' || CAST(o_orderkey AS VARCHAR)
+           END AS path
+    FROM orders),
+  tpl AS (
+    SELECT host,
+           regexp_replace(regexp_replace(path, '\\?.*$', ''),
+                          '[0-9]+', 'N', 'g') AS template
+    FROM urls),
+  traps AS (
+    SELECT host,
+           CASE WHEN count(*) >= 100
+                     AND CAST(count(DISTINCT template) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE) < 0.05
+                THEN 1 ELSE 0 END AS is_trap
+    FROM tpl GROUP BY host),
+  scored AS (
+    SELECT 'https://' || u.host || u.path AS url, u.host, u.depth,
+           round(r.rank, 9) AS host_rank, t.is_trap,
+           round(r.rank
+                 * CASE WHEN t.is_trap = 1 THEN CAST('0.1' AS DOUBLE)
+                        ELSE CAST(1 AS DOUBLE) END
+                 / (CAST(1 AS DOUBLE) + CAST(u.depth AS DOUBLE)), 9)
+             AS score
+    FROM urls u
+    JOIN r{iterations} r ON r.node = u.node
+    JOIN traps t ON t.host = u.host)
+  SELECT url, host, depth, host_rank, is_trap, score
+  FROM scored ORDER BY score DESC, url LIMIT {k}
+"""
+
+
+def _irregular_edges_sql(n_nodes: int) -> str:
+    """Edge CTE body for the variable-degree HITS/BFS graph — mirrors
+    pipeline.graph.irregular_graph (keep edge (a,b) from src unless
+    (src + 3a + b) % 5 == 0)."""
+    from .pipeline.graph import HOST_EDGE_FNS
+
+    return "\n    UNION ALL ".join(
+        f"SELECT node AS src, (node * {a} + {b}) % {n_nodes} AS dst "
+        f"FROM nodes WHERE (node + {3 * a + b}) % 5 <> 0"
+        for a, b in HOST_EDGE_FNS)
+
+
+def hits_sql(n_nodes: int = 32, iterations: int = 4) -> str:
+    """Unrolled division-free HITS mirror: scores stay exact integer-
+    valued doubles through every iteration (see pipeline.graph.hits), so
+    summation order is irrelevant and the final max-normalized quotients
+    are engine-identical."""
+    ctes = [f"""nodes AS (
+    SELECT DISTINCT doc_id % {n_nodes} AS node FROM documents),
+  edges AS (
+    {_irregular_edges_sql(n_nodes)}),
+  h0 AS (SELECT node, CAST(1 AS DOUBLE) AS h FROM nodes)"""]
+    for k in range(iterations):
+        ctes.append(f"""a{k + 1} AS (
+    SELECT n.node, coalesce(s.v, CAST(0 AS DOUBLE)) AS a
+    FROM nodes n LEFT JOIN (
+      SELECT e.dst AS node, sum(h.h) AS v
+      FROM edges e JOIN h{k} h ON h.node = e.src
+      GROUP BY e.dst) s ON s.node = n.node)""")
+        ctes.append(f"""h{k + 1} AS (
+    SELECT n.node, coalesce(s.v, CAST(0 AS DOUBLE)) AS h
+    FROM nodes n LEFT JOIN (
+      SELECT e.src AS node, sum(a.a) AS v
+      FROM edges e JOIN a{k + 1} a ON a.node = e.dst
+      GROUP BY e.src) s ON s.node = n.node)""")
+    joined = ",\n  ".join(ctes)
+    return f"""
+  WITH {joined},
+  sc AS (SELECT a.node, a.a, h.h
+         FROM a{iterations} a JOIN h{iterations} h ON h.node = a.node),
+  mx AS (SELECT max(a) AS a_max, max(h) AS h_max FROM sc)
+  SELECT sc.node, round(sc.a / mx.a_max, 6) AS authority,
+         round(sc.h / mx.h_max, 6) AS hub
+  FROM sc, mx
+"""
+
+
+def seed_distance_sql(n_nodes: int = 32, seed_mod: int = 8,
+                      iterations: int = 6) -> str:
+    """Unrolled min-plus BFS mirror over the irregular graph — pure
+    integer arithmetic, bit-exact. least()/min() skip NULLs identically
+    in both engines (property-tested in tests/test_graph_ops.py)."""
+    ctes = [f"""nodes AS (
+    SELECT DISTINCT doc_id % {n_nodes} AS node FROM documents),
+  edges AS (
+    {_irregular_edges_sql(n_nodes)}),
+  d0 AS (SELECT node,
+                CASE WHEN node % {seed_mod} = 0 THEN 0 ELSE NULL END
+                  AS dist
+         FROM nodes)"""]
+    for k in range(iterations):
+        ctes.append(f"""d{k + 1} AS (
+    SELECT n.node, least(p.dist, s.di) AS dist
+    FROM nodes n
+    JOIN d{k} p ON p.node = n.node
+    LEFT JOIN (
+      SELECT e.dst AS node, min(d.dist + 1) AS di
+      FROM edges e JOIN d{k} d ON d.node = e.src
+      WHERE d.dist IS NOT NULL
+      GROUP BY e.dst) s ON s.node = n.node)""")
+    joined = ",\n  ".join(ctes)
+    return f"""
+  WITH {joined}
+  SELECT node, CAST(coalesce(dist, -1) AS INTEGER) AS dist
+  FROM d{iterations}
 """

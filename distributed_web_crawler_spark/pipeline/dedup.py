@@ -788,3 +788,45 @@ def cross_doc_spans(documents: DataFrame, n: int = 6) -> DataFrame:
                     F.round(F.col("dup_spans").cast("double")
                             / F.col("total_spans").cast("double"), 6)
                     .alias("dup_frac")))
+
+
+def containment_pairs(documents: DataFrame, n: int = 3,
+                      threshold: float = 0.6, max_df: int = 100,
+                      text_col: str = "text") -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    C(A→B) = |S(A)∩S(B)| / |S(A)| (Broder's resemblance companion) —
+    catches quotes, partial mirrors and page-in-page embeddings whose
+    Jaccard is low because the containing document is much larger.
+    Emits (doc_a, doc_b, c_ab, c_ba) for pairs where EITHER direction
+    reaches the threshold.
+
+    The operator is defined over the df-capped shingle sets (the same
+    O(df²)-bounding cap as ngram_jaccard_pairs); no size-ratio
+    pre-filter exists here BY DESIGN — a tiny doc contained in a huge
+    one is exactly the signal, so the asymmetric metric forbids the
+    symmetric prune. Shuffle shrink instead: the pair aggregation
+    groups on (doc_a, doc_b) alone and the per-doc set sizes join back
+    AFTER the candidate stream is reduced to one row per pair."""
+    sh = _shingle_fingerprints(documents, n, text_col)
+    dfreq = sh.groupBy("h1", "h2").agg(F.count("*").alias("df"))
+    capped = (sh.join(dfreq.where(F.col("df") <= max_df), ["h1", "h2"])
+              .select("doc_id", "h1", "h2"))
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (a.join(b, (F.col("a.h1") == F.col("b.h1"))
+                    & (F.col("a.h2") == F.col("b.h2"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("n_common") / F.col("n_a"), 6)
+                    .alias("c_ab"),
+                    F.round(F.col("n_common") / F.col("n_b"), 6)
+                    .alias("c_ba"))
+            .where(F.greatest(F.col("c_ab"), F.col("c_ba")) >= threshold))

@@ -97,3 +97,108 @@ def host_graph(documents: DataFrame, n_nodes: int = 32) -> tuple[DataFrame,
                          ((F.col("node") * a + b) % n_nodes).alias("dst"))
         edges = e if edges is None else edges.unionAll(e)
     return nodes, edges
+
+
+# irregular edge subset for HITS/BFS: drop edge (a, b) from src when
+# (src + 3a + b) % 5 == 0 — in/out-degrees then vary 2..4, so hub and
+# authority scores genuinely differ across nodes (a regular graph would
+# converge to the uniform vector immediately)
+def _keep_edge(src_col, a: int, b: int):
+    return (src_col + 3 * a + b) % 5 != 0
+
+
+def irregular_graph(documents: DataFrame,
+                    n_nodes: int = 32) -> tuple[DataFrame, DataFrame]:
+    """host_graph minus a deterministic edge subset — the variable-degree
+    link graph HITS and BFS need. Same SQL-restatable construction."""
+    nodes = (documents
+             .select((F.col("doc_id") % n_nodes).alias("node"))
+             .distinct())
+    edges = None
+    for a, b in HOST_EDGE_FNS:
+        e = (nodes.where(_keep_edge(F.col("node"), a, b))
+             .select(F.col("node").alias("src"),
+                     ((F.col("node") * a + b) % n_nodes).alias("dst")))
+        edges = e if edges is None else edges.unionAll(e)
+    return nodes, edges
+
+
+def hits(nodes: DataFrame, edges: DataFrame, iterations: int = 4,
+         checkpoint_every: int = 1) -> DataFrame:
+    """HITS hubs & authorities, DIVISION-FREE: the classical per-iteration
+    L2 normalization only rescales, so it is deferred entirely — scores
+    stay exact integer-valued doubles (bounded by 16^iterations « 2^53),
+    which makes cross-engine summation order irrelevant and the unrolled
+    SQL oracle bit-exact. One final max-normalization (same integers both
+    engines ⇒ same quotient) produces comparable [0, 1] scores.
+
+    Shuffle shape mirrors pagerank(): the edge table is cached twice,
+    pre-partitioned by dst (authority agg) and by src (hub agg); the
+    score vectors — one row per node — broadcast into the edge scan each
+    half-step, so the edges never move after the initial partition.
+
+    Returns (node, authority, hub) with scores rounded to 6dp."""
+    e_dst = edges.repartition(F.col("dst")).persist()
+    e_src = edges.repartition(F.col("src")).persist()
+    nodes = nodes.persist()
+    hubs = nodes.select("node", F.lit(1.0).alias("h"))
+    auths = None
+    for it in range(iterations):
+        a_in = (e_dst.join(F.broadcast(hubs),
+                           e_dst["src"] == hubs["node"])
+                .groupBy("dst").agg(F.sum("h").alias("a_sum")))
+        auths = (nodes.join(F.broadcast(a_in),
+                            nodes["node"] == a_in["dst"], "left")
+                 .select(nodes["node"],
+                         F.coalesce(F.col("a_sum"), F.lit(0.0)).alias("a")))
+        h_in = (e_src.join(F.broadcast(auths),
+                           e_src["dst"] == auths["node"])
+                .groupBy("src").agg(F.sum("a").alias("h_sum")))
+        hubs = (nodes.join(F.broadcast(h_in),
+                           nodes["node"] == h_in["src"], "left")
+                .select(nodes["node"],
+                        F.coalesce(F.col("h_sum"), F.lit(0.0)).alias("h")))
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            auths = auths.localCheckpoint(eager=True)
+            hubs = hubs.localCheckpoint(eager=True)
+    scores = auths.join(hubs, "node")
+    # final rescale: 1-row max aggregate broadcast back (a global window
+    # here would force a single-partition exchange — the known anti-shape)
+    maxes = scores.agg(F.max("a").alias("a_max"), F.max("h").alias("h_max"))
+    return (scores.crossJoin(F.broadcast(maxes))
+            .select("node",
+                    F.round(F.col("a") / F.col("a_max"), 6)
+                    .alias("authority"),
+                    F.round(F.col("h") / F.col("h_max"), 6).alias("hub")))
+
+
+def seed_distance(nodes: DataFrame, edges: DataFrame, seed_mod: int = 8,
+                  iterations: int = 6) -> DataFrame:
+    """BFS crawl-depth from the seed set (node % seed_mod == 0) by
+    iterative min-plus relaxation: dist_{k+1}(v) = min(dist_k(v),
+    min over u→v of dist_k(u) + 1). Pure integer arithmetic — bit-exact
+    against the unrolled SQL oracle; unreached nodes report -1.
+
+    Same broadcast-vector/partitioned-edges shape as pagerank(): the
+    distance vector (one row per node) broadcasts, edges never move."""
+    e_dst = edges.repartition(F.col("dst")).persist()
+    nodes = nodes.persist()
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") % seed_mod == 0, F.lit(0))
+        .otherwise(F.lit(None).cast("int")).alias("dist"))
+    for it in range(iterations):
+        inc = (e_dst.join(F.broadcast(dist.where(F.col("dist").isNotNull())),
+                          e_dst["src"] == F.col("node"))
+               .groupBy("dst").agg(F.min(F.col("dist") + 1).alias("d_in")))
+        dist = (nodes.join(F.broadcast(inc),
+                           nodes["node"] == inc["dst"], "left")
+                .join(F.broadcast(dist.select(F.col("node").alias("_n"),
+                                              F.col("dist").alias("_d"))),
+                      nodes["node"] == F.col("_n"))
+                .select(nodes["node"],
+                        F.least(F.col("_d"), F.col("d_in")).alias("dist")))
+        if it + 1 < iterations:
+            dist = dist.localCheckpoint(eager=True)
+    return dist.select("node",
+                       F.coalesce(F.col("dist"), F.lit(-1)).alias("dist"))

@@ -1,0 +1,266 @@
+"""Recrawl / crawl-maintenance operators.
+
+The reference crawls once and stores pages (core/WebCrawler.java,
+storage/PageRepository.java); everything a production crawl does NEXT —
+diff the new snapshot against the old, estimate per-URL change rates,
+decide what to fetch again and in which order — is left to the operator
+of the system. These are those operators, built over the same tables.
+
+Every input here is synthesized deterministically from the driver's
+parquet tables (BASELINE.json input_hint), so each operator carries a
+full relational DuckDB oracle: the snapshot pair is a pure modular
+function of doc_id, the fetch history a pure modular function of
+(doc_id, fetch_idx), the frontier a pure function of the orders keys.
+Swapping in real crawl output is a parquet read of the same shape.
+
+Scale notes (the 100 TB shapes):
+- snapshot_diff is ONE full-outer join keyed on the URL. At scale both
+  snapshots are bucketed by url (the crawl store's layout), so the join
+  is a storage-partitioned join with zero exchanges; content equality
+  compares fixed-width sha2 digests, never page bytes.
+- recrawl_schedule is explode + one partial-agg shuffle on doc_id; the
+  estimator is closed-form per group (no iteration, no window).
+- frontier_scoring joins the (tiny) host-rank and host-trap tables into
+  the frontier as broadcasts; the only full-size pass is the scan, and
+  the top-k is TakeOrderedAndProject (per-partition heaps, no global
+  sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# snapshot-pair derivation constants (shared with the SQL oracle)
+ADDED_MOD, ADDED_RES = 11, 3      # doc_id % 11 == 3 → absent from OLD
+REMOVED_MOD, REMOVED_RES = 13, 5  # doc_id % 13 == 5 → absent from NEW
+CHANGED_MOD = 7                   # doc_id % 7 == 0 → content differs
+
+
+def snapshot_pair(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic crawl snapshots of the corpus: OLD is missing
+    the later-discovered docs, NEW is missing the since-deleted docs,
+    and every doc_id % 7 == 0 page changed content between them."""
+    d = F.col("doc_id")
+    old = (documents
+           .where(d % ADDED_MOD != ADDED_RES)
+           .select("doc_id", "source",
+                   F.when(d % CHANGED_MOD == 0,
+                          F.concat(F.col("text"), F.lit(" [v1]")))
+                   .otherwise(F.col("text")).alias("content")))
+    new = (documents
+           .where(d % REMOVED_MOD != REMOVED_RES)
+           .select("doc_id", "source", F.col("text").alias("content")))
+    return old, new
+
+
+def snapshot_diff(documents: DataFrame) -> DataFrame:
+    """Recrawl delta: per-source added/removed/changed/unchanged counts
+    between two snapshots, plus the churn rate relative to the old
+    snapshot. Content comparison is on sha2-256 digests — the crawler's
+    D1 key (core/WebCrawler.java content hash), a fixed-width compare
+    that never moves page bytes through the join."""
+    old, new = snapshot_pair(documents)
+    o = old.select("doc_id", "source",
+                   F.sha2(F.col("content"), 256).alias("h_old"))
+    n = new.select(F.col("doc_id").alias("n_doc_id"),
+                   F.col("source").alias("n_source"),
+                   F.sha2(F.col("content"), 256).alias("h_new"))
+    j = o.join(n, o["doc_id"] == n["n_doc_id"], "full_outer")
+    status = (F.when(F.col("h_old").isNull(), F.lit("added"))
+              .when(F.col("h_new").isNull(), F.lit("removed"))
+              .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    per = (j.select(F.coalesce(F.col("source"), F.col("n_source"))
+                    .alias("source"),
+                    status.alias("status"))
+           .groupBy("source")
+           .agg(*[F.sum(F.when(F.col("status") == s, 1).otherwise(0))
+                  .alias("n_" + s)
+                  for s in ("added", "removed", "changed", "unchanged")]))
+    n_old = (F.col("n_removed") + F.col("n_changed")
+             + F.col("n_unchanged"))
+    churn = (F.col("n_added") + F.col("n_removed")
+             + F.col("n_changed")).cast("double") / n_old.cast("double")
+    return per.select("source", "n_added", "n_removed", "n_changed",
+                      "n_unchanged", F.round(churn, 6).alias("churn_rate"))
+
+
+def fetch_history(documents: DataFrame) -> DataFrame:
+    """Synthetic per-URL fetch history in the shape a recrawl loop
+    accumulates: (doc_id, fetch_idx, changed) — one row per consecutive
+    fetch pair, changed = whether the content hash moved between them.
+    Deterministic modular rule so the SQL oracle restates it exactly:
+    doc_id has 4 + doc_id % 4 fetches; observation i (1-based) changed
+    iff (doc_id * 7 + i * 5) % 3 == 0."""
+    d = F.col("doc_id")
+    idx = F.explode(F.sequence(F.lit(1), (d % 4 + 3).cast("int")))
+    return (documents
+            .select("doc_id", idx.alias("fetch_idx"))
+            .select("doc_id", "fetch_idx",
+                    ((d * 7 + F.col("fetch_idx") * 5) % 3 == 0)
+                    .alias("changed")))
+
+
+def recrawl_schedule(documents: DataFrame,
+                     interval_days: float = 7.0) -> DataFrame:
+    """Per-URL change-rate estimate and next-fetch interval — the
+    Cho & Garcia-Molina (2003) Poisson estimator over a fixed-cadence
+    fetch history: with n observations of which x detected a change,
+    lambda_hat = -ln((n - x + 0.5) / (n + 0.5)) / interval, and the
+    next interval targets one expected change (1 / lambda_hat, clamped
+    to [1, 90] days).
+
+    Numeric contract: (n - x + 0.5) and (n + 0.5) are exact doubles and
+    their IEEE quotient is engine-identical; ln() has 1-ulp latitude,
+    absorbed by round(·, 6); the next interval divides the ROUNDED
+    lambda (both engines see the identical double), so the only libm
+    call in the chain is the one guarded ln."""
+    hist = fetch_history(documents)
+    agg = (hist.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_obs"),
+                F.sum(F.col("changed").cast("int")).alias("n_changes")))
+    ratio = ((F.col("n_obs") - F.col("n_changes") + 0.5)
+             / (F.col("n_obs") + 0.5))
+    lam = F.round(-F.log(ratio) / F.lit(interval_days), 6)
+    nxt = F.round(F.least(F.greatest(F.lit(1.0) / F.col("lambda_hat"),
+                                     F.lit(1.0)), F.lit(90.0)), 6)
+    return (agg.select("doc_id", "n_obs", "n_changes",
+                       lam.alias("lambda_hat"))
+            .select("doc_id", "n_obs", "n_changes", "lambda_hat",
+                    nxt.alias("next_interval_days")))
+
+
+# frontier synthesis constants (shared with trap detection + the oracle)
+N_HOSTS = 20
+TRAP_PENALTY = "0.1"  # parsed as the identical double in both engines
+
+
+def synth_urls(orders: DataFrame) -> DataFrame:
+    """Deterministic frontier from the orders keys: 20 hosts; hosts
+    custkey%20 >= 15 serve low-diversity slug pages (the trap shape),
+    the rest a mix of /p/<id>[?sess=] and /cat/<c>/item<id> pages.
+    Returns (host, node, depth, path) — node is the host's id in the
+    pipeline.graph host graph, depth a synthetic discovery depth."""
+    okey, ckey = F.col("o_orderkey"), F.col("o_custkey")
+    host = F.concat(F.lit("h"),
+                    F.lpad((ckey % N_HOSTS).cast("string"), 4, "0"),
+                    F.lit(".example.com"))
+    slug_path = F.concat(
+        F.lit("/"),
+        F.repeat(F.char(F.lit(97) + okey % 26), (1 + okey % 3).cast("int")),
+        F.lit("/detail"))
+    p_path = F.concat(
+        F.lit("/p/"), okey.cast("string"),
+        F.when(okey % 5 == 0,
+               F.concat(F.lit("?sess="), ckey.cast("string")))
+        .otherwise(F.lit("")))
+    cat_path = F.concat(F.lit("/cat/"), (okey % 7).cast("string"),
+                        F.lit("/item"), okey.cast("string"))
+    path = (F.when(ckey % N_HOSTS >= 15, slug_path)
+            .when(okey % 2 == 0, p_path)
+            .otherwise(cat_path))
+    return orders.select(host.alias("host"),
+                         (ckey % N_HOSTS).alias("node"),
+                         (okey % 6).alias("depth"),
+                         path.alias("path"))
+
+
+def host_templates(urls: DataFrame) -> DataFrame:
+    """(host, n_urls, n_templates, template_ratio, is_trap): collapse
+    each path to a template (query stripped, digit runs folded to 'N')
+    and flag hosts whose template diversity collapses. The fold is a
+    pure scan projection; one partial-agg shuffle on host."""
+    template = F.regexp_replace(
+        F.regexp_replace(F.col("path"), r"\?.*$", ""), "[0-9]+", "N")
+    nt, nu = F.col("n_templates"), F.col("n_urls")
+    return (urls.select("host", template.alias("template"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct("template").alias("n_templates"))
+            .select("host", "n_urls", "n_templates",
+                    F.round(nt.cast("double") / nu.cast("double"), 6)
+                    .alias("template_ratio"),
+                    F.when((nu >= 100)
+                           & (nt.cast("double") / nu.cast("double") < 0.05),
+                           1).otherwise(0).alias("is_trap")))
+
+
+def frontier_scoring(documents: DataFrame, orders: DataFrame,
+                     k: int = 100) -> DataFrame:
+    """Composed crawl-side flagship: prioritize the frontier by
+    score = host_pagerank × trap_penalty / (1 + depth) and take the
+    global top-k — the scheduler pass that decides what a polite
+    crawler fetches next (reference analog: the priority field on
+    model/CrawlTask.java, which the reference sets statically).
+
+    Composition: pipeline.graph PageRank supplies the host authority
+    (bit-exact dyadic ranks), host_templates supplies the trap penalty,
+    both joined into the frontier as broadcasts (one row per host —
+    never a shuffle of the frontier). Score arithmetic is mul/div only
+    (no libm), so round(·, 9) is engine-exact; top-k is
+    TakeOrderedAndProject on (score desc, url)."""
+    from .graph import host_graph, pagerank
+
+    nodes, edges = host_graph(documents, n_nodes=32)
+    ranks = pagerank(nodes, edges, n_nodes=32)
+    urls = synth_urls(orders)
+    traps = host_templates(urls)
+    penalty = (F.when(F.col("is_trap") == 1,
+                      F.lit(float(TRAP_PENALTY))).otherwise(F.lit(1.0)))
+    score = F.round(F.col("rank") * penalty
+                    / (F.lit(1.0) + F.col("depth").cast("double")), 9)
+    url = F.concat(F.lit("https://"), F.col("host"), F.col("path"))
+    return (urls
+            .join(F.broadcast(ranks), urls["node"] == ranks["node"])
+            .join(F.broadcast(traps), "host")
+            .select(url.alias("url"), "host", "depth",
+                    F.round(F.col("rank"), 9).alias("host_rank"),
+                    "is_trap", score.alias("score"))
+            .orderBy(F.col("score").desc(), "url")
+            .limit(k))
+
+
+def budget_allocation(orders: DataFrame, budget: int = 1000) -> DataFrame:
+    """Global fetch-budget allocation across hosts by the largest-
+    remainder method (Hamilton apportionment): each host gets
+    floor(budget × share) plus one extra unit for the R largest
+    fractional remainders, so per-host quotas are integers that sum to
+    EXACTLY the budget — the fairness contract a politeness scheduler
+    needs before it hands budgets to operators/politeness.py.
+
+    Shuffle shape: the frontier reduces to ONE row per host before
+    anything global happens (partial-agg shuffle); the global pieces —
+    total pending, total base quota — are 1-row aggregates broadcast
+    back. The remainder ranking is a single window over the per-HOST
+    table, which is orders of magnitude smaller than the frontier; at
+    extreme host counts (10^8+) the swap-in is a quantile threshold on
+    the remainder instead of an exact rank.
+
+    Exactness: budget × n / total is one IEEE multiply + divide on
+    identical inputs (engine-identical bits), so floor() and the
+    remainder compare identically; ranking ties break on host."""
+    from pyspark.sql import Window
+
+    per = (synth_urls(orders)
+           .groupBy("host").agg(F.count(F.lit(1)).alias("n_pending")))
+    tot = per.agg(F.sum("n_pending").alias("_tot"))
+    q = (per.crossJoin(F.broadcast(tot))
+         .select("host", "n_pending",
+                 (F.lit(float(budget)) * F.col("n_pending")
+                  / F.col("_tot").cast("double")).alias("_exact")))
+    q = q.select("host", "n_pending",
+                 F.floor(F.col("_exact")).cast("bigint").alias("base_quota"),
+                 (F.col("_exact") - F.floor(F.col("_exact"))).alias("_rem"))
+    tot_base = q.agg(F.sum("base_quota").alias("_base_sum"))
+    w = Window.orderBy(F.col("_rem").desc(), "host")
+    ranked = (q.crossJoin(F.broadcast(tot_base))
+              .select("host", "n_pending", "base_quota",
+                      F.row_number().over(w).alias("_rk"),
+                      (F.lit(budget) - F.col("_base_sum")).alias("_r")))
+    return (ranked
+            .select("host", "n_pending", "base_quota",
+                    F.when(F.col("_rk") <= F.col("_r"), 1).otherwise(0)
+                    .alias("extra"))
+            .select("host", "n_pending", "base_quota", "extra",
+                    (F.col("base_quota") + F.col("extra")).alias("quota")))

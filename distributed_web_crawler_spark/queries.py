@@ -35,6 +35,7 @@ from .operators.politeness import apply_politeness
 from .operators.robots import filter_robots
 from .pipeline import dedup as pdedup
 from .pipeline import multimodal, similarity
+from .pipeline import recrawl as precrawl
 from .pipeline import text as ptext
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2808,6 +2809,183 @@ def trap_detection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when((nu >= 100)
                            & (nt.cast("double") / nu.cast("double") < 0.05),
                            1).otherwise(0).alias("is_trap")))
+
+
+# ---------------------------------------------------------------------------
+# recrawl / crawl-maintenance operators (pipeline/recrawl) + containment
+# ---------------------------------------------------------------------------
+
+@q("snapshot_diff", r"""
+  WITH oldsnap AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' [v1]' ELSE text END
+             AS content
+    FROM documents WHERE doc_id % 11 <> 3),
+  newsnap AS (
+    SELECT doc_id, source, text AS content
+    FROM documents WHERE doc_id % 13 <> 5),
+  j AS (
+    SELECT coalesce(o.source, n.source) AS source,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN sha256(o.content) <> sha256(n.content) THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id),
+  per AS (
+    SELECT source,
+           CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unchanged
+    FROM j GROUP BY source)
+  SELECT source, n_added, n_removed, n_changed, n_unchanged,
+         round(CAST(n_added + n_removed + n_changed AS DOUBLE)
+               / CAST(n_removed + n_changed + n_unchanged AS DOUBLE), 6)
+           AS churn_rate
+  FROM per
+""")
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl delta between two deterministic crawl snapshots:
+    per-source added/removed/changed/unchanged counts via ONE
+    full-outer join on the URL key comparing sha2-256 content digests
+    (at scale: a storage-partitioned join over url-bucketed stores)."""
+    return precrawl.snapshot_diff(_t(spark, sf_dir, "documents"))
+
+
+@q("recrawl_schedule", r"""
+  WITH hist AS (
+    SELECT doc_id, u.i AS fetch_idx,
+           ((doc_id * 7 + u.i * 5) % 3 = 0) AS changed
+    FROM documents,
+         UNNEST(range(1, CAST(doc_id % 4 + 4 AS BIGINT))) AS u(i)),
+  agg AS (
+    SELECT doc_id, count(*) AS n_obs,
+           CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changes
+    FROM hist GROUP BY doc_id),
+  lam AS (
+    SELECT doc_id, n_obs, n_changes,
+           round(-ln((CAST(n_obs AS DOUBLE) - CAST(n_changes AS DOUBLE)
+                      + CAST('0.5' AS DOUBLE))
+                     / (CAST(n_obs AS DOUBLE) + CAST('0.5' AS DOUBLE)))
+                 / CAST('7.0' AS DOUBLE), 6) AS lambda_hat
+    FROM agg)
+  SELECT doc_id, n_obs, n_changes, lambda_hat,
+         round(least(greatest(CAST(1 AS DOUBLE) / lambda_hat,
+                              CAST(1 AS DOUBLE)), CAST(90 AS DOUBLE)), 6)
+           AS next_interval_days
+  FROM lam
+""")
+def recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina Poisson change-rate estimator over a
+    synthetic fetch history → per-URL next-fetch interval; closed-form
+    per group, one partial-agg shuffle."""
+    return precrawl.recrawl_schedule(_t(spark, sf_dir, "documents"))
+
+
+@q("frontier_scoring", lambda: _oracles.frontier_scoring_sql(k=100))
+def frontier_scoring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-side flagship: PageRank host authority × trap
+    penalty × depth prior over the synthetic frontier, global top-100
+    via TakeOrderedAndProject. FULL-CHAIN oracle — the unrolled
+    PageRank CTE chain, URL synthesis, trap aggregate and scoring are
+    all restated relationally."""
+    return precrawl.frontier_scoring(_t(spark, sf_dir, "documents"),
+                                     _t(spark, sf_dir, "orders"), k=100)
+
+
+@q("containment_pairs", r"""
+  WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents),
+  g0 AS (
+    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+    FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 3),
+  gd AS (SELECT DISTINCT doc_id, gram FROM g0),
+  dfq AS (SELECT gram, count(*) AS df FROM gd GROUP BY gram),
+  capped AS (SELECT gd.doc_id, gd.gram
+             FROM gd JOIN dfq USING (gram) WHERE df <= 100),
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id),
+  pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM capped a JOIN capped b
+      ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id),
+  c AS (
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(p.n_common AS DOUBLE) / sa.n_sh, 6) AS c_ab,
+           round(CAST(p.n_common AS DOUBLE) / sb.n_sh, 6) AS c_ba
+    FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
+                 JOIN sizes sb ON sb.doc_id = p.doc_b)
+  SELECT doc_a, doc_b, c_ab, c_ba FROM c
+  WHERE greatest(c_ab, c_ba) >= 0.6
+""")
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment pairs (quote / partial-mirror
+    detection): C(A→B) = |∩|/|S(A)|, either direction ≥ 0.6; df-capped
+    self-join, sizes joined back AFTER the pair aggregation."""
+    return pdedup.containment_pairs(_t(spark, sf_dir, "documents"),
+                                    n=3, threshold=0.6, max_df=100)
+
+
+@q("host_hits", lambda: _oracles.hits_sql(n_nodes=32, iterations=4))
+def host_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the variable-degree host graph,
+    DIVISION-FREE iterations (scores stay exact integers) with one
+    final max-normalization — bit-exact vs the unrolled-CTE oracle."""
+    from .pipeline import graph as pgraph
+    nodes, edges = pgraph.irregular_graph(_t(spark, sf_dir, "documents"),
+                                          n_nodes=32)
+    return pgraph.hits(nodes, edges, iterations=4)
+
+
+@q("seed_distance", lambda: _oracles.seed_distance_sql(
+    n_nodes=32, seed_mod=8, iterations=6))
+def seed_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS crawl-depth from the seed hosts by iterative min-plus
+    relaxation — integer-exact, broadcast distance vector, edges never
+    move after the initial dst-partition."""
+    from .pipeline import graph as pgraph
+    nodes, edges = pgraph.irregular_graph(_t(spark, sf_dir, "documents"),
+                                          n_nodes=32)
+    return pgraph.seed_distance(nodes, edges, seed_mod=8, iterations=6)
+
+
+@q("budget_allocation", r"""
+  WITH urls AS (
+    SELECT 'h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+             || '.example.com' AS host
+    FROM orders),
+  per AS (SELECT host, count(*) AS n_pending FROM urls GROUP BY host),
+  tot AS (SELECT CAST(sum(n_pending) AS BIGINT) AS t FROM per),
+  q AS (SELECT host, n_pending,
+               CAST(1000 AS DOUBLE) * n_pending / CAST(tot.t AS DOUBLE)
+                 AS ex
+        FROM per, tot),
+  f AS (SELECT host, n_pending,
+               CAST(floor(ex) AS BIGINT) AS base_quota,
+               ex - floor(ex) AS rem
+        FROM q),
+  bs AS (SELECT CAST(sum(base_quota) AS BIGINT) AS b FROM f),
+  r AS (SELECT f.host, f.n_pending, f.base_quota,
+               row_number() OVER (ORDER BY f.rem DESC, f.host) AS rk,
+               1000 - bs.b AS rr
+        FROM f, bs)
+  SELECT host, n_pending, base_quota,
+         CASE WHEN rk <= rr THEN 1 ELSE 0 END AS extra,
+         base_quota + CASE WHEN rk <= rr THEN 1 ELSE 0 END AS quota
+  FROM r
+""")
+def budget_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder fetch-budget apportionment across hosts:
+    integer per-host quotas that sum to exactly the global budget."""
+    return precrawl.budget_allocation(_t(spark, sf_dir, "orders"),
+                                      budget=1000)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,117 @@
+"""Invariant tests for pipeline/recrawl.py and dedup.containment_pairs.
+
+Value-level correctness is carried by the DuckDB oracles (snapshot_diff,
+recrawl_schedule, frontier_scoring, containment_pairs all hash-match);
+these tests pin the properties the oracles cannot see: estimator
+monotonicity, trap-penalty direction, the asymmetric-containment win over
+Jaccard, and the plan shapes (broadcasts + TakeOrderedAndProject)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from distributed_web_crawler_spark.pipeline import recrawl
+from distributed_web_crawler_spark.pipeline.dedup import (
+    containment_pairs, ngram_jaccard_pairs)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_snapshot_statuses_partition_the_universe(docs):
+    """Per source: added+removed+changed+unchanged == |old ∪ new|."""
+    old, new = recrawl.snapshot_pair(docs)
+    uni = (old.select("doc_id", "source")
+           .unionByName(new.select("doc_id", "source"))
+           .distinct().groupBy("source").count())
+    diff = recrawl.snapshot_diff(docs)
+    j = diff.join(uni, "source").collect()
+    assert len(j) > 0
+    for r in j:
+        assert (r.n_added + r.n_removed + r.n_changed
+                + r.n_unchanged) == r["count"]
+        # the modular derivation guarantees every class is populated
+        assert r.n_added > 0 and r.n_removed > 0 and r.n_changed > 0
+
+
+def test_recrawl_estimator_monotone(docs):
+    """At fixed n_obs, more observed changes ⇒ larger lambda_hat and a
+    next interval that never grows; lambda is always positive."""
+    rows = recrawl.recrawl_schedule(docs).collect()
+    assert all(r.lambda_hat > 0 for r in rows)
+    by_obs: dict = {}
+    for r in rows:
+        by_obs.setdefault(r.n_obs, {})[r.n_changes] = (
+            r.lambda_hat, r.next_interval_days)
+    checked = 0
+    for grp in by_obs.values():
+        xs = sorted(grp)
+        for a, b in zip(xs, xs[1:]):
+            assert grp[a][0] < grp[b][0]
+            assert grp[a][1] >= grp[b][1]
+            checked += 1
+    assert checked > 0
+
+
+def test_frontier_scoring_trap_penalty_direction(docs, orders):
+    """Every URL on a trap host scores exactly rank×0.1/(1+depth) —
+    an order of magnitude below the same host untrapped — and the
+    top-k contains no trap-host URL at sf0.001 (clean hosts dominate)."""
+    top = recrawl.frontier_scoring(docs, orders, k=50).collect()
+    assert len(top) == 50
+    assert all(r.is_trap == 0 for r in top)
+    # scores are consistent with the published formula
+    for r in top:
+        expect = round(r.host_rank / (1.0 + r.depth), 9)
+        assert abs(r.score - expect) < 1e-9
+
+
+def test_frontier_scoring_plan_shapes(docs, orders):
+    plan = (recrawl.frontier_scoring(docs, orders, k=50)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short quote fully contained in a much longer doc: containment
+    flags it (c_ab = 1.0) while Jaccard at the same threshold cannot."""
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, quote + " " + filler)], ["doc_id", "text"])
+    got = {(r.doc_a, r.doc_b): (r.c_ab, r.c_ba)
+           for r in containment_pairs(docs, n=3, threshold=0.6).collect()}
+    assert got[(1, 2)][0] == 1.0          # quote ⊂ long doc
+    assert got[(1, 2)][1] < 0.05          # asymmetric by construction
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.6).collect()
+    assert jac == []                       # symmetric metric misses it
+
+
+def test_containment_exact_dup_is_mutual(spark):
+    text = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], ["doc_id", "text"])
+    rows = containment_pairs(docs, n=3, threshold=0.6).collect()
+    assert len(rows) == 1
+    assert rows[0].c_ab == 1.0 and rows[0].c_ba == 1.0
+
+
+def test_fetch_history_matches_modular_rule(docs):
+    rows = recrawl.fetch_history(docs.limit(20)).collect()
+    assert rows
+    for r in rows:
+        assert r.changed == ((r.doc_id * 7 + r.fetch_idx * 5) % 3 == 0)
+    n = {r.doc_id for r in rows}
+    per = {d: max(r.fetch_idx for r in rows if r.doc_id == d) for d in n}
+    for d, k in per.items():
+        assert k == 3 + d % 4
