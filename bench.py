@@ -105,6 +105,9 @@ EXTRAS = [
     "host_hits",             # division-free HITS hubs/authorities
     "seed_distance",         # min-plus BFS crawl depth
     "budget_allocation",     # largest-remainder host quotas
+    "pmi_collocations",      # integer-count PMI phrase detection
+    "chunk_texts",           # manifest gather list executed to text
+    "centroid_drift",        # SQ8 per-label centroid drift, no explode
 ]
 
 

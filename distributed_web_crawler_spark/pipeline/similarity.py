@@ -506,3 +506,43 @@ def knn_label_vote(embeddings: DataFrame, queries: DataFrame,
             .select("query_id", "true_label", "pred_label", "votes",
                     (F.col("pred_label") == F.col("true_label"))
                     .alias("correct")))
+
+
+def label_centroid_drift(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-label embedding-centroid drift from the corpus centroid —
+    the cluster-health report a curation run reads to spot a source or
+    label whose embedding distribution has wandered (bad scrape, model
+    change, contamination).
+
+    Exactness via SQ8: centroids are computed over the int-quantized
+    components (quantize_embeddings), so every per-dimension sum is an
+    exact integer — summation order cannot matter — and cosine needs
+    only IEEE mul/div/sqrt (all correctly rounded, engine-identical).
+    Cosine is scale-invariant, so the unnormalized integer SUM vector
+    stands in for the mean with no division.
+
+    Scale shape: ONE partial-agg shuffle keyed on label producing dim
+    sum columns (no posexplode — the dim×n row blowup never exists);
+    the global centroid is the 1-row re-aggregate of the label sums,
+    broadcast back. Returns (label, n_vecs, centroid_cosine, drift)."""
+    qz = quantize_embeddings(embeddings)
+    sums = (qz.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 *[F.sum(F.element_at("qvec", i + 1)).alias(f"s{i}")
+                   for i in range(dim)]))
+    g = sums.agg(*[F.sum(f"s{i}").alias(f"g{i}") for i in range(dim)])
+    joined = sums.crossJoin(F.broadcast(g))
+    dot = sum((F.col(f"s{i}") * F.col(f"g{i}") for i in range(dim)),
+              F.lit(0).cast("long"))
+    na = sum((F.col(f"s{i}") * F.col(f"s{i}") for i in range(dim)),
+             F.lit(0).cast("long"))
+    nb = sum((F.col(f"g{i}") * F.col(f"g{i}") for i in range(dim)),
+             F.lit(0).cast("long"))
+    cosine = F.round(dot.cast("double")
+                     / (F.sqrt(na.cast("double"))
+                        * F.sqrt(nb.cast("double"))), 6)
+    return (joined
+            .select("label", "n_vecs", cosine.alias("centroid_cosine"))
+            .select("label", "n_vecs", "centroid_cosine",
+                    F.round(1.0 - F.col("centroid_cosine"), 6)
+                    .alias("drift")))

@@ -901,3 +901,78 @@ def hashed_quality_classifier(documents: DataFrame,
         "doc_id", "n_toks", "score_int",
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob"),
         F.when(F.col("score_int") >= 0, 1).otherwise(0).alias("keep"))
+
+
+def pmi_collocations(documents: DataFrame, min_count: int = 5,
+                     text_col: str = "text") -> DataFrame:
+    """Collocation extraction by pointwise mutual information:
+    PMI(a, b) = ln( c(ab)·N / (c(a·)·c(·b)) ) over the corpus bigram
+    table — the classic phrase-detection signal (word2vec's phrase
+    pass, KenLM pruning) a curation run uses to pick multi-word units
+    worth protecting from tokenizer splits.
+
+    All inputs to the single ln() are exact integer counts (bigram
+    count, left/right marginals, total N), multiplied/divided as
+    doubles in a fixed order, so the 1-ulp ln latitude absorbed by
+    round(·, 6) is the only cross-engine freedom. Marginals aggregate
+    the ALREADY-REDUCED bigram table (vocabulary-sized shuffles); N is
+    a 1-row broadcast."""
+    toks = tokens(F.lower(F.col(text_col)))
+    staged = documents.select(toks.alias("_t"))
+    t = F.col("_t")
+    pairs = staged.select(F.explode(
+        F.when(F.size(t) >= 2,
+               F.transform(F.sequence(F.lit(1), F.size(t) - 1),
+                           lambda i: F.struct(
+                               F.element_at(t, i).alias("w1"),
+                               F.element_at(t, i + 1).alias("w2"))))
+        .otherwise(F.array().cast(
+            "array<struct<w1:string,w2:string>>"))).alias("bg"))
+    big = (pairs.groupBy(F.col("bg.w1").alias("w1"),
+                         F.col("bg.w2").alias("w2"))
+           .agg(F.count("*").alias("c_big")))
+    left = big.groupBy("w1").agg(F.sum("c_big").alias("c_w1"))
+    right = big.groupBy("w2").agg(F.sum("c_big").alias("c_w2"))
+    tot = big.agg(F.sum("c_big").alias("_N"))
+    pmi = F.round(F.log(
+        (F.col("c_big").cast("double") * F.col("_N").cast("double"))
+        / (F.col("c_w1").cast("double") * F.col("c_w2").cast("double"))), 6)
+    return (big.where(F.col("c_big") >= min_count)
+            .join(left, "w1").join(right, "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", "w2", "c_big", "c_w1", "c_w2",
+                    pmi.alias("pmi")))
+
+
+def chunk_texts(documents: DataFrame, ctx_len: int = 256,
+                n_shards: int = 8, text_col: str = "text") -> DataFrame:
+    """Materialize the ACTUAL training chunks the packed_chunk_manifest
+    gather list describes: join the manifest back onto the tokenized
+    corpus, slice each document's token span, and assemble every
+    (shard, chunk) in gather order — proof the manifest is a faithful
+    dataloader program, and the text-producing final stage of the
+    packing pipeline.
+
+    Shuffle shape: one doc_id hash join (manifest rows ≈ docs), then
+    one partial-agg shuffle on (shard, chunk_id); the assembled order
+    is pinned by array_sort over (chunk_off, piece) structs — chunk_off
+    is unique within a chunk, so the output is deterministic under any
+    partitioning (the inverted_index trick). Token arrays never cross
+    the first join; only the sliced pieces shuffle."""
+    man = packed_chunk_manifest(documents, ctx_len, n_shards, text_col)
+    tk = documents.select("doc_id", tokens(F.col(text_col)).alias("_t"))
+    ln = (F.col("tok_to") - F.col("tok_from")).cast("int")
+    pieces = (man.join(tk, "doc_id")
+              .select("shard", "chunk_id", "chunk_off",
+                      ln.cast("long").alias("n_toks"),
+                      F.concat_ws(" ", F.slice(
+                          F.col("_t"),
+                          (F.col("tok_from") + 1).cast("int"), ln))
+                      .alias("piece")))
+    return (pieces.groupBy("shard", "chunk_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_toks").alias("n_tokens"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("chunk_off", "piece"))),
+                     lambda s: s["piece"])).alias("text")))

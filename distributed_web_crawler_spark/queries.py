@@ -2988,6 +2988,115 @@ def budget_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       budget=1000)
 
 
+@q("pmi_collocations", r"""
+  WITH toks AS (
+    SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents),
+  bg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    WHERE len(t) >= 2),
+  big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_big
+          FROM bg GROUP BY w1, w2),
+  l AS (SELECT w1, CAST(sum(c_big) AS BIGINT) AS c_w1
+        FROM big GROUP BY w1),
+  r AS (SELECT w2, CAST(sum(c_big) AS BIGINT) AS c_w2
+        FROM big GROUP BY w2),
+  n AS (SELECT CAST(sum(c_big) AS BIGINT) AS nn FROM big)
+  SELECT b.w1, b.w2, b.c_big, l.c_w1, r.c_w2,
+         round(ln(CAST(b.c_big AS DOUBLE) * CAST(n.nn AS DOUBLE)
+                  / (CAST(l.c_w1 AS DOUBLE) * CAST(r.c_w2 AS DOUBLE))), 6)
+           AS pmi
+  FROM big b JOIN l USING (w1) JOIN r USING (w2), n
+  WHERE b.c_big >= 5
+""")
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by PMI over exact integer bigram counts;
+    one guarded ln() rounded at 1e-6."""
+    return ptext.pmi_collocations(_t(spark, sf_dir, "documents"),
+                                  min_count=5)
+
+
+@q("chunk_texts", r"""
+  WITH staged AS (
+    SELECT doc_id, doc_id % 8 AS shard,
+           string_split_regex(trim(text), '\s+') AS t,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+    FROM documents),
+  packed AS (
+    SELECT doc_id, shard, t, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS BIGINT) AS cum_before
+    FROM staged),
+  m AS (
+    SELECT doc_id, shard, t, n_tokens, cum_before,
+           unnest(range(cum_before // 256,
+                        (cum_before + n_tokens - 1) // 256 + 1))
+             AS chunk_id
+    FROM packed),
+  pieces AS (
+    SELECT shard, chunk_id,
+           greatest(cum_before - chunk_id * 256, 0) AS chunk_off,
+           least(n_tokens, (chunk_id + 1) * 256 - cum_before)
+             - greatest(chunk_id * 256 - cum_before, 0) AS n_toks,
+           array_to_string(
+             t[greatest(chunk_id * 256 - cum_before, 0) + 1 :
+               least(n_tokens, (chunk_id + 1) * 256 - cum_before)], ' ')
+             AS piece
+    FROM m)
+  SELECT shard, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         string_agg(piece, ' ' ORDER BY chunk_off) AS text
+  FROM pieces GROUP BY shard, chunk_id
+""")
+def chunk_texts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training chunks: the manifest's gather list executed
+    against the tokenized corpus — every (shard, chunk) assembled in
+    order, proving the packing layout is a faithful dataloader
+    program."""
+    return ptext.chunk_texts(_t(spark, sf_dir, "documents"),
+                             ctx_len=256, n_shards=8)
+
+
+@q("centroid_drift", r"""
+  WITH qz AS (
+    SELECT label,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> floor(x / greatest(
+               list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                             y -> abs(y)), 'max')
+                 / 127.0, 1e-30) + 0.5)) AS qd
+    FROM embeddings),
+  ex AS (
+    SELECT label, u.i AS d, qd[u.i] AS x
+    FROM qz, UNNEST(range(1, 65)) AS u(i)),
+  s AS (SELECT label, d, sum(x) AS sx FROM ex GROUP BY label, d),
+  nv AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+         FROM qz GROUP BY label),
+  g AS (SELECT d, sum(sx) AS gx FROM s GROUP BY d),
+  dots AS (
+    SELECT s.label, sum(s.sx * g.gx) AS dp,
+           sum(s.sx * s.sx) AS na, sum(g.gx * g.gx) AS nb
+    FROM s JOIN g USING (d) GROUP BY s.label),
+  c AS (
+    SELECT d.label, nv.n_vecs,
+           round(d.dp / (sqrt(d.na) * sqrt(d.nb)), 6) AS centroid_cosine
+    FROM dots d JOIN nv USING (label))
+  SELECT label, n_vecs, centroid_cosine,
+         round(CAST(1 AS DOUBLE) - centroid_cosine, 6) AS drift
+  FROM c
+""")
+def centroid_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label SQ8 centroid drift from the corpus centroid — exact
+    integer per-dimension sums (one label-keyed shuffle, no explode),
+    cosine via IEEE mul/div/sqrt only."""
+    return similarity.label_centroid_drift(_t(spark, sf_dir, "embeddings"),
+                                           dim=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 3-round crawl lineage + a sf0.001 corpus summary row."""
     lineage = crawl_flagship(spark, "/root/testdata/sf0.001")

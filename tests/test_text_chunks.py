@@ -1,0 +1,81 @@
+"""Invariants for pmi_collocations, chunk_texts and label_centroid_drift
+(values oracle-checked; these pin reconstruction fidelity and plan
+shapes)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from distributed_web_crawler_spark.pipeline.similarity import (
+    label_centroid_drift)
+from distributed_web_crawler_spark.pipeline.text import (
+    chunk_texts, pmi_collocations)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_chunk_texts_reconstructs_the_shard_stream(spark, docs):
+    """Concatenating a shard's chunks in chunk order must reproduce the
+    shard's documents laid end to end in doc order — the manifest is a
+    faithful dataloader program. Every non-final chunk carries exactly
+    ctx_len tokens."""
+    out = chunk_texts(docs, ctx_len=64, n_shards=4).collect()
+    by_shard: dict = {}
+    maxc = {}
+    for r in out:
+        by_shard.setdefault(r.shard, {})[r.chunk_id] = r
+        maxc[r.shard] = max(maxc.get(r.shard, -1), r.chunk_id)
+    toks = {r.doc_id: r.text.strip(" ").split()
+            for r in docs.select("doc_id", "text").collect()}
+    for shard, chunks in by_shard.items():
+        assert sorted(chunks) == list(range(maxc[shard] + 1))
+        stream = " ".join(chunks[c].text for c in sorted(chunks))
+        want = " ".join(" ".join(toks[d]) for d in sorted(toks)
+                        if d % 4 == shard)
+        # tokens() keeps the empty token a blank doc yields; rejoining
+        # with single spaces is identical on both paths
+        assert stream.split(" ") == want.split(" ")
+        for c, r in chunks.items():
+            if c < maxc[shard]:
+                assert r.n_tokens == 64
+
+
+def test_pmi_matches_closed_form(spark):
+    """Corpus engineered so one bigram is maximally associated and one
+    is independent; PMI must match the hand-computed values."""
+    rows = [(1, "x y " * 10), (2, "a b " * 5 + "a c " * 5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.w1, r.w2): r for r in
+           pmi_collocations(docs, min_count=5).collect()}
+    for pair in (("x", "y"), ("a", "b"), ("a", "c")):
+        r = got[pair]
+        want = round(math.log(r.c_big * 38 / (r.c_w1 * r.c_w2)), 6)
+        assert abs(r.pmi - want) < 1e-9
+    # 'a' splits its right context between b and c, so c(a,b) carries
+    # half the mass of c(x,y) at the same marginal structure
+    assert got[("a", "b")].c_big * 2 == got[("x", "y")].c_big
+
+
+def test_centroid_drift_single_label_is_zero(spark):
+    emb = spark.range(32).select(
+        F.col("id").alias("vec_id"), F.lit(0).alias("label"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda i: (F.col("id") % 7 + i).cast("float") / 10.0)
+        .alias("embedding"))
+    rows = label_centroid_drift(emb, dim=8).collect()
+    assert len(rows) == 1
+    assert rows[0].centroid_cosine == 1.0 and rows[0].drift == 0.0
+
+
+def test_centroid_drift_plan_has_no_explode(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = (label_centroid_drift(emb, dim=64)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Generate" not in plan          # no posexplode row blowup
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
