@@ -1276,3 +1276,54 @@ def seed_distance_sql(n_nodes: int = 32, seed_mod: int = 8,
   SELECT node, CAST(coalesce(dist, -1) AS INTEGER) AS dist
   FROM d{iterations}
 """
+
+
+def degree_stats_sql(n_nodes: int = 32) -> str:
+    """Mirror of pipeline.graph.degree_stats over the irregular graph —
+    INTERSECT carries the same set semantics as the engine's
+    edges.intersect(reversed) reciprocity probe."""
+    return f"""
+  WITH nodes AS (
+    SELECT DISTINCT doc_id % {n_nodes} AS node FROM documents),
+  edges AS (
+    {_irregular_edges_sql(n_nodes)}),
+  o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg
+        FROM edges GROUP BY src),
+  i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+        FROM edges GROUP BY dst),
+  r AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS reciprocal
+        FROM (SELECT src, dst FROM edges
+              INTERSECT
+              SELECT dst AS src, src AS dst FROM edges)
+        GROUP BY src)
+  SELECT n.node,
+         coalesce(o.out_deg, 0) AS out_deg,
+         coalesce(i.in_deg, 0) AS in_deg,
+         coalesce(r.reciprocal, 0) AS reciprocal
+  FROM nodes n
+  LEFT JOIN o ON o.node = n.node
+  LEFT JOIN i ON i.node = n.node
+  LEFT JOIN r ON r.node = n.node
+"""
+
+
+def two_hop_reach_sql(n_nodes: int = 32) -> str:
+    """Mirror of pipeline.graph.two_hop_reach over the irregular graph."""
+    return f"""
+  WITH nodes AS (
+    SELECT DISTINCT doc_id % {n_nodes} AS node FROM documents),
+  edges AS (
+    {_irregular_edges_sql(n_nodes)}),
+  h2 AS (SELECT a.src, b.dst
+         FROM edges a JOIN edges b ON a.dst = b.src),
+  rch AS (
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS reach
+    FROM (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT src, dst FROM h2)
+          WHERE src <> dst)
+    GROUP BY src)
+  SELECT n.node, coalesce(rch.reach, 0) AS reach
+  FROM nodes n LEFT JOIN rch ON rch.node = n.node
+"""

@@ -202,3 +202,50 @@ def seed_distance(nodes: DataFrame, edges: DataFrame, seed_mod: int = 8,
             dist = dist.localCheckpoint(eager=True)
     return dist.select("node",
                        F.coalesce(F.col("dist"), F.lit(-1)).alias("dist"))
+
+
+def degree_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-node link-graph degree report: out-degree, in-degree and the
+    count of reciprocated out-edges (u→v with v→u present) — the
+    hub/spam-shape diagnostic read next to PageRank. Two partial-agg
+    shuffles plus one edge self-join on the reversed key; the node table
+    never fans out. Returns (node, out_deg, in_deg, reciprocal)."""
+    outd = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg"))
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (edges.intersect(rev)
+             .groupBy(F.col("src").alias("node"))
+             .agg(F.count(F.lit(1)).alias("reciprocal")))
+    z = F.lit(0).cast("long")
+    return (nodes.join(outd, "node", "left")
+            .join(ind, "node", "left")
+            .join(recip, "node", "left")
+            .select("node",
+                    F.coalesce("out_deg", z).alias("out_deg"),
+                    F.coalesce("in_deg", z).alias("in_deg"),
+                    F.coalesce("reciprocal", z).alias("reciprocal")))
+
+
+def two_hop_reach(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distinct nodes reachable in one or two hops (self excluded) —
+    the neighborhood-size signal behind crawl-frontier fanout estimates
+    and friend-of-friend features. One edge self-join keyed on the
+    middle node, a distinct, one count agg; at 10^9 edges the self-join
+    is the documented O(Σ deg_in(v)·deg_out(v)) cost and skewed middle
+    nodes would be df-capped exactly like hot shingles in
+    ngram_jaccard_pairs. Returns (node, reach)."""
+    a, b = edges.alias("a"), edges.alias("b")
+    hop2 = (a.join(b, F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"),
+                    F.col("b.dst").alias("dst")))
+    reach = (edges.select("src", "dst").unionAll(hop2)
+             .where(F.col("src") != F.col("dst"))
+             .distinct()
+             .groupBy(F.col("src").alias("node"))
+             .agg(F.count(F.lit(1)).alias("reach")))
+    return (nodes.join(reach, "node", "left")
+            .select("node",
+                    F.coalesce("reach", F.lit(0).cast("long"))
+                    .alias("reach")))

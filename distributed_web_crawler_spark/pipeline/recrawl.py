@@ -264,3 +264,41 @@ def budget_allocation(orders: DataFrame, budget: int = 1000) -> DataFrame:
                     .alias("extra"))
             .select("host", "n_pending", "base_quota", "extra",
                     (F.col("base_quota") + F.col("extra")).alias("quota")))
+
+
+def fetch_latency_anomalies(orders: DataFrame,
+                            z_threshold: float = 3.0) -> DataFrame:
+    """Per-host fetch-latency anomaly detection: flag fetches whose
+    z-score against their host's latency distribution exceeds the
+    threshold — the timeout/tarpit monitor a crawl operator watches.
+
+    Latency is synthesized as integers (base + modular jitter + a 1/97
+    spike), so the host moments come from EXACT integer sums S1 = Σx,
+    S2 = Σx² (summation order irrelevant), and every downstream step —
+    mean, variance, sqrt, the z quotient — is a correctly-rounded IEEE
+    op on identical inputs: engine-exact without any quantize-before-
+    sum contract. Moments reduce to one row per host (partial-agg
+    shuffle) and broadcast back onto the scan; only anomalies leave.
+
+    Returns (host, o_orderkey, latency_ms, z) for |z| >= threshold."""
+    okey, ckey = F.col("o_orderkey"), F.col("o_custkey")
+    host = F.concat(F.lit("h"),
+                    F.lpad((ckey % N_HOSTS).cast("string"), 4, "0"),
+                    F.lit(".example.com"))
+    lat = (F.lit(50) + (okey * 13 + ckey * 7) % 2000
+           + F.when(okey % 97 == 0, F.lit(5000)).otherwise(F.lit(0)))
+    base = orders.select(host.alias("host"), okey.alias("o_orderkey"),
+                         lat.alias("latency_ms"))
+    mom = (base.groupBy("host")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("latency_ms").alias("s1"),
+                F.sum(F.col("latency_ms") * F.col("latency_ms"))
+                .alias("s2")))
+    mu = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (F.col("s2").cast("double") / F.col("n").cast("double")
+           - mu * mu)
+    z = ((F.col("latency_ms").cast("double") - mu) / F.sqrt(var))
+    return (base.join(F.broadcast(mom), "host")
+            .select("host", "o_orderkey", "latency_ms",
+                    F.round(z, 6).alias("z"))
+            .where(F.abs(F.col("z")) >= z_threshold))

@@ -518,14 +518,22 @@ def lm_perplexity(documents: DataFrame, model_documents: DataFrame | None = None
               .crossJoin(F.broadcast(vocab))
               .select("doc_id",
                       F.col("c_big").isNull().cast("long").alias("oov"),
-                      F.round(F.log(
+                      # micro-nat INTEGER logprob: summing the rounded
+                      # DOUBLES would still be order-dependent in the last
+                      # ulps (Spark's partition order is nondeterministic,
+                      # DuckDB's differs) — ×1e6 and round to long makes
+                      # the per-doc sum exact under any order
+                      F.round(F.round(F.log(
                           (F.coalesce(F.col("c_big"), F.lit(0)) + F.lit(1.0))
                           / (F.coalesce(F.col("c_w1"), F.lit(0))
-                             + F.col("_V"))), 6).alias("lp")))
+                             + F.col("_V"))), 6) * F.lit(1e6), 0)
+                      .cast("long").alias("lp_micro")))
     agg = (scored.groupBy("doc_id")
            .agg(F.count("*").alias("n_bigrams"),
                 F.sum("oov").alias("n_oov"),
-                F.round(F.sum("lp") / F.count("*"), 6).alias("avg_logprob")))
+                F.round(F.sum("lp_micro").cast("double")
+                        / (F.count("*") * F.lit(1e6)), 6)
+                .alias("avg_logprob")))
     return agg.select("doc_id", "n_bigrams", "n_oov", "avg_logprob",
                       F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"))
 
@@ -548,16 +556,19 @@ def mixture_weights(documents: DataFrame, alpha: float = 0.3,
     Returns (source, n_docs, weight, repeat_factor)."""
     counts = (documents.groupBy(group_col)
               .agg(F.count("*").alias("n_docs")))
-    norm = counts.agg(
-        F.sum(F.pow(F.col("n_docs"), F.lit(alpha))).alias("_z"),
-        F.sum("n_docs").alias("_n"))
+    # nano-scaled INTEGER n^α terms: summing raw pow() doubles would be
+    # order-dependent across engines/partitionings; quantizing each term
+    # to a long makes the normalizer exact under any order
+    p_nano = (F.round(F.pow(F.col("n_docs"), F.lit(alpha)) * F.lit(1e9), 0)
+              .cast("long"))
+    counts = counts.withColumn("_p", p_nano)
+    norm = counts.agg(F.sum("_p").alias("_z"), F.sum("n_docs").alias("_n"))
+    share = F.col("_p").cast("double") / F.col("_z").cast("double")
     return (counts.crossJoin(F.broadcast(norm))
             .select(group_col, "n_docs",
-                    F.round(F.pow(F.col("n_docs"), F.lit(alpha))
-                            / F.col("_z"), 6).alias("weight"),
-                    F.round(F.pow(F.col("n_docs"), F.lit(alpha))
-                            / F.col("_z") * F.col("_n")
-                            / F.col("n_docs"), 6).alias("repeat_factor")))
+                    F.round(share, 6).alias("weight"),
+                    F.round(share * F.col("_n") / F.col("n_docs"), 6)
+                    .alias("repeat_factor")))
 
 
 def distribution_drift(old_docs: DataFrame, new_docs: DataFrame,
@@ -779,9 +790,15 @@ def bm25_search(documents: DataFrame, query_terms: list[str], k: int = 20,
                  + F.lit(b) * F.col("doclen") / F.col("avgdl"))))
     return (tf.join(F.broadcast(dfreq), "token")
             .crossJoin(F.broadcast(stats))
-            .select("doc_id", F.round(idf * tfn, 6).alias("term_score"))
+            # micro-unit INTEGER term scores (the lm_perplexity contract):
+            # an order-dependent double sum could flip the rounded score
+            # at a ulp boundary between engines/runs
+            .select("doc_id",
+                    F.round(F.round(idf * tfn, 6) * F.lit(1e6), 0)
+                    .cast("long").alias("ts_micro"))
             .groupBy("doc_id")
-            .agg(F.round(F.sum("term_score"), 6).alias("score"),
+            .agg(F.round(F.sum("ts_micro").cast("double") / F.lit(1e6), 6)
+                 .alias("score"),
                  F.count("*").alias("n_terms"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))

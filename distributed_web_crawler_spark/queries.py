@@ -718,12 +718,16 @@ def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ORDER BY freq DESC, token) AS rnk
     FROM tf),
   pts AS (
-    SELECT source, round(ln(CAST(rnk AS DOUBLE)), 6) AS x,
-           round(ln(CAST(freq AS DOUBLE)), 6) AS y
+    SELECT source,
+           CAST(round(round(ln(CAST(rnk AS DOUBLE)), 6) * 1e6, 0)
+                AS BIGINT) AS x,
+           CAST(round(round(ln(CAST(freq AS DOUBLE)), 6) * 1e6, 0)
+                AS BIGINT) AS y
     FROM r WHERE rnk <= 100)
   SELECT source, count(*) AS n_terms,
-         round((count(*) * sum(x*y) - sum(x) * sum(y))
-               / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS zipf_slope
+         round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE)
+               / CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE), 6)
+           AS zipf_slope
   FROM pts GROUP BY source
 """)
 def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,21 +748,26 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
           .where(F.col("token") != "")
           .groupBy("source", "token").agg(F.count("*").alias("freq")))
     w = Window.partitionBy("source").orderBy(F.desc("freq"), "token")
+    # micro-scaled INTEGER coordinates: the least-squares sums are then
+    # exact under any partition order (a raw double Σxy drifts in the
+    # last ulps between engines); the 1e12 scale cancels between the
+    # slope's numerator and denominator
+    def micro(c):
+        return F.round(F.round(F.log(c), 6) * F.lit(1e6), 0).cast("long")
+
     pts = (tf.withColumn("rnk", F.row_number().over(w))
            .where(F.col("rnk") <= 100)
            .select("source",
-                   F.round(F.log(F.col("rnk").cast("double")), 6)
-                   .alias("x"),
-                   F.round(F.log(F.col("freq").cast("double")), 6)
-                   .alias("y")))
+                   micro(F.col("rnk").cast("double")).alias("x"),
+                   micro(F.col("freq").cast("double")).alias("y")))
     n = F.count("*")
+    num = (n * F.sum(F.col("x") * F.col("y"))
+           - F.sum("x") * F.sum("y")).cast("double")
+    den = (n * F.sum(F.col("x") * F.col("x"))
+           - F.sum("x") * F.sum("x")).cast("double")
     return (pts.groupBy("source")
             .agg(n.alias("n_terms"),
-                 F.round((n * F.sum(F.col("x") * F.col("y"))
-                          - F.sum("x") * F.sum("y"))
-                         / (n * F.sum(F.col("x") * F.col("x"))
-                            - F.sum("x") * F.sum("x")), 6)
-                 .alias("zipf_slope")))
+                 F.round(num / den, 6).alias("zipf_slope")))
 
 
 @q("inverted_index", r"""
@@ -828,12 +837,14 @@ def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
   dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
   scored AS (
     SELECT t.doc_id,
-           round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           CAST(round(round(
+             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
                  * (t.tf * (1.2 + 1.0))
                  / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.doclen / s.avgdl)),
-                 6) AS term_score
+             6) * 1e6, 0) AS BIGINT) AS ts_micro
     FROM tf t JOIN dfreq d USING (token) CROSS JOIN stats s)
-  SELECT doc_id, round(sum(term_score), 6) AS score,
+  SELECT doc_id,
+         round(CAST(sum(ts_micro) AS DOUBLE) / 1e6, 6) AS score,
          count(*) AS n_terms
   FROM scored GROUP BY doc_id
   ORDER BY score DESC, doc_id LIMIT 20
@@ -955,15 +966,17 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
   sc AS (
     SELECT d.doc_id,
            CASE WHEN big.c_big IS NULL THEN 1 ELSE 0 END AS oov,
-           round(ln((coalesce(big.c_big, 0) + 1.0)
-                    / (coalesce(ctx.c_w1, 0) + v.vsz)), 6) AS lp
+           CAST(round(round(ln((coalesce(big.c_big, 0) + 1.0)
+                    / (coalesce(ctx.c_w1, 0) + v.vsz)), 6) * 1e6, 0)
+                AS BIGINT) AS lp_micro
     FROM dbg d
     LEFT JOIN big ON big.w1 = d.w1 AND big.w2 = d.w2
     LEFT JOIN ctx ON ctx.w1 = d.w1, v),
   agg AS (
     SELECT doc_id, count(*) AS n_bigrams,
            CAST(sum(oov) AS BIGINT) AS n_oov,
-           round(sum(lp) / count(*), 6) AS avg_logprob
+           round(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1e6), 6)
+             AS avg_logprob
     FROM sc GROUP BY doc_id)
   SELECT doc_id, n_bigrams, n_oov, avg_logprob,
          round(exp(-avg_logprob), 6) AS ppl
@@ -1221,13 +1234,15 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("mix_weights", r"""
-  WITH c AS (SELECT source, count(*) AS n_docs
+  WITH c AS (SELECT source, count(*) AS n_docs,
+                    CAST(round(power(count(*), 0.3) * 1e9, 0) AS BIGINT)
+                      AS p
              FROM documents GROUP BY source),
-  z AS (SELECT sum(power(n_docs, 0.3)) AS z,
+  z AS (SELECT CAST(sum(p) AS BIGINT) AS z,
                CAST(sum(n_docs) AS BIGINT) AS n FROM c)
   SELECT source, n_docs,
-         round(power(n_docs, 0.3) / z.z, 6) AS weight,
-         round(power(n_docs, 0.3) / z.z * z.n / n_docs, 6)
+         round(CAST(p AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS weight,
+         round(CAST(p AS DOUBLE) / CAST(z.z AS DOUBLE) * z.n / n_docs, 6)
            AS repeat_factor
   FROM c, z
 """)
@@ -3095,6 +3110,86 @@ def centroid_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine via IEEE mul/div/sqrt only."""
     return similarity.label_centroid_drift(_t(spark, sf_dir, "embeddings"),
                                            dim=64)
+
+
+@q("link_degree_stats", lambda: _oracles.degree_stats_sql(n_nodes=32))
+def link_degree_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node out/in degree + reciprocated-edge count over the
+    variable-degree host graph — the hub/spam-shape diagnostic."""
+    from .pipeline import graph as pgraph
+    nodes, edges = pgraph.irregular_graph(_t(spark, sf_dir, "documents"),
+                                          n_nodes=32)
+    return pgraph.degree_stats(nodes, edges)
+
+
+@q("two_hop_reach", lambda: _oracles.two_hop_reach_sql(n_nodes=32))
+def two_hop_reach_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ≤2-hop neighborhood size per node (self excluded) — the
+    frontier fanout estimate; one edge self-join + distinct + agg."""
+    from .pipeline import graph as pgraph
+    nodes, edges = pgraph.irregular_graph(_t(spark, sf_dir, "documents"),
+                                          n_nodes=32)
+    return pgraph.two_hop_reach(nodes, edges)
+
+
+@q("latency_anomalies", r"""
+  WITH base AS (
+    SELECT 'h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+             || '.example.com' AS host,
+           o_orderkey,
+           50 + (o_orderkey * 13 + o_custkey * 7) % 2000
+              + CASE WHEN o_orderkey % 97 = 0 THEN 5000 ELSE 0 END
+             AS latency_ms
+    FROM orders),
+  mom AS (SELECT host, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(latency_ms) AS BIGINT) AS s1,
+                 CAST(sum(latency_ms * latency_ms) AS BIGINT) AS s2
+          FROM base GROUP BY host),
+  z AS (
+    SELECT b.host, b.o_orderkey, b.latency_ms,
+           round((CAST(b.latency_ms AS DOUBLE)
+                  - CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE))
+                 / sqrt(CAST(m.s2 AS DOUBLE) / CAST(m.n AS DOUBLE)
+                        - (CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE))
+                          * (CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE))),
+                 6) AS z
+    FROM base b JOIN mom m USING (host))
+  SELECT host, o_orderkey, latency_ms, z
+  FROM z WHERE abs(z) >= 3.0
+""")
+def latency_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch-latency z-score anomalies from EXACT integer
+    moments (S1, S2) — engine-exact without any quantize-before-sum
+    contract; moments broadcast back onto the scan."""
+    return precrawl.fetch_latency_anomalies(_t(spark, sf_dir, "orders"),
+                                            z_threshold=3.0)
+
+
+@q("json_props_rollup", r"""
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+              AS BIGINT) AS sum_k,
+         CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+              AS BIGINT) AS max_k,
+         round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS DOUBLE) / count(*), 6) AS avg_k
+  FROM events GROUP BY event_type
+""")
+def json_props_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the numeric field out of the
+    events table's JSON props column (get_json_object, JVM-side) and
+    roll it up per event type — integer sums exact, one partial-agg
+    shuffle; the JSON parse is a scan projection."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (_t(spark, sf_dir, "events")
+            .select("event_type", k.alias("_k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("_k").alias("sum_k"),
+                 F.max("_k").alias("max_k"),
+                 F.round(F.sum("_k").cast("double") / F.count(F.lit(1)), 6)
+                 .alias("avg_k")))
 
 
 def entry(spark: SparkSession) -> DataFrame:
