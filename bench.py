@@ -108,6 +108,10 @@ EXTRAS = [
     "pmi_collocations",      # integer-count PMI phrase detection
     "chunk_texts",           # manifest gather list executed to text
     "centroid_drift",        # SQ8 per-label centroid drift, no explode
+    "link_degree_stats",     # degree + reciprocity partial aggs
+    "two_hop_reach",         # edge self-join neighborhood size
+    "latency_anomalies",     # per-host z-scores from integer moments
+    "json_props_rollup",     # get_json_object scan projection + agg
 ]
 
 
