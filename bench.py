@@ -112,6 +112,10 @@ EXTRAS = [
     "two_hop_reach",         # edge self-join neighborhood size
     "latency_anomalies",     # per-host z-scores from integer moments
     "json_props_rollup",     # get_json_object scan projection + agg
+    "triangle_count",        # degree-oriented triangle enumeration
+    "degree_histogram",      # log2-bucketed degree distribution
+    "packing_efficiency",    # pad-vs-pack waste decision table
+    "lang_source_pivot",     # explicit-vocabulary crosstab
 ]
 
 

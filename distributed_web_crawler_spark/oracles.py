@@ -1327,3 +1327,58 @@ def two_hop_reach_sql(n_nodes: int = 32) -> str:
   SELECT n.node, coalesce(rch.reach, 0) AS reach
   FROM nodes n LEFT JOIN rch ON rch.node = n.node
 """
+
+
+def triangle_counts_sql(n_nodes: int = 32) -> str:
+    """Mirror of pipeline.graph.triangle_counts — enumerates the same
+    (orientation-invariant) triangle set under plain node-id ordering
+    a < b < c instead of the engine's degree ordering."""
+    return f"""
+  WITH nodes AS (
+    SELECT DISTINCT doc_id % {n_nodes} AS node FROM documents),
+  edges AS (
+    {_irregular_edges_sql(n_nodes)}),
+  und AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges WHERE src <> dst),
+  tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM und e1
+    JOIN und e2 ON e2.u = e1.v
+    JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+  cnt AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles
+    FROM (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY node)
+  SELECT n.node, coalesce(c.triangles, 0) AS triangles
+  FROM nodes n LEFT JOIN cnt c ON c.node = n.node
+"""
+
+
+def degree_histogram_sql(n_nodes: int = 32) -> str:
+    """Mirror of pipeline.graph.degree_histogram — identical integer
+    length(bin(deg)) - 1 bucketing."""
+    return f"""
+  WITH nodes AS (
+    SELECT DISTINCT doc_id % {n_nodes} AS node FROM documents),
+  edges AS (
+    {_irregular_edges_sql(n_nodes)}),
+  o AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src),
+  i AS (SELECT dst AS node, count(*) AS in_deg FROM edges GROUP BY dst),
+  degs AS (
+    SELECT n.node, coalesce(o.out_deg, 0) AS out_deg,
+           coalesce(i.in_deg, 0) AS in_deg
+    FROM nodes n
+    LEFT JOIN o ON o.node = n.node
+    LEFT JOIN i ON i.node = n.node),
+  rows_ AS (
+    SELECT 'out' AS direction, out_deg AS deg FROM degs
+    UNION ALL SELECT 'in', in_deg FROM degs)
+  SELECT direction,
+         CAST(CASE WHEN deg = 0 THEN -1
+                   ELSE length(bin(deg)) - 1 END AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_nodes
+  FROM rows_ GROUP BY direction, bucket
+"""

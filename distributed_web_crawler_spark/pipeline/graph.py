@@ -249,3 +249,82 @@ def two_hop_reach(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .select("node",
                     F.coalesce("reach", F.lit(0).cast("long"))
                     .alias("reach")))
+
+
+def canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge set: one row per unordered endpoint pair (u < v),
+    self-loops dropped — the dedup shuffle every undirected graph metric
+    shares."""
+    return (edges.where(F.col("src") != F.col("dst"))
+            .select(F.least("src", "dst").alias("u"),
+                    F.greatest("src", "dst").alias("v"))
+            .distinct())
+
+
+def triangle_counts(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over the undirected link graph —
+    the clustering/link-farm density signal next to degree stats.
+
+    Degree-ordered orientation (each undirected edge points from its
+    lower-(degree, node) endpoint to the higher) makes every triangle a
+    unique wedge a→b, a→c closed by b→c, and bounds per-node wedge
+    fan-out by O(sqrt(|E|)) on any graph — the standard remedy for the
+    high-degree-hub skew that kills a naive edge self-join at 10^9
+    edges. Two hash joins on oriented endpoints, one closing semi-join,
+    one explode-free 3-way count. The oracle enumerates the same
+    triangle set under plain node-id orientation (the set is
+    orientation-invariant). Returns (node, triangles)."""
+    und = canonical_edges(edges)
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    o = (und
+         .join(deg.select(F.col("node").alias("u"),
+                          F.col("deg").alias("du")), "u")
+         .join(deg.select(F.col("node").alias("v"),
+                          F.col("deg").alias("dv")), "v")
+         .select(F.when(F.col("du") <= F.col("dv"), F.col("u"))
+                 .otherwise(F.col("v")).alias("a"),
+                 F.when(F.col("du") <= F.col("dv"), F.col("v"))
+                 .otherwise(F.col("u")).alias("b")))
+    w1 = o.select(F.col("a"), F.col("b"))
+    w2 = o.select(F.col("a"), F.col("b").alias("c"))
+    tri = (w1.join(w2, "a")
+           .where(F.col("b") != F.col("c"))
+           .join(o.select(F.col("a").alias("b"), F.col("b").alias("c")),
+                 ["b", "c"], "semi"))
+    cnt = (tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")))
+    return (nodes.join(cnt, "node", "left")
+            .select("node",
+                    F.coalesce("triangles", F.lit(0).cast("long"))
+                    .alias("triangles")))
+
+
+def degree_histogram(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """log2-bucketed in/out degree distribution — the power-law shape
+    check a web-graph audit starts with. Buckets are computed as
+    length(bin(deg)) - 1 (integer floor(log2), no float boundary at
+    exact powers of two; deg 0 → bucket -1), so both engines bucket
+    identically. Two partial-agg shuffles for the degrees, one for the
+    histogram. Returns (direction, bucket, n_nodes)."""
+    outd = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg"))
+    z = F.lit(0).cast("long")
+    degs = (nodes.join(outd, "node", "left").join(ind, "node", "left")
+            .select("node",
+                    F.coalesce("out_deg", z).alias("out_deg"),
+                    F.coalesce("in_deg", z).alias("in_deg")))
+    rows = degs.select(F.explode(F.array(
+        F.struct(F.lit("out").alias("direction"),
+                 F.col("out_deg").alias("deg")),
+        F.struct(F.lit("in").alias("direction"),
+                 F.col("in_deg").alias("deg")))).alias("r")).select("r.*")
+    bucket = (F.when(F.col("deg") == 0, F.lit(-1))
+              .otherwise(F.length(F.bin(F.col("deg"))) - 1)
+              .cast("int"))
+    return (rows.select("direction", bucket.alias("bucket"))
+            .groupBy("direction", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_nodes")))

@@ -993,3 +993,53 @@ def chunk_texts(documents: DataFrame, ctx_len: int = 256,
                      F.array_sort(F.collect_list(
                          F.struct("chunk_off", "piece"))),
                      lambda s: s["piece"])).alias("text")))
+
+
+def packing_efficiency(documents: DataFrame, ctx_len: int = 256,
+                       bucket_tokens: int = 64,
+                       text_col: str = "text") -> DataFrame:
+    """Padding-waste audit for the pad-to-context batching alternative to
+    sequence_packing: bucket documents by token length and report, per
+    bucket, how many tokens a pad-to-ctx_len loader would burn. The
+    decision table for choosing packing vs padding before a training
+    run. Map-only token counts + one partial-agg shuffle; all sums are
+    integers, the single waste quotient is one correctly-rounded IEEE op
+    on identical inputs — engine-exact. Returns (bucket, n_docs,
+    total_tokens, padded_tokens, waste_frac)."""
+    n_tok = token_count(F.col(text_col)).cast("long")
+    ctx = F.lit(ctx_len).cast("long")
+    padded = (F.floor((F.col("n_tokens") + ctx - 1) / ctx) * ctx)
+    return (documents
+            .select((n_tok / bucket_tokens).cast("long").alias("bucket"),
+                    n_tok.alias("n_tokens"))
+            .select("bucket", "n_tokens", padded.alias("padded"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum("padded").alias("padded_tokens"),
+                 F.round(F.lit(1.0)
+                         - F.sum("n_tokens").cast("double")
+                         / F.sum("padded").cast("double"), 6)
+                 .alias("waste_frac")))
+
+
+LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def language_source_matrix(documents: DataFrame,
+                           langs: tuple[str, ...] = LANGS) -> DataFrame:
+    """Per-source language-distribution crosstab — the corpus-composition
+    sheet a data-mixing decision reads. pivot() is given the EXPLICIT
+    language vocabulary: without it Spark first runs a blocking distinct
+    job over the full corpus and collects the values to the driver — the
+    anti-pattern at 10^10 rows. One partial-agg shuffle; absent cells
+    coalesce to 0. Returns (source, <one long column per lang>, total)."""
+    z = F.lit(0).cast("long")
+    piv = (documents.groupBy("source")
+           .pivot("lang", list(langs))
+           .agg(F.count(F.lit(1))))
+    total = sum((F.coalesce(F.col(lg), z) for lg in langs),
+                F.lit(0).cast("long"))
+    return piv.select("source",
+                      *[F.coalesce(F.col(lg), z).alias(lg) for lg in langs],
+                      total.alias("total"))

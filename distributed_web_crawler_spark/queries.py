@@ -3192,6 +3192,67 @@ def json_props_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("avg_k")))
 
 
+@q("triangle_count", lambda: _oracles.triangle_counts_sql(n_nodes=32))
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangles over the undirected host graph via
+    degree-ordered orientation (wedge fan-out bounded O(sqrt(|E|)) —
+    the hub-skew remedy at 10^9 edges); oracle enumerates the same
+    orientation-invariant set under node-id ordering."""
+    from .pipeline import graph as pgraph
+    nodes, edges = pgraph.irregular_graph(_t(spark, sf_dir, "documents"),
+                                          n_nodes=32)
+    return pgraph.triangle_counts(nodes, edges)
+
+
+@q("degree_histogram", lambda: _oracles.degree_histogram_sql(n_nodes=32))
+def degree_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2-bucketed in/out degree distribution (integer bin-length
+    bucketing, no float boundary) — the web-graph power-law check."""
+    from .pipeline import graph as pgraph
+    nodes, edges = pgraph.irregular_graph(_t(spark, sf_dir, "documents"),
+                                          n_nodes=32)
+    return pgraph.degree_histogram(nodes, edges)
+
+
+@q("packing_efficiency", r"""
+  WITH t AS (
+    SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+    FROM documents),
+  b AS (
+    SELECT n_tokens // 64 AS bucket, n_tokens,
+           ((n_tokens + 255) // 256) * 256 AS padded
+    FROM t)
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(padded) AS BIGINT) AS padded_tokens,
+         round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
+                   / CAST(sum(padded) AS DOUBLE), 6) AS waste_frac
+  FROM b GROUP BY bucket
+""")
+def packing_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-to-context waste audit per token-length bucket — the packing
+    vs padding decision table; integer sums, one rounded quotient."""
+    return ptext.packing_efficiency(_t(spark, sf_dir, "documents"),
+                                    ctx_len=256, bucket_tokens=64)
+
+
+@q("lang_source_pivot", r"""
+  SELECT source,
+         CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+         CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+         CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+         CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh,
+         CAST(count(*) AS BIGINT) AS total
+  FROM documents GROUP BY source
+""")
+def lang_source_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × language crosstab with an EXPLICIT pivot vocabulary (no
+    blocking distinct+collect job at 10^10 rows); absent cells are 0."""
+    return ptext.language_source_matrix(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 3-round crawl lineage + a sf0.001 corpus summary row."""
     lineage = crawl_flagship(spark, "/root/testdata/sf0.001")

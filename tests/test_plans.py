@@ -280,3 +280,29 @@ def test_bm25_take_ordered_broadcast_no_corpus_shuffle_of_text(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_triangle_count_oriented_hash_joins_no_cartesian(spark):
+    """Triangle enumeration must stay hash joins over the degree-oriented
+    edge set (wedge fan-out bounded) with a semi-join close — never a
+    cartesian/nested-loop pairing of edges."""
+    plan = _plan(Q.QUERIES["triangle_count"](spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "LeftSemi" in plan, "closing edge probe must be a semi join"
+
+
+def test_lang_source_pivot_no_distinct_collect_job(spark):
+    """pivot() is given the explicit language list, so building the plan
+    must not trigger a Spark job (the implicit-pivot distinct+collect);
+    the plan is a single-exchange partial aggregate."""
+    from distributed_web_crawler_spark.pipeline import text as ptext
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    df = ptext.language_source_matrix(docs)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before, "pivot ran a driver-blocking distinct job"
+    plan = _plan(df)
+    assert "partial_pivot" in plan or "partial_count" in plan, plan[:2000]
