@@ -116,6 +116,8 @@ EXTRAS = [
     "degree_histogram",      # log2-bucketed degree distribution
     "packing_efficiency",    # pad-vs-pack waste decision table
     "lang_source_pivot",     # explicit-vocabulary crosstab
+    "redirect_resolve",      # pointer-doubling redirect chains
+    "aspect_bucket",         # SDXL aspect-bucket batch layout
 ]
 
 

@@ -1382,3 +1382,79 @@ def degree_histogram_sql(n_nodes: int = 32) -> str:
          CAST(count(*) AS BIGINT) AS n_nodes
   FROM rows_ GROUP BY direction, bucket
 """
+
+
+def redirect_resolve_sql(max_hops: int = 8) -> str:
+    """Independent resolution of the synthetic redirect map: DuckDB walks
+    the chains one hop at a time with a recursive CTE (bounded at
+    max_hops), while the engine resolves by pointer doubling — same
+    fixpoint, different algorithm, so a doubling bug cannot hide."""
+    u = "printf('http://h%03d.example.com/r/%d', {c} % 50, {c})"
+    return f"""
+  WITH RECURSIVE succ AS (
+    SELECT CAST(doc_id AS BIGINT) AS d,
+           CAST(CASE WHEN doc_id % 128 = 32 THEN doc_id + 64
+                     WHEN doc_id % 128 = 96 THEN doc_id - 64
+                     WHEN doc_id % 2 = 1 THEN doc_id - 1
+                     WHEN doc_id % 4 = 2 THEN doc_id - 2
+                     WHEN doc_id % 8 = 4 THEN doc_id - 4
+                     WHEN doc_id % 16 = 8 THEN doc_id - 8
+                END AS BIGINT) AS nxt
+    FROM documents),
+  edges AS (SELECT d, nxt FROM succ WHERE nxt IS NOT NULL),
+  walk(src, cur, hops) AS (
+    SELECT d, nxt, 1 FROM edges
+    UNION ALL
+    SELECT w.src, e.nxt, w.hops + 1
+    FROM walk w JOIN edges e ON e.d = w.cur
+    WHERE w.hops < {max_hops}),
+  last AS (
+    SELECT src, cur, hops FROM walk
+    QUALIFY row_number() OVER (PARTITION BY src ORDER BY hops DESC) = 1)
+  SELECT {u.format(c='l.src')} AS url,
+         {u.format(c='l.cur')} AS final_url,
+         CAST(l.hops AS BIGINT) AS hops,
+         (e2.d IS NOT NULL) AS capped
+  FROM last l LEFT JOIN edges e2 ON e2.d = l.cur
+"""
+
+
+def aspect_bucket_sql(n: int = 128, dup_mod: int = 96,
+                      batch_size: int = 4, n_shards: int = 4) -> str:
+    """Aspect-bucket batch layout: (w, h) per image from the codec mirror
+    and shard from the XXH64 mirror ride as VALUES; the ratio ladder,
+    per-(bucket, shard) ordering, batch cuts and drop_last are all
+    recomputed independently by DuckDB."""
+    from .functions.xxh64 import xxhash64
+
+    ids = sorted(d for d, _ in _docs(ORACLE_SF_DIR))[:n]
+    rows = []
+    for d in ids:
+        g = _image_group(int(d) % dup_mod, dup_mod)
+        image_id = f"img-{int(d):08d}"
+        rows.append((image_id, g["w"], g["h"],
+                     xxhash64(image_id) % n_shards))
+    vals = ",\n    ".join(f"('{i}', {w}, {h}, {s})" for i, w, h, s in rows)
+    return f"""
+  WITH imgs(image_id, w, h, shard) AS (VALUES
+    {vals}),
+  classed AS (
+    SELECT image_id,
+           CASE WHEN w >= 2 * h THEN 'wide2'
+                WHEN 3 * w >= 4 * h THEN 'wide'
+                WHEN 4 * w > 3 * h THEN 'square'
+                WHEN 2 * w > h THEN 'tall'
+                ELSE 'tall2' END AS bucket,
+           shard
+    FROM imgs),
+  rn AS (
+    SELECT image_id, bucket, shard,
+           row_number() OVER (PARTITION BY bucket, shard
+                              ORDER BY image_id) AS r,
+           count(*) OVER (PARTITION BY bucket, shard) AS n
+    FROM classed)
+  SELECT image_id, bucket, CAST(shard AS INTEGER) AS shard,
+         CAST((r - 1) // {batch_size} AS BIGINT) AS batch_id
+  FROM rn
+  WHERE (r - 1) // {batch_size} < n // {batch_size}
+"""

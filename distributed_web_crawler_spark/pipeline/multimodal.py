@@ -478,3 +478,57 @@ def image_curation(images: DataFrame) -> DataFrame:
         (short - short % CURATION_BUCKET).alias("bucket"),
         reason.alias("reason"),
         (reason == "ok").alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucket batching (the SDXL/NovelAI training recipe): group
+# images by aspect-ratio class so every batch shares one padded shape,
+# then cut fixed-size batches per class. Published recipe: the SDXL
+# report (arXiv:2307.01952 §2.3) trains on aspect buckets; dataloaders
+# drop the incomplete trailing batch per bucket (drop_last).
+# ---------------------------------------------------------------------------
+
+# ratio ladder, classified by EXACT integer cross-multiplication
+# (w/h >= a/b  <=>  w*b >= a*h for positive h, b) — no float anywhere,
+# so any engine agrees on the bucket. Boundaries at 2, 4/3, 3/4, 1/2.
+ASPECT_BUCKETS = ("wide2", "wide", "square", "tall", "tall2")
+
+
+def aspect_bucket_batches(images: DataFrame, batch_size: int = 4,
+                          n_shards: int = 4) -> DataFrame:
+    """(image_id, bucket, shard, batch_id): aspect-bucketed batch layout.
+
+    Every image is classed into one of ASPECT_BUCKETS by integer ratio
+    thresholds; within each (bucket, shard) images are laid out in
+    image_id order and cut into batches of exactly batch_size; the
+    incomplete trailing batch per (bucket, shard) is dropped (drop_last),
+    mirroring a training dataloader. shard = pmod(xxhash64(image_id),
+    n_shards): each dataloader worker packs its own shard independently,
+    so the only exchange is ONE hash partition on (bucket, shard) and the
+    per-key window never serializes a whole bucket through one task —
+    the same sharded-window shape as sequence_packing. At 100 TB the
+    bucket count is fixed (5) but shards scale with the cluster, so
+    parallelism is n_buckets x n_shards, and batch ids stay deterministic
+    per shard regardless of cluster size.
+    """
+    w, h = F.col("w"), F.col("h")
+    bucket = (
+        F.when(w >= 2 * h, F.lit("wide2"))
+        .when(3 * w >= 4 * h, F.lit("wide"))
+        .when(4 * w > 3 * h, F.lit("square"))
+        .when(2 * w > h, F.lit("tall"))
+        .otherwise(F.lit("tall2")))
+    from pyspark.sql import Window
+    shard = F.pmod(F.xxhash64(F.col("image_id")), F.lit(n_shards))
+    staged = images.select(
+        "image_id", bucket.alias("bucket"),
+        shard.cast("int").alias("shard"))
+    win = Window.partitionBy("bucket", "shard").orderBy("image_id")
+    return (staged
+            .withColumn("_rn", F.row_number().over(win))
+            .withColumn("batch_id",
+                        F.expr(f"CAST((_rn - 1) DIV {batch_size} AS BIGINT)"))
+            .withColumn("_n", F.count(F.lit(1)).over(
+                Window.partitionBy("bucket", "shard")))
+            .where(F.col("batch_id") < F.expr(f"_n DIV {batch_size}"))
+            .select("image_id", "bucket", "shard", "batch_id"))

@@ -32,6 +32,7 @@ from .operators.asof import asof_join
 from .operators.extract import extract_children
 from .operators.gates import apply_gates
 from .operators.politeness import apply_politeness
+from .operators.redirects import resolve_redirects
 from .operators.robots import filter_robots
 from .pipeline import dedup as pdedup
 from .pipeline import multimodal, similarity
@@ -1940,6 +1941,41 @@ def video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     videos = _media_keys(spark, sf_dir, 96).mapInPandas(
         multimodal.videos_for_keys(dup_mod=64), multimodal.SYNTH_VIDEO_SCHEMA)
     return multimodal.video_frame_sample(videos, every_k=3)
+
+
+@q("aspect_bucket", lambda: _oracles.aspect_bucket_sql(
+    n=128, dup_mod=96, batch_size=4, n_shards=4))
+def aspect_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDXL-style aspect-ratio bucket batching over the image table:
+    integer-exact ratio ladder, sharded per-bucket batch cuts, drop_last
+    (arXiv:2307.01952 §2.3 is the published recipe)."""
+    return multimodal.aspect_bucket_batches(
+        _images_df(spark, sf_dir), batch_size=4, n_shards=4)
+
+
+@q("redirect_resolve", lambda: _oracles.redirect_resolve_sql(max_hops=8))
+def redirect_resolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling (3 self-joins for an
+    8-hop cap) over a deterministic redirect map derived from doc_ids:
+    binary-counter chains up to 4 hops deep plus genuine 2-cycles
+    (d%128 in {32, 96}) that exercise the loop/capped path. The oracle
+    walks the same map hop-by-hop with a bounded recursive CTE."""
+    d = F.col("d")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("d"))
+    step_dst = (
+        F.when(d % 128 == 32, d + 64)
+        .when(d % 128 == 96, d - 64)
+        .when(d % 2 == 1, d - 1)
+        .when(d % 4 == 2, d - 2)
+        .when(d % 8 == 4, d - 4)
+        .when(d % 16 == 8, d - 8))
+    url = lambda c: F.format_string("http://h%03d.example.com/r/%d",
+                                    c % 50, c)
+    edges = (docs.withColumn("_dst", step_dst)
+             .where(F.col("_dst").isNotNull())
+             .select(url(d).alias("url"), url(F.col("_dst")).alias("dst")))
+    return resolve_redirects(edges, max_hops=8, src="url", dst="dst")
 
 
 # ---------------------------------------------------------------------------
