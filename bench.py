@@ -118,6 +118,8 @@ EXTRAS = [
     "lang_source_pivot",     # explicit-vocabulary crosstab
     "redirect_resolve",      # pointer-doubling redirect chains
     "aspect_bucket",         # SDXL aspect-bucket batch layout
+    "sitemap_extract",       # scan-side sitemap XML parse
+    "hard_negatives",        # contrastive hard-negative mining
 ]
 
 

@@ -546,3 +546,48 @@ def label_centroid_drift(embeddings: DataFrame, dim: int = 64) -> DataFrame:
             .select("label", "n_vecs", "centroid_cosine",
                     F.round(1.0 - F.col("centroid_cosine"), 6)
                     .alias("drift")))
+
+
+def hard_negative_mining(embeddings: DataFrame, queries: DataFrame,
+                         k: int = 5) -> DataFrame:
+    """Contrastive-training hard negatives: per anchor, the k most-similar
+    corpus vectors carrying a DIFFERENT label, with the margin against
+    the anchor's hardest positive.
+
+    embeddings: (vec_id, embedding, label); queries: (query_id,
+    embedding, label). Returns (query_id, vec_id, neg_label, cosine,
+    rank, pos_cosine, margin) where pos_cosine is the best same-label
+    cosine (excluding self; null when the anchor's class has no other
+    member) and margin = cosine - pos_cosine — positive margin means the
+    negative outranks every positive, the pairs a contrastive loss
+    learns most from (the triplet-mining recipe of FaceNet,
+    arXiv:1503.03832 §3.2).
+
+    Scale shape: anchors broadcast, ONE corpus scan scores everything
+    (cosine rounded 1e-6 pre-ranking, the cross-engine tie contract);
+    positives reduce map-side to one row per anchor (partial-agg max),
+    negatives top-k via per-anchor window over the broadcast-sized key
+    space. Margin subtracts two already-rounded doubles — engine-exact.
+    For 10^10 corpora swap the scan tier for the IVF probe
+    (ivf_topk/_probe_lists) without touching the margin logic."""
+    corpus = embeddings.select(
+        "vec_id", F.col("label").alias("neg_label"),
+        _unit(F.col("embedding")).alias("unit"))
+    q = queries.select(
+        F.col("query_id"), F.col("label").alias("q_label"),
+        _unit(F.col("embedding")).alias("q_unit"))
+    scored = (corpus.join(F.broadcast(q),
+                          F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "q_label", "vec_id", "neg_label",
+                      F.round(_cos(F.col("q_unit"), F.col("unit")),
+                              6).alias("cosine")))
+    pos = (scored.where(F.col("neg_label") == F.col("q_label"))
+           .groupBy("query_id")
+           .agg(F.max("cosine").alias("pos_cosine")))
+    negs = _rank_topk(scored.where(F.col("neg_label") != F.col("q_label"))
+                      .select("query_id", "vec_id", "neg_label", "cosine"),
+                      k)
+    return (negs.join(pos, "query_id", "left")
+            .select("query_id", "vec_id", "neg_label", "cosine", "rank",
+                    "pos_cosine",
+                    (F.col("cosine") - F.col("pos_cosine")).alias("margin")))

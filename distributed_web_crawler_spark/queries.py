@@ -1943,6 +1943,112 @@ def video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_frame_sample(videos, every_k=3)
 
 
+@q("sitemap_extract", f"""
+  WITH hosts AS (
+    SELECT DISTINCT
+      'h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+          || '.example.com' AS host,
+      CAST(o_custkey % 20 AS INTEGER) AS host_idx
+    FROM orders),
+  sm AS (SELECT host, '<urlset>'
+    || '<url><loc>http://' || host || '/s/0</loc><lastmod>2023-11-'
+       || lpad(CAST(host_idx % 27 + 1 AS VARCHAR), 2, '0')
+       || '</lastmod><priority>0.' || CAST(host_idx % 9 + 1 AS VARCHAR)
+       || '</priority></url>'
+    || '<url><loc>http://' || host || '/s/1</loc></url>'
+    || '<url><loc>http://' || host
+       || '/s/0</loc><lastmod>2024-01-01</lastmod></url>'
+    || '<url><loc>http://evil.example.org/x</loc></url>'
+    || '<url><lastmod>2023-01-01</lastmod></url></urlset>' AS xml
+    FROM hosts),
+  blocks AS (
+    SELECT host, CAST(i AS INTEGER) AS entry_idx,
+           list_extract(regexp_extract_all(xml, '<url>(.*?)</url>', 1),
+                        CAST(i AS INTEGER)) AS block
+    FROM sm, range(1, 6) AS r(i)),
+  parsed AS (
+    SELECT host, entry_idx,
+           regexp_extract(block, '<loc>(.*?)</loc>', 1) AS url,
+           CAST(nullif(regexp_extract(block, '<lastmod>(.*?)</lastmod>', 1),
+                       '') AS DATE) AS lastmod,
+           CAST(nullif(regexp_extract(block,
+                                      '<priority>(.*?)</priority>', 1),
+                       '') AS DOUBLE) AS priority
+    FROM blocks),
+  kept AS (
+    SELECT * FROM parsed
+    WHERE length(url) > 0
+      AND (starts_with(url, 'http://' || host || '/')
+           OR starts_with(url, 'https://' || host || '/')))
+  SELECT host, url, strftime(lastmod, '%Y-%m-%d') AS lastmod, priority
+  FROM kept
+  QUALIFY row_number() OVER (PARTITION BY host, url
+                             ORDER BY entry_idx) = 1
+""")
+def sitemap_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion over a synthetic per-host sitemap: entries with
+    lastmod/priority, an optional-field entry, a duplicate loc (first
+    wins), a cross-host loc (dropped per spec) and a loc-less entry
+    (dropped). The oracle re-parses the identically-constructed XML with
+    DuckDB's regexp engine."""
+    from .operators.sitemap import parse_sitemaps
+    hosts = (_frontier_from_orders(spark, sf_dir)
+             .select("host", "host_idx").distinct())
+    h = F.col("host")
+    d2 = F.lpad(((F.col("host_idx") % 27) + 1).cast("string"), 2, "0")
+    pr = ((F.col("host_idx") % 9) + 1).cast("string")
+    xml = F.concat(
+        F.lit("<urlset>"),
+        F.lit("<url><loc>http://"), h,
+        F.lit("/s/0</loc><lastmod>2023-11-"), d2,
+        F.lit("</lastmod><priority>0."), pr, F.lit("</priority></url>"),
+        F.lit("<url><loc>http://"), h, F.lit("/s/1</loc></url>"),
+        F.lit("<url><loc>http://"), h,
+        F.lit("/s/0</loc><lastmod>2024-01-01</lastmod></url>"),
+        F.lit("<url><loc>http://evil.example.org/x</loc></url>"),
+        F.lit("<url><lastmod>2023-01-01</lastmod></url></urlset>"))
+    out = parse_sitemaps(hosts.select("host", xml.alias("xml")))
+    # contract cast only: the driver's pandas compare is unit-exact on
+    # datetimes (ns vs us), so render the parsed DATE back to ISO text
+    return out.withColumn("lastmod",
+                          F.date_format("lastmod", "yyyy-MM-dd"))
+
+
+@q("hard_negatives", """
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+             FROM embeddings),
+  q AS (SELECT vec_id AS query_id, emb AS q_emb, label AS q_label
+        FROM e WHERE vec_id < 16),
+  scored AS (
+    SELECT query_id, q_label, vec_id, label AS neg_label,
+           round(list_cosine_similarity(q_emb, emb), 6) AS cosine
+    FROM q JOIN e ON vec_id <> query_id),
+  pos AS (SELECT query_id, max(cosine) AS pos_cosine FROM scored
+          WHERE neg_label = q_label GROUP BY query_id),
+  negs AS (
+    SELECT query_id, vec_id, neg_label, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id)
+                AS INTEGER) AS rank
+    FROM scored WHERE neg_label <> q_label
+    QUALIFY rank <= 5)
+  SELECT n.query_id, n.vec_id, n.neg_label, n.cosine, n.rank,
+         p.pos_cosine, n.cosine - p.pos_cosine AS margin
+  FROM negs n LEFT JOIN pos p USING (query_id)
+""")
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining for the first 16 anchors:
+    top-5 different-label neighbors with margin vs the hardest positive
+    (FaceNet triplet mining, arXiv:1503.03832 §3.2)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+        "label")
+    queries = (emb.where(F.col("vec_id") < 16)
+               .select(F.col("vec_id").alias("query_id"), "embedding",
+                       "label"))
+    return similarity.hard_negative_mining(emb, queries, k=5)
+
+
 @q("aspect_bucket", lambda: _oracles.aspect_bucket_sql(
     n=128, dup_mod=96, batch_size=4, n_shards=4))
 def aspect_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:

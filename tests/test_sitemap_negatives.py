@@ -1,0 +1,93 @@
+"""Unit invariants for operators.sitemap.parse_sitemaps and
+pipeline.similarity.hard_negative_mining (values oracle-checked via
+sitemap_extract / hard_negatives; these pin edge cases the synthetic
+query corpus can't reach)."""
+
+from pyspark.sql import functions as F
+
+from distributed_web_crawler_spark.operators.sitemap import parse_sitemaps
+from distributed_web_crawler_spark.pipeline.similarity import (
+    hard_negative_mining)
+
+
+def _rows(spark, xml, host="a.com"):
+    df = spark.createDataFrame([(host, xml)], "host string, xml string")
+    return {(r["url"]): (r["lastmod"], r["priority"])
+            for r in parse_sitemaps(df).collect()}
+
+
+def test_https_loc_kept_and_fields_optional(spark):
+    got = _rows(spark,
+                "<urlset><url><loc>https://a.com/x</loc></url>"
+                "<url><loc>http://a.com/y</loc>"
+                "<lastmod>2024-02-29</lastmod>"
+                "<priority>0.5</priority></url></urlset>")
+    assert got["https://a.com/x"] == (None, None)
+    lm, pr = got["http://a.com/y"]
+    assert str(lm) == "2024-02-29" and pr == 0.5
+
+
+def test_cross_host_and_locless_dropped(spark):
+    got = _rows(spark,
+                "<urlset><url><loc>http://evil.com/x</loc></url>"
+                "<url><lastmod>2023-01-01</lastmod></url>"
+                "<url><loc>http://a.com.evil.com/x</loc></url>"
+                "<url><loc>http://a.com/ok</loc></url></urlset>")
+    assert set(got) == {"http://a.com/ok"}
+
+
+def test_unparseable_lastmod_is_null_not_error(spark):
+    got = _rows(spark,
+                "<urlset><url><loc>http://a.com/x</loc>"
+                "<lastmod>soon</lastmod></url></urlset>")
+    assert got["http://a.com/x"][0] is None
+
+
+def test_duplicate_loc_first_entry_wins_even_across_files(spark):
+    # two sitemap FILES for one host -> colliding entry_idx; the struct
+    # min stays deterministic (lowest idx, then lexicographic fields)
+    df = spark.createDataFrame(
+        [("a.com", "<url><loc>http://a.com/x</loc>"
+                   "<lastmod>2024-05-05</lastmod></url>"),
+         ("a.com", "<url><loc>http://a.com/x</loc>"
+                   "<lastmod>2024-01-01</lastmod></url>")],
+        "host string, xml string")
+    rows = parse_sitemaps(df).collect()
+    assert len(rows) == 1
+    assert str(rows[0]["lastmod"]) == "2024-01-01"  # idx ties -> min struct
+
+
+def _mine(spark, vecs, queries, k=2):
+    e = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string")
+    q = spark.createDataFrame(
+        queries, "query_id long, embedding array<double>, label string")
+    return {(r["query_id"], r["rank"]):
+            (r["vec_id"], r["neg_label"], r["cosine"], r["pos_cosine"],
+             r["margin"])
+            for r in hard_negative_mining(e, q, k=k).collect()}
+
+
+def test_hard_negatives_exclude_own_label_and_self(spark):
+    vecs = [(0, [1.0, 0.0], "a"), (1, [0.9, 0.1], "a"),
+            (2, [0.8, 0.2], "b"), (3, [0.0, 1.0], "b")]
+    got = _mine(spark, vecs, [(0, [1.0, 0.0], "a")], k=3)
+    mined = [got[(0, r)][0] for r in sorted(r for (_, r) in got)]
+    assert mined == [2, 3]            # only label-b vectors, cosine order
+    assert all(got[(0, r)][1] == "b" for (_, r) in got)
+
+
+def test_margin_positive_when_negative_beats_best_positive(spark):
+    # anchor label a; nearest positive is far, nearest negative is close
+    vecs = [(0, [1.0, 0.0], "a"), (1, [0.0, 1.0], "a"),
+            (2, [1.0, 0.01], "b")]
+    got = _mine(spark, vecs, [(0, [1.0, 0.0], "a")], k=1)
+    vec_id, _, cos, pos_cos, margin = got[(0, 1)]
+    assert vec_id == 2 and margin == cos - pos_cos and margin > 0
+
+
+def test_singleton_class_yields_null_margin(spark):
+    vecs = [(0, [1.0, 0.0], "only"), (1, [0.5, 0.5], "b")]
+    got = _mine(spark, vecs, [(0, [1.0, 0.0], "only")], k=1)
+    _, _, _, pos_cos, margin = got[(0, 1)]
+    assert pos_cos is None and margin is None
