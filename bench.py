@@ -120,6 +120,8 @@ EXTRAS = [
     "aspect_bucket",         # SDXL aspect-bucket batch layout
     "sitemap_extract",       # scan-side sitemap XML parse
     "hard_negatives",        # contrastive hard-negative mining
+    "ann_recall",            # recall@k eval of IVF vs brute truth
+    "oov_rate",              # per-source tokenizer coverage audit
 ]
 
 

@@ -1458,3 +1458,62 @@ def aspect_bucket_sql(n: int = 128, dup_mod: int = 96,
   FROM rn
   WHERE (r - 1) // {batch_size} < n // {batch_size}
 """
+
+
+def ann_recall_sql(sf_dir: str = ORACLE_SF_DIR, k: int = 5,
+                   n_lists: int = 16, nprobe: int = 4,
+                   n_queries: int = 8) -> str:
+    """Recall@k of the IVF tier vs brute-force ground truth, with BOTH
+    retrievals recomputed independently by DuckDB (brute as in ann_topk,
+    IVF as in ann_ivf_sql) and intersected relationally."""
+    cents = ",".join(f"({v})" for v in ivf_centroid_ids(sf_dir, n_lists))
+    return f"""
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+  q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+        WHERE vec_id < {n_queries}),
+  bscored AS (
+    SELECT query_id, vec_id,
+           round(list_cosine_similarity(q_emb, emb), 6) AS cosine
+    FROM q JOIN e ON vec_id <> query_id),
+  btop AS (
+    SELECT query_id, vec_id FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM bscored) WHERE rn <= {k}),
+  cents AS (SELECT e.vec_id AS list_id, e.emb AS c_emb
+            FROM e JOIN (VALUES {cents}) c(vec_id) USING (vec_id)),
+  assign AS (
+    SELECT vec_id, list_id FROM (
+      SELECT e.vec_id, c.list_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.emb, c.c_emb), 6)
+                        DESC, c.list_id) AS rn
+      FROM e, cents c) WHERE rn = 1),
+  probes AS (
+    SELECT query_id, q_emb, list_id FROM (
+      SELECT q.query_id, q.q_emb, c.list_id,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(q.q_emb, c.c_emb), 6)
+                        DESC, c.list_id) AS rn
+      FROM q, cents c) WHERE rn <= {nprobe}),
+  iscored AS (
+    SELECT p.query_id, a.vec_id,
+           round(list_cosine_similarity(p.q_emb, e.emb), 6) AS cosine
+    FROM probes p
+    JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+    JOIN e ON e.vec_id = a.vec_id),
+  itop AS (
+    SELECT query_id, vec_id FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM iscored) WHERE rn <= {k}),
+  hits AS (
+    SELECT b.query_id, count(*) AS n
+    FROM btop b JOIN itop i USING (query_id, vec_id)
+    GROUP BY 1)
+  SELECT q.query_id,
+         CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         coalesce(h.n, 0) / {float(k)} AS recall
+  FROM q LEFT JOIN hits h USING (query_id)
+"""

@@ -591,3 +591,31 @@ def hard_negative_mining(embeddings: DataFrame, queries: DataFrame,
             .select("query_id", "vec_id", "neg_label", "cosine", "rank",
                     "pos_cosine",
                     (F.col("cosine") - F.col("pos_cosine")).alias("margin")))
+
+
+def ann_recall_at_k(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                    n_lists: int = 16, nprobe: int = 4,
+                    refine_iters: int = 0) -> DataFrame:
+    """Retrieval-quality eval: per-query recall@k of the IVF tier against
+    brute-force ground truth — the index-tuning report a pipeline runs
+    before trusting an ANN tier at scale (the FAISS benchmark protocol).
+
+    Returns (query_id, n_hits, recall). Both retrievals reuse the
+    production operators unchanged; the intersection is a hash join on
+    (query_id, vec_id) and recall divides by the literal k, so the
+    double is the same IEEE op on both engines. Scale: ground truth is
+    the O(corpus x queries) brute scan — run it on a SAMPLED query set
+    (standard eval practice), the IVF side stays the production plan."""
+    truth = (brute_force_topk(embeddings, queries, k)
+             .select("query_id", "vec_id"))
+    approx = (ivf_topk(embeddings, queries, k, n_lists, nprobe,
+                       refine_iters)
+              .select("query_id", "vec_id"))
+    hits = (truth.join(approx, ["query_id", "vec_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n")))
+    return (queries.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n_hits"),
+                    (F.coalesce("n", F.lit(0)) / F.lit(float(k)))
+                    .alias("recall")))

@@ -1043,3 +1043,40 @@ def language_source_matrix(documents: DataFrame,
     return piv.select("source",
                       *[F.coalesce(F.col(lg), z).alias(lg) for lg in langs],
                       total.alias("total"))
+
+
+def oov_rate(documents: DataFrame, vocab_size: int = 50,
+             text_col: str = "text") -> DataFrame:
+    """Tokenizer-coverage report: per-source out-of-vocabulary rate
+    against the corpus top-``vocab_size`` vocabulary — the coverage
+    audit run before freezing a tokenizer (high OOV in one source means
+    the vocab under-serves it).
+
+    Returns (source, n_tokens, n_oov, oov_rate). Shuffle shape: tokens
+    explode map-side → ONE partial-agg exchange on (source, token); the
+    vocabulary re-aggregates that already-reduced table (token-keyed
+    exchange over distinct tokens only) and comes back as a broadcast
+    top-k (TakeOrderedAndProject — no global sort); the per-source
+    rollup reduces the counts table again. Document text never crosses
+    an exchange. oov_rate is one long/long→double division — the same
+    IEEE op on any engine."""
+    toks = (documents.select(
+        "source",
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .where(F.col("token") != ""))
+    counts = (toks.groupBy("source", "token")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    vocab = (counts.groupBy("token").agg(F.sum("cnt").alias("tf"))
+             .orderBy(F.desc("tf"), F.asc("token")).limit(vocab_size)
+             .select("token", F.lit(1).alias("_in")))
+    per_source = (counts.join(F.broadcast(vocab), "token", "left")
+                  .groupBy("source")
+                  .agg(F.sum("cnt").alias("n_tokens"),
+                       F.sum(F.when(F.col("_in").isNull(), F.col("cnt"))
+                             .otherwise(F.lit(0))).alias("n_oov")))
+    return per_source.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("oov_rate"))

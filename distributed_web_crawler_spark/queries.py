@@ -1943,6 +1943,46 @@ def video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_frame_sample(videos, every_k=3)
 
 
+@q("ann_recall", lambda: _oracles.ann_recall_sql(
+    k=5, n_lists=16, nprobe=4, n_queries=8))
+def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality eval: recall@5 of the IVF tier vs brute-force ground
+    truth for the first 8 queries — both retrievals the production
+    operators, both recomputed independently by the oracle."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.ann_recall_at_k(emb, queries, k=5, n_lists=16,
+                                      nprobe=4)
+
+
+@q("oov_rate", r"""
+  WITH tok0 AS (
+    SELECT source,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents),
+  c AS (SELECT source, token, count(*) AS cnt
+        FROM tok0 WHERE token <> '' GROUP BY 1, 2),
+  v AS (SELECT token FROM (
+          SELECT token, sum(cnt) AS tf FROM c GROUP BY token
+          ORDER BY tf DESC, token LIMIT 50)),
+  j AS (SELECT c.source, c.cnt, (v.token IS NOT NULL) AS in_v
+        FROM c LEFT JOIN v ON v.token = c.token)
+  SELECT source,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN in_v THEN 0 ELSE cnt END) AS BIGINT) AS n_oov,
+         CAST(CAST(sum(CASE WHEN in_v THEN 0 ELSE cnt END) AS BIGINT)
+              AS DOUBLE)
+           / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS oov_rate
+  FROM j GROUP BY source
+""")
+def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: per-source OOV rate against the corpus
+    top-50 vocabulary."""
+    return ptext.oov_rate(_t(spark, sf_dir, "documents"), vocab_size=50)
+
+
 @q("sitemap_extract", f"""
   WITH hosts AS (
     SELECT DISTINCT

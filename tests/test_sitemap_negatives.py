@@ -91,3 +91,38 @@ def test_singleton_class_yields_null_margin(spark):
     got = _mine(spark, vecs, [(0, [1.0, 0.0], "only")], k=1)
     _, _, _, pos_cos, margin = got[(0, 1)]
     assert pos_cos is None and margin is None
+
+
+def test_recall_is_one_when_probing_every_list(spark):
+    from distributed_web_crawler_spark.pipeline.similarity import (
+        ann_recall_at_k)
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .selectExpr("vec_id",
+                       "CAST(embedding AS array<double>) AS embedding"))
+    q = (emb.where("vec_id < 4")
+         .selectExpr("vec_id AS query_id", "embedding"))
+    got = ann_recall_at_k(emb, q, k=5, n_lists=8, nprobe=8).collect()
+    assert len(got) == 4
+    assert all(r["recall"] == 1.0 for r in got)  # exhaustive probe = brute
+
+
+def test_oov_rate_vocab_covering_everything_is_zero(spark):
+    from distributed_web_crawler_spark.pipeline.text import oov_rate
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a a b zzz", "s2")],
+        "doc_id long, text string, source string")
+    got = {r["source"]: r for r in oov_rate(docs, vocab_size=100).collect()}
+    assert got["s1"]["n_oov"] == 0 and got["s1"]["oov_rate"] == 0.0
+    assert got["s2"]["n_oov"] == 0
+
+
+def test_oov_rate_counts_tokens_outside_topk(spark):
+    from distributed_web_crawler_spark.pipeline.text import oov_rate
+    # vocab_size=1 -> vocab = {a} (most frequent); everything else OOV
+    docs = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "a c c c", "s2")],
+        "doc_id long, text string, source string")
+    got = {r["source"]: r for r in oov_rate(docs, vocab_size=1).collect()}
+    assert (got["s1"]["n_tokens"], got["s1"]["n_oov"]) == (3, 1)
+    assert (got["s2"]["n_tokens"], got["s2"]["n_oov"]) == (4, 3)
+    assert got["s2"]["oov_rate"] == 0.75
