@@ -122,6 +122,7 @@ EXTRAS = [
     "hard_negatives",        # contrastive hard-negative mining
     "ann_recall",            # recall@k eval of IVF vs brute truth
     "oov_rate",              # per-source tokenizer coverage audit
+    "embedding_outliers",    # label-noise scrub vs SQ8 centroids
 ]
 
 

@@ -619,3 +619,54 @@ def ann_recall_at_k(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     F.coalesce("n", F.lit(0)).cast("long").alias("n_hits"),
                     (F.coalesce("n", F.lit(0)) / F.lit(float(k)))
                     .alias("recall")))
+
+
+def embedding_outliers(embeddings: DataFrame, dim: int = 64,
+                       flag_per_label: int = 3) -> DataFrame:
+    """Label-noise scrub: each vector's cosine to its own label's
+    centroid, with the worst ``flag_per_label`` per label flagged — the
+    mislabeled-example sweep a curation run does before training on
+    labeled embeddings (low self-centroid cosine = probable wrong or
+    noisy label).
+
+    Exactness by the label_centroid_drift recipe: SQ8-quantized
+    components make every per-dimension centroid sum an exact integer
+    (summation order free), each vector·centroid dot is an exact
+    integer expression, and only the final div/sqrt are IEEE ops both
+    engines round identically; cosines quantize at 1e-6 before the
+    per-label rank so ties are engine-exact (vec_id breaks them).
+
+    Scale shape: ONE label-keyed partial agg produces the dim sum
+    columns; the label-count-sized centroid table broadcasts back onto
+    the corpus scan (map-only dot); the rank window partitions by label
+    over rows that already carry nothing but (ids, one double).
+    Returns (vec_id, label, centroid_cosine, outlier_rank, is_outlier).
+    """
+    qz = quantize_embeddings(embeddings)
+    sums = (qz.groupBy("label")
+            .agg(*[F.sum(F.element_at("qvec", i + 1)).alias(f"s{i}")
+                   for i in range(dim)]))
+    nb = sum((F.col(f"s{i}") * F.col(f"s{i}") for i in range(dim)),
+             F.lit(0).cast("long"))
+    cent = sums.select("label", *[f"s{i}" for i in range(dim)],
+                       nb.alias("_nb"))
+    joined = qz.select("vec_id", "label", "qvec").join(
+        F.broadcast(cent), "label")
+    dot = sum((F.element_at("qvec", i + 1).cast("long")
+               * F.col(f"s{i}") for i in range(dim)),
+              F.lit(0).cast("long"))
+    na = sum((F.element_at("qvec", i + 1).cast("long")
+              * F.element_at("qvec", i + 1).cast("long")
+              for i in range(dim)),
+             F.lit(0).cast("long"))
+    cosine = F.round(dot.cast("double")
+                     / (F.sqrt(na.cast("double"))
+                        * F.sqrt(F.col("_nb").cast("double"))), 6)
+    scored = joined.select("vec_id", "label",
+                           cosine.alias("centroid_cosine"))
+    w = Window.partitionBy("label").orderBy(
+        F.asc("centroid_cosine"), F.asc("vec_id"))
+    return (scored.withColumn("outlier_rank", F.row_number().over(w))
+            .select("vec_id", "label", "centroid_cosine", "outlier_rank",
+                    (F.col("outlier_rank") <= flag_per_label)
+                    .alias("is_outlier")))

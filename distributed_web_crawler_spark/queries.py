@@ -3294,6 +3294,44 @@ def centroid_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            dim=64)
 
 
+@q("embedding_outliers", r"""
+  WITH qz AS (
+    SELECT vec_id, label,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> floor(x / greatest(
+               list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                             y -> abs(y)), 'max')
+                 / 127.0, 1e-30) + 0.5)) AS qd
+    FROM embeddings),
+  ex AS (
+    SELECT vec_id, label, u.i AS d, qd[u.i] AS x
+    FROM qz, UNNEST(range(1, 65)) AS u(i)),
+  s AS (SELECT label, d, sum(x) AS sx FROM ex GROUP BY label, d),
+  nb AS (SELECT label, sum(sx * sx) AS nb FROM s GROUP BY label),
+  dots AS (
+    SELECT e.vec_id, e.label,
+           sum(e.x * s.sx) AS dp, sum(e.x * e.x) AS na
+    FROM ex e JOIN s ON s.label = e.label AND s.d = e.d
+    GROUP BY e.vec_id, e.label),
+  c AS (
+    SELECT d.vec_id, d.label,
+           round(d.dp / (sqrt(d.na) * sqrt(nb.nb)), 6) AS centroid_cosine
+    FROM dots d JOIN nb USING (label))
+  SELECT vec_id, label, centroid_cosine,
+         CAST(rnk AS INTEGER) AS outlier_rank,
+         (rnk <= 3) AS is_outlier
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY label ORDER BY centroid_cosine, vec_id) AS rnk
+        FROM c)
+""")
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise scrub: per-vector cosine to its own label's SQ8
+    centroid, worst 3 per label flagged (integer-exact sums, the
+    centroid_drift recipe)."""
+    return similarity.embedding_outliers(_t(spark, sf_dir, "embeddings"),
+                                         dim=64, flag_per_label=3)
+
+
 @q("link_degree_stats", lambda: _oracles.degree_stats_sql(n_nodes=32))
 def link_degree_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node out/in degree + reciprocated-edge count over the

@@ -126,3 +126,30 @@ def test_oov_rate_counts_tokens_outside_topk(spark):
     assert (got["s1"]["n_tokens"], got["s1"]["n_oov"]) == (3, 1)
     assert (got["s2"]["n_tokens"], got["s2"]["n_oov"]) == (4, 3)
     assert got["s2"]["oov_rate"] == 0.75
+
+
+def test_embedding_outliers_flags_planted_mislabel(spark):
+    from distributed_web_crawler_spark.pipeline.similarity import (
+        embedding_outliers)
+    # label 'a' clusters near e1; vec 99 is labeled 'a' but points at e2
+    rows = ([(i, [10.0 + (i % 3) * 0.1, 1.0, 0.0], "a") for i in range(6)]
+            + [(99, [0.0, 0.0, 25.0], "a")])
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    got = embedding_outliers(emb, dim=3, flag_per_label=1).collect()
+    flagged = [r["vec_id"] for r in got if r["is_outlier"]]
+    assert flagged == [99]
+    worst = min(got, key=lambda r: (r["centroid_cosine"], r["vec_id"]))
+    assert worst["vec_id"] == 99 and worst["outlier_rank"] == 1
+
+
+def test_embedding_outliers_plan_has_no_explode(spark):
+    from distributed_web_crawler_spark.pipeline.similarity import (
+        embedding_outliers)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], "a")],
+        "vec_id long, embedding array<double>, label string")
+    plan = embedding_outliers(emb, dim=2)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # the dim x n row blowup never exists: dots are element_at folds
+    assert "Generate" not in plan
