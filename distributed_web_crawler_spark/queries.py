@@ -269,6 +269,111 @@ def url_host_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X1b: registered-domain (eTLD+1) extraction + PLD-level politeness rollup.
+# The reference keys politeness on the raw hostname (crawl_state host rows,
+# core/WebCrawler.java:214-220); production crawlers group at eTLD+1 so a
+# subdomain farm (*.blogspot.com) can't multiply one site's budget.
+# ---------------------------------------------------------------------------
+
+# Varied synthetic host corpus derived from `part`: plain/known TLDs,
+# two-label ccTLD suffixes, private-registry suffixes, an unknown TLD
+# ('internal' → PSL '*' default rule), and suffix-only hosts (null PLD).
+_PLD_SFX = ("com", "net", "org", "io", "co.uk", "com.au",
+            "github.io", "blogspot.com", "internal")
+
+_PLD_HOSTS_SQL = f"""
+  SELECT p_partkey, CASE WHEN p_partkey % 97 = 0
+    THEN (['github.io', 'co.uk'])[CAST(p_partkey % 2 AS INT) + 1]
+    ELSE CASE CAST(p_partkey % 3 AS INT)
+      WHEN 0 THEN site || '.' || sfx
+      WHEN 1 THEN 'www.' || site || '.' || sfx
+      ELSE 'cdn' || CAST(p_partkey % 4 AS VARCHAR) || '.' || site || '.' || sfx
+    END END AS host
+  FROM (SELECT p_partkey,
+               'site' || CAST(p_partkey % 40 AS VARCHAR) AS site,
+               (['{"','".join(_PLD_SFX)}'])
+                 [CAST(p_partkey % {len(_PLD_SFX)} AS INT) + 1] AS sfx
+        FROM part)
+"""
+
+# DuckDB mirror of functions.urls.registered_domain_of (longest-suffix
+# match, '*' fallback, suffix-only → null).
+_PLD_SQL = f"""
+  SELECT p_partkey, host,
+    CASE WHEN k >= n THEN NULL
+         ELSE array_to_string(labels[n - k:n], '.') END AS registered_domain
+  FROM (
+    SELECT p_partkey, host, labels, len(labels) AS n,
+      CASE WHEN bk = 0 THEN 1 ELSE bk END AS k
+    FROM (
+      SELECT p_partkey, host, string_split(host, '.') AS labels,
+        coalesce((SELECT max(len(string_split(s.s, '.')))
+                  FROM (VALUES {', '.join(f"('{s}')" for s in _PLD_SFX)}) s(s)
+                  WHERE host = s.s OR host LIKE '%.' || s.s), 0) AS bk
+      FROM ({_PLD_HOSTS_SQL})))
+"""
+
+
+def _pld_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pk = F.col("p_partkey")
+    site = F.concat(F.lit("site"), (pk % 40).cast("string"))
+    sfx = F.element_at(F.lit(list(_PLD_SFX)),
+                       (pk % len(_PLD_SFX)).cast("int") + 1)
+    depth = (pk % 3).cast("int")
+    host = (F.when(pk % 97 == 0,
+                   F.element_at(F.lit(["github.io", "co.uk"]),
+                                (pk % 2).cast("int") + 1))
+            .when(depth == 0, F.concat(site, F.lit("."), sfx))
+            .when(depth == 1, F.concat(F.lit("www."), site, F.lit("."), sfx))
+            .otherwise(F.concat(F.lit("cdn"), (pk % 4).cast("string"),
+                                F.lit("."), site, F.lit("."), sfx)))
+    return (_t(spark, sf_dir, "part")
+            .select("p_partkey", host.alias("host")))
+
+
+@q("registered_domain", f"""
+  SELECT host, registered_domain, count(*) AS n
+  FROM ({_PLD_SQL}) GROUP BY host, registered_domain
+""")
+def registered_domain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 per host: the production scalar (map-side aggregate fold over
+    the literal suffix array — zero joins/shuffles/UDFs for the extraction
+    itself; the single groupBy here is just the test-output grain)."""
+    from .functions.urls import registered_domain_of
+    return (_pld_hosts(spark, sf_dir)
+            .select("host",
+                    registered_domain_of(F.col("host"))
+                    .alias("registered_domain"))
+            .groupBy("host", "registered_domain")
+            .agg(F.count("*").alias("n")))
+
+
+@q("pld_politeness", f"""
+  SELECT registered_domain,
+         CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         CAST(sum(p_partkey % 17 + 1) AS BIGINT) AS n_urls,
+         CAST(sum(p_partkey % 17 + 1) AS BIGINT) > 400 AS over_budget
+  FROM ({_PLD_SQL}) GROUP BY registered_domain
+""")
+def pld_politeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 at the registered-domain grain: per-eTLD+1 host/URL rollup with a
+    budget flag. ONE hash-agg shuffle on the PLD key (host count is
+    distinct-within-group; URL weights are map-side partial sums); the
+    eTLD+1 column itself costs no shuffle. Suffix-only hosts group under
+    null = 'no registrable domain', surfaced rather than dropped."""
+    from .functions.urls import registered_domain_of
+    pk = F.col("p_partkey")
+    return (_pld_hosts(spark, sf_dir)
+            .select("host", (pk % 17 + 1).alias("w"),
+                    registered_domain_of(F.col("host"))
+                    .alias("registered_domain"))
+            .groupBy("registered_domain")
+            .agg(F.countDistinct("host").cast("long").alias("n_hosts"),
+                 F.sum("w").cast("long").alias("n_urls"),
+                 (F.sum("w") > 400).alias("over_budget")))
+
+
+# ---------------------------------------------------------------------------
 # D1: content-hash dedup as left-anti join (core/WebCrawler.java:333-336)
 # ---------------------------------------------------------------------------
 

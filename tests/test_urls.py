@@ -134,3 +134,72 @@ def test_canonicalize_url_edge_cases(spark):
     got = [r["c"] for r in
            df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
     assert got == [w for _, w in cases]
+
+
+# ---------------------------------------------------------------------------
+# eTLD+1: Catalyst fold vs Python mirror, edge cases + hypothesis fuzz
+# ---------------------------------------------------------------------------
+
+_PLD_CASES = [
+    ("site1.com", "site1.com"),
+    ("www.site1.com", "site1.com"),
+    ("a.b.site1.com", "site1.com"),
+    ("x.co.uk", "x.co.uk"),                    # 2-label suffix
+    ("www.x.co.uk", "x.co.uk"),
+    ("u.github.io", "u.github.io"),            # private registry
+    ("a.u.github.io", "u.github.io"),          # longest match wins over 'io'
+    ("b.blogspot.com", "b.blogspot.com"),      # longest over 'com'
+    ("a.b.blogspot.com", "b.blogspot.com"),
+    ("github.io", None),                       # host IS a suffix
+    ("co.uk", None),
+    ("com", None),
+    ("site.internal", "site.internal"),        # unknown TLD: '*' rule
+    ("www.site.internal", "site.internal"),
+    ("localhost", None),                       # single label, no dot
+    (None, None),
+]
+
+
+def test_registered_domain_edge_cases(spark):
+    from distributed_web_crawler_spark.functions.urls import (
+        registered_domain_of, registered_domain_py)
+    for h, want in _PLD_CASES:
+        assert registered_domain_py(h) == want, f"py mirror: {h!r}"
+    df = spark.createDataFrame([(h,) for h, _ in _PLD_CASES], "h string")
+    got = [r["d"] for r in
+           df.select(registered_domain_of(F.col("h")).alias("d")).collect()]
+    assert got == [want for _, want in _PLD_CASES]
+
+
+@settings(max_examples=300, deadline=None)
+@given(labels=st.lists(
+    st.sampled_from(["com", "net", "io", "co", "uk", "github",
+                     "blogspot", "www", "a", "b", "site1", "internal"]),
+    min_size=1, max_size=5))
+def test_fuzz_registered_domain_longest_match_invariants(labels):
+    from distributed_web_crawler_spark.functions.urls import (
+        PUBLIC_SUFFIXES, registered_domain_py)
+    host = ".".join(labels)
+    pld = registered_domain_py(host)
+    if pld is None:
+        # null iff single-label or the host is itself a public suffix of
+        # maximal match length (k >= n)
+        assert len(labels) == 1 or host in PUBLIC_SUFFIXES or all(
+            not (host == s or host.endswith("." + s)) for s in ()), host
+    else:
+        # the PLD is a dot-boundary suffix of the host, and its own PLD is
+        # itself (idempotence)
+        assert host == pld or host.endswith("." + pld)
+        assert registered_domain_py(pld) == pld
+
+
+def test_registered_domain_plan_is_map_side(spark):
+    """The scalar must not introduce a join/exchange: extracting eTLD+1
+    over a scan is a pure projection."""
+    from distributed_web_crawler_spark.functions.urls import (
+        registered_domain_of)
+    df = spark.range(100).select(
+        F.concat(F.lit("www.site"), F.col("id"), F.lit(".co.uk")).alias("h"))
+    plan = (df.select(registered_domain_of(F.col("h")).alias("d"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan, plan
