@@ -3578,6 +3578,73 @@ def lang_source_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptext.language_source_matrix(_t(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# Table maintenance (tables/maintenance.py): the Iceberg RewriteDataFiles /
+# ExpireSnapshots plans over a synthetic manifest derived from `orders`
+# (file per order, partition per order month, size = floor(o_totalprice)).
+# ---------------------------------------------------------------------------
+
+_MANIFEST_SQL = """
+  SELECT strftime(o_orderdate, '%Y-%m') AS partition_key,
+         o_orderkey AS file_id,
+         CAST(floor(o_totalprice) AS BIGINT) AS size_bytes
+  FROM orders
+"""
+
+
+def _manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "orders")
+            .select(F.date_format("o_orderdate", "yyyy-MM")
+                    .alias("partition_key"),
+                    F.col("o_orderkey").alias("file_id"),
+                    F.floor("o_totalprice").cast("long")
+                    .alias("size_bytes")))
+
+
+@q("compaction_plan", f"""
+  SELECT partition_key, file_id, size_bytes,
+         CAST(floor(CAST(sum(size_bytes) OVER (
+                PARTITION BY partition_key
+                ORDER BY size_bytes DESC, file_id
+                ROWS UNBOUNDED PRECEDING) - size_bytes AS DOUBLE)
+              / 400000) AS BIGINT) AS group_id
+  FROM ({_MANIFEST_SQL}) WHERE size_bytes < 300000
+""")
+def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file binPack rewrite plan at target 400 KB (per-file group
+    assignment; see tables/maintenance.compaction_plan for the
+    next-fit-over-one-window scale contract)."""
+    from .tables.maintenance import compaction_plan
+    return compaction_plan(_manifest(spark, sf_dir),
+                           target_bytes=400_000)
+
+
+@q("snapshot_expiry", """
+  WITH s AS (
+    SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS snapshot_id,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS bytes
+    FROM orders GROUP BY 1),
+  c AS (SELECT max(snapshot_id) - 5 AS cut FROM s)
+  SELECT snapshot_id,
+         CASE WHEN snapshot_id > cut OR snapshot_id % 12 = 0
+              THEN 'keep' ELSE 'expire' END AS action,
+         bytes
+  FROM s, c
+""")
+def snapshot_expiry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExpireSnapshots plan: keep the 5 most recent snapshots + every
+    12th (archive points); recency cutoff is a 1-row broadcast max, not
+    a global window."""
+    from .tables.maintenance import snapshot_expiry
+    snaps = (_t(spark, sf_dir, "orders")
+             .groupBy((F.year("o_orderdate") * 12
+                       + F.month("o_orderdate") - 1).cast("long")
+                      .alias("snapshot_id"))
+             .agg(F.sum(F.floor("o_totalprice").cast("long"))
+                  .cast("long").alias("bytes")))
+    return snapshot_expiry(snaps, keep_last=5, keep_every=12)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 3-round crawl lineage + a sf0.001 corpus summary row."""
     lineage = crawl_flagship(spark, "/root/testdata/sf0.001")
