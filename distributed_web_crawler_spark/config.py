@@ -61,6 +61,13 @@ class CrawlConfig:
     compact_every_rounds: int = 8
     seen_state_buckets: int = 32
 
+    # second politeness tier at registered-domain (eTLD+1) grain: after
+    # the per-host budget, at most this many fetches per registered
+    # domain per round, so a subdomain farm (*.blogspot.com) cannot
+    # multiply one site's effective budget by minting hosts. 0 = off
+    # (the reference has no analog; hostnames only).
+    pld_budget_per_round: int = 0
+
     # deterministic clock: round r happens at epoch + r * round_seconds
     epoch_ms: int = 1_700_000_000_000
     round_seconds: int = 60

@@ -40,7 +40,11 @@ from ..config import CrawlConfig
 from ..operators.dedup import dedup_content, filter_unseen_urls
 from ..operators.extract import extract_children, fetch_pages_sink
 from ..operators.gates import apply_gates
-from ..operators.politeness import apply_politeness, salted_repartition_for_fetch
+from ..operators.politeness import (
+    apply_domain_cap,
+    apply_politeness,
+    salted_repartition_for_fetch,
+)
 from ..operators.robots import filter_robots, resolve_robots
 
 N_LINEAGE_SHARDS = 32
@@ -120,7 +124,8 @@ def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
     # apply_politeness unions four branches of it, and without the cache
     # each branch would re-scan the frontier + redo the robots join
     gated_rob = filter_robots(gated, robots_full).persist()
-    decided = apply_politeness(gated_rob, cfg, robots=robots_full)
+    decided = apply_domain_cap(
+        apply_politeness(gated_rob, cfg, robots=robots_full), cfg)
     decided = decided.persist()  # slim rows; consumed by 3 branches below
 
     selected = decided.where(F.col("decision") == "PASS")

@@ -35,6 +35,7 @@ from .crawl.synthweb import (
 from .functions.urls import (
     combined_allow_pattern,
     combined_exclude_pattern,
+    registered_domain_py,
     resolve_ref_py,
 )
 
@@ -143,6 +144,27 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
                     for q in over)
             else:
                 counts["rejected"] += len(over)
+
+        # --- second politeness tier: registered-domain (eTLD+1) cap ---------
+        # mirrors operators/politeness.apply_domain_cap: the host-selected
+        # rows re-rank by (priority, url) within coalesce(eTLD+1, host)
+        if cfg.pld_budget_per_round > 0:
+            by_dom: dict[str, list[Req]] = {}
+            for q in sorted(selected, key=lambda q: (q.priority, q.url)):
+                by_dom.setdefault(
+                    registered_domain_py(q.host) or q.host, []).append(q)
+            selected = []
+            for _, qs in by_dom.items():
+                selected.extend(qs[:cfg.pld_budget_per_round])
+                over = qs[cfg.pld_budget_per_round:]
+                if cfg.enable_delay_retry:
+                    counts["deferred"] += len(over)
+                    deferred.extend(
+                        replace(q, retry_count=q.retry_count + 1,
+                                scheduled_for_ms=next_ts)
+                        for q in over)
+                else:
+                    counts["rejected"] += len(over)
 
         # --- fetch + D1/D2 dedup + store, canonical order -------------------
         children_cand: dict[str, tuple[int, str]] = {}

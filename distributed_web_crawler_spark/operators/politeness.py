@@ -77,45 +77,80 @@ def apply_politeness(frontier: DataFrame, cfg: CrawlConfig,
         budget = F.col("_budget")
     else:
         budget = base
-    if cfg.politeness_salts <= 1:
-        # single-window path: one shuffle, right when no host can dominate
+    return _enforce_budget(frontier, "host", budget, over,
+                           cfg.politeness_salts).drop("_budget")
+
+
+def apply_domain_cap(decided: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Second politeness tier at registered-domain (eTLD+1) grain: after
+    the per-host budget, at most ``cfg.pld_budget_per_round`` PASS rows
+    per registered domain per round — a subdomain farm (*.blogspot.com)
+    cannot multiply one site's budget by minting hosts. No-op at the
+    default 0 (the reference throttles hostnames only).
+
+    Composes with (never replaces) the host tier: rows the host budget
+    already deferred stay deferred; the domain cap re-ranks the remaining
+    PASS rows by the same (priority, url) total order within
+    coalesce(eTLD+1, host) — suffix-only hosts cap individually. Same
+    salted partial top-K machinery, so a 10^6-subdomain mega-domain
+    never sorts in one task. Mirrored by golden.golden_crawl."""
+    if cfg.pld_budget_per_round <= 0:
+        return decided
+    from ..functions.urls import registered_domain_of
+    over = F.lit("DEFER_POLITENESS" if cfg.enable_delay_retry
+                 else "REJECT_POLITENESS")
+    tagged = decided.withColumn(
+        "_pld", F.coalesce(registered_domain_of(F.col("host")),
+                           F.col("host")))
+    return _enforce_budget(tagged, "_pld",
+                           F.lit(cfg.pld_budget_per_round), over,
+                           cfg.politeness_salts).drop("_pld")
+
+
+def _enforce_budget(frontier: DataFrame, key: str, budget,
+                    over, salts: int) -> DataFrame:
+    """Budget top-K core shared by the host and domain tiers: PASS rows
+    ranked by (priority, url) within ``key``; rank > budget ⇒ decision
+    ``over``. ``salts`` > 1 selects the two-stage salted partial top-K
+    (provably equal to the single window — see apply_politeness)."""
+    if salts <= 1:
+        # single-window path: one shuffle, right when no key can dominate
         # a task (small crawls / tests). Non-PASS rows rank below PASS so
         # they never consume budget.
-        w_pass = (Window.partitionBy("host")
+        w_pass = (Window.partitionBy(key)
                   .orderBy(F.col("is_pass").desc(), "priority", "url"))
         return (
             frontier
             .withColumn("is_pass", (F.col("decision") == "PASS").cast("int"))
-            .withColumn("host_rank", F.row_number().over(w_pass))
+            .withColumn("key_rank", F.row_number().over(w_pass))
             .withColumn(
                 "decision",
                 F.when((F.col("decision") == "PASS")
-                       & (F.col("host_rank") > budget), over)
+                       & (F.col("key_rank") > budget), over)
                 .otherwise(F.col("decision")))
-            .drop("is_pass", "host_rank", "_budget")
+            .drop("is_pass", "key_rank")
         )
     rest = frontier.where(F.col("decision") != "PASS")
     passed = frontier.where(F.col("decision") == "PASS")
 
-    w_salt = (Window.partitionBy("host", "_salt")
+    w_salt = (Window.partitionBy(key, "_salt")
               .orderBy("priority", "url"))
     staged = (passed
               .withColumn("_salt", F.pmod(F.xxhash64("url"),
-                                          F.lit(cfg.politeness_salts)))
+                                          F.lit(salts)))
               .withColumn("_sr", F.row_number().over(w_salt)))
     over_budget1 = (staged.where(F.col("_sr") > budget)
                     .drop("_salt", "_sr")
                     .withColumn("decision", over))
-    w_host = Window.partitionBy("host").orderBy("priority", "url")
+    w_key = Window.partitionBy(key).orderBy("priority", "url")
     survivors = (staged.where(F.col("_sr") <= budget)
                  .drop("_salt", "_sr")
-                 .withColumn("_hr", F.row_number().over(w_host)))
-    final_pass = survivors.where(F.col("_hr") <= budget).drop("_hr")
-    over_budget2 = (survivors.where(F.col("_hr") > budget).drop("_hr")
+                 .withColumn("_kr", F.row_number().over(w_key)))
+    final_pass = survivors.where(F.col("_kr") <= budget).drop("_kr")
+    over_budget2 = (survivors.where(F.col("_kr") > budget).drop("_kr")
                     .withColumn("decision", over))
     return (final_pass.unionByName(over_budget2)
-            .unionByName(over_budget1).unionByName(rest)
-            .drop("_budget"))
+            .unionByName(over_budget1).unionByName(rest))
 
 
 def salted_repartition_for_fetch(selected: DataFrame, cfg: CrawlConfig,

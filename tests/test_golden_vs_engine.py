@@ -299,6 +299,33 @@ def test_crawl_delay_budget_override(spark, tmp_path):
         "no free host exceeded the override - test has no power"
 
 
+def test_pld_domain_cap_crawl_parity(spark, tmp_path):
+    """Second politeness tier (eTLD+1 cap) end-to-end: every synth host
+    shares registered domain example.com, so pld_budget_per_round bounds
+    TOTAL stores per round; the engine still matches the golden model's
+    visit sequence, and the cap demonstrably binds (host tier alone would
+    admit hosts x host_budget > cap)."""
+    from pyspark.sql import functions as F
+
+    synth = SynthWebConfig(n_hosts=8, base_pages_per_host=24)
+    cfg = CrawlConfig(max_depth=3, host_budget_per_round=2, max_rounds=4,
+                      pld_budget_per_round=5,
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12)
+    c = Crawler(spark, cfg, synth, str(tmp_path))
+    seeds = W.seed_pages(synth, 3)  # saturates every host round 1
+    c.bootstrap(seeds)
+    c.run()
+    g = golden_crawl(seeds, cfg, synth)
+    assert c.visit_sequence() == g.visits
+    assert c.url_seen_set() == g.stored_urls
+    per_round = (c.stored_slim().groupBy("round")
+                 .agg(F.count("*").alias("n")).collect())
+    assert per_round
+    assert all(r["n"] <= cfg.pld_budget_per_round for r in per_round)
+    assert max(r["n"] for r in per_round) == cfg.pld_budget_per_round, \
+        "cap never bound - test has no power"
+
+
 def test_resume_from_pre_crawl_delay_store(spark, tmp_path, golden):
     """A store whose robots rounds were written before the crawl_delay
     column existed must resume cleanly: mixed-schema robots reads merge
