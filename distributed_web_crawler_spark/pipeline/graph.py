@@ -328,3 +328,27 @@ def degree_histogram(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return (rows.select("direction", bucket.alias("bucket"))
             .groupBy("direction", "bucket")
             .agg(F.count(F.lit(1)).alias("n_nodes")))
+
+
+def anchor_text_rollup(edges: DataFrame, anchor_col: str = "anchor") -> DataFrame:
+    """Per-target anchor-text signal: for every dst page, the inlink
+    count, the distinct-anchor count, and the modal anchor text with its
+    frequency (ties broken lexicographically). The classic web-graph
+    relevance feature (anchor text describes the *target*, per the
+    original Google paper) the reference's link extractor feeds but never
+    aggregates.
+
+    Scale shape: two hash aggregates — groupBy(dst, anchor) with map-side
+    partial counts, then groupBy(dst) where the modal pick is a
+    `min_by(anchor, struct(-cnt, anchor))` single-row agg buffer (NO
+    per-dst sort, NO window over the inlink fan-in, so a 10^8-inlink hub
+    costs one combine chain, not a sort). Returns
+    (dst, inlinks, distinct_anchors, top_anchor, top_anchor_count)."""
+    per_anchor = (edges.groupBy("dst", F.col(anchor_col).alias("anchor"))
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    key = F.struct((-F.col("cnt")).alias("neg"), F.col("anchor"))
+    return (per_anchor.groupBy("dst")
+            .agg(F.sum("cnt").cast("long").alias("inlinks"),
+                 F.count(F.lit(1)).alias("distinct_anchors"),
+                 F.min_by("anchor", key).alias("top_anchor"),
+                 F.max("cnt").cast("long").alias("top_anchor_count")))

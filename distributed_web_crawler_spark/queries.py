@@ -3653,3 +3653,111 @@ def entry(spark: SparkSession) -> DataFrame:
               .select(F.lit(-1).alias("round"),
                       F.lit("sf0001_documents").alias("metric"), "value"))
     return lineage.unionByName(docs_n)
+
+
+# ---------------------------------------------------------------------------
+# HTML head metadata (operators/htmlmeta.py) over synthetic pages built
+# from `documents`: deterministic field presence (description absent when
+# doc_id%7=0, canonical absent when %5=0, og:image present when %3=0,
+# noindex when %11=0) exercises every NULL/fallback branch.
+# ---------------------------------------------------------------------------
+
+@q("html_meta", r"""
+  WITH pages AS (
+    SELECT 'http://' || source || '.example.com/d/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || ' [' || lang || ']</title>'
+             || CASE WHEN doc_id % 7 <> 0 THEN
+                  '<meta name="description" content="'
+                    || substring(text, 1, 40) || '">' ELSE '' END
+             || CASE WHEN doc_id % 5 <> 0 THEN
+                  '<link rel="canonical" href="http://' || source
+                    || '.example.com/c/' || CAST(doc_id % 101 AS VARCHAR)
+                    || '">' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN
+                  '<meta name="robots" content="noindex,nofollow">'
+                  ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN
+                  '<meta property="og:image" content="http://img.example.com/'
+                    || CAST(doc_id AS VARCHAR) || '.jpg">' ELSE '' END
+             || '</head><body>' || substring(text, 1, 60)
+             || '</body></html>' AS html
+    FROM documents)
+  SELECT url,
+         nullif(regexp_extract(html, '<title>([^<]*)</title>', 1), '')
+           AS title,
+         nullif(regexp_extract(html,
+           '<meta name="description" content="([^"]*)"', 1), '')
+           AS description,
+         coalesce(nullif(regexp_extract(html,
+           '<link rel="canonical" href="([^"]*)"', 1), ''), url)
+           AS canonical,
+         nullif(regexp_extract(html,
+           '<meta property="og:image" content="([^"]*)"', 1), '')
+           AS og_image,
+         regexp_matches(html, '<meta name="robots" content="[^"]*noindex')
+           AS noindex
+  FROM pages
+""")
+def html_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (title/description/canonical/og:image/
+    noindex) over deterministically synthesized page HTML — one
+    pure-Catalyst scan, five shared-with-oracle RE2 regexes; canonical
+    falls back to the fetch URL (operators/htmlmeta.py)."""
+    from .operators.htmlmeta import extract_page_metadata
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://"), F.col("source"),
+                   F.lit(".example.com/d/"), d.cast("string"))
+    part = lambda cond, *bits: F.when(cond, F.concat(*bits)).otherwise("")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), d.cast("string"),
+        F.lit(" ["), F.col("lang"), F.lit("]</title>"),
+        part(d % 7 != 0, F.lit('<meta name="description" content="'),
+             F.substring("text", 1, 40), F.lit('">')),
+        part(d % 5 != 0, F.lit('<link rel="canonical" href="http://'),
+             F.col("source"), F.lit(".example.com/c/"),
+             (d % 101).cast("string"), F.lit('">')),
+        part(d % 11 == 0,
+             F.lit('<meta name="robots" content="noindex,nofollow">')),
+        part(d % 3 == 0,
+             F.lit('<meta property="og:image" content="http://img.example.com/'),
+             d.cast("string"), F.lit(".jpg\">")),
+        F.lit("</head><body>"), F.substring("text", 1, 60),
+        F.lit("</body></html>"))
+    return extract_page_metadata(
+        docs.select(url.alias("url"), html.alias("html")))
+
+
+@q("anchor_text", """
+  WITH e AS (
+    SELECT l_suppkey AS dst,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS anchor
+    FROM lineitem JOIN part ON p_partkey = l_partkey),
+  pa AS (SELECT dst, anchor, count(*) AS cnt FROM e GROUP BY dst, anchor),
+  top AS (SELECT dst, anchor AS top_anchor, cnt AS top_anchor_count,
+                 row_number() OVER (PARTITION BY dst
+                                    ORDER BY cnt DESC, anchor) AS rn
+          FROM pa)
+  SELECT pa.dst, CAST(sum(pa.cnt) AS BIGINT) AS inlinks,
+         CAST(count(*) AS BIGINT) AS distinct_anchors,
+         any_value(t.top_anchor) AS top_anchor,
+         CAST(any_value(t.top_anchor_count) AS BIGINT) AS top_anchor_count
+  FROM pa JOIN top t ON pa.dst = t.dst AND t.rn = 1
+  GROUP BY pa.dst
+""")
+def anchor_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text rollup (inlinks, distinct anchors, modal
+    anchor) over the lineitem→supplier link graph with the linking
+    part's first name-word as anchor — two hash aggs, min_by modal pick,
+    no window over the inlink fan-in (pipeline/graph.anchor_text_rollup)."""
+    from .pipeline.graph import anchor_text_rollup
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    edges = (li.join(F.broadcast(pt),
+                     F.col("p_partkey") == F.col("l_partkey"))
+             .select(F.col("l_suppkey").alias("dst"),
+                     F.regexp_extract("p_name", r"^([a-z]+)", 1)
+                     .alias("anchor")))
+    return anchor_text_rollup(edges)
