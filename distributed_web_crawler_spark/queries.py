@@ -3761,3 +3761,52 @@ def anchor_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.regexp_extract("p_name", r"^([a-z]+)", 1)
                      .alias("anchor")))
     return anchor_text_rollup(edges)
+
+
+@q("warc_ingest", r"""
+  WITH r AS (
+    SELECT doc_id // 64 AS blob_id, doc_id,
+           'http://' || source || '.example.com/d/'
+             || CAST(doc_id AS VARCHAR) AS uri,
+           length(text) AS clen,
+           'WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n'
+             || 'WARC-Target-URI: ' || 'http://' || source
+             || '.example.com/d/' || CAST(doc_id AS VARCHAR) || e'\r\n'
+             || 'Content-Length: ' || CAST(length(text) AS VARCHAR)
+             || e'\r\n\r\n' || text || e'\r\n\r\n' AS rec,
+           text
+    FROM documents)
+  SELECT CAST(blob_id AS BIGINT) AS blob_id, uri,
+         CAST(clen AS BIGINT) AS content_length,
+         CAST(sum(length(rec)) OVER (PARTITION BY blob_id ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - length(rec) AS BIGINT)
+           AS rec_offset,
+         sha256(text) AS body_sha256
+  FROM r
+""")
+def warc_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC archive segmentation: documents are packed 64-per-blob into
+    deterministic WARC/1.0 response records, then the sources/warc.py
+    pointer parser (Content-Length-driven, offset-emitting) re-segments
+    them — the oracle recomputes each record's fields and offset in SQL."""
+    from .sources.warc import parse_warc
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    uri = F.concat(F.lit("http://"), F.col("source"),
+                   F.lit(".example.com/d/"), d.cast("string"))
+    crlf, sep = F.lit("\r\n"), F.lit("\r\n\r\n")
+    rec = F.concat(F.lit("WARC/1.0"), crlf,
+                   F.lit("WARC-Type: response"), crlf,
+                   F.lit("WARC-Target-URI: "), uri, crlf,
+                   F.lit("Content-Length: "),
+                   F.length("text").cast("string"),
+                   sep, F.col("text"), sep)
+    blobs = (docs
+             .select(F.expr("doc_id div 64").alias("blob_id"), d.alias("k"),
+                     rec.alias("rec"))
+             .groupBy("blob_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("k", "rec"))),
+                     lambda x: x.rec), "").alias("data")))
+    return parse_warc(blobs)

@@ -1,0 +1,49 @@
+"""WARC segmentation: pointer-parse semantics the oracle can't probe."""
+
+import hashlib
+
+import pytest
+
+from distributed_web_crawler_spark.sources.warc import (
+    _parse_blob, build_warc_record, parse_warc,
+)
+
+
+def test_body_containing_warc_magic_is_not_split():
+    # delimiter-splitting parsers break here; Content-Length must win
+    body = "prefix\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nsuffix"
+    blob = build_warc_record("http://a/1", body) + \
+        build_warc_record("http://a/2", "tail")
+    recs = list(_parse_blob(7, blob))
+    assert [r[1] for r in recs] == ["http://a/1", "http://a/2"]
+    assert recs[0][2] == len(body)
+    assert recs[0][4] == hashlib.sha256(body.encode()).hexdigest()
+    assert recs[1][3] == len(build_warc_record("http://a/1", body))
+
+
+def test_truncated_record_raises():
+    blob = build_warc_record("http://a/1", "hello")[:-6]  # cuts into body
+    with pytest.raises(ValueError, match="truncated record at"):
+        list(_parse_blob(0, blob))
+    hdr_cut = blob[:blob.index("\r\n\r\n")]  # no header terminator at all
+    with pytest.raises(ValueError, match="truncated record header"):
+        list(_parse_blob(0, hdr_cut))
+
+
+def test_bad_magic_raises():
+    with pytest.raises(ValueError, match="bad WARC magic"):
+        list(_parse_blob(0, "HTTP/1.1 200 OK\r\n\r\n"))
+
+
+def test_parse_warc_dataframe_roundtrip(spark):
+    blob = "".join(build_warc_record(f"http://h/{i}", "x" * (i + 1))
+                   for i in range(5))
+    out = parse_warc(spark.createDataFrame(
+        [(0, blob)], "blob_id long, data string")).collect()
+    assert len(out) == 5
+    assert [r.content_length for r in out] == [1, 2, 3, 4, 5]
+    assert out[0].rec_offset == 0
+    # offsets are strictly increasing and match the record sizes
+    for a, b, i in zip(out, out[1:], range(1, 5)):
+        assert b.rec_offset - a.rec_offset == \
+            len(build_warc_record(f"http://h/{i - 1}", "x" * i))
