@@ -1080,3 +1080,59 @@ def oov_rate(documents: DataFrame, vocab_size: int = 50,
         F.col("n_oov").cast("long").alias("n_oov"),
         (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"))
         .alias("oov_rate"))
+
+
+def tokenizer_fertility(documents: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Per (source, lang) tokenizer-fertility audit: sub-tokens per
+    whitespace word and characters per sub-token — the standard check
+    that a tokenizer isn't exploding some language's token budget
+    (fertility ≈1 for English-like BPE vocab, ≫1 signals a vocabulary
+    gap; see the XLM-R / NLLB tokenizer analyses). One scan + one hash
+    aggregate; ratios are computed on the aggregated BIGINT sums (never
+    per row), rounded 1e-6 for cross-engine stability."""
+    t = F.col(text_col)
+    per = documents.select(
+        "source", "lang",
+        token_count(t).cast("long").alias("w"),
+        bpe_ish_token_count(t).cast("long").alias("s"),
+        F.length(t).cast("long").alias("c"))
+    g = per.groupBy("source", "lang").agg(
+        F.sum("w").cast("long").alias("words"),
+        F.sum("s").cast("long").alias("subtokens"),
+        F.sum("c").cast("long").alias("chars"))
+    dbl = lambda c: F.col(c).cast("double")
+    return g.select(
+        "source", "lang", "words", "subtokens",
+        F.round(dbl("subtokens") / dbl("words"), 6).alias("fertility"),
+        F.round(dbl("chars") / dbl("subtokens"), 6)
+        .alias("chars_per_subtoken"))
+
+
+def source_quality_bounds(documents: DataFrame, tau: float = 0.5,
+                          z: float = 1.96,
+                          text_col: str = "text") -> DataFrame:
+    """Per-source quality pass rate with its Wilson-score lower bound —
+    the statistically honest way to rank crawl sources for inclusion
+    when sources have wildly different document counts (a 3/3 source
+    must NOT outrank a 950/1000 one; Wilson 1927, the standard fix).
+    One scan + one hash aggregate; the bound is computed on aggregated
+    counts only, with a fixed IEEE op order mirrored by the SQL oracle.
+    Returns (source, n_docs, passes, pass_rate, wilson_lb)."""
+    t = F.col(text_col)
+    per = documents.select(
+        "source", (quality_score(t) >= F.lit(tau)).cast("long").alias("ok"))
+    g = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ok").cast("long").alias("passes"))
+    n = F.col("n_docs").cast("double")
+    p = F.col("passes").cast("double") / n
+    zl = F.lit(z)
+    z2 = zl * zl
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (F.lit(2.0) * n)
+    margin = zl * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n)
+    return g.select(
+        "source", "n_docs", "passes",
+        F.round(p, 6).alias("pass_rate"),
+        F.round((center - margin) / denom, 6).alias("wilson_lb"))

@@ -3810,3 +3810,136 @@ def warc_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.array_sort(F.collect_list(F.struct("k", "rec"))),
                      lambda x: x.rec), "").alias("data")))
     return parse_warc(blobs)
+
+
+@q("caption_align", """
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+             FROM embeddings),
+  p AS (SELECT a.vec_id // 2 AS pair_id, a.label AS img_label,
+               b.label AS cap_label,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+        FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 2 = 0)
+  SELECT pair_id, img_label, cap_label, cosine,
+         cosine >= 0.1 AS aligned,
+         img_label = cap_label AS label_match
+  FROM p
+""")
+def caption_align_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image↔caption CLIP-score alignment over paired embedding rows
+    (even=image, odd=caption): single-shuffle pair assembly + rounded
+    cosine threshold (pipeline/similarity.caption_alignment)."""
+    return similarity.caption_alignment(
+        _t(spark, sf_dir, "embeddings"), threshold=0.1)
+
+
+@q("tokenizer_fertility", r"""
+  WITH per AS (
+    SELECT source, lang,
+           len(string_split_regex(trim(text), '\s+')) AS w,
+           len(string_split_regex(trim(text), '[^A-Za-z0-9]+'))
+             + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS s,
+           length(text) AS c
+    FROM documents),
+  g AS (SELECT source, lang,
+               CAST(sum(w) AS BIGINT) AS words,
+               CAST(sum(s) AS BIGINT) AS subtokens,
+               CAST(sum(c) AS BIGINT) AS chars
+        FROM per GROUP BY source, lang)
+  SELECT source, lang, words, subtokens,
+         round(CAST(subtokens AS DOUBLE) / CAST(words AS DOUBLE), 6)
+           AS fertility,
+         round(CAST(chars AS DOUBLE) / CAST(subtokens AS DOUBLE), 6)
+           AS chars_per_subtoken
+  FROM g
+""")
+def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source×lang tokenizer fertility (subtokens/word) and
+    compression (chars/subtoken) — the vocabulary-gap audit
+    (pipeline/text.tokenizer_fertility)."""
+    return ptext.tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
+@q("wilson_quality", f"""
+  WITH {_lang_quality_ctes('documents')},
+  g AS (
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN s.quality >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS passes
+    FROM scored s JOIN documents d USING (doc_id)
+    GROUP BY d.source),
+  w AS (
+    SELECT source, n_docs, passes,
+           CAST(passes AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p,
+           CAST(n_docs AS DOUBLE) AS n
+    FROM g)
+  SELECT source, n_docs, passes,
+         round(p, 6) AS pass_rate,
+         round((p + (1.96 * 1.96) / (2.0 * n)
+                - 1.96 * sqrt((p * (1.0 - p)
+                               + (1.96 * 1.96) / (4.0 * n)) / n))
+               / (1.0 + (1.96 * 1.96) / n), 6) AS wilson_lb
+  FROM w
+""")
+def wilson_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality pass rate with Wilson lower confidence bound —
+    the size-honest source ranking (pipeline/text.source_quality_bounds;
+    oracle reuses the one shared quality-score SQL mirror)."""
+    return ptext.source_quality_bounds(_t(spark, sf_dir, "documents"),
+                                       tau=0.5, z=1.96)
+
+
+# Two synthetic page snapshots from `orders`: v0 = floor(totalprice);
+# snapshot 1 deletes keys %17=0, rewrites keys %10=0 to 2*v0+1, and
+# inserts sibling keys -k for k%13=0 (k>0) valued v0+7.
+_SCD_S0_SQL = """
+  SELECT o_orderkey AS key,
+         CAST(floor(o_totalprice) AS BIGINT) AS v
+  FROM orders
+"""
+_SCD_S1_SQL = """
+  SELECT o_orderkey AS key,
+         CASE WHEN o_orderkey % 10 = 0
+              THEN CAST(floor(o_totalprice) AS BIGINT) * 2 + 1
+              ELSE CAST(floor(o_totalprice) AS BIGINT) END AS v
+  FROM orders WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT -o_orderkey AS key,
+         CAST(floor(o_totalprice) AS BIGINT) + 7 AS v
+  FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey > 0
+"""
+
+
+def _scd_snapshots(spark: SparkSession, sf_dir: str):
+    orders = _t(spark, sf_dir, "orders")
+    k, v = F.col("o_orderkey"), F.floor("o_totalprice").cast("long")
+    s0 = orders.select(k.alias("key"), v.alias("v"))
+    s1 = (orders.where(k % 17 != 0)
+          .select(k.alias("key"),
+                  F.when(k % 10 == 0, v * 2 + 1).otherwise(v).alias("v"))
+          .unionAll(orders.where((k % 13 == 0) & (k > 0))
+                    .select((-k).alias("key"), (v + 7).alias("v"))))
+    return s0, s1
+
+
+@q("scd2_history", f"""
+  WITH s0 AS ({_SCD_S0_SQL}), s1 AS ({_SCD_S1_SQL}),
+  j AS (SELECT coalesce(s0.key, s1.key) AS key, s0.v AS v_old, s1.v AS v_new
+        FROM s0 FULL OUTER JOIN s1 ON s0.key = s1.key)
+  SELECT key, v_old AS content, CAST(0 AS BIGINT) AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+  FROM j WHERE v_old IS NOT NULL AND v_new = v_old
+  UNION ALL
+  SELECT key, v_old, CAST(0 AS BIGINT), CAST(1 AS BIGINT), FALSE
+  FROM j WHERE v_old IS NOT NULL AND (v_new IS NULL OR v_new <> v_old)
+  UNION ALL
+  SELECT key, v_new, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+  FROM j WHERE v_new IS NOT NULL AND (v_old IS NULL OR v_new <> v_old)
+""")
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE of two synthetic page snapshots (update/delete/insert
+    branches all exercised): one full-outer key join + map-side row
+    generation, no window (tables/scd.scd2_merge)."""
+    from .tables.scd import scd2_merge
+    s0, s1 = _scd_snapshots(spark, sf_dir)
+    return scd2_merge(s0, s1, "key", "v")
