@@ -111,3 +111,44 @@ def filter_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
             F.when(blocked, F.lit("REJECT_ROBOTS")).otherwise(F.col("decision")),
         ).drop("robots_disallow")
     )
+
+
+# -- RFC 9309 wildcard matching ---------------------------------------------
+# The reference's robots predicate is naive substring containment
+# (service/RobotsTxtService.java — kept bug-for-bug in filter_robots
+# above); modern REP (RFC 9309 §2.2.2) requires '*' wildcards, '$'
+# end-anchors, longest-match precedence, and allow-wins-ties. This is the
+# standards-correct tier, selectable per crawl. Pure Catalyst: the rule
+# array rides WITH the request row, so matching is a map-only
+# filter/transform/array_max fold — no explode, no shuffle, no UDF.
+
+_REGEX_SPECIALS = r"([.\\+?\[\]()^{}|])"
+
+
+def _rep_regex(pattern):
+    """robots pattern -> anchored Java/RE2 regex ('' stays prefix-open)."""
+    had = F.endswith(pattern, F.lit("$"))
+    core = F.when(had, F.substring(pattern, F.lit(1), F.length(pattern) - 1)) \
+            .otherwise(pattern)
+    esc = F.regexp_replace(core, _REGEX_SPECIALS, r"\\$1")
+    return F.concat(F.lit("^"), F.regexp_replace(esc, r"\*", ".*"),
+                    F.when(had, F.lit("$")).otherwise(F.lit("")))
+
+
+def wildcard_rule_decisions(requests: DataFrame, path_col: str = "path",
+                            rules_col: str = "rules") -> DataFrame:
+    """RFC 9309 decision per request row carrying its host's parsed
+    rules as array<struct<allow:boolean, pattern:string>>: the most
+    specific (longest-pattern) matching rule wins, allow wins exact
+    ties, no match means allowed. Adds (allowed, rule_len)."""
+    path = F.col(path_col)
+    matched = F.filter(F.col(rules_col),
+                       lambda r: F.rlike(path, _rep_regex(r.pattern)))
+    # struct max = (longest pattern, then allow>disallow) — RFC order
+    best = F.array_max(F.transform(
+        matched, lambda r: F.struct(F.length(r.pattern).alias("l"),
+                                    r.allow.alias("allow"))))
+    return (requests
+            .withColumn("allowed", F.coalesce(best["allow"], F.lit(True)))
+            .withColumn("rule_len",
+                        F.coalesce(best["l"], F.lit(0)).cast("int")))

@@ -1517,3 +1517,45 @@ def ann_recall_sql(sf_dir: str = ORACLE_SF_DIR, k: int = 5,
          coalesce(h.n, 0) / {float(k)} AS recall
   FROM q LEFT JOIN hits h USING (query_id)
 """
+
+
+# -- content-defined chunking mirror ----------------------------------------
+
+def _cdc_spans_py(text: str, min_len: int, max_len: int,
+                  mask: int) -> list:
+    """Standalone gear-hash boundary walk (independent restatement of
+    pipeline/dedup.cdc_boundaries for the oracle side)."""
+    spans, start, h, i = [], 0, 0, 0
+    n = len(text)
+    while i < n:
+        h = ((h * 2) + ord(text[i]) * 2654435761) % (1 << 32)
+        if (i - start + 1 >= min_len and h % (mask + 1) == 0) \
+                or i - start + 1 >= max_len:
+            spans.append((start, i - start + 1))
+            start, h = i + 1, 0
+        i += 1
+    if start < n:
+        spans.append((start, n - start))
+    return spans
+
+
+def cdc_chunk_sql(sf_dir: str = ORACLE_SF_DIR, min_len: int = 8,
+                  max_len: int = 48, mask: int = 0x1F) -> str:
+    """VALUES = the mirrored (doc_id, start, length) spans; chunk text
+    extraction, md5 and the dedup rollup are recomputed relationally."""
+    rows = ",".join(
+        f"({d},{s},{ln})"
+        for d, t in _docs(sf_dir)
+        for s, ln in _cdc_spans_py(t, min_len, max_len, mask))
+    return f"""
+  WITH spans(doc_id, s, ln) AS (VALUES {rows}),
+  chunks AS (
+    SELECT sp.doc_id, sp.ln AS length,
+           md5(substring(d.text, CAST(sp.s + 1 AS INTEGER),
+                         CAST(sp.ln AS INTEGER))) AS chunk_hash
+    FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id)
+  SELECT chunk_hash, CAST(any_value(length) AS BIGINT) AS chunk_len,
+         CAST(count(*) AS BIGINT) AS n_copies,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM chunks GROUP BY chunk_hash
+"""

@@ -830,3 +830,58 @@ def containment_pairs(documents: DataFrame, n: int = 3,
                     F.round(F.col("n_common") / F.col("n_b"), 6)
                     .alias("c_ba"))
             .where(F.greatest(F.col("c_ab"), F.col("c_ba")) >= threshold))
+
+
+# -- content-defined chunking -----------------------------------------------
+
+CDC_GEAR_MULT = 2654435761  # Knuth multiplicative constant
+CDC_MASK32 = 0xFFFFFFFF
+
+
+def cdc_boundaries(text: str, min_len: int = 8, max_len: int = 48,
+                   mask: int = 0x1F) -> list:
+    """Gear rolling-hash chunk boundaries (FastCDC shape, Xia et al.,
+    USENIX ATC'16): cut after position i when the 32-bit gear hash
+    masks to zero and the chunk has reached min_len, or unconditionally
+    at max_len. Content-defined ⇒ an insertion early in a document only
+    perturbs the one chunk it lands in, so shared tails still dedup —
+    the property fixed-width shingles lack. Returns [(start, length)]."""
+    out, start, h = [], 0, 0
+    for i, ch in enumerate(text):
+        h = ((h << 1) + ord(ch) * CDC_GEAR_MULT) & CDC_MASK32
+        ln = i - start + 1
+        if (ln >= min_len and (h & mask) == 0) or ln >= max_len:
+            out.append((start, ln))
+            start, h = i + 1, 0
+    if start < len(text):
+        out.append((start, len(text) - start))
+    return out
+
+
+def cdc_chunk_stats(documents: DataFrame, min_len: int = 8,
+                    max_len: int = 48, mask: int = 0x1F,
+                    text_col: str = "text") -> DataFrame:
+    """Cross-document chunk dedup over content-defined boundaries:
+    (chunk_hash, chunk_len, n_copies, n_docs) per distinct chunk. The
+    boundary walk is a linear Arrow-batched pass (mapInPandas — the
+    per-char recurrence is inherently sequential); hashing and the
+    dedup rollup stay JVM-side (md5 + one hash aggregate). Map-only
+    before the single groupBy shuffle, so 100 TB shards chunk
+    independently."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = [(int(d), ln, t[s:s + ln])
+                    for d, t in zip(pdf["doc_id"], pdf[text_col])
+                    for s, ln in cdc_boundaries(t, min_len, max_len, mask)]
+            yield pd.DataFrame(rows, columns=["doc_id", "length", "chunk"])
+
+    chunks = (documents.select("doc_id", text_col)
+              .mapInPandas(run, "doc_id long, length long, chunk string")
+              .select("doc_id", "length",
+                      F.md5("chunk").alias("chunk_hash")))
+    return (chunks.groupBy("chunk_hash")
+            .agg(F.first("length").alias("chunk_len"),
+                 F.count(F.lit(1)).alias("n_copies"),
+                 F.count_distinct("doc_id").alias("n_docs")))

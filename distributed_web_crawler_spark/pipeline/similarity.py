@@ -701,3 +701,55 @@ def caption_alignment(embeddings: DataFrame, threshold: float = 0.1,
             .withColumn("aligned", F.col("cosine") >= F.lit(threshold))
             .withColumn("label_match",
                         F.col("img_label") == F.col("cap_label")))
+
+
+def margin_pairs(embeddings: DataFrame, k: int = 4,
+                 threshold: float = 1.0,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Margin-based bitext pair mining (Artetxe & Schwenk, ACL 2019;
+    the CCMatrix/LASER miner): even ids are source-side vectors, odd
+    ids target-side; each source picks the target maximizing
+    cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2) — the ratio margin that
+    cancels hubness, which raw cosine thresholds can't.
+
+    Plumbing is the scale story: cosines are rounded 1e-6 then held as
+    *integer* micro-units so the kNN-denominator sums are
+    order-independent BIGINT adds (bit-stable across engines and
+    partitionings); the candidate generator here is the brute tier —
+    at corpus scale the scored set plugs in from ivf_topk and the
+    margin normalization (two bounded top-k windows + one join) is
+    unchanged. Returns (src_id, tgt_id, cosine, margin)."""
+    e = embeddings.select(F.col(id_col).alias("id"),
+                          _unit(F.col(vec_col).cast("array<double>"))
+                          .alias("u"))
+    src = e.where(F.col("id") % 2 == 0).select(
+        F.col("id").alias("src_id"), F.col("u").alias("su"))
+    tgt = e.where(F.col("id") % 2 == 1).select(
+        F.col("id").alias("tgt_id"), F.col("u").alias("tu"))
+    cos = F.round(_cos(F.col("su"), F.col("tu")), 6)
+    scored = (src.join(F.broadcast(tgt))
+              .select("src_id", "tgt_id",
+                      F.round(cos * 1e6, 0).cast("long").alias("c6")))
+
+    from pyspark.sql import Window
+    wx = Window.partitionBy("src_id").orderBy(F.col("c6").desc(), "tgt_id")
+    wy = Window.partitionBy("tgt_id").orderBy(F.col("c6").desc(), "src_id")
+    topx = (scored.withColumn("rx", F.row_number().over(wx))
+            .where(F.col("rx") <= k))
+    topy = (scored.withColumn("ry", F.row_number().over(wy))
+            .where(F.col("ry") <= k))
+    ax = topx.groupBy("src_id").agg(F.sum("c6").alias("ax_sum"),
+                                    F.count(F.lit(1)).alias("kx"))
+    ay = topy.groupBy("tgt_id").agg(F.sum("c6").alias("ay_sum"),
+                                    F.count(F.lit(1)).alias("ky"))
+    d = lambda c: F.col(c).cast("double")
+    denom = (d("ax_sum") / d("kx") / F.lit(1e6)
+             + d("ay_sum") / d("ky") / F.lit(1e6)) / F.lit(2.0)
+    cand = (topx.join(ax, "src_id").join(ay, "tgt_id")
+            .withColumn("cosine", d("c6") / F.lit(1e6))
+            .withColumn("margin", F.round(F.col("cosine") / denom, 6)))
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), "tgt_id")
+    return (cand.withColumn("rb", F.row_number().over(wbest))
+            .where((F.col("rb") == 1) & (F.col("margin") >= threshold))
+            .select("src_id", "tgt_id", "cosine", "margin"))

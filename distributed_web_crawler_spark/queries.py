@@ -3943,3 +3943,119 @@ def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .tables.scd import scd2_merge
     s0, s1 = _scd_snapshots(spark, sf_dir)
     return scd2_merge(s0, s1, "key", "v")
+
+
+@q("robots_wildcard", f"""
+  WITH fr AS ({_FRONTIER_SQL}),
+  hosts AS (SELECT DISTINCT host, host_idx FROM fr),
+  rules AS (
+    SELECT host, TRUE AS allow,
+           '/p/' || CAST(host_idx % 10 AS VARCHAR) || '5$' AS pattern
+    FROM hosts
+    UNION ALL SELECT host, FALSE,
+           '/p/' || CAST(host_idx % 10 AS VARCHAR) || '*' FROM hosts
+    UNION ALL SELECT host, FALSE, '/q*' FROM hosts
+    UNION ALL SELECT host, TRUE,
+           '/p/' || CAST(host_idx % 10 AS VARCHAR) || '*'
+    FROM hosts WHERE host_idx % 3 = 0),
+  paths AS (SELECT url, host,
+                   regexp_extract(url, 'example\\.com(/.*)$', 1) AS path
+            FROM fr),
+  m AS (
+    SELECT p.url, length(r.pattern) AS l, r.allow
+    FROM paths p JOIN rules r USING (host)
+    WHERE regexp_matches(p.path,
+      '^' || replace(CASE WHEN r.pattern LIKE '%$'
+                          THEN substring(r.pattern, 1,
+                                         length(r.pattern) - 1)
+                          ELSE r.pattern END, '*', '.*')
+          || CASE WHEN r.pattern LIKE '%$' THEN '$' ELSE '' END)),
+  best AS (SELECT url, allow, l,
+                  row_number() OVER (PARTITION BY url
+                                     ORDER BY l DESC, allow DESC) AS rn
+           FROM m)
+  SELECT p.url, p.path, coalesce(b.allow, TRUE) AS allowed,
+         CAST(coalesce(b.l, 0) AS INTEGER) AS rule_len
+  FROM paths p LEFT JOIN best b ON p.url = b.url AND b.rn = 1
+""")
+def robots_wildcard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots matching ('*' wildcards, '$' anchors,
+    longest-match precedence, allow-wins-ties) over per-host synthetic
+    rule sets that exercise every branch: anchored allow beating a
+    shorter wildcard disallow, equal-length tie resolved to allow
+    (hosts %3=0), and the no-match default
+    (operators/robots.wildcard_rule_decisions)."""
+    from .operators.robots import wildcard_rule_decisions
+    fr = _frontier_from_orders(spark, sf_dir)
+    x = (F.col("host_idx") % 10).cast("string")
+
+    def rule(allow: bool, *pat) -> F.Column:
+        return F.struct(F.lit(allow).alias("allow"),
+                        F.concat(*pat).alias("pattern"))
+
+    base = [rule(True, F.lit("/p/"), x, F.lit("5$")),
+            rule(False, F.lit("/p/"), x, F.lit("*")),
+            rule(False, F.lit("/q*"))]
+    tie = rule(True, F.lit("/p/"), x, F.lit("*"))
+    reqs = fr.select(
+        "url",
+        F.regexp_extract("url", r"example\.com(/.*)$", 1).alias("path"),
+        F.when(F.col("host_idx") % 3 == 0, F.array(*base, tie))
+        .otherwise(F.array(*base)).alias("rules"))
+    return (wildcard_rule_decisions(reqs)
+            .select("url", "path", "allowed", "rule_len"))
+
+
+@q("margin_pairs", """
+  WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+  s AS (SELECT id AS src_id, emb AS semb FROM e WHERE id % 2 = 0),
+  t AS (SELECT id AS tgt_id, emb AS temb FROM e WHERE id % 2 = 1),
+  sc AS (SELECT src_id, tgt_id,
+                CAST(round(round(list_cosine_similarity(semb, temb), 6)
+                           * 1000000.0, 0) AS BIGINT) AS c6
+         FROM s, t),
+  topx AS (SELECT src_id, tgt_id, c6,
+                  row_number() OVER (PARTITION BY src_id
+                                     ORDER BY c6 DESC, tgt_id) AS rx
+           FROM sc QUALIFY rx <= 4),
+  topy AS (SELECT src_id, tgt_id, c6,
+                  row_number() OVER (PARTITION BY tgt_id
+                                     ORDER BY c6 DESC, src_id) AS ry
+           FROM sc QUALIFY ry <= 4),
+  ax AS (SELECT src_id, CAST(sum(c6) AS BIGINT) AS ax_sum,
+                CAST(count(*) AS BIGINT) AS kx FROM topx GROUP BY src_id),
+  ay AS (SELECT tgt_id, CAST(sum(c6) AS BIGINT) AS ay_sum,
+                CAST(count(*) AS BIGINT) AS ky FROM topy GROUP BY tgt_id),
+  cand AS (
+    SELECT topx.src_id, topx.tgt_id,
+           CAST(c6 AS DOUBLE) / 1000000.0 AS cosine,
+           round((CAST(c6 AS DOUBLE) / 1000000.0)
+                 / ((CAST(ax_sum AS DOUBLE) / CAST(kx AS DOUBLE) / 1000000.0
+                     + CAST(ay_sum AS DOUBLE) / CAST(ky AS DOUBLE)
+                       / 1000000.0) / 2.0), 6) AS margin
+    FROM topx JOIN ax USING (src_id) JOIN ay USING (tgt_id))
+  SELECT src_id, tgt_id, cosine, margin
+  FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                                     ORDER BY margin DESC, tgt_id) AS rb
+        FROM cand)
+  WHERE rb = 1 AND margin >= 1.1
+""")
+def margin_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCMatrix/LASER margin-scored pair mining (even ids = source side,
+    odd = target side): ratio margin over k=4 neighborhoods with
+    integer-micro-unit denominator sums for cross-engine bit stability
+    (pipeline/similarity.margin_pairs)."""
+    return similarity.margin_pairs(
+        _t(spark, sf_dir, "embeddings"), k=4, threshold=1.1)
+
+
+@q("cdc_chunks", lambda: _oracles.cdc_chunk_sql())
+def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (FastCDC gear hash, min 8 / max 48 /
+    mask 0x1F): insertion-robust cross-document duplicate spans. The
+    boundary walk is Arrow-batched map-only; md5 + the rollup are
+    JVM-side; the oracle mirrors the spans and recomputes the
+    relational part (pipeline/dedup.cdc_chunk_stats)."""
+    return pdedup.cdc_chunk_stats(_t(spark, sf_dir, "documents"),
+                                  min_len=8, max_len=48, mask=0x1F)
