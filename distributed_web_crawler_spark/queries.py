@@ -4059,3 +4059,113 @@ def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational part (pipeline/dedup.cdc_chunk_stats)."""
     return pdedup.cdc_chunk_stats(_t(spark, sf_dir, "documents"),
                                   min_len=8, max_len=48, mask=0x1F)
+
+
+@q("jsonl_ingest", r"""
+  WITH src AS (
+    SELECT doc_id,
+           '{"id": ' || CAST(doc_id AS VARCHAR) || ', "lang": "' || lang
+             || '", "n": ' || CAST(n_chars AS VARCHAR) || '}' AS full_line
+    FROM documents),
+  lines AS (
+    SELECT doc_id AS line_id,
+           CASE WHEN doc_id % 13 = 0
+                THEN substring(full_line, 1, length(full_line) - 2)
+                ELSE full_line END AS line
+    FROM src),
+  p AS (SELECT line_id, line, try_cast(line AS JSON) AS j FROM lines)
+  SELECT line_id,
+         CAST(json_extract(j, '$.id') AS BIGINT) AS id,
+         json_extract_string(j, '$.lang') AS lang,
+         CAST(json_extract(j, '$.n') AS BIGINT) AS n,
+         j IS NULL AS is_corrupt,
+         CASE WHEN j IS NULL THEN line END AS raw
+  FROM p
+""")
+def jsonl_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSONL ingestion with corrupt-record quarantine
+    (1/13 of lines deliberately truncated): JVM from_json parse, NULL
+    struct -> quarantined raw line; the oracle re-parses the identical
+    lines with DuckDB's JSON reader (sources/jsonl.parse_jsonl)."""
+    from .sources.jsonl import parse_jsonl
+    d = F.col("doc_id")
+    full = F.concat(F.lit('{"id": '), d.cast("string"),
+                    F.lit(', "lang": "'), F.col("lang"),
+                    F.lit('", "n": '), F.col("n_chars").cast("string"),
+                    F.lit("}"))
+    lines = _t(spark, sf_dir, "documents").select(
+        d.alias("line_id"),
+        F.when(d % 13 == 0,
+               F.substring(full, F.lit(1), F.length(full) - 2))
+        .otherwise(full).alias("line"))
+    return parse_jsonl(lines, "id BIGINT, lang STRING, n BIGINT")
+
+
+@q("robots_semantics_diff", f"""
+  WITH fr AS ({_FRONTIER_SQL}),
+  paths AS (SELECT url, host, host_idx,
+                   regexp_extract(url, 'example\\.com(/.*)$', 1) AS path
+            FROM fr),
+  dec AS (
+    SELECT host, host_idx, url, path,
+           -- reference semantics: any disallow pattern substring of URL
+           (position('/p/' || CAST(host_idx % 10 AS VARCHAR) IN url) > 0
+            OR position('/q*' IN url) > 0) AS substr_blocked,
+           -- RFC 9309: longest match wins, allow wins ties
+           CASE
+             WHEN regexp_matches(path,
+                    '^/p/' || CAST(host_idx % 10 AS VARCHAR) || '5$')
+               THEN FALSE
+             WHEN regexp_matches(path,
+                    '^/p/' || CAST(host_idx % 10 AS VARCHAR))
+               THEN TRUE
+             ELSE FALSE
+           END AS rep_blocked
+    FROM paths)
+  SELECT host,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(sum(CASE WHEN substr_blocked THEN 1 ELSE 0 END) AS BIGINT)
+           AS substr_blocked,
+         CAST(sum(CASE WHEN rep_blocked THEN 1 ELSE 0 END) AS BIGINT)
+           AS rep_blocked,
+         CAST(sum(CASE WHEN substr_blocked <> rep_blocked
+                       THEN 1 ELSE 0 END) AS BIGINT) AS diverging
+  FROM dec GROUP BY host
+""")
+def robots_semantics_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-by-side audit of the reference's substring robots semantics
+    (operators/robots.filter_robots, bug-for-bug) vs RFC 9309
+    longest-match (wildcard_rule_decisions) over one rule set
+    — per host: how many URLs each tier blocks and where they diverge
+    (the anchored allow '/p/X5$' the substring matcher cannot honor)."""
+    from .operators.robots import wildcard_rule_decisions
+    fr = _frontier_from_orders(spark, sf_dir)
+    x = (F.col("host_idx") % 10).cast("string")
+    reqs = fr.select(
+        "url", "host",
+        F.regexp_extract("url", r"example\.com(/.*)$", 1).alias("path"),
+        F.array(F.concat(F.lit("/p/"), x), F.lit("/q*"))
+        .alias("robots_disallow"),
+        F.array(
+            F.struct(F.lit(False).alias("allow"),
+                     F.concat(F.lit("/p/"), x).alias("pattern")),
+            F.struct(F.lit(True).alias("allow"),
+                     F.concat(F.lit("/p/"), x, F.lit("5$"))
+                     .alias("pattern")),
+            F.struct(F.lit(False).alias("allow"),
+                     F.lit("/q*").alias("pattern"))).alias("rules"))
+    # reference tier: exists-substring over the URL (filter_robots core)
+    substr_blocked = F.exists(
+        "robots_disallow", lambda p: F.col("url").contains(p))
+    rep = wildcard_rule_decisions(reqs)
+    return (rep
+            .withColumn("substr_blocked", substr_blocked)
+            .withColumn("rep_blocked", ~F.col("allowed"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.sum(F.col("substr_blocked").cast("long")).cast("long")
+                 .alias("substr_blocked"),
+                 F.sum(F.col("rep_blocked").cast("long")).cast("long")
+                 .alias("rep_blocked"),
+                 F.sum((F.col("substr_blocked") != F.col("rep_blocked"))
+                       .cast("long")).cast("long").alias("diverging")))
