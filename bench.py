@@ -123,6 +123,18 @@ EXTRAS = [
     "ann_recall",            # recall@k eval of IVF vs brute truth
     "oov_rate",              # per-source tokenizer coverage audit
     "embedding_outliers",    # label-noise scrub vs SQ8 centroids
+    "html_meta",             # head-metadata regex scan, map-only
+    "anchor_text",           # per-target modal anchor, two hash aggs
+    "warc_ingest",           # WARC pointer segmentation, Arrow map-only
+    "caption_align",         # CLIP-score pair filter, one shuffle
+    "tokenizer_fertility",   # per source×lang fertility rollup
+    "wilson_quality",        # Wilson-bound source ranking
+    "scd2_history",          # SCD2 MERGE, one full-outer join
+    "robots_wildcard",       # RFC 9309 matching, map-only array fold
+    "margin_pairs",          # CCMatrix margin mining, integer denoms
+    "cdc_chunks",            # FastCDC gear chunk dedup
+    "jsonl_ingest",          # from_json + corrupt quarantine
+    "robots_semantics_diff",  # substring-vs-REP divergence audit
 ]
 
 
