@@ -722,8 +722,15 @@ def margin_pairs(embeddings: DataFrame, k: int = 4,
     e = embeddings.select(F.col(id_col).alias("id"),
                           _unit(F.col(vec_col).cast("array<double>"))
                           .alias("u"))
-    src = e.where(F.col("id") % 2 == 0).select(
-        F.col("id").alias("src_id"), F.col("u").alias("su"))
+    # hash-spread the source side BEFORE the broadcast fan-out: a small
+    # snapshot otherwise arrives as one file = one partition, and the
+    # O(n_src·n_tgt·d) scoring fold would run as a single task. Keying
+    # the repartition on src_id also pre-satisfies the per-src top-k
+    # window's clustering, so topx needs no second exchange.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    src = (e.where(F.col("id") % 2 == 0)
+           .select(F.col("id").alias("src_id"), F.col("u").alias("su"))
+           .repartition(par, "src_id"))
     tgt = e.where(F.col("id") % 2 == 1).select(
         F.col("id").alias("tgt_id"), F.col("u").alias("tu"))
     cos = F.round(_cos(F.col("su"), F.col("tu")), 6)
