@@ -760,3 +760,38 @@ def margin_pairs(embeddings: DataFrame, k: int = 4,
     return (cand.withColumn("rb", F.row_number().over(wbest))
             .where((F.col("rb") == 1) & (F.col("margin") >= threshold))
             .select("src_id", "tgt_id", "cosine", "margin"))
+
+
+def rrf_fuse(sparse: DataFrame, dense: DataFrame, k: int = 20,
+             rrf_k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of a
+    sparse (BM25) and a dense (embedding-cosine) ranked list — the
+    standard hybrid-retrieval combiner a curation pipeline uses to pull
+    topical subsets with both lexical and semantic recall.
+
+    Inputs are (doc_id, rank) frames, each already truncated to a bounded
+    top-N (so this whole fusion runs on ≤2N rows regardless of corpus
+    size — the upstream rankers did the 10^10-scale work). Per-list
+    contribution 1/(rrf_k + rank) is held as *integer* micro-units so the
+    two-term sum is a bit-stable BIGINT add on any engine; a missing rank
+    contributes 0 (the full-outer join keeps docs surfaced by only one
+    retriever). Returns (doc_id, rrf_score, sparse_rank, dense_rank, rank)
+    for the fused top-k; the final global window is over ≤2N rows by
+    construction, not a corpus-scale sort."""
+    micro = lambda r: F.coalesce(
+        F.round(F.lit(1e6) / (F.lit(rrf_k) + r), 0).cast("long"), F.lit(0))
+    s = sparse.select("doc_id", F.col("rank").alias("sparse_rank"))
+    d = dense.select("doc_id", F.col("rank").alias("dense_rank"))
+    fused = (s.join(d, "doc_id", "full_outer")
+             .select("doc_id", "sparse_rank", "dense_rank",
+                     (micro(F.col("sparse_rank"))
+                      + micro(F.col("dense_rank"))).alias("micro")))
+    w = Window.orderBy(F.col("micro").desc(), "doc_id")
+    return (fused
+            .select("doc_id",
+                    F.round(F.col("micro").cast("double") / F.lit(1e6), 6)
+                    .alias("rrf_score"),
+                    F.col("sparse_rank").cast("int").alias("sparse_rank"),
+                    F.col("dense_rank").cast("int").alias("dense_rank"),
+                    F.row_number().over(w).cast("int").alias("rank"))
+            .where(F.col("rank") <= k))

@@ -1845,6 +1845,87 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq8_topk(emb, queries, k=5)
 
 
+@q("hybrid_rrf", r"""
+  WITH tok AS (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS doclen,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents),
+  tf AS (
+    SELECT doc_id, token, doclen, count(*) AS tf
+    FROM tok WHERE token IN ('spark', 'merge', 'vector')
+    GROUP BY doc_id, token, doclen),
+  stats AS (
+    SELECT count(*) AS n_docs,
+           avg(len(string_split_regex(trim(text), '\s+'))) AS avgdl
+    FROM documents),
+  dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+  bm25 AS (
+    SELECT doc_id,
+           sum(CAST(round(round(
+             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * (1.2 + 1.0))
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.doclen / s.avgdl)),
+             6) * 1e6, 0) AS BIGINT)) AS s_micro
+    FROM tf t JOIN dfreq d USING (token) CROSS JOIN stats s
+    GROUP BY doc_id),
+  bm25r AS (
+    SELECT doc_id, r_sparse FROM (
+      SELECT doc_id, row_number() OVER (
+        ORDER BY s_micro DESC, doc_id) AS r_sparse FROM bm25)
+    WHERE r_sparse <= 50),
+  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings),
+  qv AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+  dense AS (
+    SELECT vec_id, round(list_cosine_similarity(q_emb, emb), 6) AS cosine
+    FROM e CROSS JOIN qv WHERE vec_id <> 0),
+  denser AS (
+    SELECT vec_id, r_dense FROM (
+      SELECT vec_id, row_number() OVER (
+        ORDER BY cosine DESC, vec_id) AS r_dense FROM dense)
+    WHERE r_dense <= 50),
+  fused AS (
+    SELECT COALESCE(b.doc_id, d.vec_id) AS doc_id,
+           COALESCE(CAST(round(1e6 / (60 + b.r_sparse), 0) AS BIGINT), 0)
+         + COALESCE(CAST(round(1e6 / (60 + d.r_dense), 0) AS BIGINT), 0)
+           AS micro,
+           b.r_sparse, d.r_dense
+    FROM bm25r b FULL OUTER JOIN denser d ON b.doc_id = d.vec_id)
+  SELECT doc_id,
+         round(CAST(micro AS DOUBLE) / 1e6, 6) AS rrf_score,
+         CAST(r_sparse AS INTEGER) AS sparse_rank,
+         CAST(r_dense AS INTEGER) AS dense_rank,
+         CAST(row_number() OVER (ORDER BY micro DESC, doc_id) AS INTEGER)
+           AS rank
+  FROM fused ORDER BY micro DESC, doc_id LIMIT 20
+""")
+def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 for the fixed query bag fused with
+    the dense cosine top-50 around vec 0 (doc i ↔ embedding i) by
+    reciprocal-rank fusion, k=60. Both input rankings reuse the already
+    hash-green bm25_search / ann_topk scoring (per-term and per-pair
+    scores quantized 1e-6 pre-rank), and the RRF contributions are
+    integer micro-units, so the fused order is engine-exact. The final
+    window runs on ≤100 rows by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    from pyspark.sql import Window
+    sparse = ptext.bm25_search(docs, ["spark", "merge", "vector"], k=50)
+    # micro-units for the rank order: score is already round(·,6) on both
+    # engines, so comparing score*1e6 as BIGINT is the same total order
+    sw = Window.orderBy(
+        F.round(F.col("score") * 1e6, 0).cast("long").desc(), "doc_id")
+    sparse_r = sparse.select(
+        "doc_id", F.row_number().over(sw).alias("rank"))
+    q0 = (emb.where(F.col("vec_id") == 0)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    dense_r = (similarity.brute_force_topk(emb, q0, k=50)
+               .select(F.col("vec_id").alias("doc_id"), "rank"))
+    return similarity.rrf_fuse(sparse_r, dense_r, k=20, rrf_k=60)
+
+
 # ---------------------------------------------------------------------------
 # golden-model oracles: DuckDB cannot evaluate xxhash64 / the Arrow codec /
 # the crawl loop, so these oracles embed hash-dependent inputs as VALUES

@@ -1087,3 +1087,21 @@ def test_funnel_requires_strict_order(spark, tmp_path):
     got = {r["stage"]: r["n_users"]
            for r in Q.QUERIES["funnel_stages"](spark, str(tmp_path)).collect()}
     assert got == {1: 2, 2: 2, 3: 2, 4: 1}
+
+
+def test_rrf_fuse_one_sided_and_order(spark):
+    from distributed_web_crawler_spark.pipeline.similarity import rrf_fuse
+    sparse = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int")
+    dense = spark.createDataFrame(
+        [(11, 1), (13, 2)], "doc_id long, rank int")
+    got = {r["doc_id"]: r for r in rrf_fuse(sparse, dense, k=10).collect()}
+    # doc 11 in both lists: 1/(60+2) + 1/(60+1) -> top of the fused order
+    assert [d for d in sorted(got, key=lambda d: got[d]["rank"])][0] == 11
+    # one-sided docs keep a null rank on the missing side, contribute 0
+    assert got[10]["dense_rank"] is None and got[10]["sparse_rank"] == 1
+    assert got[13]["sparse_rank"] is None and got[13]["dense_rank"] == 2
+    # micro-unit scores: 1e6/61 -> 16393, 1e6/62 -> 16129
+    assert got[11]["rrf_score"] == round((16393 + 16129) / 1e6, 6)
+    assert got[10]["rrf_score"] == round(16393 / 1e6, 6)
+    assert len(got) == 4
