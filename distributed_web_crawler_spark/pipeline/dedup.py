@@ -109,14 +109,21 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
                & (F.col("a.h2") == F.col("b.h2"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
                & ratio_ok)
+        # group on the pair ids ONLY: n_a/n_b are functionally dependent
+        # on the ids, and carrying them as extra grouping columns would
+        # double the exchange key width on the dominant candidate stream.
+        # Sizes rejoin onto the (much smaller) aggregated pair table.
         .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"),
-                 F.col("a.n_sh").alias("n_a"),
-                 F.col("b.n_sh").alias("n_b"))
+                 F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
     return (
         common
+        .join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard", F.round(
             F.col("n_common") /
             (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
