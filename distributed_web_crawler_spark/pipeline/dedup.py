@@ -199,21 +199,29 @@ def minhash_lsh_verified(documents: DataFrame, num_hashes: int = 16,
                & (F.col("a.bkt") == F.col("b.bkt"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
                & ratio_ok)
+        # ids only past this point: n_a/n_b are functionally dependent on
+        # the ids, and carrying them would widen both the candidate
+        # distinct AND every row of the shingle-intersection fan-out
+        # (O(|A∩B|) rows per pair) entering the verification exchange.
+        # Sizes rejoin onto the aggregated pair table from `sigs`.
         .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("a.n_sh").alias("n_a"),
-                F.col("b.n_sh").alias("n_b"))
+                F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "h1", "h2")
     n_common = (
         cands.join(sh_a, "doc_a").join(sh_b, ["doc_b", "h1", "h2"])
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
+    sz = sigs.select("doc_id", "n_sh")
     return (
         n_common
+        .join(sz.select(F.col("doc_id").alias("doc_a"),
+                        F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"),
+                        F.col("n_sh").alias("n_b")), "doc_b")
         .withColumn("jaccard", F.round(
             F.col("n_common") /
             (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
