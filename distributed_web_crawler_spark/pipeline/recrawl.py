@@ -302,3 +302,51 @@ def fetch_latency_anomalies(orders: DataFrame,
             .select("host", "o_orderkey", "latency_ms",
                     F.round(z, 6).alias("z"))
             .where(F.abs(F.col("z")) >= z_threshold))
+
+
+def mirror_hosts(urls: DataFrame, threshold: float = 0.9,
+                 max_df: int = 64) -> DataFrame:
+    """Host-mirror detection (Bharat & Broder, WWW'99 "A comparison of
+    techniques to find mirrored hosts"): two hosts mirror each other
+    when the content-key set of one is largely CONTAINED in the
+    other's — the crawl-maintenance pass that collapses mirror sites
+    out of the frontier before they burn fetch budget (the reference
+    has no analog; its dedup is post-fetch per-page content_hash,
+    schema.cql:17 — this prevents the fetch instead).
+
+    Content key = query-stripped path (the URL shape that survives
+    mirroring); C(A→B) = |K(A)∩K(B)| / |K(A)| computed per host pair,
+    emitted when EITHER direction reaches the threshold. Keys shared
+    by more than max_df hosts are boilerplate ('/', '/index.html') and
+    are dropped — the same df-cap that bounds every fingerprint
+    self-join here to O(df²) per key.
+
+    Scale shape: keys shuffle as 128-bit md5 fingerprints, never path
+    strings; per-host set sizes and the df table are partial aggs; the
+    pair aggregation groups on (host_a, host_b) alone and sizes rejoin
+    onto the reduced pair table (the containment_pairs contract). At
+    10^7 hosts the candidate volume is Σ_key df(key)², bounded by the
+    cap — not hosts²."""
+    key = F.regexp_replace(F.col("path"), r"\?.*$", "")
+    hk = (urls.select("host", F.md5(key).alias("k")).distinct())
+    dfreq = hk.groupBy("k").agg(F.count("*").alias("df"))
+    capped = (hk.join(dfreq.where(F.col("df") <= max_df), "k")
+              .select("host", "k"))
+    sizes = capped.groupBy("host").agg(F.count("*").alias("n_keys"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (a.join(b, (F.col("a.k") == F.col("b.k"))
+                    & (F.col("a.host") < F.col("b.host")))
+             .groupBy(F.col("a.host").alias("host_a"),
+                      F.col("b.host").alias("host_b"))
+             .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("host").alias("host_a"),
+                      F.col("n_keys").alias("n_a"))
+    sb = sizes.select(F.col("host").alias("host_b"),
+                      F.col("n_keys").alias("n_b"))
+    return (pairs.join(sa, "host_a").join(sb, "host_b")
+            .select("host_a", "host_b", "n_common",
+                    F.round(F.col("n_common") / F.col("n_a"), 6)
+                    .alias("c_ab"),
+                    F.round(F.col("n_common") / F.col("n_b"), 6)
+                    .alias("c_ba"))
+            .where(F.greatest(F.col("c_ab"), F.col("c_ba")) >= threshold))

@@ -3194,6 +3194,60 @@ def trap_detection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                            1).otherwise(0).alias("is_trap")))
 
 
+@q("mirror_hosts", r"""
+  WITH urls AS (
+    SELECT 'h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+             || '.example.com' AS host,
+           CASE
+             WHEN o_custkey % 20 >= 15 THEN
+               '/' || repeat(chr(97 + CAST(o_orderkey % 26 AS INTEGER)),
+                             CAST(1 + o_orderkey % 3 AS INTEGER))
+                   || '/detail'
+             WHEN o_orderkey % 2 = 0 THEN
+               '/p/' || CAST(o_orderkey AS VARCHAR)
+               || CASE WHEN o_orderkey % 5 = 0
+                       THEN '?sess=' || CAST(o_custkey AS VARCHAR)
+                       ELSE '' END
+             ELSE '/cat/' || CAST(o_orderkey % 7 AS VARCHAR)
+                  || '/item' || CAST(o_orderkey AS VARCHAR)
+           END AS path
+    FROM orders),
+  hk AS (
+    SELECT DISTINCT host,
+           regexp_replace(path, '\?.*$', '') AS k
+    FROM urls),
+  dfreq AS (SELECT k, count(*) AS df FROM hk GROUP BY k),
+  capped AS (
+    SELECT host, hk.k FROM hk JOIN dfreq ON hk.k = dfreq.k
+    WHERE df <= 64),
+  sizes AS (SELECT host, count(*) AS n_keys FROM capped GROUP BY host),
+  pairs AS (
+    SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_common
+    FROM capped a JOIN capped b
+      ON a.k = b.k AND a.host < b.host
+    GROUP BY a.host, b.host)
+  SELECT host_a, host_b, n_common,
+         round(CAST(n_common AS DOUBLE) / sa.n_keys, 6) AS c_ab,
+         round(CAST(n_common AS DOUBLE) / sb.n_keys, 6) AS c_ba
+  FROM pairs
+  JOIN sizes sa ON pairs.host_a = sa.host
+  JOIN sizes sb ON pairs.host_b = sb.host
+  WHERE greatest(round(CAST(n_common AS DOUBLE) / sa.n_keys, 6),
+                 round(CAST(n_common AS DOUBLE) / sb.n_keys, 6)) >= 0.9
+""")
+def mirror_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-mirror detection over the synthetic frontier: the five
+    low-diversity slug hosts serve the same query-stripped path sets and
+    surface as a mirror clique (containment ≥ 0.9 in either direction);
+    /p/ and /cat/ paths are order-key-unique so non-mirror host pairs
+    never even materialize a candidate row. The frontier scheduler uses
+    these pairs to collapse mirrors BEFORE spending fetch budget
+    (Bharat & Broder WWW'99; no reference analog — its dedup is
+    post-fetch content_hash, schema.cql:17)."""
+    return precrawl.mirror_hosts(
+        precrawl.synth_urls(_t(spark, sf_dir, "orders")), threshold=0.9)
+
+
 # ---------------------------------------------------------------------------
 # recrawl / crawl-maintenance operators (pipeline/recrawl) + containment
 # ---------------------------------------------------------------------------

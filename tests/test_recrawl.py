@@ -115,3 +115,24 @@ def test_fetch_history_matches_modular_rule(docs):
     per = {d: max(r.fetch_idx for r in rows if r.doc_id == d) for d in n}
     for d, k in per.items():
         assert k == 3 + d % 4
+
+
+def test_mirror_hosts_containment_and_df_cap(spark):
+    from distributed_web_crawler_spark.pipeline.recrawl import mirror_hosts
+    rows = []
+    # m1/m2 mirror each other on 4 shared paths (m2 has 1 extra);
+    # every host serves '/' (boilerplate, df=4 > max_df=3 -> dropped)
+    for p in ["/a", "/b", "/c?sess=1", "/d"]:
+        rows += [("m1.com", 0, 0, p), ("m2.com", 1, 0, p)]
+    rows += [("m2.com", 1, 0, "/extra")]
+    rows += [("solo.com", 2, 0, "/x"), ("other.com", 3, 0, "/y")]
+    rows += [(h, i, 0, "/") for i, h in
+             enumerate(["m1.com", "m2.com", "solo.com", "other.com"])]
+    urls = spark.createDataFrame(
+        rows, "host string, node long, depth long, path string")
+    got = {(r["host_a"], r["host_b"]): r
+           for r in mirror_hosts(urls, threshold=0.9, max_df=3).collect()}
+    # '/' dropped by the cap; '/c?sess=1' and '/c' collapse to one key
+    assert set(got) == {("m1.com", "m2.com")}
+    r = got[("m1.com", "m2.com")]
+    assert r["n_common"] == 4 and r["c_ab"] == 1.0 and r["c_ba"] == 0.8
