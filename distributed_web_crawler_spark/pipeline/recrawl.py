@@ -350,3 +350,73 @@ def mirror_hosts(urls: DataFrame, threshold: float = 0.9,
                     F.round(F.col("n_common") / F.col("n_b"), 6)
                     .alias("c_ba"))
             .where(F.greatest(F.col("c_ab"), F.col("c_ba")) >= threshold))
+
+
+def fetch_observations(orders: DataFrame) -> DataFrame:
+    """Synthetic last-round fetch telemetry: (host, latency_ms, failed)
+    per fetch, same deterministic integer synthesis as
+    fetch_latency_anomalies plus a 1/23 failure flag."""
+    okey, ckey = F.col("o_orderkey"), F.col("o_custkey")
+    host = F.concat(F.lit("h"),
+                    F.lpad((ckey % N_HOSTS).cast("string"), 4, "0"),
+                    F.lit(".example.com"))
+    lat = (F.lit(50) + (okey * 13 + ckey * 7) % 2000
+           + F.when(okey % 97 == 0, F.lit(5000)).otherwise(F.lit(0)))
+    return orders.select(
+        host.alias("host"), lat.alias("latency_ms"),
+        F.when(okey % 23 == 0, F.lit(1)).otherwise(F.lit(0))
+        .alias("failed"))
+
+
+def adaptive_host_budget(observations: DataFrame, base_budget: int = 64,
+                         target_ms: int = 1500, min_budget: int = 4,
+                         max_budget: int = 256,
+                         add_step: int = 8) -> DataFrame:
+    """AIMD per-host politeness budget from observed fetch telemetry —
+    the feedback loop between one round's (latency, failure) receipts
+    and the NEXT round's per-host budget, completing the politeness
+    stack: static budget (F5) → robots Crawl-delay override → this
+    server-health adaptation. Reference analog: crawl_state.crawl_delay
+    (/root/reference/schema.cql:19-24) is a static field; real crawlers
+    adapt it (multiplicative decrease on failure, as in TCP AIMD).
+
+    Rules, evaluated in order per host over (n, err_cnt, p95_ms):
+      err_cnt*10 > n        → halve       (error rate above 10%)
+      p95_ms > target_ms    → base*target/p95 (proportional backoff)
+      otherwise             → base + add_step (additive increase)
+    clamped to [min_budget, max_budget]. p95 is the DISCRETE rank
+    statistic at ceil(0.95·n) — computed as (19n+19) div 20 — over the
+    latency order, and every rule is integer arithmetic on integer
+    telemetry: the output is engine-exact with no float contract.
+
+    Scale shape: one shuffle total. The rank statistic uses a per-host
+    window over the observation partition (partitionBy host), and the
+    per-host aggregate rides the SAME clustering, so Catalyst plans a
+    single exchange; output is one row per host. Returns
+    (host, n_obs, err_cnt, p95_ms, next_budget)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("host").orderBy("latency_ms")
+    wall = Window.partitionBy("host")
+    ranked = observations.select(
+        "host", "latency_ms", "failed",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("failed").over(wall).alias("err_cnt"))
+    p95 = (ranked
+           .where(F.col("rn")
+                  == F.floor((F.col("n") * 19 + 19) / F.lit(20)))
+           .select("host", F.col("latency_ms").alias("p95_ms"),
+                   F.col("n").alias("n_obs"), "err_cnt"))
+    # integer-div semantics spelled as floor-of-positive-quotient: Spark
+    # truncates double→long casts while other engines round, so the
+    # floor happens explicitly BEFORE any cast on both sides
+    nxt = (F.when(F.col("err_cnt") * 10 > F.col("n_obs"),
+                  F.lit(base_budget // 2))
+           .when(F.col("p95_ms") > target_ms,
+                 F.floor(F.lit(base_budget * target_ms)
+                         / F.col("p95_ms")))
+           .otherwise(F.lit(base_budget + add_step))).cast("long")
+    clamped = F.greatest(F.lit(min_budget),
+                         F.least(F.lit(max_budget), nxt))
+    return p95.select("host", "n_obs", "err_cnt", "p95_ms",
+                      clamped.alias("next_budget"))

@@ -3248,6 +3248,42 @@ def mirror_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         precrawl.synth_urls(_t(spark, sf_dir, "orders")), threshold=0.9)
 
 
+@q("adaptive_budget", r"""
+  WITH obs AS (
+    SELECT 'h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+             || '.example.com' AS host,
+           50 + (o_orderkey * 13 + o_custkey * 7) % 2000
+             + CASE WHEN o_orderkey % 97 = 0 THEN 5000 ELSE 0 END
+             AS latency_ms,
+           CASE WHEN o_orderkey % 23 = 0 THEN 1 ELSE 0 END AS failed
+    FROM orders),
+  ranked AS (
+    SELECT host, latency_ms, failed,
+           row_number() OVER (PARTITION BY host ORDER BY latency_ms)
+             AS rn,
+           count(*) OVER (PARTITION BY host) AS n,
+           sum(failed) OVER (PARTITION BY host) AS err_cnt
+    FROM obs),
+  p95 AS (
+    SELECT host, latency_ms AS p95_ms,
+           CAST(n AS BIGINT) AS n_obs, CAST(err_cnt AS BIGINT) AS err_cnt
+    FROM ranked WHERE rn = (n * 19 + 19) // 20)
+  SELECT host, n_obs, err_cnt, CAST(p95_ms AS BIGINT) AS p95_ms,
+         CAST(greatest(4, least(256,
+           CASE WHEN err_cnt * 10 > n_obs THEN 32
+                WHEN p95_ms > 1500 THEN (64 * 1500) // p95_ms
+                ELSE 72 END)) AS BIGINT) AS next_budget
+  FROM p95
+""")
+def adaptive_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIMD per-host politeness budget from last-round fetch telemetry:
+    error rate > 10% halves, p95 latency over target backs off
+    proportionally, healthy hosts gain additively — all integer
+    arithmetic over integer telemetry, engine-exact."""
+    return precrawl.adaptive_host_budget(
+        precrawl.fetch_observations(_t(spark, sf_dir, "orders")))
+
+
 # ---------------------------------------------------------------------------
 # recrawl / crawl-maintenance operators (pipeline/recrawl) + containment
 # ---------------------------------------------------------------------------

@@ -136,3 +136,27 @@ def test_mirror_hosts_containment_and_df_cap(spark):
     assert set(got) == {("m1.com", "m2.com")}
     r = got[("m1.com", "m2.com")]
     assert r["n_common"] == 4 and r["c_ab"] == 1.0 and r["c_ba"] == 0.8
+
+
+def test_adaptive_budget_aimd_branches(spark):
+    from distributed_web_crawler_spark.pipeline.recrawl import (
+        adaptive_host_budget)
+    rows = []
+    # sick.com: 20 obs, 3 failures (15% > 10%) -> halve to 32
+    rows += [("sick.com", 100 + i, 1 if i < 3 else 0) for i in range(20)]
+    # slow.com: 20 obs, no failures, p95 = rank ceil(0.95*20)=19th value
+    # of 1000,1100,...,2900 -> 2800 > 1500 -> floor(64*1500/2800) = 34
+    rows += [("slow.com", 1000 + 100 * i, 0) for i in range(20)]
+    # ok.com: healthy -> 64 + 8 = 72
+    rows += [("ok.com", 200 + i, 0) for i in range(20)]
+    # tarpit.com: p95 huge -> floor(96000/50000)=1, clamped to min 4
+    rows += [("tarpit.com", 50000 + i, 0) for i in range(20)]
+    obs = spark.createDataFrame(
+        rows, "host string, latency_ms long, failed int")
+    got = {r["host"]: r for r in adaptive_host_budget(obs).collect()}
+    assert got["sick.com"]["next_budget"] == 32
+    assert got["slow.com"]["p95_ms"] == 2800
+    assert got["slow.com"]["next_budget"] == 34
+    assert got["ok.com"]["next_budget"] == 72
+    assert got["tarpit.com"]["next_budget"] == 4
+    assert got["sick.com"]["err_cnt"] == 3
