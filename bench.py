@@ -50,6 +50,8 @@ HEADLINE = [
 EXTRAS = [
     "ann_sq8_topk",          # quantized-corpus ANN (int8 scan path)
     "hybrid_rrf",            # BM25 ⊕ dense-cosine reciprocal-rank fusion
+    "mirror_hosts",          # host-pair containment mirror detection
+    "adaptive_budget",       # AIMD politeness budget from telemetry
     "ann_ivf_sq8_topk",      # IVF probe over int8 inverted lists
     "ann_pq_topk",           # PQ codes + ADC distance-table scan
     "ann_ivf_pq_topk",       # IVF probe over byte-code inverted lists

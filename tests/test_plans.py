@@ -306,3 +306,14 @@ def test_lang_source_pivot_no_distinct_collect_job(spark):
     assert after == before, "pivot ran a driver-blocking distinct job"
     plan = _plan(df)
     assert "partial_pivot" in plan or "partial_count" in plan, plan[:2000]
+
+
+def test_adaptive_budget_single_exchange(spark):
+    """The discrete-rank p95 window and the per-host aggregates share
+    the host clustering, so the whole AIMD budget computation must plan
+    exactly ONE hash exchange (shuffle by host)."""
+    plan = _plan(Q.QUERIES["adaptive_budget"](spark, SF))
+    import re
+    n = len(re.findall(r"Exchange (?:hash|range)partitioning"
+                       r"|Exchange SinglePartition", plan))
+    assert n == 1, f"expected 1 exchange, found {n}:\n{plan[:2000]}"
