@@ -34,7 +34,8 @@ from ..config import CrawlConfig
 
 
 def apply_politeness(frontier: DataFrame, cfg: CrawlConfig,
-                     robots: DataFrame | None = None) -> DataFrame:
+                     robots: DataFrame | None = None,
+                     overrides: DataFrame | None = None) -> DataFrame:
     """Tag PASS rows beyond the per-host budget as DEFER_POLITENESS (or
     REJECT_POLITENESS when delay-retry is disabled, mirroring
     enableDelayRetry at core/WebCrawler.java:254).
@@ -44,6 +45,14 @@ def apply_politeness(frontier: DataFrame, cfg: CrawlConfig,
     budget min(host_budget_per_round, ceil(round_seconds / delay)) — the
     batch analog of the reference's crawl_state.crawl_delay intent
     (schema.cql:19-24). Absent/invalid delay ⇒ the configured budget.
+
+    ``overrides`` (optional, broadcast) carries per-host
+    ``next_budget`` rows — the integration seam for
+    pipeline.recrawl.adaptive_host_budget's AIMD output (or any other
+    budget policy). An override can only TIGHTEN the effective budget
+    (least of the tiers, floored at 1): politeness layers compose by
+    minimum, never relax each other. No caller in the crawl loop
+    passes one yet, so flagship golden parity is untouched.
 
     Salted partial top-K, so no single task ever sorts a whole mega-host:
     stage 1 ranks PASS rows within (host, salt) — a row outside its salt's
@@ -77,6 +86,20 @@ def apply_politeness(frontier: DataFrame, cfg: CrawlConfig,
         budget = F.col("_budget")
     else:
         budget = base
+    if overrides is not None:
+        ov = overrides.select("host",
+                              F.col("next_budget").alias("_ov_budget"))
+        frontier = (frontier.join(F.broadcast(ov), "host", "left")
+                    .withColumn(
+                        "_budget",
+                        F.when(F.col("_ov_budget").isNotNull(),
+                               F.greatest(F.lit(1),
+                                          F.least(budget,
+                                                  F.col("_ov_budget")
+                                                  .cast("int"))))
+                        .otherwise(budget))
+                    .drop("_ov_budget"))
+        budget = F.col("_budget")
     return _enforce_budget(frontier, "host", budget, over,
                            cfg.politeness_salts).drop("_budget")
 

@@ -123,3 +123,29 @@ def test_domain_cap_plan_has_no_global_sort(spark):
     assert "Window" in plan
     # no `Exchange SinglePartition` feeding a Window (global-sort smell)
     assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_budget_override_tightens_never_relaxes(spark):
+    """An AIMD override must cap the effective budget at min(tiers),
+    floored at 1; hosts without an override keep the configured base;
+    an override LARGER than the base must not relax it."""
+    from distributed_web_crawler_spark.operators.politeness import (
+        apply_politeness)
+    rows = []
+    for host in ("sick.com", "ok.com", "big.com"):
+        for p in range(5):
+            rows.append((f"http://{host}/p/{p}", host, p, "PASS"))
+    frontier = spark.createDataFrame(rows, SCHEMA)
+    overrides = spark.createDataFrame(
+        [("sick.com", 2), ("big.com", 99), ("absent.com", 1)],
+        "host string, next_budget long")
+    cfg = CrawlConfig(host_budget_per_round=3)
+    got = apply_politeness(frontier, cfg, overrides=overrides).collect()
+    passed = {}
+    for r in got:
+        if r["decision"] == "PASS":
+            passed.setdefault(r["host"], 0)
+            passed[r["host"]] += 1
+    assert passed == {"sick.com": 2,   # tightened 3 -> 2
+                      "ok.com": 3,     # no override -> base
+                      "big.com": 3}    # 99 cannot relax the base
