@@ -60,6 +60,13 @@ class CrawlConfig:
     # maintenance pass; buckets = pmod(xxhash64(key), seen_state_buckets).
     compact_every_rounds: int = 8
     seen_state_buckets: int = 32
+    # URL-seen filter backend: "bloom" (default; OR-mergeable, smallest
+    # bytes) or "cuckoo" (functions/cuckoo.py; supports DELETE so recrawl
+    # maintenance can evict retired URLs without a rebuild). The backend
+    # is a per-store commitment — filter bytes persist across rounds, so
+    # never flip it on an existing store.
+    url_seen_backend: str = "bloom"
+    cuckoo_buckets_per_shard: int = 1 << 15
 
     # second politeness tier at registered-domain (eTLD+1) grain: after
     # the per-host budget, at most this many fetches per registered

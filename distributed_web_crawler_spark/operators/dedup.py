@@ -27,12 +27,29 @@ from pyspark.sql import types as T
 
 from ..config import CrawlConfig
 from ..functions import bloom as B
+from ..functions import cuckoo as C
 
 URL_SEEN_FILTER_SCHEMA = T.StructType([
     T.StructField("shard", T.IntegerType()),
     T.StructField("filter_bytes", T.BinaryType()),
     T.StructField("n_items", T.LongType()),
 ])
+
+
+def _seen_backend(cfg: CrawlConfig):
+    """(empty, insert, probe) closures for the configured URL-seen filter
+    backend — bloom (default) or cuckoo (delete-capable). Both share the
+    shard/cogroup plumbing and the positives-re-checked-exactly contract,
+    so the engine result is backend-independent bit-for-bit."""
+    if cfg.url_seen_backend == "cuckoo":
+        nb = cfg.cuckoo_buckets_per_shard
+        return (lambda: C.empty_filter(nb),
+                lambda fb, h1, h2: C.insert(fb, h1, h2, nb),
+                lambda fb, h1, h2: C.probe(fb, h1, h2, nb))
+    m, k = cfg.bloom_bits_per_shard, cfg.bloom_num_hashes
+    return (lambda: B.empty_filter(m),
+            lambda fb, h1, h2: B.insert(fb, h1, h2, m, k),
+            lambda fb, h1, h2: B.probe(fb, h1, h2, m, k))
 
 
 def content_hash_col() -> F.Column:
@@ -115,12 +132,12 @@ def build_bloom_shards(keys: DataFrame, cfg: CrawlConfig,
     pure numpy bit math. Extension is ONE cogroup pass — new keys insert
     directly into their shard's existing filter bytes (no separate
     build-then-merge stage); shards with no new keys pass through."""
-    m, k = cfg.bloom_bits_per_shard, cfg.bloom_num_hashes
+    f_empty, f_insert, _ = _seen_backend(cfg)
     hashed = with_key_hashes(keys.select(key), cfg.url_seen_shards, key)
 
     def build(gkey, pdf: pd.DataFrame) -> pd.DataFrame:
-        filt = B.insert(B.empty_filter(m), pdf["_h1"].to_numpy(),
-                        pdf["_h2"].to_numpy(), m, k)
+        filt = f_insert(f_empty(), pdf["_h1"].to_numpy(),
+                        pdf["_h2"].to_numpy())
         return pd.DataFrame({"shard": [gkey[0]], "filter_bytes": [filt],
                              "n_items": [len(pdf)]})
 
@@ -134,11 +151,11 @@ def build_bloom_shards(keys: DataFrame, cfg: CrawlConfig,
             prior = int(filt["n_items"].iloc[0])
             shard = int(filt["shard"].iloc[0])
         else:
-            base, prior = B.empty_filter(m), 0
+            base, prior = f_empty(), 0
             shard = int(cand["shard"].iloc[0])
         if len(cand) > 0:
-            base = B.insert(base, cand["_h1"].to_numpy(),
-                            cand["_h2"].to_numpy(), m, k)
+            base = f_insert(base, cand["_h1"].to_numpy(),
+                            cand["_h2"].to_numpy())
         return pd.DataFrame({"shard": [shard], "filter_bytes": [base],
                              "n_items": [prior + len(cand)]})
 
@@ -156,7 +173,7 @@ def probe_bloom_shards(candidates: DataFrame, blooms: DataFrame,
     replicated per row (an equi-join would materialize |candidates| ×
     filter_size), never through the driver, so 4096 × 4 MiB of filter
     state stays distributed at 10^10 scale."""
-    m, k = cfg.bloom_bits_per_shard, cfg.bloom_num_hashes
+    _, _, f_probe = _seen_backend(cfg)
     hashed = with_key_hashes(candidates, cfg.url_seen_shards, key)
     probe_schema = T.StructType(
         hashed.schema.fields + [T.StructField("_maybe_seen", T.BooleanType())])
@@ -166,9 +183,9 @@ def probe_bloom_shards(candidates: DataFrame, blooms: DataFrame,
         if len(filt) == 0:
             out["_maybe_seen"] = False
         else:
-            out["_maybe_seen"] = B.probe(
+            out["_maybe_seen"] = f_probe(
                 bytes(filt["filter_bytes"].iloc[0]),
-                cand["_h1"].to_numpy(), cand["_h2"].to_numpy(), m, k)
+                cand["_h1"].to_numpy(), cand["_h2"].to_numpy())
         return out
 
     return (hashed.groupBy("shard")
