@@ -164,6 +164,44 @@ def build_bloom_shards(keys: DataFrame, cfg: CrawlConfig,
             .applyInPandas(extend, URL_SEEN_FILTER_SCHEMA))
 
 
+def evict_filter_shards(filters: DataFrame, keys: DataFrame,
+                        cfg: CrawlConfig, key: str = "url") -> DataFrame:
+    """Seen-state eviction: remove ``keys`` from their shard's filter —
+    the maintenance pass that lets a recrawl scheduler or mirror collapse
+    retire URLs so they become fetchable again WITHOUT rebuilding the
+    filter table. Cuckoo backend only (bloom bits are shared between
+    keys; deleting would corrupt other keys' membership — callers on the
+    bloom backend rebuild via build_bloom_shards instead). Same one-pass
+    cogroup shape as build/extend: each shard's bytes cross the shuffle
+    once; shards with no evictions pass through untouched. Callers must
+    also delete the rows from the exact seen table (the filter is only
+    the probe front)."""
+    if cfg.url_seen_backend != "cuckoo":
+        raise ValueError("filter eviction requires url_seen_backend="
+                         "'cuckoo'; bloom filters cannot delete — "
+                         "rebuild with build_bloom_shards instead")
+    nb = cfg.cuckoo_buckets_per_shard
+    hashed = with_key_hashes(keys.select(key), cfg.url_seen_shards, key)
+
+    def evict(cand: pd.DataFrame, filt: pd.DataFrame) -> pd.DataFrame:
+        if len(filt) == 0:
+            return pd.DataFrame({"shard": [], "filter_bytes": [],
+                                 "n_items": []}).astype(
+                {"shard": "int32", "n_items": "int64"})
+        base = bytes(filt["filter_bytes"].iloc[0])
+        shard = int(filt["shard"].iloc[0])
+        prior = int(filt["n_items"].iloc[0])
+        if len(cand) > 0:
+            base = C.delete(base, cand["_h1"].to_numpy(),
+                            cand["_h2"].to_numpy(), nb)
+        return pd.DataFrame({"shard": [shard], "filter_bytes": [base],
+                             "n_items": [max(0, prior - len(cand))]})
+
+    return (hashed.groupBy("shard")
+            .cogroup(filters.groupBy("shard"))
+            .applyInPandas(evict, URL_SEEN_FILTER_SCHEMA))
+
+
 def probe_bloom_shards(candidates: DataFrame, blooms: DataFrame,
                        cfg: CrawlConfig, key: str = "url") -> DataFrame:
     """Tag each candidate row with ``_maybe_seen`` from its shard's filter.

@@ -113,3 +113,32 @@ def test_crawl_golden_parity_on_cuckoo_backend(spark, tmp_path):
     c.bootstrap(seeds)
     c.run()
     assert c.visit_sequence() == golden_crawl(seeds, cfg, synth).visits
+
+
+def test_evict_makes_urls_fetchable_again(spark):
+    from distributed_web_crawler_spark.operators.dedup import (
+        evict_filter_shards)
+    cfg = CrawlConfig(url_seen_shards=4, url_seen_backend="cuckoo",
+                      cuckoo_buckets_per_shard=1 << 10)
+    urls = [(f"http://h{i % 5}.example.com/p/{i}",) for i in range(300)]
+    seen = spark.createDataFrame(urls, "url string")
+    filters = build_bloom_shards(seen, cfg)
+    retire = spark.createDataFrame(urls[:120], "url string")
+    keep_seen = spark.createDataFrame(urls[120:], "url string")
+    # evict from the filter AND from the exact table (the caller contract)
+    filters2 = evict_filter_shards(filters, retire, cfg)
+    got = {r["url"] for r in
+           filter_unseen_urls(seen, keep_seen, filters2, cfg).collect()}
+    assert got == {u for (u,) in urls[:120]}  # retired URLs fetchable again
+    n = {r["shard"]: r["n_items"] for r in filters2.collect()}
+    assert sum(n.values()) == 180
+
+
+def test_evict_on_bloom_backend_raises(spark):
+    from distributed_web_crawler_spark.operators.dedup import (
+        evict_filter_shards)
+    cfg = CrawlConfig(url_seen_shards=4)
+    seen = spark.createDataFrame([("http://a.com/1",)], "url string")
+    filters = build_bloom_shards(seen, cfg)
+    with pytest.raises(ValueError, match="cuckoo"):
+        evict_filter_shards(filters, seen, cfg)
