@@ -67,6 +67,12 @@ class CrawlConfig:
     # never flip it on an existing store.
     url_seen_backend: str = "bloom"
     cuckoo_buckets_per_shard: int = 1 << 15
+    # AIMD politeness feedback: hosts whose previous round had a >10%
+    # fetch-failure rate get max(1, host_budget_per_round // 2) this
+    # round (tightening only — composes with Crawl-delay by minimum);
+    # a healthy round restores the base budget automatically. Mirrored
+    # by the golden model.
+    adaptive_budget: bool = False
 
     # second politeness tier at registered-domain (eTLD+1) grain: after
     # the per-host budget, at most this many fetches per registered

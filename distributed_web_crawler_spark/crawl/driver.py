@@ -278,6 +278,29 @@ class Crawler:
                                   existing=state.hash_blooms,
                                   key="content_hash")
 
+    def _adaptive_overrides(self, r: int):
+        """AIMD politeness feedback (cfg.adaptive_budget): hosts whose
+        PREVIOUS round had a >10% fetch-failure rate get their budget
+        halved this round (tightening only; recovery is automatic — a
+        healthy round emits no row, so the host returns to the base /
+        Crawl-delay budget next round). Derives from the committed
+        round-(r-1) pages table — a slim (host, fetched) column-pruned
+        scan — so the signal is identical on resume. Mirrored by
+        golden.golden_crawl for visit-sequence parity."""
+        if not self.cfg.adaptive_budget or r < 1:
+            return None
+        prev_root = self.store.round_dir("pages", r - 1)
+        if not os.path.isdir(prev_root):
+            return None
+        prev = self.spark.read.parquet(prev_root)
+        half = max(1, self.cfg.host_budget_per_round // 2)
+        agg = (prev.groupBy("host")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(F.col("fetched"), 0).otherwise(1))
+                    .alias("fails")))
+        return (agg.where(F.col("fails") * 10 > F.col("n"))
+                .select("host", F.lit(half).alias("next_budget")))
+
     def run(self, max_rounds: int | None = None) -> dict:
         """Process rounds from the last committed marker until the frontier
         drains or max_rounds is reached. Returns throughput stats."""
@@ -318,7 +341,8 @@ class Crawler:
             plan = _timed("plan", lambda: build_fetch(
                 self.spark, frontier, state,
                 self.cfg, self.fetcher, self.synth_cfg, r, pages_dir,
-                robots_fetcher=self.robots_fetcher))
+                robots_fetcher=self.robots_fetcher,
+                overrides=self._adaptive_overrides(r)))
             # the action: workers sink their shard and return a receipt row
             receipts = _timed("fetch_write", lambda: plan.fetched.collect())
             if not any(f.endswith(".parquet")

@@ -102,10 +102,15 @@ def _tagged(df: DataFrame, metric: str) -> DataFrame:
 def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
                 cfg: CrawlConfig, fetcher, synth_cfg,
                 round_no: int, pages_dir: str,
-                robots_fetcher=None) -> FetchPlan:
+                robots_fetcher=None, overrides=None) -> FetchPlan:
     """Phase A: decision chain + fetch. The returned `fetched` plan is the
     SLIM fetch result; its execution sinks payload shards to ``pages_dir``
-    from inside the Arrow workers (operators/extract.fetch_pages_sink)."""
+    from inside the Arrow workers (operators/extract.fetch_pages_sink).
+
+    ``overrides`` (optional): per-host (host, next_budget) budget caps —
+    the AIMD feedback computed by the driver from the PREVIOUS round's
+    fetch outcomes (cfg.adaptive_budget); composes with the Crawl-delay
+    tier by minimum inside apply_politeness."""
     ts = cfg.round_ts_ms(round_no)
     next_ts = cfg.round_ts_ms(round_no + 1)
 
@@ -125,7 +130,8 @@ def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
     # each branch would re-scan the frontier + redo the robots join
     gated_rob = filter_robots(gated, robots_full).persist()
     decided = apply_domain_cap(
-        apply_politeness(gated_rob, cfg, robots=robots_full), cfg)
+        apply_politeness(gated_rob, cfg, robots=robots_full,
+                         overrides=overrides), cfg)
     decided = decided.persist()  # slim rows; consumed by 3 branches below
 
     selected = decided.where(F.col("decision") == "PASS")

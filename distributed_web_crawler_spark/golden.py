@@ -81,6 +81,10 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
     seen_hashes: set[str] = set()
     robots_cache: dict[str, list[str]] = {}
     delay_cache: dict[str, float | None] = {}
+    # AIMD mirror (cfg.adaptive_budget): previous round's per-host
+    # (attempts, failures) — the engine derives the same signal from the
+    # committed round-(r-1) pages table (driver._adaptive_overrides)
+    prev_fetch_stats: dict[str, list[int]] = {}
     out = GoldenResult(visits=[], stored_urls=set(), stored_hashes=seen_hashes)
 
     for r in range(max_rounds):
@@ -134,6 +138,11 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
             if delay is not None and delay > 0:
                 budget = min(budget,
                              max(1, math.ceil(cfg.round_seconds / delay)))
+            if cfg.adaptive_budget:
+                n, fails = prev_fetch_stats.get(host, (0, 0))
+                if fails * 10 > n:   # >10% failures last round → halve
+                    budget = max(1, min(
+                        budget, max(1, cfg.host_budget_per_round // 2)))
             selected.extend(qs[:budget])
             over = qs[budget:]
             if cfg.enable_delay_retry:
@@ -168,10 +177,14 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
 
         # --- fetch + D1/D2 dedup + store, canonical order -------------------
         children_cand: dict[str, tuple[int, str]] = {}
+        round_stats: dict[str, list[int]] = {}
         for q in sorted(selected, key=lambda q: (q.priority, q.host, q.url)):
+            stat = round_stats.setdefault(q.host, [0, 0])
+            stat[0] += 1                                   # attempts
             page = page_for_url(q.url, synth)
             if page is None:
                 counts["fetch_failed"] += 1
+                stat[1] += 1                               # failures
                 continue                                   # fetch failure
             counts["fetched"] += 1
             chash = content_hash_py(page["bytes"], page["caption"])
@@ -214,5 +227,6 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
         out.lineage.append({"round": r,
                             **{k: v for k, v in counts.items() if v > 0}})
         frontier = deferred + new_reqs
+        prev_fetch_stats = round_stats
 
     return out

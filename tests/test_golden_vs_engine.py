@@ -365,3 +365,38 @@ def test_snapshot_store_satisfies_round_catalog():
     with tempfile.TemporaryDirectory() as d:
         store = SnapshotStore(d)
         assert isinstance(store, RoundCatalog)
+
+
+def test_adaptive_budget_golden_parity_and_bites(spark, tmp_path):
+    """AIMD politeness feedback (cfg.adaptive_budget): a host with >10%
+    fetch failures in round r-1 is budget-halved in round r. The rule
+    must (a) actually change the crawl on this web (golden on vs off
+    differ — the test has power) and (b) keep engine/golden visit
+    parity with the feedback loop closed through the committed pages
+    table, including across a resume."""
+    from dataclasses import replace as dc_replace
+
+    synth = SynthWebConfig(n_hosts=8, base_pages_per_host=20)
+    cfg = CrawlConfig(max_depth=3, host_budget_per_round=4, max_rounds=5,
+                      allowed_domains=(r".*\.example\.com",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12,
+                      adaptive_budget=True)
+    seeds = W.seed_urls(synth, 4)
+    g_on = golden_crawl(seeds, cfg, synth)
+    g_off = golden_crawl(seeds, dc_replace(cfg, adaptive_budget=False),
+                         synth)
+    assert g_on.visits != g_off.visits, \
+        "adaptive budget never fired - test has no power"
+
+    c = Crawler(spark, cfg, synth, str(tmp_path / "s1"))
+    c.bootstrap(seeds)
+    c.run()
+    assert c.visit_sequence() == g_on.visits
+
+    # resume: the overrides recompute identically from committed pages
+    c2 = Crawler(spark, cfg, synth, str(tmp_path / "s2"))
+    c2.bootstrap(seeds)
+    c2.run(max_rounds=2)
+    c2b = Crawler(spark, cfg, synth, str(tmp_path / "s2"))
+    c2b.run()
+    assert c2b.visit_sequence() == g_on.visits
