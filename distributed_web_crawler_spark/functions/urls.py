@@ -281,3 +281,48 @@ def canonicalize_url(url: Column) -> Column:
     return F.concat(scheme, F.lit("://"), host, path,
                     F.when(query == "", F.lit(""))
                     .otherwise(F.concat(F.lit("?"), query)))
+
+
+# URL category blocklist (UT1 / Shallalist shape): production crawlers
+# front the frontier with a category list of host suffixes and path
+# prefixes (adult/ads/malware/...) so blocked trees never consume fetch
+# budget. The reference has only the allow/exclude regex gates
+# (core/WebCrawler.java:218-238); a category list is the operational
+# form those gates take at fleet scale.
+
+def blocklist_category(url: Column,
+                       rules: tuple[tuple[str, str, str], ...]) -> Column:
+    """First-match-wins blocklist category for an absolute URL, or null.
+
+    ``rules`` is an ordered tuple of (category, host_suffix, path_prefix):
+    a URL matches when its host equals the suffix or ends with
+    '.'+suffix, AND its path starts with path_prefix ('' = any path).
+    Earlier rules win, so callers put specific exemptions first (the
+    UT1 convention).
+
+    Scale shape: like `registered_domain_of` this is ONE aggregate fold
+    over a literal rules array — split + endswith per rule, entirely
+    map-side inside whole-stage codegen; no join, no shuffle, no UDF.
+    A real 3M-entry UT1 list would swap the literal array for a
+    broadcast join on the host key; the fold is the ≤~10k-rule tier.
+    Rules must not contain tab characters (the fold's field separator).
+    """
+    host = host_of(url)
+    path = F.coalesce(path_of(url), F.lit(""))
+    enc = [f"{cat}\t{suf}\t{pre}" for cat, suf, pre in rules]
+    for r in enc:
+        assert r.count("\t") == 2, f"tab inside blocklist rule: {r!r}"
+
+    def _field(r: Column, i: int) -> Column:
+        return F.element_at(F.split(r, "\t"), i)
+
+    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
+        F.aggregate(
+            F.lit(enc), F.lit(None).cast("string"),
+            lambda acc, r: F.coalesce(
+                acc,
+                F.when(
+                    ((host == _field(r, 2)) |
+                     F.endswith(host, F.concat(F.lit("."), _field(r, 2)))) &
+                    F.startswith(path, _field(r, 3)),
+                    _field(r, 1)))))

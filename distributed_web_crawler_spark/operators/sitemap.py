@@ -70,3 +70,37 @@ def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
                  .alias("_w"))
             .select("host", "url", F.col("_w.lastmod").alias("lastmod"),
                     F.col("_w.priority").alias("priority")))
+
+
+def robots_sitemap_urls(robots: DataFrame, host_col: str = "host",
+                        robots_col: str = "robots_txt") -> DataFrame:
+    """Discover sitemap locations from robots.txt `Sitemap:` directives.
+
+    Per the sitemaps.org protocol (and RFC 9309 §2.3's allowance for
+    non-group records), `Sitemap:` lines are case-insensitive, live
+    outside user-agent groups, may appear multiple times, and carry an
+    ABSOLUTE URL — a relative value is invalid and dropped. Cross-host
+    values are legal here (robots.txt is exactly how cross-host sitemap
+    submission is authorized), so unlike `parse_sitemaps` no same-host
+    check applies. Output: one (host, sitemap_url) row per distinct
+    directive, first-seen document order collapsed by min line index.
+
+    Scale shape: split/filter/transform over the robots text column ride
+    the scan (map-only, codegen); the only exchange is the per-host
+    distinct on (host, sitemap_url) — robots tables are host-grain, so
+    that aggregation is tiny next to any frontier."""
+    lines = F.split(F.col(robots_col), "\n")
+    directives = F.filter(
+        lines, lambda l: F.trim(l).rlike("(?i)^sitemap\\s*:"))
+    urls = F.transform(
+        directives,
+        lambda l: F.trim(F.regexp_replace(F.trim(l),
+                                          "(?i)^sitemap\\s*:", "")))
+    from ..functions.urls import is_http_url
+    exploded = (robots
+                .select(F.col(host_col).alias("host"),
+                        F.posexplode(urls).alias("line_idx", "sitemap_url"))
+                .where(is_http_url(F.col("sitemap_url"))))
+    return (exploded.groupBy("host", "sitemap_url")
+            .agg(F.min("line_idx").alias("_first"))
+            .select("host", "sitemap_url"))

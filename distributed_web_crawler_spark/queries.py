@@ -4340,3 +4340,105 @@ def robots_semantics_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("rep_blocked"),
                  F.sum((F.col("substr_blocked") != F.col("rep_blocked"))
                        .cast("long")).cast("long").alias("diverging")))
+
+
+# ---------------------------------------------------------------------------
+# URL category blocklist (functions/urls.blocklist_category): the UT1-style
+# operational form of the reference's allow/exclude gates
+# (core/WebCrawler.java:218-238) — category host-suffix/path-prefix rules,
+# first match wins, folded map-side like the PSL (no join/shuffle/UDF).
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST_RULES = (
+    ("ok", "h0003.example.com", "/p/1"),       # exemption: earlier rule wins
+    ("adult", "h0003.example.com", ""),
+    ("ads", "example.com", "/p/7"),            # suffix rule: any subdomain
+    ("tracker", "h0007.example.com", ""),
+)
+
+
+@q("blocklist_gate", f"""
+  WITH fr AS ({_FRONTIER_SQL}),
+  p AS (SELECT url, host,
+               regexp_extract(url, 'example\\.com(/.*)$', 1) AS path
+        FROM fr),
+  cat AS (
+    SELECT url, host,
+      CASE
+        WHEN host = 'h0003.example.com' AND starts_with(path, '/p/1')
+          THEN 'ok'
+        WHEN host = 'h0003.example.com' THEN 'adult'
+        WHEN (host = 'example.com' OR host LIKE '%.example.com')
+             AND starts_with(path, '/p/7') THEN 'ads'
+        WHEN host = 'h0007.example.com' THEN 'tracker'
+      END AS category
+    FROM p)
+  SELECT url, host, category,
+         (category IS NOT NULL AND category <> 'ok') AS blocked
+  FROM cat
+""")
+def blocklist_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category blocklist over the frontier: first-match-wins
+    (category, host_suffix, path_prefix) rules as one map-side literal
+    fold; 'ok' is an exemption category proving rule order. The oracle
+    restates the ordered rules as a CASE chain."""
+    from .functions.urls import blocklist_category
+    fr = _frontier_from_orders(spark, sf_dir)
+    cat = blocklist_category(F.col("url"), _BLOCKLIST_RULES)
+    return fr.select(
+        "url", "host", cat.alias("category"),
+        (cat.isNotNull() & (cat != "ok")).alias("blocked"))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt Sitemap: discovery (operators/sitemap.robots_sitemap_urls):
+# the directive that feeds parse_sitemaps its inputs. The synthetic robots
+# text carries a mixed-case directive, a cross-host directive (legal), a
+# relative value (invalid, dropped) and an exact duplicate (collapsed).
+# ---------------------------------------------------------------------------
+
+@q("robots_sitemaps", """
+  WITH hosts AS (
+    SELECT DISTINCT
+      'h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+          || '.example.com' AS host,
+      CAST(o_custkey % 20 AS INTEGER) AS host_idx
+    FROM orders),
+  txt AS (
+    SELECT host,
+      'User-agent: *' || chr(10)
+      || 'Sitemap: http://' || host || '/sitemap.xml' || chr(10)
+      || 'Disallow: /admin' || chr(10)
+      || '  sitemap: https://cdn.example.org/sm/'
+         || CAST(host_idx AS VARCHAR) || '.xml' || chr(10)
+      || 'Sitemap: /relative.xml' || chr(10)
+      || 'Sitemap: http://' || host || '/sitemap.xml' AS robots_txt
+    FROM hosts),
+  lines AS (
+    SELECT host, trim(l) AS line
+    FROM (SELECT host, unnest(string_split(robots_txt, chr(10))) AS l
+          FROM txt)),
+  vals AS (
+    SELECT host,
+           trim(regexp_replace(line, '^[Ss][Ii][Tt][Ee][Mm][Aa][Pp]\\s*:',
+                               '')) AS sitemap_url
+    FROM lines WHERE regexp_matches(line, '^(?i)sitemap\\s*:'))
+  SELECT DISTINCT host, sitemap_url FROM vals
+  WHERE regexp_matches(sitemap_url, '^https?://')
+""")
+def robots_sitemaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt directives: case-insensitive
+    `Sitemap:` lines, absolute-URL validation, cross-host allowed,
+    duplicates collapsed."""
+    from .operators.sitemap import robots_sitemap_urls
+    frontier = _frontier_from_orders(spark, sf_dir)
+    hosts = frontier.select("host", "host_idx").distinct()
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nSitemap: http://"), F.col("host"),
+        F.lit("/sitemap.xml\nDisallow: /admin\n  sitemap: "
+              "https://cdn.example.org/sm/"),
+        F.col("host_idx").cast("string"),
+        F.lit(".xml\nSitemap: /relative.xml\nSitemap: http://"),
+        F.col("host"), F.lit("/sitemap.xml"))
+    return robots_sitemap_urls(
+        hosts.select("host", robots_txt.alias("robots_txt")))

@@ -1,0 +1,79 @@
+"""Unit tests for the URL category blocklist fold and robots.txt
+Sitemap: discovery — the two frontier-input gates added after round-2
+certification."""
+
+from pyspark.sql import functions as F
+
+from distributed_web_crawler_spark.functions.urls import blocklist_category
+from distributed_web_crawler_spark.operators.sitemap import (
+    robots_sitemap_urls,
+)
+
+RULES = (
+    ("ok", "shop.example.com", "/safe"),
+    ("adult", "shop.example.com", ""),
+    ("ads", "example.com", "/promo"),
+    ("tracker", "t.example.net", ""),
+)
+
+
+def _cats(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = (df.select("url", blocklist_category(F.col("url"), RULES)
+                      .alias("cat")).collect())
+    return {r["url"]: r["cat"] for r in rows}
+
+
+def test_blocklist_first_match_wins_and_suffix_semantics(spark):
+    got = _cats(spark, [
+        "http://shop.example.com/safe/x",    # exemption rule fires first
+        "http://shop.example.com/other",     # falls through to adult
+        "http://a.shop.example.com/other",   # dot-suffix match on subdomain
+        "http://www.example.com/promo/1",    # suffix rule + path prefix
+        "http://www.example.com/news",       # path prefix misses
+        "http://notexample.com/promo",       # 'notexample.com' is NOT a
+                                             # suffix match for example.com
+        "http://t.example.net/anything",
+        "not a url",                         # unparseable host -> null
+    ])
+    assert got["http://shop.example.com/safe/x"] == "ok"
+    assert got["http://shop.example.com/other"] == "adult"
+    assert got["http://a.shop.example.com/other"] == "adult"
+    assert got["http://www.example.com/promo/1"] == "ads"
+    assert got["http://www.example.com/news"] is None
+    assert got["http://notexample.com/promo"] is None
+    assert got["http://t.example.net/anything"] == "tracker"
+    assert got["not a url"] is None
+
+
+def test_blocklist_empty_path_url_matches_empty_prefix(spark):
+    # path_of returns '' (not '/') for a bare authority URL; an
+    # empty path_prefix must still match it
+    got = _cats(spark, ["http://shop.example.com"])
+    assert got["http://shop.example.com"] == "adult"
+
+
+def test_robots_sitemap_discovery_edges(spark):
+    txt = ("User-agent: *\n"
+           "Sitemap: http://h1.example.com/sitemap.xml\n"
+           "Disallow: /x\n"
+           "  SITEMAP:https://cdn.example.org/sm.xml\n"   # case + no space
+           "Sitemap: /relative.xml\n"                      # invalid: dropped
+           "Sitemap: ftp://files.example.org/s.xml\n"      # non-http: dropped
+           "Sitemap: http://h1.example.com/sitemap.xml\n"  # dup: collapsed
+           "NotSitemap: http://h1.example.com/decoy.xml\n")
+    df = spark.createDataFrame([("h1.example.com", txt)],
+                               "host string, robots_txt string")
+    got = {(r["host"], r["sitemap_url"])
+           for r in robots_sitemap_urls(df).collect()}
+    assert got == {
+        ("h1.example.com", "http://h1.example.com/sitemap.xml"),
+        ("h1.example.com", "https://cdn.example.org/sm.xml"),
+    }
+
+
+def test_robots_sitemap_no_directives_yields_no_rows(spark):
+    df = spark.createDataFrame(
+        [("h2.example.com", "User-agent: *\nDisallow: /")],
+        "host string, robots_txt string")
+    assert robots_sitemap_urls(df).count() == 0
