@@ -900,3 +900,82 @@ def cdc_chunk_stats(documents: DataFrame, min_len: int = 8,
             .agg(F.first("length").alias("chunk_len"),
                  F.count(F.lit(1)).alias("n_copies"),
                  F.count_distinct("doc_id").alias("n_docs")))
+
+
+def duplicate_span_scrub(documents: DataFrame, w: int = 8,
+                         text_col: str = "text") -> DataFrame:
+    """EXECUTE the Lee-et-al exact-substring dedup that
+    `duplicate_span_stats` only measures: every w-token window whose
+    (case-sensitive) text occurs more than once corpus-wide is removed
+    from every document EXCEPT the canonical first occurrence — the
+    minimum (doc_id, pos) — so exactly one copy of each repeated span
+    survives. Overlapping and adjacent flagged windows merge into
+    maximal spans before removal, so a long verbatim quote is cut once,
+    not window-by-window.
+
+    Returns (doc_id, clean_text, n_tokens, n_removed) for EVERY
+    document; clean_text is the surviving tokens joined by single
+    spaces (the operator is defined over the token stream, as in the
+    paper — original inter-token whitespace is not preserved).
+
+    Scale shape: windows shuffle as 128-bit xxhash64 fingerprints (the
+    window text never crosses an exchange); ONE (h1,h2) hash agg
+    produces both the count and the min-(doc_id,pos) owner; the
+    join-back reuses that clustering; span merging is one doc-keyed
+    window (running max of span end — islands); removal positions
+    explode only from MERGED spans (volume = tokens actually cut) and
+    anti-join the token stream on (doc_id, tpos); reassembly is one
+    doc-keyed agg. No sort wider than a document's own flagged spans.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = documents.select("doc_id", toks.alias("_t"))
+    win = (base.where(F.size("_t") >= w)
+           .select("doc_id", "_t",
+                   F.explode(F.sequence(F.lit(1), F.size("_t") - w + 1))
+                   .alias("pos")))
+    key = F.array_join(F.slice(F.col("_t"), F.col("pos"), w), " ")
+    keyed = win.select("doc_id", "pos",
+                       F.xxhash64(key).alias("h1"),
+                       F.xxhash64(F.lit(1), key).alias("h2"))
+    owners = keyed.groupBy("h1", "h2").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct("doc_id", "pos")).alias("_own"))
+    flagged = (keyed.join(owners, ["h1", "h2"])
+               .where((F.col("_c") > 1) &
+                      ~((F.col("doc_id") == F.col("_own.doc_id")) &
+                        (F.col("pos") == F.col("_own.pos"))))
+               .select("doc_id", "pos",
+                       (F.col("pos") + w - 1).alias("end")))
+    prev_end = F.max("end").over(
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    spans = (flagged
+             .withColumn("_new", F.when(
+                 prev_end.isNull() | (F.col("pos") > prev_end + 1),
+                 F.lit(1)).otherwise(F.lit(0)))
+             .withColumn("_grp", F.sum("_new").over(
+                 Window.partitionBy("doc_id").orderBy("pos")
+                 .rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy("doc_id", "_grp")
+             .agg(F.min("pos").alias("_s"), F.max("end").alias("_e")))
+    cut = spans.select(
+        "doc_id", F.explode(F.sequence("_s", "_e")).alias("tpos"))
+    tokens = base.select(
+        "doc_id", F.posexplode("_t").alias("_p", "tok")
+    ).select("doc_id", (F.col("_p") + 1).alias("tpos"), "tok")
+    kept = tokens.join(cut, ["doc_id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct("tpos", "tok"))), lambda s: s["tok"]),
+            " ").alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"))
+    totals = base.select("doc_id", F.size("_t").alias("n_tokens"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed")))

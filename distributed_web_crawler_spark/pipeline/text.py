@@ -1136,3 +1136,61 @@ def source_quality_bounds(documents: DataFrame, tau: float = 0.5,
         "source", "n_docs", "passes",
         F.round(p, 6).alias("pass_rate"),
         F.round((center - margin) / denom, 6).alias("wilson_lb"))
+
+
+def host_boilerplate_scrub(documents: DataFrame, min_docs: int = 5,
+                           frac: float = 0.5, host_col: str = "source",
+                           text_col: str = "text") -> DataFrame:
+    """Host-scoped template-boilerplate removal: a line that appears on
+    at least ``frac`` of ONE host's pages (hosts with >= ``min_docs``
+    pages) is that host's nav/footer chrome and is stripped — from that
+    host only. Complements `line_dedup`, which removes lines by ABSOLUTE
+    corpus-wide document frequency: a host's "home | about | contact"
+    bar is boilerplate at 100% of its own 40 pages yet may fall under a
+    corpus-wide max_df, while a popular quotation crossing many hosts is
+    exactly what the host grain must NOT strip. (This is the host-grain
+    half of the CCNet/trafilatura recipe; the reference stores raw HTML
+    with no content cleaning — service/WebPageFetcher.java.)
+
+    Returns (doc_id, host, clean_text, n_lines, n_kept); documents whose
+    every line is chrome still yield a row with clean_text = ''.
+
+    Scale shape: explode lines map-side → distinct (host, doc_id, line)
+    → (host, line) document-frequency agg (partial combine; one exchange
+    on the host+line key) → per-host page counts (host-keyed agg over
+    the already-reduced doc grain) → threshold join back on (host, line)
+    — same key, exchange reused, and the chrome set is small so AQE
+    broadcasts it → per-document reassembly (one doc-keyed exchange).
+    Page text crosses the wire once, at the line grain."""
+    d = documents.select(F.col(host_col).alias("host"), "doc_id",
+                         F.col(text_col).alias("_t"))
+    lines = (d.select("host", "doc_id",
+                      F.posexplode(F.split("_t", "\n")).alias("pos", "raw"))
+             .select("host", "doc_id", "pos", F.trim("raw").alias("line"))
+             .where(F.length("line") > 0))
+    per_host = (d.groupBy("host")
+                .agg(F.count(F.lit(1)).alias("n_docs")))
+    df_ = (lines.select("host", "doc_id", "line").distinct()
+           .groupBy("host", "line").agg(F.count(F.lit(1)).alias("df")))
+    chrome = (df_.join(per_host, "host")
+              .where((F.col("n_docs") >= min_docs) &
+                     (F.col("df") >= F.greatest(
+                         F.ceil(F.lit(frac) * F.col("n_docs")), F.lit(2))))
+              .select("host", "line"))
+    kept = lines.join(chrome, ["host", "line"], "left_anti")
+    rebuilt = (kept.groupBy("host", "doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]),
+                        "\n").alias("clean_text"),
+                    F.count(F.lit(1)).alias("n_kept")))
+    totals = lines.groupBy("host", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"))
+    return (totals.join(rebuilt, ["host", "doc_id"], "left")
+            .select("doc_id", "host",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept")))

@@ -4442,3 +4442,180 @@ def robots_sitemaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("host"), F.lit("/sitemap.xml"))
     return robots_sitemap_urls(
         hosts.select("host", robots_txt.alias("robots_txt")))
+
+
+# ---------------------------------------------------------------------------
+# host-scoped boilerplate removal (pipeline/text.host_boilerplate_scrub).
+# Derivation keeps `source` as the host grain: every doc gets its host's
+# nav bar (per-host df = 100% -> stripped), docs with doc_id%3==0 get a
+# corpus-popular quote (per-host df ~32% < 50% -> KEPT at host grain,
+# exactly the line corpus-wide line_dedup would remove), and a unique
+# "section <doc_id>" line (kept).
+# ---------------------------------------------------------------------------
+
+_HOSTED_DOCS_SQL = """hdocs AS (
+    SELECT doc_id, source,
+      array_to_string(
+        list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+                       i -> array_to_string(toks[i*8+1 : i*8+8], ' ')),
+        chr(10))
+      || chr(10) || 'home | about | ' || source
+      || CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'the quick brown fox' ELSE '' END
+      || chr(10) || 'section ' || CAST(doc_id AS VARCHAR) AS text
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents))"""
+
+
+def _hosted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_lines - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * 8 + 1, 8), " ")),
+        "\n")
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id", "source",
+        F.concat(body,
+                 F.lit("\nhome | about | "), F.col("source"),
+                 F.when(d % 3 == 0,
+                        F.lit("\nthe quick brown fox")).otherwise(F.lit("")),
+                 F.lit("\nsection "), d.cast("string")).alias("text"))
+
+
+@q("host_boilerplate", f"""
+  WITH {_HOSTED_DOCS_SQL},
+  lines AS (
+    SELECT source AS host, doc_id, i AS pos, trim(l[i]) AS line
+    FROM (SELECT doc_id, source, string_split(text, chr(10)) AS l
+          FROM hdocs),
+         UNNEST(range(1, len(l) + 1)) AS u(i)
+    WHERE length(trim(l[i])) > 0),
+  perhost AS (SELECT source AS host, count(*) AS n_docs
+              FROM hdocs GROUP BY source),
+  linedf AS (
+    SELECT host, line, count(*) AS df
+    FROM (SELECT DISTINCT host, doc_id, line FROM lines)
+    GROUP BY host, line),
+  chrome AS (
+    SELECT d.host, d.line
+    FROM linedf d JOIN perhost p USING (host)
+    WHERE p.n_docs >= 5
+      AND d.df >= greatest(CAST(ceil(0.5 * p.n_docs) AS BIGINT), 2)),
+  kept AS (
+    SELECT l.* FROM lines l
+    WHERE NOT EXISTS (SELECT 1 FROM chrome c
+                      WHERE c.host = l.host AND c.line = l.line)),
+  rebuilt AS (
+    SELECT host, doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+           count(*) AS n_kept
+    FROM kept GROUP BY host, doc_id),
+  totals AS (SELECT host, doc_id, count(*) AS n_lines
+             FROM lines GROUP BY host, doc_id)
+  SELECT t.doc_id, t.host, coalesce(r.clean_text, '') AS clean_text,
+         CAST(t.n_lines AS BIGINT) AS n_lines,
+         CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+  FROM totals t LEFT JOIN rebuilt r
+    ON r.host = t.host AND r.doc_id = t.doc_id
+""")
+def host_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-grain template chrome removal: strip lines on >=50% of one
+    host's pages; a corpus-popular line under the per-host threshold
+    survives (the line corpus-wide line_dedup would cut)."""
+    return ptext.host_boilerplate_scrub(
+        _hosted_docs(spark, sf_dir), min_docs=5, frac=0.5)
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span REMOVAL (pipeline/dedup.duplicate_span_scrub) — the
+# executed form of dup_span_stats. The derivation plants both duplication
+# modes: docs with doc_id%4==0 share a verbatim 12-token sentence
+# (cross-document; the min-(doc_id,pos) owner keeps it), and docs with
+# doc_id%10==7 repeat their own first 10 tokens at the end (within-doc).
+# ---------------------------------------------------------------------------
+
+_SPAN_DOCS_SQL = """sdocs AS (
+    SELECT doc_id,
+      text
+      || CASE WHEN doc_id % 4 = 0
+              THEN ' alpha beta gamma delta epsilon zeta eta theta'
+                   || ' iota kappa lambda mu' ELSE '' END
+      || CASE WHEN doc_id % 10 = 7
+              THEN ' ' || array_to_string(
+                     string_split_regex(trim(text), '\\s+')[1:10], ' ')
+              ELSE '' END AS text
+    FROM documents)"""
+
+
+def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 4 == 0,
+                   F.lit(" alpha beta gamma delta epsilon zeta eta theta"
+                         " iota kappa lambda mu")).otherwise(F.lit("")),
+            F.when(d % 10 == 7,
+                   F.concat(F.lit(" "),
+                            F.array_join(F.slice(toks, 1, 10), " ")))
+            .otherwise(F.lit(""))).alias("text"))
+
+
+@q("dup_span_scrub", f"""
+  WITH {_SPAN_DOCS_SQL},
+  dt AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM sdocs),
+  win AS (
+    SELECT doc_id, i AS pos, array_to_string(t[i:i + 7], ' ') AS key
+    FROM dt, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+    WHERE len(t) >= 8),
+  fl AS (
+    SELECT doc_id, pos, pos + 7 AS e
+    FROM (SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY key) AS c,
+                 row_number() OVER (PARTITION BY key
+                                    ORDER BY doc_id, pos) AS rn
+          FROM win)
+    WHERE c > 1 AND rn > 1),
+  grps AS (
+    SELECT doc_id, pos, e,
+           sum(CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM (SELECT doc_id, pos, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pe
+          FROM fl)),
+  spans AS (SELECT doc_id, min(pos) AS s, max(e) AS e
+            FROM grps GROUP BY doc_id, grp),
+  cut AS (SELECT doc_id, unnest(range(s, e + 1)) AS tpos FROM spans),
+  tokens AS (
+    SELECT doc_id, i AS tpos, t[i] AS tok
+    FROM dt, UNNEST(range(1, len(t) + 1)) AS u(i)),
+  kept AS (
+    SELECT tk.doc_id, tk.tpos, tk.tok
+    FROM tokens tk LEFT JOIN cut c
+      ON c.doc_id = tk.doc_id AND c.tpos = tk.tpos
+    WHERE c.doc_id IS NULL),
+  rebuilt AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+           count(*) AS nk
+    FROM kept GROUP BY doc_id),
+  tot AS (SELECT doc_id, len(t) AS n_tokens FROM dt)
+  SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+         CAST(t.n_tokens AS BIGINT) AS n_tokens,
+         CAST(t.n_tokens - coalesce(r.nk, 0) AS BIGINT) AS n_removed
+  FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+""")
+def dup_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup EXECUTED (Lee et al.): repeated 8-token
+    windows removed everywhere but their first (doc_id, pos) occurrence,
+    overlapping windows merged into maximal spans before cutting."""
+    return pdedup.duplicate_span_scrub(_span_docs(spark, sf_dir), w=8)

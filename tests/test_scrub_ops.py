@@ -1,0 +1,58 @@
+"""Unit semantics for the two text-scrubbing operators added after
+round-2 certification: host-grain boilerplate removal and exact
+duplicate-span removal (the executed Lee-et-al dedup)."""
+
+from distributed_web_crawler_spark.pipeline.dedup import (
+    duplicate_span_scrub,
+)
+from distributed_web_crawler_spark.pipeline.text import (
+    host_boilerplate_scrub,
+)
+
+
+def test_host_boilerplate_is_host_scoped(spark):
+    nav = "home | about"
+    quote = "famous shared quote"
+    rows = []
+    # host A: 6 docs, all carry the nav bar; half carry the quote
+    for i in range(6):
+        body = f"unique line {i}"
+        text = "\n".join([nav, body] + ([quote] if i < 3 else []))
+        rows.append((i, "hostA", text))
+    # host B: 3 docs (< min_docs=5) — even a 100%-df line survives
+    for i in range(6, 9):
+        rows.append((i, "hostB", f"{nav}\nother line {i}"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                               "text string")
+    got = {r["doc_id"]: r for r in
+           host_boilerplate_scrub(df, min_docs=5, frac=0.5).collect()}
+    # host A: nav stripped (6/6 >= 50%), quote kept (3/6 not > threshold?
+    # 3 >= ceil(0.5*6)=3 -> stripped too; unique line survives)
+    assert got[0]["clean_text"] == "unique line 0"
+    assert got[4]["clean_text"] == "unique line 4"
+    # host B below min_docs: nav survives there
+    assert got[6]["clean_text"] == f"{nav}\nother line 6"
+    assert got[6]["n_kept"] == 2
+
+
+def test_dup_span_scrub_owner_keeps_and_spans_merge(spark):
+    rows = [
+        (0, "a b c d e f g h i j"),              # owner of the shared span
+        (1, "x a b c d e f g h i j y"),          # 3 overlapping dup windows
+        (2, "m n o p q r s t m n o p q r s t"),  # within-doc repeat
+        (3, "short doc"),                        # < w tokens: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicate_span_scrub(df, w=8).collect()}
+    # the canonical first occurrence survives verbatim
+    assert got[0]["clean_text"] == "a b c d e f g h i j"
+    assert got[0]["n_removed"] == 0
+    # overlapping flagged windows merged into ONE span [2..11] then cut
+    assert got[1]["clean_text"] == "x y"
+    assert got[1]["n_removed"] == 10
+    # within-document repetition: second copy cut, first kept
+    assert got[2]["clean_text"] == "m n o p q r s t"
+    assert got[2]["n_removed"] == 8
+    # sub-window documents pass through
+    assert got[3]["clean_text"] == "short doc"
+    assert got[3]["n_removed"] == 0
