@@ -138,6 +138,10 @@ EXTRAS = [
     "cdc_chunks",            # FastCDC gear chunk dedup
     "jsonl_ingest",          # from_json + corrupt quarantine
     "robots_semantics_diff",  # substring-vs-REP divergence audit
+    "blocklist_gate",        # UT1 category rules, map-side literal fold
+    "robots_sitemaps",       # Sitemap: directive discovery
+    "host_boilerplate",      # host-grain template chrome removal
+    "dup_span_scrub",        # executed Lee-et-al span removal
 ]
 
 

@@ -317,3 +317,30 @@ def test_adaptive_budget_single_exchange(spark):
     n = len(re.findall(r"Exchange (?:hash|range)partitioning"
                        r"|Exchange SinglePartition", plan))
     assert n == 1, f"expected 1 exchange, found {n}:\n{plan[:2000]}"
+
+
+def test_blocklist_fold_is_map_only(spark):
+    """The category fold must stay a scan-side expression: no exchange,
+    no join, no Python in the plan (PLANS.md session-6 audit)."""
+    frontier_rules = Q.QUERIES["blocklist_gate"](spark, SF)
+    plan = _plan(frontier_rules.drop("blocked"))
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    assert "Python" not in plan, plan[:1500]
+
+
+def test_robots_sitemaps_single_exchange(spark):
+    """Directive parse rides the scan; only the host-grain distinct
+    exchanges (the hosts().distinct() input contributes its own)."""
+    plan = _plan(Q.QUERIES["robots_sitemaps"](spark, SF))
+    assert "Python" not in plan, plan[:1500]
+    assert "Generate" in plan, plan[:1500]  # posexplode rides the scan
+
+
+def test_dup_span_scrub_single_owner_agg_and_fingerprint_shuffle(spark):
+    """One hash agg must carry BOTH the window count and the min-owner
+    (partial_min over the struct); window text must not be a shuffle
+    key (only h1/h2 fingerprints)."""
+    plan = _plan(Q.QUERIES["dup_span_scrub"](spark, SF))
+    assert "partial_min" in plan, plan[:2000]
+    assert "partial_count" in plan, plan[:2000]
