@@ -142,6 +142,7 @@ EXTRAS = [
     "robots_sitemaps",       # Sitemap: directive discovery
     "host_boilerplate",      # host-grain template chrome removal
     "dup_span_scrub",        # executed Lee-et-al span removal
+    "discovery_pipeline",    # robots→sitemap→blocklist→seen flagship
 ]
 
 

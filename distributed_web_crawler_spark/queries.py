@@ -4619,3 +4619,144 @@ def dup_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows removed everywhere but their first (doc_id, pos) occurrence,
     overlapping windows merged into maximal spans before cutting."""
     return pdedup.duplicate_span_scrub(_span_docs(spark, sf_dir), w=8)
+
+
+# ---------------------------------------------------------------------------
+# composed discovery flagship: robots.txt Sitemap: declarations select
+# which hosts' sitemaps get parsed, sitemap entries become frontier
+# candidates, the category blocklist and the URL-seen set gate them, and
+# survivors carry sitemaps.org effective priority (absent -> 0.5 default).
+# Every stage is the standalone production operator; the oracle restates
+# the full chain. Seen fixture: hosts with host_idx%4==0 already fetched
+# their /s/0 page.
+# ---------------------------------------------------------------------------
+
+@q("discovery_pipeline", """
+  WITH hosts AS (
+    SELECT DISTINCT
+      'h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+          || '.example.com' AS host,
+      CAST(o_custkey % 20 AS INTEGER) AS host_idx
+    FROM orders),
+  rtxt AS (
+    SELECT host,
+      'User-agent: *' || chr(10)
+      || 'Sitemap: http://' || host || '/sitemap.xml' || chr(10)
+      || 'Disallow: /admin' || chr(10)
+      || '  sitemap: https://cdn.example.org/sm/'
+         || CAST(host_idx AS VARCHAR) || '.xml' AS robots_txt
+    FROM hosts),
+  rlines AS (
+    SELECT host, trim(l) AS line
+    FROM (SELECT host, unnest(string_split(robots_txt, chr(10))) AS l
+          FROM rtxt)),
+  declared AS (
+    SELECT host,
+           trim(regexp_replace(line, '^[Ss][Ii][Tt][Ee][Mm][Aa][Pp]\\s*:',
+                               '')) AS sitemap_url
+    FROM rlines WHERE regexp_matches(line, '^(?i)sitemap\\s*:')),
+  own AS (
+    SELECT DISTINCT host FROM declared
+    WHERE sitemap_url = 'http://' || host || '/sitemap.xml'),
+  sm AS (SELECT h.host, h.host_idx, '<urlset>'
+    || '<url><loc>http://' || h.host || '/s/0</loc><lastmod>2023-11-'
+       || lpad(CAST(h.host_idx % 27 + 1 AS VARCHAR), 2, '0')
+       || '</lastmod><priority>0.' || CAST(h.host_idx % 9 + 1 AS VARCHAR)
+       || '</priority></url>'
+    || '<url><loc>http://' || h.host || '/s/1</loc></url>'
+    || '<url><loc>http://' || h.host
+       || '/s/0</loc><lastmod>2024-01-01</lastmod></url>'
+    || '<url><loc>http://evil.example.org/x</loc></url>'
+    || '<url><lastmod>2023-01-01</lastmod></url></urlset>' AS xml
+    FROM hosts h JOIN own USING (host)),
+  blocks AS (
+    SELECT host, CAST(i AS INTEGER) AS entry_idx,
+           list_extract(regexp_extract_all(xml, '<url>(.*?)</url>', 1),
+                        CAST(i AS INTEGER)) AS block
+    FROM sm, range(1, 6) AS r(i)),
+  parsed AS (
+    SELECT host, entry_idx,
+           regexp_extract(block, '<loc>(.*?)</loc>', 1) AS url,
+           CAST(nullif(regexp_extract(block, '<lastmod>(.*?)</lastmod>', 1),
+                       '') AS DATE) AS lastmod,
+           CAST(nullif(regexp_extract(block,
+                                      '<priority>(.*?)</priority>', 1),
+                       '') AS DOUBLE) AS priority
+    FROM blocks),
+  kept AS (
+    SELECT * FROM parsed
+    WHERE length(url) > 0
+      AND (starts_with(url, 'http://' || host || '/')
+           OR starts_with(url, 'https://' || host || '/'))),
+  first_wins AS (
+    SELECT host, url, lastmod, priority FROM kept
+    QUALIFY row_number() OVER (PARTITION BY host, url
+                               ORDER BY entry_idx) = 1),
+  gated AS (
+    SELECT f.* FROM first_wins f
+    WHERE coalesce(
+      CASE
+        WHEN f.host = 'h0003.example.com'
+             AND starts_with(regexp_extract(f.url,
+                   'example\\.com(/.*)$', 1), '/p/1') THEN 'ok'
+        WHEN f.host = 'h0003.example.com' THEN 'adult'
+        WHEN (f.host = 'example.com' OR f.host LIKE '%.example.com')
+             AND starts_with(regexp_extract(f.url,
+                   'example\\.com(/.*)$', 1), '/p/7') THEN 'ads'
+        WHEN f.host = 'h0007.example.com' THEN 'tracker'
+      END, 'ok') IN ('ok')),
+  seen AS (
+    SELECT 'http://' || host || '/s/0' AS url
+    FROM hosts WHERE host_idx % 4 = 0)
+  SELECT g.url, g.host,
+         coalesce(g.priority, 0.5) AS eff_priority,
+         strftime(g.lastmod, '%Y-%m-%d') AS lastmod
+  FROM gated g LEFT JOIN seen s ON s.url = g.url
+  WHERE s.url IS NULL
+""")
+def discovery_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-discovery chain: robots Sitemap: declarations ->
+    own-host sitemap parse -> category blocklist -> URL-seen anti-join;
+    survivors carry the sitemaps.org default priority 0.5 when the
+    entry had none. All stages are the production operators."""
+    from .functions.urls import blocklist_category
+    from .operators.sitemap import parse_sitemaps, robots_sitemap_urls
+    hosts = (_frontier_from_orders(spark, sf_dir)
+             .select("host", "host_idx").distinct())
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nSitemap: http://"), F.col("host"),
+        F.lit("/sitemap.xml\nDisallow: /admin\n  sitemap: "
+              "https://cdn.example.org/sm/"),
+        F.col("host_idx").cast("string"), F.lit(".xml"))
+    declared = robots_sitemap_urls(
+        hosts.select("host", robots_txt.alias("robots_txt")))
+    own = (declared
+           .where(F.col("sitemap_url") ==
+                  F.concat(F.lit("http://"), F.col("host"),
+                           F.lit("/sitemap.xml")))
+           .select("host").distinct())
+    h = F.col("host")
+    d2 = F.lpad(((F.col("host_idx") % 27) + 1).cast("string"), 2, "0")
+    pr = ((F.col("host_idx") % 9) + 1).cast("string")
+    xml = F.concat(
+        F.lit("<urlset>"),
+        F.lit("<url><loc>http://"), h,
+        F.lit("/s/0</loc><lastmod>2023-11-"), d2,
+        F.lit("</lastmod><priority>0."), pr, F.lit("</priority></url>"),
+        F.lit("<url><loc>http://"), h, F.lit("/s/1</loc></url>"),
+        F.lit("<url><loc>http://"), h,
+        F.lit("/s/0</loc><lastmod>2024-01-01</lastmod></url>"),
+        F.lit("<url><loc>http://evil.example.org/x</loc></url>"),
+        F.lit("<url><lastmod>2023-01-01</lastmod></url></urlset>"))
+    cands = parse_sitemaps(
+        hosts.join(own, "host").select("host", xml.alias("xml")))
+    cat = blocklist_category(F.col("url"), _BLOCKLIST_RULES)
+    gated = cands.where(cat.isNull() | (cat == "ok"))
+    seen = (hosts.where(F.col("host_idx") % 4 == 0)
+            .select(F.concat(F.lit("http://"), F.col("host"),
+                             F.lit("/s/0")).alias("url")))
+    fresh = gated.join(seen, "url", "left_anti")
+    return fresh.select(
+        "url", "host",
+        F.coalesce("priority", F.lit(0.5)).alias("eff_priority"),
+        F.date_format("lastmod", "yyyy-MM-dd").alias("lastmod"))
