@@ -143,6 +143,7 @@ EXTRAS = [
     "host_boilerplate",      # host-grain template chrome removal
     "dup_span_scrub",        # executed Lee-et-al span removal
     "discovery_pipeline",    # robots→sitemap→blocklist→seen flagship
+    "html_to_text",          # body-text extraction, map-only regex chain
 ]
 
 

@@ -4760,3 +4760,66 @@ def discovery_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "host",
         F.coalesce("priority", F.lit(0.5)).alias("eff_priority"),
         F.date_format("lastmod", "yyyy-MM-dd").alias("lastmod"))
+
+
+# ---------------------------------------------------------------------------
+# HTML body-text extraction (operators/htmlmeta.html_to_text): the
+# crawl→documents bridge. The fixture exercises every rule: script with a
+# '<' inside, style, comments, block boundaries, entity decode including
+# the double-escaped one-level case (&amp;lt; -> &lt;), whitespace runs.
+# ---------------------------------------------------------------------------
+
+@q("html_to_text", r"""
+  WITH h AS (
+    SELECT 'http://corpus.example.com/doc/' || CAST(doc_id AS VARCHAR)
+             AS url,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+           || '</title><style>p {color: red}</style></head>'
+           || '<body><script type="text/javascript">var x = 1 < 2;'
+           || '</script><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+           || text || '</p><!-- generated -->'
+           || '<div>Tom &amp; Jerry &lt;3 &amp;lt;escaped&gt;</div>'
+           || '</body></html>' AS html
+    FROM documents),
+  s1 AS (SELECT url, regexp_replace(html,
+           '(?is)<(script|style)[^>]*>.*?</(script|style)>', '', 'g') AS t
+         FROM h),
+  s2 AS (SELECT url, regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t
+         FROM s1),
+  s3 AS (SELECT url, regexp_replace(t,
+           '(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)>|<br[^>]*>',
+           chr(10), 'g') AS t FROM s2),
+  s4 AS (SELECT url, regexp_replace(t, '(?s)<[^>]*>', '', 'g') AS t
+         FROM s3),
+  s5 AS (SELECT url,
+           replace(replace(replace(replace(replace(replace(t,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+         FROM s4),
+  s6 AS (SELECT url, regexp_replace(t, '[ \t\r]+', ' ', 'g') AS t FROM s5),
+  s7 AS (SELECT url, regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t
+         FROM s6),
+  s8 AS (SELECT url, regexp_replace(t, '\n{2,}', chr(10), 'g') AS t
+         FROM s7)
+  SELECT url, regexp_replace(t, '^\n|\n$', '', 'g') AS text FROM s8
+""")
+def html_to_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendered body text from raw HTML: scripts/styles/comments dropped,
+    block boundaries kept as newlines, tags stripped, entities decoded
+    one level, whitespace normalized — one map-only RE2-safe chain."""
+    from .operators.htmlmeta import html_to_text
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), d,
+        F.lit("</title><style>p {color: red}</style></head>"
+              '<body><script type="text/javascript">var x = 1 < 2;'
+              "</script><h1>Doc "), d, F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><!-- generated -->"
+              "<div>Tom &amp; Jerry &lt;3 &amp;lt;escaped&gt;</div>"
+              "</body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("http://corpus.example.com/doc/"), d).alias("url"),
+        html.alias("html"))
+    return html_to_text(pages)

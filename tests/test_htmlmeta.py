@@ -69,3 +69,35 @@ def test_anchor_rollup_plan_has_no_window(spark):
         (F.col("id") % 3).cast("string").alias("anchor"))
     plan = anchor_text_rollup(edges)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_html_to_text_semantics(spark):
+    from distributed_web_crawler_spark.operators.htmlmeta import (
+        html_to_text,
+    )
+    html = ('<html><head><title>T</title>'
+            '<style media="all">body { x: "<div>" }</style></head>'
+            '<body><SCRIPT>if (a < b) { run("</p>") }</SCRIPT>'
+            '<h1>Head</h1>'
+            '<p>line one</p>'
+            '<p>  spaced   out  </p>'
+            '<ul><li>item 1</li><li>item 2</li></ul>'
+            'a<br/>b'
+            '<!-- hidden --><!-- more\nhidden -->'
+            '<div>Tom &amp; Jerry &lt;3 &amp;lt;one-level&gt;</div>'
+            '</body></html>')
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    got = html_to_text(df).collect()[0]["text"]
+    # <br/> is a line break; opening tags strip without a break, so the
+    # 'b' runs into the following div's text
+    assert got == ("THead\nline one\nspaced out\nitem 1\nitem 2\n"
+                   "a\nbTom & Jerry <3 &lt;one-level>")
+
+
+def test_html_to_text_plain_text_passthrough(spark):
+    from distributed_web_crawler_spark.operators.htmlmeta import (
+        html_to_text,
+    )
+    df = spark.createDataFrame([("u", "no markup here")],
+                               "url string, html string")
+    assert html_to_text(df).collect()[0]["text"] == "no markup here"
