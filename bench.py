@@ -144,6 +144,7 @@ EXTRAS = [
     "dup_span_scrub",        # executed Lee-et-al span removal
     "discovery_pipeline",    # robots→sitemap→blocklist→seen flagship
     "html_to_text",          # body-text extraction, map-only regex chain
+    "extraction_pipeline",   # html→text→boilerplate→span-scrub flagship
 ]
 
 

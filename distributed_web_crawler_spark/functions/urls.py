@@ -301,28 +301,40 @@ def blocklist_category(url: Column,
     UT1 convention).
 
     Scale shape: like `registered_domain_of` this is ONE aggregate fold
-    over a literal rules array — split + endswith per rule, entirely
+    over a literal rules array — string compares per rule, entirely
     map-side inside whole-stage codegen; no join, no shuffle, no UDF.
     A real 3M-entry UT1 list would swap the literal array for a
     broadcast join on the host key; the fold is the ≤~10k-rule tier.
-    Rules must not contain tab characters (the fold's field separator).
+    The expensive per-row pieces — the two try_parse_url calls — are
+    bound ONCE through a single-element transform lambda (Catalyst does
+    not CSE expressions re-inlined into higher-order lambdas, so naively
+    referencing host/path inside the fold parses the URL per rule); rule
+    fields are pre-split host-side (no per-row split of rule strings).
+    Rules must not contain tab characters (retained for the encoding
+    assertion only).
     """
-    host = host_of(url)
-    path = F.coalesce(path_of(url), F.lit(""))
-    enc = [f"{cat}\t{suf}\t{pre}" for cat, suf, pre in rules]
-    for r in enc:
-        assert r.count("\t") == 2, f"tab inside blocklist rule: {r!r}"
+    for cat, suf, pre in rules:
+        assert "\t" not in f"{cat}{suf}{pre}", "tab inside blocklist rule"
+    cats = F.lit([c for c, _, _ in rules])
+    sufs = F.lit([s for _, s, _ in rules])
+    pres = F.lit([p for _, _, p in rules])
+    idxs = F.lit(list(range(1, len(rules) + 1)))
 
-    def _field(r: Column, i: int) -> Column:
-        return F.element_at(F.split(r, "\t"), i)
+    def _fold(hp: Column) -> Column:
+        h, p = hp["h"], hp["p"]
+        return F.when(h.isNull(), F.lit(None).cast("string")).otherwise(
+            F.aggregate(
+                idxs, F.lit(None).cast("string"),
+                lambda acc, i: F.coalesce(
+                    acc,
+                    F.when(
+                        ((h == F.element_at(sufs, i)) |
+                         F.endswith(h, F.concat(F.lit("."),
+                                                F.element_at(sufs, i)))) &
+                        F.startswith(p, F.element_at(pres, i)),
+                        F.element_at(cats, i)))))
 
-    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
-        F.aggregate(
-            F.lit(enc), F.lit(None).cast("string"),
-            lambda acc, r: F.coalesce(
-                acc,
-                F.when(
-                    ((host == _field(r, 2)) |
-                     F.endswith(host, F.concat(F.lit("."), _field(r, 2)))) &
-                    F.startswith(path, _field(r, 3)),
-                    _field(r, 1)))))
+    hp = F.array(F.struct(
+        host_of(url).alias("h"),
+        F.coalesce(path_of(url), F.lit("")).alias("p")))
+    return F.element_at(F.transform(hp, _fold), 1)

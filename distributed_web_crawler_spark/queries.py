@@ -4823,3 +4823,165 @@ def html_to_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("http://corpus.example.com/doc/"), d).alias("url"),
         html.alias("html"))
     return html_to_text(pages)
+
+
+# ---------------------------------------------------------------------------
+# extraction flagship: the crawl→clean-corpus chain EXECUTED end-to-end —
+# html_to_text → host_boilerplate_scrub → duplicate_span_scrub. Fixture:
+# per-doc HTML with a unique <h1>, the host's nav chrome (df=100% per
+# source → boilerplate-stripped), the body text, a shared 12-token
+# sentence on doc_id%4==0 (survives the host grain at ~25% df, then cut
+# by span scrub everywhere but its min-(doc_id,pos) owner), and a unique
+# section line. The oracle restates the whole chain.
+# ---------------------------------------------------------------------------
+
+@q("extraction_pipeline", r"""
+  WITH h AS (
+    SELECT doc_id, source,
+      '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+      || '</h1><div>home | about | ' || source || '</div><p>' || text
+      || '</p>'
+      || CASE WHEN doc_id % 4 = 0
+              THEN '<p>alpha beta gamma delta epsilon zeta eta theta'
+                   || ' iota kappa lambda mu</p>' ELSE '' END
+      || '<div>section ' || CAST(doc_id AS VARCHAR) || '</div>'
+      || '</body></html>' AS html
+    FROM documents),
+  x1 AS (SELECT doc_id, source, regexp_replace(html,
+           '(?is)<(script|style)[^>]*>.*?</(script|style)>', '', 'g') AS t
+         FROM h),
+  x2 AS (SELECT doc_id, source,
+           regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t FROM x1),
+  x3 AS (SELECT doc_id, source, regexp_replace(t,
+           '(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)>|<br[^>]*>',
+           chr(10), 'g') AS t FROM x2),
+  x4 AS (SELECT doc_id, source,
+           regexp_replace(t, '(?s)<[^>]*>', '', 'g') AS t FROM x3),
+  x5 AS (SELECT doc_id, source,
+           replace(replace(replace(replace(replace(replace(t,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+         FROM x4),
+  x6 AS (SELECT doc_id, source,
+           regexp_replace(t, '[ \t\r]+', ' ', 'g') AS t FROM x5),
+  x7 AS (SELECT doc_id, source,
+           regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM x6),
+  x8 AS (SELECT doc_id, source,
+           regexp_replace(t, '\n{2,}', chr(10), 'g') AS t FROM x7),
+  txt AS (SELECT doc_id, source AS host,
+                 regexp_replace(t, '^\n|\n$', '', 'g') AS text FROM x8),
+  lines AS (
+    SELECT host, doc_id, i AS pos, trim(l[i]) AS line
+    FROM (SELECT host, doc_id, string_split(text, chr(10)) AS l
+          FROM txt),
+         UNNEST(range(1, len(l) + 1)) AS u(i)
+    WHERE length(trim(l[i])) > 0),
+  perhost AS (SELECT host, count(*) AS n_docs FROM txt GROUP BY host),
+  linedf AS (
+    SELECT host, line, count(*) AS df
+    FROM (SELECT DISTINCT host, doc_id, line FROM lines)
+    GROUP BY host, line),
+  chrome AS (
+    SELECT d.host, d.line
+    FROM linedf d JOIN perhost p USING (host)
+    WHERE p.n_docs >= 5
+      AND d.df >= greatest(CAST(ceil(0.5 * p.n_docs) AS BIGINT), 2)),
+  keptl AS (
+    SELECT l.* FROM lines l
+    WHERE NOT EXISTS (SELECT 1 FROM chrome c
+                      WHERE c.host = l.host AND c.line = l.line)),
+  rebuiltl AS (
+    SELECT host, doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS clean1,
+           count(*) AS n_kept
+    FROM keptl GROUP BY host, doc_id),
+  totalsl AS (SELECT host, doc_id, count(*) AS n_lines
+              FROM lines GROUP BY host, doc_id),
+  bp AS (
+    SELECT t.doc_id, t.host, coalesce(r.clean1, '') AS clean1,
+           t.n_lines, coalesce(r.n_kept, 0) AS n_kept
+    FROM totalsl t LEFT JOIN rebuiltl r
+      ON r.host = t.host AND r.doc_id = t.doc_id),
+  dt AS (
+    SELECT doc_id, string_split_regex(trim(clean1), '\s+') AS t FROM bp),
+  win AS (
+    SELECT doc_id, i AS pos, array_to_string(t[i:i + 7], ' ') AS key
+    FROM dt, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+    WHERE len(t) >= 8),
+  fl AS (
+    SELECT doc_id, pos, pos + 7 AS e
+    FROM (SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY key) AS c,
+                 row_number() OVER (PARTITION BY key
+                                    ORDER BY doc_id, pos) AS rn
+          FROM win)
+    WHERE c > 1 AND rn > 1),
+  grps AS (
+    SELECT doc_id, pos, e,
+           sum(CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM (SELECT doc_id, pos, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pe
+          FROM fl)),
+  spans AS (SELECT doc_id, min(pos) AS s, max(e) AS e
+            FROM grps GROUP BY doc_id, grp),
+  cut AS (SELECT doc_id, unnest(range(s, e + 1)) AS tpos FROM spans),
+  tokens AS (
+    SELECT doc_id, i AS tpos, t[i] AS tok
+    FROM dt, UNNEST(range(1, len(t) + 1)) AS u(i)),
+  kept2 AS (
+    SELECT tk.doc_id, tk.tpos, tk.tok
+    FROM tokens tk LEFT JOIN cut c
+      ON c.doc_id = tk.doc_id AND c.tpos = tk.tpos
+    WHERE c.doc_id IS NULL),
+  rebuilt2 AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+           count(*) AS nk
+    FROM kept2 GROUP BY doc_id),
+  tot2 AS (SELECT doc_id, len(t) AS n_tokens FROM dt)
+  SELECT b.doc_id, b.host,
+         coalesce(r.clean_text, '') AS clean_text,
+         CAST(b.n_lines AS BIGINT) AS n_lines,
+         CAST(b.n_kept AS BIGINT) AS n_kept,
+         CAST(t.n_tokens AS BIGINT) AS n_tokens,
+         CAST(t.n_tokens - coalesce(r.nk, 0) AS BIGINT) AS n_removed
+  FROM bp b
+  JOIN tot2 t ON t.doc_id = b.doc_id
+  LEFT JOIN rebuilt2 r ON r.doc_id = b.doc_id
+""")
+def extraction_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl→clean-corpus extraction chain end-to-end: render HTML to
+    text, strip the host's template chrome, then cut corpus-duplicated
+    spans (owner survives). Every stage is the standalone operator."""
+    from .operators.htmlmeta import html_to_text
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), d,
+        F.lit("</h1><div>home | about | "), F.col("source"),
+        F.lit("</div><p>"), F.col("text"), F.lit("</p>"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("<p>alpha beta gamma delta epsilon zeta eta theta"
+                     " iota kappa lambda mu</p>")).otherwise(F.lit("")),
+        F.lit("<div>section "), d, F.lit("</div></body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("http://"), F.col("source"),
+                 F.lit(".corpus.example.com/doc/"), d).alias("url"),
+        html.alias("html"))
+    texts = html_to_text(pages)
+    parsed = texts.select(
+        F.regexp_extract("url", r"/doc/([0-9]+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("url", r"^http://([^.]*)\.", 1).alias("source"),
+        "text")
+    bp = ptext.host_boilerplate_scrub(parsed, min_docs=5, frac=0.5)
+    scrubbed = pdedup.duplicate_span_scrub(
+        bp.select("doc_id", F.col("clean_text").alias("text")), w=8)
+    return (bp.select("doc_id", "host", "n_lines", "n_kept")
+            .join(scrubbed, "doc_id")
+            .select("doc_id", "host", "clean_text",
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    F.col("n_kept").cast("long").alias("n_kept"),
+                    "n_tokens", "n_removed"))
