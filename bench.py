@@ -145,6 +145,7 @@ EXTRAS = [
     "discovery_pipeline",    # robots→sitemap→blocklist→seen flagship
     "html_to_text",          # body-text extraction, map-only regex chain
     "extraction_pipeline",   # html→text→boilerplate→span-scrub flagship
+    "sitemap_recrawl",       # lastmod-vs-store recrawl verdicts
 ]
 
 

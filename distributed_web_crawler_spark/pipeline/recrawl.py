@@ -420,3 +420,34 @@ def adaptive_host_budget(observations: DataFrame, base_budget: int = 64,
                          F.least(F.lit(max_budget), nxt))
     return p95.select("host", "n_obs", "err_cnt", "p95_ms",
                       clamped.alias("next_budget"))
+
+
+def sitemap_recrawl_candidates(candidates: DataFrame,
+                               stored: DataFrame) -> DataFrame:
+    """Close the discovery→recrawl loop: decide, per sitemap entry,
+    whether it needs a (re)fetch against the pages already stored.
+
+    `candidates` is `parse_sitemaps` output (host, url, lastmod,
+    priority); `stored` is (url, last_fetch DATE) from the page store.
+    Verdicts (sitemaps.org semantics — lastmod is advisory, absent
+    means unknown):
+      'new'      — URL never stored;
+      'modified' — entry carries a lastmod strictly after last_fetch;
+      'fresh'    — stored and not provably modified (incl. no lastmod).
+    `fetch_needed` = verdict in (new, modified).
+
+    Scale shape: ONE left join on the url key (at 10^10: a
+    storage-partitioned join over url-bucketed stores — the
+    snapshot_diff contract) followed by a map-side when-chain; sitemap
+    tables are discovery-grain, far below the page store, so AQE
+    broadcasts them when small."""
+    j = candidates.join(stored, "url", "left")
+    verdict = (F.when(F.col("last_fetch").isNull(), F.lit("new"))
+               .when(F.col("lastmod").isNotNull() &
+                     (F.col("lastmod") > F.col("last_fetch")),
+                     F.lit("modified"))
+               .otherwise(F.lit("fresh")))
+    return j.select(
+        "host", "url", "lastmod", "priority", "last_fetch",
+        verdict.alias("verdict"),
+        verdict.isin("new", "modified").alias("fetch_needed"))

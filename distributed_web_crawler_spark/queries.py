@@ -4985,3 +4985,102 @@ def extraction_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_lines").cast("long").alias("n_lines"),
                     F.col("n_kept").cast("long").alias("n_kept"),
                     "n_tokens", "n_removed"))
+
+
+# ---------------------------------------------------------------------------
+# sitemap-lastmod recrawl planning (pipeline/recrawl
+# .sitemap_recrawl_candidates): sitemap entries vs the page store. Stored
+# fixture: hosts with host_idx%2==0 fetched their /s/0 on 2023-11-20, so
+# /s/0 entries are 'modified' only where the sitemap lastmod (day =
+# host_idx%27+1) is later; /s/1 (no lastmod) is 'new' where never stored,
+# else 'fresh'.
+# ---------------------------------------------------------------------------
+
+@q("sitemap_recrawl", f"""
+  WITH hosts AS (
+    SELECT DISTINCT
+      'h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+          || '.example.com' AS host,
+      CAST(o_custkey % 20 AS INTEGER) AS host_idx
+    FROM orders),
+  sm AS (SELECT host, host_idx, '<urlset>'
+    || '<url><loc>http://' || host || '/s/0</loc><lastmod>2023-11-'
+       || lpad(CAST(host_idx % 27 + 1 AS VARCHAR), 2, '0')
+       || '</lastmod><priority>0.' || CAST(host_idx % 9 + 1 AS VARCHAR)
+       || '</priority></url>'
+    || '<url><loc>http://' || host || '/s/1</loc></url>'
+    || '<url><loc>http://' || host
+       || '/s/0</loc><lastmod>2024-01-01</lastmod></url>'
+    || '<url><loc>http://evil.example.org/x</loc></url>'
+    || '<url><lastmod>2023-01-01</lastmod></url></urlset>' AS xml
+    FROM hosts),
+  blocks AS (
+    SELECT host, CAST(i AS INTEGER) AS entry_idx,
+           list_extract(regexp_extract_all(xml, '<url>(.*?)</url>', 1),
+                        CAST(i AS INTEGER)) AS block
+    FROM sm, range(1, 6) AS r(i)),
+  parsed AS (
+    SELECT host, entry_idx,
+           regexp_extract(block, '<loc>(.*?)</loc>', 1) AS url,
+           CAST(nullif(regexp_extract(block, '<lastmod>(.*?)</lastmod>', 1),
+                       '') AS DATE) AS lastmod,
+           CAST(nullif(regexp_extract(block,
+                                      '<priority>(.*?)</priority>', 1),
+                       '') AS DOUBLE) AS priority
+    FROM blocks),
+  kept AS (
+    SELECT * FROM parsed
+    WHERE length(url) > 0
+      AND (starts_with(url, 'http://' || host || '/')
+           OR starts_with(url, 'https://' || host || '/'))),
+  cands AS (
+    SELECT host, url, lastmod, priority FROM kept
+    QUALIFY row_number() OVER (PARTITION BY host, url
+                               ORDER BY entry_idx) = 1),
+  stored AS (
+    SELECT 'http://' || host || '/s/0' AS url,
+           CAST('2023-11-20' AS DATE) AS last_fetch
+    FROM hosts WHERE host_idx % 2 = 0),
+  j AS (
+    SELECT c.host, c.url, c.lastmod, c.priority, s.last_fetch,
+      CASE WHEN s.last_fetch IS NULL THEN 'new'
+           WHEN c.lastmod IS NOT NULL AND c.lastmod > s.last_fetch
+             THEN 'modified'
+           ELSE 'fresh' END AS verdict
+    FROM cands c LEFT JOIN stored s ON s.url = c.url)
+  SELECT host, url, strftime(lastmod, '%Y-%m-%d') AS lastmod, priority,
+         strftime(last_fetch, '%Y-%m-%d') AS last_fetch, verdict,
+         verdict IN ('new', 'modified') AS fetch_needed
+  FROM j
+""")
+def sitemap_recrawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-lastmod recrawl planning: one URL-keyed left join of
+    parse_sitemaps candidates against the page store, map-side
+    new/modified/fresh verdicts."""
+    from .operators.sitemap import parse_sitemaps
+    hosts = (_frontier_from_orders(spark, sf_dir)
+             .select("host", "host_idx").distinct())
+    h = F.col("host")
+    d2 = F.lpad(((F.col("host_idx") % 27) + 1).cast("string"), 2, "0")
+    pr = ((F.col("host_idx") % 9) + 1).cast("string")
+    xml = F.concat(
+        F.lit("<urlset>"),
+        F.lit("<url><loc>http://"), h,
+        F.lit("/s/0</loc><lastmod>2023-11-"), d2,
+        F.lit("</lastmod><priority>0."), pr, F.lit("</priority></url>"),
+        F.lit("<url><loc>http://"), h, F.lit("/s/1</loc></url>"),
+        F.lit("<url><loc>http://"), h,
+        F.lit("/s/0</loc><lastmod>2024-01-01</lastmod></url>"),
+        F.lit("<url><loc>http://evil.example.org/x</loc></url>"),
+        F.lit("<url><lastmod>2023-01-01</lastmod></url></urlset>"))
+    cands = parse_sitemaps(hosts.select("host", xml.alias("xml")))
+    stored = (hosts.where(F.col("host_idx") % 2 == 0)
+              .select(F.concat(F.lit("http://"), F.col("host"),
+                               F.lit("/s/0")).alias("url"),
+                      F.lit("2023-11-20").cast("date")
+                      .alias("last_fetch")))
+    out = precrawl.sitemap_recrawl_candidates(cands, stored)
+    return (out.withColumn("lastmod", F.date_format("lastmod",
+                                                    "yyyy-MM-dd"))
+            .withColumn("last_fetch", F.date_format("last_fetch",
+                                                    "yyyy-MM-dd")))
