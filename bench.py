@@ -146,6 +146,7 @@ EXTRAS = [
     "html_to_text",          # body-text extraction, map-only regex chain
     "extraction_pipeline",   # html→text→boilerplate→span-scrub flagship
     "sitemap_recrawl",       # lastmod-vs-store recrawl verdicts
+    "sitemap_index",         # two-level index→child sitemap parse
 ]
 
 

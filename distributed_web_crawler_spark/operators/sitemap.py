@@ -104,3 +104,45 @@ def robots_sitemap_urls(robots: DataFrame, host_col: str = "host",
     return (exploded.groupBy("host", "sitemap_url")
             .agg(F.min("line_idx").alias("_first"))
             .select("host", "sitemap_url"))
+
+
+_INDEX_ENTRY_RE = "<sitemap>(.*?)</sitemap>"
+
+
+def parse_sitemap_index(indexes: DataFrame, host_col: str = "host",
+                        xml_col: str = "xml") -> DataFrame:
+    """Explode sitemap INDEX files (sitemaps.org <sitemapindex>) into
+    (host, sitemap_url, lastmod) child-sitemap pointers — the protocol's
+    nesting level: large sites split their URL space across child
+    sitemaps (50k-URL / 50 MB caps per file) behind one index.
+
+    Spec rules mirrored from `parse_sitemaps`: a <sitemap> entry needs a
+    non-empty <loc> on the index's own host; lastmod is optional
+    (try_cast date); duplicate locs collapse first-entry-wins. The
+    caller feeds the resolved children back through `parse_sitemaps`
+    (one fetch round per nesting level — the index is discovery-grain,
+    so the loop is 2 tiny rounds, not a frontier-scale iteration).
+
+    Scale shape: identical to `parse_sitemaps` — regexp explode rides
+    the scan, one (host, url) min-agg exchange at discovery grain."""
+    host = F.col(host_col)
+    entries = F.expr(
+        f"regexp_extract_all({xml_col}, '{_INDEX_ENTRY_RE}', 1)")
+    exploded = (indexes
+                .select(host.alias("host"),
+                        F.posexplode(entries).alias("entry_idx", "block")))
+    loc = _field(F.col("block"), "loc")
+    same_host = (loc.startswith(F.concat(F.lit("http://"), F.col("host"),
+                                         F.lit("/"))) |
+                 loc.startswith(F.concat(F.lit("https://"), F.col("host"),
+                                         F.lit("/"))))
+    parsed = (exploded
+              .select("host", "entry_idx",
+                      loc.alias("sitemap_url"),
+                      _field(F.col("block"), "lastmod")
+                      .try_cast("date").alias("lastmod"))
+              .where((F.length("sitemap_url") > 0) & same_host))
+    return (parsed.groupBy("host", "sitemap_url")
+            .agg(F.min(F.struct("entry_idx", "lastmod")).alias("_w"))
+            .select("host", "sitemap_url",
+                    F.col("_w.lastmod").alias("lastmod")))

@@ -5084,3 +5084,126 @@ def sitemap_recrawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                     "yyyy-MM-dd"))
             .withColumn("last_fetch", F.date_format("last_fetch",
                                                     "yyyy-MM-dd")))
+
+
+# ---------------------------------------------------------------------------
+# two-level sitemap protocol (operators/sitemap.parse_sitemap_index →
+# parse_sitemaps): index files point at child sitemaps (the 50k-URL/50MB
+# split), children carry the URLs. Index fixture per host: child a.xml
+# (lastmod, duplicated entry — first wins), child b.xml (no lastmod), a
+# cross-host child (dropped) and a loc-less entry (dropped); each child
+# then lists two URLs, one with a priority.
+# ---------------------------------------------------------------------------
+
+@q("sitemap_index", """
+  WITH hosts AS (
+    SELECT DISTINCT
+      'h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+          || '.example.com' AS host
+    FROM orders),
+  idx AS (SELECT host, '<sitemapindex>'
+    || '<sitemap><loc>http://' || host || '/sm/a.xml</loc>'
+    || '<lastmod>2023-12-01</lastmod></sitemap>'
+    || '<sitemap><loc>http://' || host || '/sm/b.xml</loc></sitemap>'
+    || '<sitemap><loc>http://other.example.org/sm/x.xml</loc></sitemap>'
+    || '<sitemap><lastmod>2023-01-01</lastmod></sitemap>'
+    || '<sitemap><loc>http://' || host || '/sm/a.xml</loc></sitemap>'
+    || '</sitemapindex>' AS xml
+    FROM hosts),
+  iblocks AS (
+    SELECT host, CAST(i AS INTEGER) AS entry_idx,
+           list_extract(regexp_extract_all(xml,
+                          '<sitemap>(.*?)</sitemap>', 1),
+                        CAST(i AS INTEGER)) AS block
+    FROM idx, range(1, 6) AS r(i)),
+  iparsed AS (
+    SELECT host, entry_idx,
+           regexp_extract(block, '<loc>(.*?)</loc>', 1) AS sitemap_url,
+           CAST(nullif(regexp_extract(block, '<lastmod>(.*?)</lastmod>', 1),
+                       '') AS DATE) AS lastmod
+    FROM iblocks),
+  ikept AS (
+    SELECT * FROM iparsed
+    WHERE length(sitemap_url) > 0
+      AND (starts_with(sitemap_url, 'http://' || host || '/')
+           OR starts_with(sitemap_url, 'https://' || host || '/'))),
+  children AS (
+    SELECT host, sitemap_url, lastmod FROM ikept
+    QUALIFY row_number() OVER (PARTITION BY host, sitemap_url
+                               ORDER BY entry_idx) = 1),
+  cxml AS (
+    SELECT host, sitemap_url,
+           regexp_extract(sitemap_url, '/sm/(.)[.]xml$', 1) AS letter,
+           '<urlset><url><loc>http://' || host || '/'
+             || regexp_extract(sitemap_url, '/sm/(.)[.]xml$', 1)
+             || '/1</loc></url>'
+           || '<url><loc>http://' || host || '/'
+             || regexp_extract(sitemap_url, '/sm/(.)[.]xml$', 1)
+             || '/2</loc><priority>0.5</priority></url></urlset>' AS xml
+    FROM children),
+  cblocks AS (
+    SELECT host, CAST(i AS INTEGER) AS entry_idx,
+           list_extract(regexp_extract_all(xml, '<url>(.*?)</url>', 1),
+                        CAST(i AS INTEGER)) AS block
+    FROM cxml, range(1, 3) AS r(i)),
+  cparsed AS (
+    SELECT host, entry_idx,
+           regexp_extract(block, '<loc>(.*?)</loc>', 1) AS url,
+           CAST(nullif(regexp_extract(block,
+                                      '<priority>(.*?)</priority>', 1),
+                       '') AS DOUBLE) AS priority
+    FROM cblocks),
+  ckept AS (
+    SELECT host, url, priority FROM cparsed
+    WHERE length(url) > 0
+      AND (starts_with(url, 'http://' || host || '/')
+           OR starts_with(url, 'https://' || host || '/'))
+    QUALIFY row_number() OVER (PARTITION BY host, url
+                               ORDER BY entry_idx) = 1)
+  SELECT k.host,
+         'http://' || k.host || '/sm/'
+           || regexp_extract(k.url, '^http://[^/]*/(.)/', 1)
+           || '.xml' AS sitemap_url,
+         strftime(c.lastmod, '%Y-%m-%d') AS index_lastmod,
+         k.url, k.priority
+  FROM ckept k
+  JOIN children c
+    ON c.host = k.host
+   AND c.sitemap_url = 'http://' || k.host || '/sm/'
+         || regexp_extract(k.url, '^http://[^/]*/(.)/', 1) || '.xml'
+""")
+def sitemap_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sitemap discovery: parse the index into child-sitemap
+    pointers (spec rules enforced), materialize each child, parse its
+    URLs, and tag every URL with its child sitemap + index lastmod."""
+    from .operators.sitemap import parse_sitemap_index, parse_sitemaps
+    hosts = (_frontier_from_orders(spark, sf_dir)
+             .select("host").distinct())
+    h = F.col("host")
+    idx_xml = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>http://"), h,
+        F.lit("/sm/a.xml</loc><lastmod>2023-12-01</lastmod></sitemap>"
+              "<sitemap><loc>http://"), h,
+        F.lit("/sm/b.xml</loc></sitemap>"
+              "<sitemap><loc>http://other.example.org/sm/x.xml</loc>"
+              "</sitemap><sitemap><lastmod>2023-01-01</lastmod></sitemap>"
+              "<sitemap><loc>http://"), h,
+        F.lit("/sm/a.xml</loc></sitemap></sitemapindex>"))
+    children = parse_sitemap_index(hosts.select("host",
+                                                idx_xml.alias("xml")))
+    letter = F.regexp_extract("sitemap_url", r"/sm/(.)[.]xml$", 1)
+    child_xml = F.concat(
+        F.lit("<urlset><url><loc>http://"), h, F.lit("/"), letter,
+        F.lit("/1</loc></url><url><loc>http://"), h, F.lit("/"), letter,
+        F.lit("/2</loc><priority>0.5</priority></url></urlset>"))
+    urls = parse_sitemaps(
+        children.select("host", child_xml.alias("xml"))).drop("lastmod")
+    back = F.concat(F.lit("http://"), F.col("host"), F.lit("/sm/"),
+                    F.regexp_extract("url", r"^http://[^/]*/(.)/", 1),
+                    F.lit(".xml"))
+    tagged = urls.withColumn("sitemap_url", back)
+    return (tagged.join(children, ["host", "sitemap_url"])
+            .select("host", "sitemap_url",
+                    F.date_format("lastmod", "yyyy-MM-dd")
+                    .alias("index_lastmod"),
+                    "url", "priority"))

@@ -77,3 +77,28 @@ def test_robots_sitemap_no_directives_yields_no_rows(spark):
         [("h2.example.com", "User-agent: *\nDisallow: /")],
         "host string, robots_txt string")
     assert robots_sitemap_urls(df).count() == 0
+
+
+def test_sitemap_index_spec_rules(spark):
+    from distributed_web_crawler_spark.operators.sitemap import (
+        parse_sitemap_index,
+    )
+    xml = ("<sitemapindex>"
+           "<sitemap><loc>http://h.example.com/sm/a.xml</loc>"
+           "<lastmod>2023-12-01</lastmod></sitemap>"
+           "<sitemap><loc>http://h.example.com/sm/b.xml</loc></sitemap>"
+           "<sitemap><loc>http://evil.org/sm/x.xml</loc></sitemap>"
+           "<sitemap><lastmod>2023-01-01</lastmod></sitemap>"
+           "<sitemap><loc>http://h.example.com/sm/a.xml</loc>"
+           "<lastmod>2024-06-06</lastmod></sitemap>"
+           "</sitemapindex>")
+    df = spark.createDataFrame([("h.example.com", xml)],
+                               "host string, xml string")
+    got = {(r["host"], r["sitemap_url"], str(r["lastmod"]))
+           for r in parse_sitemap_index(df).collect()}
+    # cross-host and loc-less dropped; duplicate loc keeps the FIRST
+    # entry's lastmod (2023-12-01, not 2024-06-06)
+    assert got == {
+        ("h.example.com", "http://h.example.com/sm/a.xml", "2023-12-01"),
+        ("h.example.com", "http://h.example.com/sm/b.xml", "None"),
+    }
