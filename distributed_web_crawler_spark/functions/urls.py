@@ -313,6 +313,8 @@ def blocklist_category(url: Column,
     Rules must not contain tab characters (retained for the encoding
     assertion only).
     """
+    if not rules:  # empty list blocks nothing (and F.lit([]) is untyped)
+        return F.lit(None).cast("string")
     for cat, suf, pre in rules:
         assert "\t" not in f"{cat}{suf}{pre}", "tab inside blocklist rule"
     cats = F.lit([c for c, _, _ in rules])

@@ -102,3 +102,9 @@ def test_sitemap_index_spec_rules(spark):
         ("h.example.com", "http://h.example.com/sm/a.xml", "2023-12-01"),
         ("h.example.com", "http://h.example.com/sm/b.xml", "None"),
     }
+
+
+def test_blocklist_empty_rules_blocks_nothing(spark):
+    df = spark.createDataFrame([("http://x.example.com/a",)], "url string")
+    got = df.select(blocklist_category(F.col("url"), ()).alias("c"))
+    assert got.collect()[0]["c"] is None
