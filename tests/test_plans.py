@@ -344,3 +344,18 @@ def test_dup_span_scrub_single_owner_agg_and_fingerprint_shuffle(spark):
     plan = _plan(Q.QUERIES["dup_span_scrub"](spark, SF))
     assert "partial_min" in plan, plan[:2000]
     assert "partial_count" in plan, plan[:2000]
+
+
+def test_extraction_pipeline_no_python_and_fingerprint_owner_agg(spark):
+    """The composed extraction chain must stay JVM-side end to end (the
+    three stages are pure Catalyst) and keep the span stage's fused
+    count+owner aggregation."""
+    plan = _plan(Q.QUERIES["extraction_pipeline"](spark, SF))
+    assert "Python" not in plan and "ArrowEvalPython" not in plan, \
+        plan[:2000]
+    assert "partial_min" in plan, plan[:2000]
+
+
+def test_discovery_pipeline_no_python(spark):
+    plan = _plan(Q.QUERIES["discovery_pipeline"](spark, SF))
+    assert "Python" not in plan, plan[:2000]
