@@ -147,6 +147,7 @@ EXTRAS = [
     "extraction_pipeline",   # html→text→boilerplate→span-scrub flagship
     "sitemap_recrawl",       # lastmod-vs-store recrawl verdicts
     "sitemap_index",         # two-level index→child sitemap parse
+    "span_corruption",       # T5/UL2 denoising pair construction
 ]
 
 

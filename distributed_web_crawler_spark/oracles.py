@@ -1559,3 +1559,56 @@ def cdc_chunk_sql(sf_dir: str = ORACLE_SF_DIR, min_len: int = 8,
          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
   FROM chunks GROUP BY chunk_hash
 """
+
+
+def span_corruption_sql(span_len: int = 3, block: int = 16,
+                        sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Mirror of pipeline.text.span_corruption: the hash-derived mask
+    starts (pmod(xxhash64(doc_id, blk), width) + blk*block + 1, full
+    blocks only) are recomputed with the XXH64 mirror and embedded as
+    VALUES; the token explode, masking and sequence reassembly are
+    restated relationally."""
+    from .functions.xxh64 import xxhash64
+
+    width = block - span_len + 1
+    rows = []
+    for d, text in _docs(sf_dir):
+        n = len(text.strip().split())
+        for b in range(n // block):
+            s = xxhash64(int(d), int(b)) % width + b * block + 1
+            rows.append((int(d), b, s))
+    vals = ", ".join(f"({d},{b},{s})" for d, b, s in rows)
+    if not vals:
+        vals = "(NULL, NULL, NULL)"
+    return f"""
+  WITH starts(doc_id, blk, s) AS (VALUES {vals}),
+  dt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         FROM documents),
+  tok AS (SELECT doc_id, i AS tpos, t[i] AS tok, len(t) AS n
+          FROM dt, UNNEST(range(1, len(t) + 1)) AS u(i)),
+  fl AS (
+    SELECT k.doc_id, k.tpos, k.tok, k.n,
+           (k.tpos - 1) // {block} AS blk, s.s AS s
+    FROM tok k LEFT JOIN starts s
+      ON s.doc_id = k.doc_id AND s.blk = (k.tpos - 1) // {block}),
+  pieces AS (
+    SELECT doc_id, tpos, n,
+      CASE WHEN s IS NOT NULL AND tpos = s
+             THEN '<extra_id_' || CAST(blk AS VARCHAR) || '>'
+           WHEN s IS NOT NULL AND tpos >= s AND tpos < s + {span_len}
+             THEN NULL
+           ELSE tok END AS ip,
+      CASE WHEN s IS NOT NULL AND tpos = s
+             THEN '<extra_id_' || CAST(blk AS VARCHAR) || '> ' || tok
+           WHEN s IS NOT NULL AND tpos >= s AND tpos < s + {span_len}
+             THEN tok END AS gp,
+      CASE WHEN s IS NOT NULL AND tpos >= s AND tpos < s + {span_len}
+             THEN 1 ELSE 0 END AS m
+    FROM fl)
+  SELECT doc_id,
+         coalesce(string_agg(ip, ' ' ORDER BY tpos), '') AS input_text,
+         coalesce(string_agg(gp, ' ' ORDER BY tpos), '') AS target_text,
+         CAST(max(n) AS BIGINT) AS n_tokens,
+         CAST(sum(m) AS BIGINT) AS n_masked
+  FROM pieces GROUP BY doc_id
+"""

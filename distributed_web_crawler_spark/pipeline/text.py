@@ -1194,3 +1194,69 @@ def host_boilerplate_scrub(documents: DataFrame, min_docs: int = 5,
                     F.col("n_lines").cast("long").alias("n_lines"),
                     F.coalesce("n_kept", F.lit(0)).cast("long")
                     .alias("n_kept")))
+
+
+def span_corruption(documents: DataFrame, span_len: int = 3,
+                    block: int = 16, text_col: str = "text") -> DataFrame:
+    """T5/UL2-style span-corruption example construction (Raffel et al.
+    2020 §3.1.4): turn each document into a denoising training pair —
+    `input_text` with masked spans replaced by sentinel tokens
+    (`<extra_id_k>`), `target_text` listing each sentinel followed by
+    the tokens it hid.
+
+    Deterministic masking rule (reproducible across runs/partitions, no
+    RNG): the token stream splits into fixed blocks of ``block`` tokens;
+    every FULL block b masks one span of ``span_len`` tokens starting at
+    offset pmod(xxhash64(doc_id, b), block - span_len + 1) — one span
+    per full block ≈ the T5 corruption rate span_len/block (18.75% at
+    3/16), with sentinel k = the block index (spans are one-per-block,
+    so numbering is sequential as in T5). The tail partial block is
+    never masked. Documents shorter than one block pass through with an
+    empty target.
+
+    Returns (doc_id, input_text, target_text, n_tokens, n_masked).
+
+    Scale shape: mask starts are computed INLINE on the exploded token
+    row (xxhash64 + pmod — no join against a per-block table), so the
+    whole construction is one map-side projection plus ONE doc-keyed
+    aggregation building both sequences via null-skipping collect_list;
+    order is pinned by array_sort on (tpos, piece)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = documents.select("doc_id", toks.alias("_t"))
+    rows = (base.select("doc_id", F.size("_t").alias("_n"),
+                        F.posexplode("_t").alias("_p", "tok"))
+            .select("doc_id", "_n",
+                    (F.col("_p") + 1).alias("tpos"), "tok"))
+    blk = F.floor((F.col("tpos") - 1) / block).cast("long")
+    nfull = F.floor(F.col("_n") / block).cast("long")
+    width = block - span_len + 1
+    s = (F.pmod(F.xxhash64(F.col("doc_id"), blk), F.lit(width))
+         + blk * block + 1)
+    masked = (blk < nfull) & (F.col("tpos") >= s) & \
+        (F.col("tpos") < s + span_len)
+    is_first = masked & (F.col("tpos") == s)
+    sentinel = F.concat(F.lit("<extra_id_"), blk.cast("string"),
+                        F.lit(">"))
+    inp_piece = (F.when(is_first, sentinel)
+                 .when(masked, F.lit(None).cast("string"))
+                 .otherwise(F.col("tok")))
+    tgt_piece = (F.when(is_first,
+                        F.concat(sentinel, F.lit(" "), F.col("tok")))
+                 .when(masked, F.col("tok")))
+    tagged = rows.select(
+        "doc_id", "_n",
+        F.when(inp_piece.isNotNull(),
+               F.struct(F.col("tpos"), inp_piece.alias("piece")))
+        .alias("_i"),
+        F.when(tgt_piece.isNotNull(),
+               F.struct(F.col("tpos"), tgt_piece.alias("piece")))
+        .alias("_g"),
+        masked.cast("long").alias("_m"))
+    joined = lambda c: F.array_join(
+        F.transform(F.array_sort(F.collect_list(c)),
+                    lambda x: x["piece"]), " ")
+    return (tagged.groupBy("doc_id")
+            .agg(joined("_i").alias("input_text"),
+                 joined("_g").alias("target_text"),
+                 F.max("_n").cast("long").alias("n_tokens"),
+                 F.sum("_m").cast("long").alias("n_masked")))

@@ -5207,3 +5207,14 @@ def sitemap_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.date_format("lastmod", "yyyy-MM-dd")
                     .alias("index_lastmod"),
                     "url", "priority"))
+
+
+@q("span_corruption",
+   lambda: _oracles.span_corruption_sql(span_len=3, block=16))
+def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2 denoising pair construction: deterministic one-span-per-
+    full-block masking (xxhash64-derived offsets — oracled through the
+    property-tested XXH64 mirror), sentinel inputs + span targets built
+    in one map-side projection + one doc-keyed aggregation."""
+    return ptext.span_corruption(_t(spark, sf_dir, "documents"),
+                                 span_len=3, block=16)

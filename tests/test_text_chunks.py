@@ -79,3 +79,36 @@ def test_centroid_drift_plan_has_no_explode(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Generate" not in plan          # no posexplode row blowup
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_span_corruption_reconstructs_and_masks_per_full_block(spark):
+    import re
+
+    from distributed_web_crawler_spark.pipeline.text import (
+        span_corruption,
+    )
+    toks40 = " ".join(f"w{i}" for i in range(40))
+    toks10 = " ".join(f"s{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks40), (2, toks10)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in span_corruption(df, span_len=3, block=16).collect()}
+    r1 = got[1]
+    # 40 tokens / block 16 -> 2 full blocks, one 3-token span each
+    assert r1["n_tokens"] == 40 and r1["n_masked"] == 6
+    assert "<extra_id_0>" in r1["input_text"]
+    assert "<extra_id_1>" in r1["input_text"]
+    # target lists each sentinel followed by exactly its hidden tokens;
+    # splicing targets back into the input reconstructs the original
+    spans = {}
+    parts = re.split(r"(<extra_id_[0-9]+>)", r1["target_text"])
+    for i in range(1, len(parts), 2):
+        spans[parts[i]] = parts[i + 1].strip()
+    rebuilt = r1["input_text"]
+    for sent, body in spans.items():
+        rebuilt = rebuilt.replace(sent, body)
+    assert rebuilt == toks40
+    # sub-block document passes through untouched
+    r2 = got[2]
+    assert r2["input_text"] == toks10
+    assert r2["target_text"] == "" and r2["n_masked"] == 0
