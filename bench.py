@@ -148,6 +148,7 @@ EXTRAS = [
     "sitemap_recrawl",       # lastmod-vs-store recrawl verdicts
     "sitemap_index",         # two-level index→child sitemap parse
     "span_corruption",       # T5/UL2 denoising pair construction
+    "fim_transform",         # fill-in-the-middle PSM reordering
 ]
 
 

@@ -1612,3 +1612,36 @@ def span_corruption_sql(span_len: int = 3, block: int = 16,
          CAST(sum(m) AS BIGINT) AS n_masked
   FROM pieces GROUP BY doc_id
 """
+
+
+def fim_transform_sql(rate_denom: int = 2,
+                      sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Mirror of pipeline.text.fim_transform: the hash decisions
+    (applied flag + ordered cut points) come from the XXH64 mirror as
+    VALUES; the PSM reordering is restated with DuckDB list slicing."""
+    from .functions.xxh64 import xxhash64
+
+    rows = []
+    for d, text in _docs(sf_dir):
+        n = len(text.strip().split())
+        applied = xxhash64(int(d)) % rate_denom == 0
+        c1 = xxhash64(int(d), 1) % (n + 1)
+        c2 = xxhash64(int(d), 2) % (n + 1)
+        lo, hi = min(c1, c2), max(c1, c2)
+        rows.append((int(d), "TRUE" if applied else "FALSE", lo, hi))
+    vals = ", ".join(f"({d},{a},{lo},{hi})" for d, a, lo, hi in rows)
+    return f"""
+  WITH cuts(doc_id, applied, lo, hi) AS (VALUES {vals}),
+  dt AS (SELECT doc_id, text,
+                string_split_regex(trim(text), '\\s+') AS t
+         FROM documents)
+  SELECT d.doc_id, c.applied AS fim_applied,
+    CASE WHEN c.applied THEN
+      '<fim_prefix> ' || coalesce(array_to_string(d.t[1:c.lo], ' '), '')
+      || ' <fim_suffix> '
+      || coalesce(array_to_string(d.t[c.hi + 1:len(d.t)], ' '), '')
+      || ' <fim_middle> '
+      || coalesce(array_to_string(d.t[c.lo + 1:c.hi], ' '), '')
+    ELSE d.text END AS text
+  FROM dt d JOIN cuts c USING (doc_id)
+"""

@@ -1260,3 +1260,43 @@ def span_corruption(documents: DataFrame, span_len: int = 3,
                  joined("_g").alias("target_text"),
                  F.max("_n").cast("long").alias("n_tokens"),
                  F.sum("_m").cast("long").alias("n_masked")))
+
+
+def fim_transform(documents: DataFrame, rate_denom: int = 2,
+                  text_col: str = "text") -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022,
+    arXiv:2207.14255): reorder a document into PSM form —
+    `<fim_prefix> prefix <fim_suffix> suffix <fim_middle> middle` — so
+    an autoregressive model learns infilling. Applied to a
+    deterministic xxhash64-selected subset (1/rate_denom of docs, the
+    paper's 50% default at 2); the rest pass through unchanged (the
+    paper's joint FIM+AR training mix).
+
+    Cut points are hash-derived, not random: for a doc of n tokens the
+    two cuts are c1 = pmod(xxhash64(doc_id, 1), n+1) and
+    c2 = pmod(xxhash64(doc_id, 2), n+1), ordered — prefix = toks[:lo],
+    middle = toks[lo:hi], suffix = toks[hi:]; any part may be empty,
+    as in the paper's uniform splitting.
+
+    Returns (doc_id, fim_applied, text): a pure map-side projection —
+    slice/array_join over the token array, zero explode, zero
+    aggregation, zero shuffle. The cheapest possible plan shape: at
+    100 TB this is scan bandwidth."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    applied = F.pmod(F.xxhash64(F.col("doc_id")),
+                     F.lit(rate_denom)) == 0
+    c1 = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1).cast("long")),
+                (n + 1).cast("long"))
+    c2 = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(2).cast("long")),
+                (n + 1).cast("long"))
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    part = lambda s, ln: F.array_join(
+        F.slice(toks, s + 1, ln), " ")  # slice is 1-based; len 0 -> ''
+    psm = F.concat(
+        F.lit("<fim_prefix> "), part(F.lit(0), lo),
+        F.lit(" <fim_suffix> "), part(hi, n - hi),
+        F.lit(" <fim_middle> "), part(lo, hi - lo))
+    return documents.select(
+        "doc_id", applied.alias("fim_applied"),
+        F.when(applied, psm).otherwise(F.col(text_col)).alias("text"))

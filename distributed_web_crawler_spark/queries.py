@@ -5218,3 +5218,12 @@ def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one map-side projection + one doc-keyed aggregation."""
     return ptext.span_corruption(_t(spark, sf_dir, "documents"),
                                  span_len=3, block=16)
+
+
+@q("fim_transform", lambda: _oracles.fim_transform_sql(rate_denom=2))
+def fim_transform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle reordering on a deterministic half of the
+    corpus: hash-derived cut points, PSM sentinel layout, pure map-side
+    slice/concat — zero shuffle. Oracled through the XXH64 mirror."""
+    return ptext.fim_transform(_t(spark, sf_dir, "documents"),
+                               rate_denom=2)

@@ -112,3 +112,28 @@ def test_span_corruption_reconstructs_and_masks_per_full_block(spark):
     r2 = got[2]
     assert r2["input_text"] == toks10
     assert r2["target_text"] == "" and r2["n_masked"] == 0
+
+
+def test_fim_transform_reconstructs_original(spark):
+    from distributed_web_crawler_spark.pipeline.text import fim_transform
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(12)))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = fim_transform(df, rate_denom=2).collect()
+    originals = dict(rows)
+    n_applied = 0
+    for r in got:
+        if not r["fim_applied"]:
+            assert r["text"] == originals[r["doc_id"]]
+            continue
+        n_applied += 1
+        t = r["text"]
+        assert t.startswith("<fim_prefix> ")
+        body = t[len("<fim_prefix> "):]
+        prefix, rest = body.split(" <fim_suffix> ", 1)
+        suffix, middle = rest.split(" <fim_middle> ", 1)
+        rebuilt = " ".join(x for x in (prefix, middle, suffix) if x)
+        assert rebuilt == originals[r["doc_id"]], r["doc_id"]
+    # the hash gate applies FIM to roughly half the docs (not 0, not all)
+    assert 0 < n_applied < len(got)
