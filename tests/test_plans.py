@@ -359,3 +359,18 @@ def test_extraction_pipeline_no_python_and_fingerprint_owner_agg(spark):
 def test_discovery_pipeline_no_python(spark):
     plan = _plan(Q.QUERIES["discovery_pipeline"](spark, SF))
     assert "Python" not in plan, plan[:2000]
+
+
+def test_fim_transform_zero_exchange_map_only(spark):
+    plan = _plan(Q.QUERIES["fim_transform"](spark, SF))
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Python" not in plan, plan[:1500]
+
+
+def test_span_corruption_single_doc_aggregation(spark):
+    """One partial+final agg pair on doc_id and nothing else: the mask
+    rule must not introduce a join or a second exchange."""
+    plan = _plan(Q.QUERIES["span_corruption"](spark, SF))
+    assert plan.count("Exchange hashpartitioning(doc_id") <= 1, \
+        plan[:2000]
+    assert "Join" not in plan, plan[:1500]
