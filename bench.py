@@ -149,6 +149,7 @@ EXTRAS = [
     "sitemap_index",         # two-level index→child sitemap parse
     "span_corruption",       # T5/UL2 denoising pair construction
     "fim_transform",         # fill-in-the-middle PSM reordering
+    "epoch_expansion",       # temperature-mix stream materialization
 ]
 
 

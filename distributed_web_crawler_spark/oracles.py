@@ -1645,3 +1645,53 @@ def fim_transform_sql(rate_denom: int = 2,
     ELSE d.text END AS text
   FROM dt d JOIN cuts c USING (doc_id)
 """
+
+
+def epoch_expansion_sql(alpha: float = 0.3, denom: int = 1_000_000,
+                        max_copies: int = 12,
+                        sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Mirror of pipeline.text.epoch_expansion over the SKEWED corpus
+    subset the query derives ((doc_id // 20) % 20 <= src_idx). Hash-dependent
+    inputs come from the XXH64 mirror as VALUES — the per-doc uniform u
+    and the (doc_id, copy_idx) order keys up to max_copies — while the
+    temperature rule, copy counts and the explode are restated in SQL.
+    max_copies must exceed the largest repeat factor (asserted by the
+    join's inner semantics: a missing order key would DROP rows and
+    fail the row-count gate, not silently pass)."""
+    from .functions.xxh64 import xxhash64
+
+    uvals, kvals = [], []
+    for d, _ in _docs(sf_dir):
+        uvals.append((int(d), xxhash64(int(d), 7) % denom))
+        for k in range(1, max_copies + 1):
+            kvals.append((int(d), k, xxhash64(int(d), k)))
+    uv = ", ".join(f"({d},{u})" for d, u in uvals)
+    kv = ", ".join(f"({d},{k},{o})" for d, k, o in kvals)
+    return f"""
+  WITH sub AS (
+    SELECT doc_id, source FROM documents
+    WHERE (doc_id // 20) % 20 <= CAST(substr(source, 4) AS INTEGER)),
+  u(doc_id, u) AS (VALUES {uv}),
+  okey(doc_id, copy_idx, order_key) AS (VALUES {kv}),
+  c AS (SELECT source, count(*) AS n_docs,
+               CAST(round(power(count(*), {alpha}) * 1e9, 0) AS BIGINT)
+                 AS p
+        FROM sub GROUP BY source),
+  z AS (SELECT CAST(sum(p) AS BIGINT) AS z,
+               CAST(sum(n_docs) AS BIGINT) AS n FROM c),
+  mw AS (SELECT source,
+                CAST(round(round(CAST(p AS DOUBLE) / CAST(z.z AS DOUBLE)
+                                 * z.n / n_docs, 6) * {denom}, 0)
+                     AS BIGINT) AS rfm
+         FROM c, z),
+  j AS (
+    SELECT s.doc_id, s.source,
+           (m.rfm // {denom})
+             + CASE WHEN u.u < m.rfm - (m.rfm // {denom}) * {denom}
+                    THEN 1 ELSE 0 END AS n_copies
+    FROM sub s JOIN mw m USING (source) JOIN u USING (doc_id))
+  SELECT j.doc_id, j.source, k.copy_idx, k.order_key
+  FROM j JOIN okey k
+    ON k.doc_id = j.doc_id AND k.copy_idx <= j.n_copies
+  WHERE j.n_copies > 0
+"""

@@ -1300,3 +1300,45 @@ def fim_transform(documents: DataFrame, rate_denom: int = 2,
     return documents.select(
         "doc_id", applied.alias("fim_applied"),
         F.when(applied, psm).otherwise(F.col(text_col)).alias("text"))
+
+
+def epoch_expansion(documents: DataFrame, alpha: float = 0.3,
+                    group_col: str = "source",
+                    denom: int = 1_000_000) -> DataFrame:
+    """Materialize the temperature-mix TRAINING STREAM that
+    `mixture_weights` only tabulates: every document appears
+    floor(repeat_factor) times, plus one more with probability
+    frac(repeat_factor) — decided deterministically per document by
+    comparing a hash uniform u = pmod(xxhash64(doc_id, 7), denom)
+    against the micro-quantized fraction (no RNG: the same corpus
+    always expands to the same stream, under any partitioning). Each
+    copy carries order_key = xxhash64(doc_id, copy_idx) — the
+    deterministic global shuffle a dataloader range-partitions by.
+
+    Returns (doc_id, source, copy_idx, order_key).
+
+    Scale shape: the group-level mix table (one row per source)
+    broadcasts onto the doc stream; copy counts are a map-side
+    expression; the explode emits exactly the stream (Σ n_copies rows —
+    no corpus-sized intermediate beyond the output itself); no shuffle
+    at all until the consumer repartitions by order_key. repeat_factor
+    is already 1e-6-rounded by mixture_weights, so the micro-integer
+    comparison is engine-exact."""
+    mw = mixture_weights(documents, alpha=alpha, group_col=group_col)
+    rfm = F.round(F.col("repeat_factor") * denom, 0).cast("long")
+    j = (documents.select("doc_id", group_col)
+         .join(F.broadcast(mw.select(group_col, rfm.alias("_rfm"))),
+               group_col))
+    base = F.floor(F.col("_rfm") / F.lit(denom)).cast("long")
+    fracm = F.col("_rfm") - base * denom
+    u = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(7).cast("long")),
+               F.lit(denom))
+    n_copies = base + (u < fracm).cast("long")
+    return (j.select("doc_id", group_col, n_copies.alias("_nc"))
+            .where(F.col("_nc") > 0)
+            .select("doc_id", group_col,
+                    F.explode(F.sequence(F.lit(1).cast("long"),
+                                         F.col("_nc"))).alias("copy_idx"))
+            .select("doc_id", group_col, "copy_idx",
+                    F.xxhash64(F.col("doc_id"), F.col("copy_idx"))
+                    .alias("order_key")))

@@ -5227,3 +5227,17 @@ def fim_transform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice/concat — zero shuffle. Oracled through the XXH64 mirror."""
     return ptext.fim_transform(_t(spark, sf_dir, "documents"),
                                rate_denom=2)
+
+
+@q("epoch_expansion", lambda: _oracles.epoch_expansion_sql(alpha=0.3))
+def epoch_expansion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized temperature-mix training stream over a skewed
+    corpus subset ((doc_id div 20) % 20 <= src_idx — each source keeps
+    a different fraction of its docs, so the n^0.3 rule produces
+    genuinely fractional repeat factors): floor copies + hash-uniform
+    fractional copy, each copy carrying its deterministic shuffle key."""
+    docs = _t(spark, sf_dir, "documents")
+    src_idx = F.substring("source", 4, 10).cast("int")
+    sub = docs.where(
+        F.floor(F.col("doc_id") / 20).cast("long") % 20 <= src_idx)
+    return ptext.epoch_expansion(sub, alpha=0.3)

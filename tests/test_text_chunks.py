@@ -137,3 +137,34 @@ def test_fim_transform_reconstructs_original(spark):
         assert rebuilt == originals[r["doc_id"]], r["doc_id"]
     # the hash gate applies FIM to roughly half the docs (not 0, not all)
     assert 0 < n_applied < len(got)
+
+
+def test_epoch_expansion_respects_repeat_factors(spark):
+    from distributed_web_crawler_spark.pipeline.text import (
+        epoch_expansion,
+        mixture_weights,
+    )
+    # skewed corpus: srcA 2 docs, srcB 20 docs
+    rows = ([(i, "srcA", f"a{i}") for i in range(2)]
+            + [(100 + i, "srcB", f"b{i}") for i in range(20)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                               "text string")
+    mw = {r["source"]: r["repeat_factor"]
+          for r in mixture_weights(df, alpha=0.3).collect()}
+    assert mw["srcA"] > 1.0 > mw["srcB"]  # tail upsampled, head damped
+    out = epoch_expansion(df, alpha=0.3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    # copy_idx is always the dense 1..n prefix
+    for copies in per.values():
+        assert sorted(copies) == list(range(1, len(copies) + 1))
+    # every document's copy count is floor(rf) or floor(rf)+1
+    import math
+    for r in out:
+        rf = mw["srcA" if r["doc_id"] < 100 else "srcB"]
+        assert len(per[r["doc_id"]]) in (math.floor(rf),
+                                         math.floor(rf) + 1)
+    # order keys are distinct across the whole stream (a usable shuffle)
+    keys = [r["order_key"] for r in out]
+    assert len(set(keys)) == len(keys)
