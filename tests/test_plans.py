@@ -374,3 +374,11 @@ def test_span_corruption_single_doc_aggregation(spark):
     assert plan.count("Exchange hashpartitioning(doc_id") <= 1, \
         plan[:2000]
     assert "Join" not in plan, plan[:1500]
+
+
+def test_epoch_expansion_broadcast_mix_no_preshuffle(spark):
+    """The group-level mix table must broadcast onto the doc stream;
+    the stream itself must not exchange before the explode."""
+    plan = _plan(Q.QUERIES["epoch_expansion"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
