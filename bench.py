@@ -150,6 +150,7 @@ EXTRAS = [
     "span_corruption",       # T5/UL2 denoising pair construction
     "fim_transform",         # fill-in-the-middle PSM reordering
     "epoch_expansion",       # temperature-mix stream materialization
+    "dedup_eval",            # LSH band-config recall/precision report
 ]
 
 

@@ -121,7 +121,9 @@ def simhash_neardup_sql(sf_dir: str = ORACLE_SF_DIR,
 def minhash_candidate_rows(sf_dir: str = ORACLE_SF_DIR,
                            num_hashes: int = 16, bands: int = 8,
                            n: int = 3,
-                           threshold: float = 0.5) -> list[tuple]:
+                           threshold: float = 0.5,
+                           docs: list[tuple] | None = None,
+                           docs_tag: str = "") -> list[tuple]:
     """(doc_a, doc_b, n_a, n_b, n_common) for every LSH candidate pair —
     the full minhash_lsh_verified pipeline mirrored in Python: shingle
     fingerprints, per-seed min signatures, banding (by band-value tuple:
@@ -131,13 +133,14 @@ def minhash_candidate_rows(sf_dir: str = ORACLE_SF_DIR,
     SQL."""
     from .functions.xxh64 import hash_int, hash_long, xxhash64
 
-    key = ("minhash_rows", sf_dir, num_hashes, bands, n, threshold)
+    key = ("minhash_rows", sf_dir, num_hashes, bands, n, threshold,
+           docs_tag)
     if key in _cache:
         return _cache[key]
     rpb = num_hashes // bands
     fps: dict[int, set] = {}
     sigs: dict[int, list[int]] = {}
-    for doc_id, text in _docs(sf_dir):
+    for doc_id, text in (docs if docs is not None else _docs(sf_dir)):
         sh = _shingles(_tokens(text), n)
         f = {(xxhash64(s), xxhash64(("i32", 1), s)) for s in sh}
         fps[doc_id] = f
@@ -170,9 +173,12 @@ def minhash_candidate_rows(sf_dir: str = ORACLE_SF_DIR,
 
 
 def minhash_lsh_sql(sf_dir: str = ORACLE_SF_DIR, num_hashes: int = 16,
-                    bands: int = 8, threshold: float = 0.5) -> str:
+                    bands: int = 8, threshold: float = 0.5,
+                    docs: list[tuple] | None = None,
+                    docs_tag: str = "") -> str:
     rows = minhash_candidate_rows(sf_dir, num_hashes, bands,
-                                  threshold=threshold)
+                                  threshold=threshold, docs=docs,
+                                  docs_tag=docs_tag)
     vals = ",\n    ".join(f"({a}, {b}, {na}, {nb}, {nc})"
                           for a, b, na, nb, nc in rows)
     return f"""
@@ -1695,3 +1701,24 @@ def epoch_expansion_sql(alpha: float = 0.3, denom: int = 1_000_000,
     ON k.doc_id = j.doc_id AND k.copy_idx <= j.n_copies
   WHERE j.n_copies > 0
 """
+
+
+def sibling_docs(sf_dir: str = ORACLE_SF_DIR) -> list[tuple]:
+    """The dedup_eval corpus: every document plus, for doc_id%10==3, a
+    'sibling' (doc_id+10000) sharing its first ceil(0.7·n) tokens with
+    unique filler after — token Jaccard ≈ 0.54, the band-sensitivity
+    regime where 16×2 LSH misses pairs that 16×8 catches."""
+    import math
+
+    key = ("sibling_docs", sf_dir)
+    if key in _cache:
+        return _cache[key]
+    out = list(_docs(sf_dir))
+    for d, text in _docs(sf_dir):
+        if d % 10 == 3:
+            toks = text.strip().split()
+            k = math.ceil(0.7 * len(toks))
+            fill = [f"u{d}x{i}" for i in range(1, len(toks) - k + 1)]
+            out.append((d + 10000, " ".join(toks[:k] + fill)))
+    _cache[key] = out
+    return out

@@ -5241,3 +5241,128 @@ def epoch_expansion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = docs.where(
         F.floor(F.col("doc_id") / 20).cast("long") % 20 <= src_idx)
     return ptext.epoch_expansion(sub, alpha=0.3)
+
+
+# ---------------------------------------------------------------------------
+# dedup-tuning eval: MinHash-LSH (16 hashes × 8 bands, exact-verified)
+# against the exact-Jaccard ground truth at the same threshold — the
+# recall report that justifies a band/hash configuration before a
+# corpus-scale run. Truth side restates the ngram CTEs (threshold-0.3
+# pair table filtered to ≥0.5 — the engine's prefilter is lossless, so
+# the sets agree); LSH side comes from the mirror generator.
+# ---------------------------------------------------------------------------
+
+_SIBLING_DOCS_SQL = """sibsrc AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents WHERE doc_id % 10 = 3),
+  sibs AS (
+    SELECT doc_id + 10000 AS doc_id,
+           array_to_string(
+             t[1:CAST(ceil(0.7 * len(t)) AS BIGINT)], ' ')
+           || CASE WHEN len(t) - CAST(ceil(0.7 * len(t)) AS BIGINT) > 0
+                   THEN ' ' || array_to_string(
+                     list_transform(
+                       range(1, len(t)
+                                - CAST(ceil(0.7 * len(t)) AS BIGINT) + 1),
+                       i -> 'u' || CAST(doc_id AS VARCHAR) || 'x'
+                            || CAST(i AS VARCHAR)), ' ')
+                   ELSE '' END AS text
+    FROM sibsrc),
+  sdocs AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id, text FROM sibs)"""
+
+
+def _dedup_eval_cfg_sql(bands: int) -> str:
+    lsh_sql = _oracles.minhash_lsh_sql(
+        num_hashes=16, bands=bands, threshold=0.5,
+        docs=_oracles.sibling_docs(), docs_tag="siblings")
+    ngram_ctes = _NGRAM_PAIRS_CTES.replace("FROM documents", "FROM sdocs")
+    return f"""
+  SELECT '16x{bands}' AS config,
+         CAST(sum(t) AS BIGINT) AS n_true,
+         CAST(sum(l) AS BIGINT) AS n_lsh,
+         CAST(sum(t * l) AS BIGINT) AS n_hit,
+         round(sum(t * l) / CAST(nullif(sum(t), 0) AS DOUBLE), 6)
+           AS recall,
+         round(sum(t * l) / CAST(nullif(sum(l), 0) AS DOUBLE), 6)
+           AS lsh_precision
+  FROM (
+    SELECT CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS t,
+           CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS l
+    FROM (
+      SELECT doc_a, doc_b FROM (
+        WITH {_SIBLING_DOCS_SQL},
+        {ngram_ctes}
+        SELECT doc_a, doc_b, jaccard FROM njp)
+      WHERE jaccard >= 0.5) t
+    FULL JOIN (SELECT doc_a, doc_b FROM ({lsh_sql})) l
+      ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b)
+"""
+
+
+def _dedup_eval_sql() -> str:
+    return (_dedup_eval_cfg_sql(8) + "\n  UNION ALL\n"
+            + _dedup_eval_cfg_sql(2))
+
+
+def _sibling_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus ~0.54-Jaccard 'siblings' for doc_id%10==3: first
+    70% of tokens shared, unique filler after — the band-sensitivity
+    regime for the LSH eval (mirror: oracles.sibling_docs)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    k = F.ceil(n * 0.7).cast("long")
+    filler = F.when(
+        n - k > 0,
+        F.concat(F.lit(" "), F.array_join(
+            F.transform(F.sequence(F.lit(1).cast("long"), n - k),
+                        lambda i: F.concat(F.lit("u"),
+                                           F.col("doc_id").cast("string"),
+                                           F.lit("x"), i.cast("string"))),
+            " "))).otherwise(F.lit(""))
+    # two-step select: building text FIRST keeps every doc_id reference
+    # bound to the ORIGINAL id (a one-step select with an aliased
+    # doc_id+10000 resolves the filler's doc_id to the NEW alias via
+    # lateral column aliasing — found the hard way)
+    sibs = (docs.where(F.col("doc_id") % 10 == 3)
+            .select("doc_id",
+                    F.concat(F.array_join(F.slice(toks, 1, k.cast("int")),
+                                          " "),
+                             filler).alias("text"))
+            .select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    return docs.unionByName(sibs)
+
+
+@q("dedup_eval", _dedup_eval_sql)
+def dedup_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the verified MinHash-LSH tier vs exact
+    Jaccard ground truth at threshold 0.5, at two band settings (16x8
+    recall-generous, 16x2 strict) — the tuning report run before
+    committing a configuration to a corpus-scale pass. Both sides are
+    the production operators."""
+    docs = _sibling_corpus(spark, sf_dir)
+    truth = (pdedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                        max_df=200)
+             .select("doc_a", "doc_b", F.lit(1).alias("_t")))
+
+    def cfg(bands: int) -> DataFrame:
+        lsh = (pdedup.minhash_lsh_verified(docs, num_hashes=16,
+                                           bands=bands, threshold=0.5)
+               .select("doc_a", "doc_b", F.lit(1).alias("_l")))
+        j = truth.join(lsh, ["doc_a", "doc_b"], "full")
+        t = F.coalesce(F.col("_t"), F.lit(0))
+        ll = F.coalesce(F.col("_l"), F.lit(0))
+        return j.agg(
+            F.sum(t).cast("long").alias("n_true"),
+            F.sum(ll).cast("long").alias("n_lsh"),
+            F.sum(t * ll).cast("long").alias("n_hit"),
+            F.round(F.sum(t * ll) /
+                    F.nullif(F.sum(t), F.lit(0)).cast("double"), 6)
+            .alias("recall"),
+            F.round(F.sum(t * ll) /
+                    F.nullif(F.sum(ll), F.lit(0)).cast("double"), 6)
+            .alias("lsh_precision")).select(
+                F.lit(f"16x{bands}").alias("config"), "*")
+
+    return cfg(8).unionByName(cfg(2))
