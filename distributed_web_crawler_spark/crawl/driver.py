@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import CrawlConfig, SynthWebConfig
-from ..operators.dedup import build_bloom_shards
+from ..operators.dedup import build_bloom_shards, filter_unseen_urls
 from ..operators.extract import make_synth_fetcher, write_empty_payload
 from ..tables.snapshot_store import SnapshotStore
 from .round import FRONTIER_COLS, RoundState, build_fetch, finish_round
@@ -59,19 +59,21 @@ FRONTIER_SCHEMA = T.StructType([
 
 
 def seeds_frontier(spark: SparkSession, seeds: list[str],
-                   cfg: CrawlConfig) -> DataFrame:
+                   cfg: CrawlConfig, round_no: int = 0) -> DataFrame:
     """S5: seed injection — CrawlRequest(url, depth=0, parent=null,
     priority=1), reference core/WebCrawler.java:88-97. Built through a
     pandas frame so the py4j transfer is one Arrow batch, not 10^5
     pickled rows (nullable Int64 columns require the Arrow path — enabled
-    in session.py and tools/spark_submit_crawl.sh)."""
+    in session.py and tools/spark_submit_crawl.sh). ``round_no`` > 0 is
+    the mid-crawl injection path (Crawler.inject)."""
     import pandas as pd
 
-    ts = cfg.round_ts_ms(0)
+    ts = cfg.round_ts_ms(round_no)
     urls = list(dict.fromkeys(seeds))  # order-preserving URL dedup
     if spark.conf.get("spark.sql.execution.arrow.pyspark.enabled",
                       "false").lower() != "true":
-        rows = [(u, urlparse(u).hostname, 0, None, ts, 1, 0, None, 0)
+        rows = [(u, urlparse(u).hostname, 0, None, ts, 1, 0, None,
+                 round_no)
                 for u in urls]
         return spark.createDataFrame(rows, FRONTIER_SCHEMA)
     pdf = pd.DataFrame({
@@ -83,7 +85,7 @@ def seeds_frontier(spark: SparkSession, seeds: list[str],
         "priority": pd.array([1] * len(urls), dtype="Int32"),
         "retry_count": pd.array([0] * len(urls), dtype="Int32"),
         "scheduled_for_ms": pd.array([None] * len(urls), dtype="Int64"),
-        "round": pd.array([0] * len(urls), dtype="Int32"),
+        "round": pd.array([round_no] * len(urls), dtype="Int32"),
     })
     return spark.createDataFrame(pdf, FRONTIER_SCHEMA)
 
@@ -152,10 +154,34 @@ class Crawler:
         self.store.stage_write("bloom", blooms0, 0)
         self.store.commit_round(0, {"stage": "bootstrap", "seeds": len(seeds)})
 
+    def inject(self, seeds: list[str]) -> int:
+        """Mid-crawl URL injection — the reference's anytime-enqueue
+        endpoint (POST /api/crawler/urls, controller/CrawlerController
+        .java:91-134 → KafkaUrlQueue.enqueue): stage seed rows for the
+        NEXT round to run. Consumed by that round's execution: deduped
+        against the full URL-seen state via the same bloom-front +
+        exact re-check as discovered children, unioned into the polled
+        frontier, and inserted into the seen filters before link
+        discovery — so later rounds (and that round's own children) can
+        never re-enqueue an injected URL. Durable once this returns
+        (parquet append under tables/inject/round=<r>); a round killed
+        after injection re-consumes the identical staged batch on
+        resume, preserving golden parity. Returns the target round."""
+        last = self.store.last_round()
+        if last is None:
+            raise RuntimeError("bootstrap(seeds) first")
+        r = last
+        df = seeds_frontier(self.spark, seeds, self.cfg, round_no=r)
+        df.write.mode("append").parquet(self.store.round_dir("inject", r))
+        return r
+
     def _frontier_empty(self, r: int) -> bool:
         """True iff frontier round r has no rows. Derived from the previous
         round's committed counts (discovered + deferred) when available —
-        avoids a per-round Spark job just to test emptiness."""
+        avoids a per-round Spark job just to test emptiness. A staged
+        injection batch revives an otherwise-drained frontier."""
+        if self.store.exists("inject", r):
+            return False
         meta = self.store.round_meta(r)
         if meta is not None:
             if "seeds" in meta:
@@ -201,6 +227,19 @@ class Crawler:
         # url_seen@c covers frontier rounds 0..c → tail = c+1..r
         seen_urls = hist("url_seen", ["url"], "frontier",
                          lambda c: c + 1, r + 1)
+        # mid-crawl injections are enqueued state too (D4: seen ⇔ ever
+        # enqueued). inject@k was folded into round k's frontier in
+        # memory, never into a frontier dir, so the history union must
+        # read the inject dirs: compact@c covers inject rounds ≤ c-1
+        # (the snapshot was built from round c-1's post-injection
+        # state), leaving the c..r-1 tail; round r's own staged batch
+        # is deliberately EXCLUDED — run() dedups then folds it.
+        c = self._latest_compact("url_seen", r)
+        inj = self.store.read(self.spark, "inject",
+                              list(range(0 if c is None else c, r)))
+        if inj is not None:
+            seen_urls = (seen_urls.select("url")
+                         .unionByName(inj.select("url")))
         # hash_seen@c covers stored rounds 0..c-1 → tail = c..r-1
         seen_hashes = hist("hash_seen", ["content_hash"], "stored",
                            lambda c: c, r)
@@ -313,7 +352,12 @@ class Crawler:
         per_round = []
         while r < max_rounds:
             frontier = self.store.read(self.spark, "frontier", [r])
-            if frontier is None or self._frontier_empty(r):
+            if frontier is None:
+                if not self.store.exists("inject", r):
+                    break
+                # injection revived a drained crawl: poll injected only
+                frontier = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+            elif self._frontier_empty(r):
                 break
             rt0 = time.time()
             stage_sec: dict[str, float] = {}
@@ -325,6 +369,39 @@ class Crawler:
                 return out
 
             state = _timed("state", lambda: self._state_for(r))
+            # mid-crawl injection (inject()): dedup the staged batch
+            # against the full URL-seen state with the SAME bloom-front
+            # + exact re-check path as discovered children, then fold
+            # the survivors into this round's frontier AND seen state
+            # (bloom + exact side) so within-round rediscovery by a
+            # child link cannot re-enqueue them. Idempotent across a
+            # crash: the staged batch is immutable and the dedup is
+            # deterministic, so a re-run consumes it identically.
+            inj_n = 0
+            inj_cached = []
+            pending = self.store.read(self.spark, "inject", [r])
+            if pending is not None:
+                injected = filter_unseen_urls(
+                    pending.dropDuplicates(["url"]), state.seen_urls,
+                    state.blooms, self.cfg).persist()
+                inj_cached.append(injected)
+                inj_n = injected.count()
+                if inj_n:
+                    frontier = frontier.unionByName(injected)
+                    seen_plus = (injected.select("url") if
+                                 state.seen_urls is None else
+                                 state.seen_urls.select("url").unionByName(
+                                     injected.select("url")))
+                    blooms_plus = (None if state.blooms is None else
+                                   build_bloom_shards(
+                                       injected.select("url"), self.cfg,
+                                       existing=state.blooms))
+                    state = RoundState(
+                        robots=state.robots,
+                        seen_hashes=state.seen_hashes,
+                        seen_urls=seen_plus,
+                        blooms=blooms_plus,
+                        hash_blooms=state.hash_blooms)
             # phase A: fetch → pages shards in ONE pass, written by the
             # Arrow workers themselves — payload bytes never cross the
             # Python→JVM boundary, never shuffle, never hit the cache. The
@@ -400,11 +477,13 @@ class Crawler:
             for row in lineage_rows:
                 counts[row["metric"]] = (counts.get(row["metric"], 0)
                                          + row["value"])
+            if inj_n:
+                counts["injected"] = inj_n
             self.store.commit_round(r + 1, {"round_processed": r,
                                             "counts": counts,
                                             "stage_sec": stage_sec,
                                             "sec": time.time() - rt0})
-            for df in (*plan.cached, *res.cached):
+            for df in (*plan.cached, *res.cached, *inj_cached):
                 df.unpersist()
             per_round.append({"round": r, **counts})
             totals["fetched"] += counts.get("fetched", 0)

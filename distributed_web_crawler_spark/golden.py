@@ -65,8 +65,14 @@ class GoldenResult:
 
 
 def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
-                 max_rounds: int | None = None) -> GoldenResult:
+                 max_rounds: int | None = None,
+                 injections: dict[int, list[str]] | None = None,
+                 ) -> GoldenResult:
+    """``injections`` mirrors Crawler.inject: {round: [urls]} enqueued at
+    the top of that round (depth 0, priority 1), deduped against the
+    URL-seen set exactly like discovered children."""
     max_rounds = max_rounds if max_rounds is not None else cfg.max_rounds
+    injections = injections or {}
     allow_re = combined_allow_pattern(cfg.allowed_domains)
     excl_re = combined_exclude_pattern(cfg.exclude_patterns)
 
@@ -88,6 +94,14 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
     out = GoldenResult(visits=[], stored_urls=set(), stored_hashes=seen_hashes)
 
     for r in range(max_rounds):
+        # mid-crawl injection (engine: tables/inject/round=r consumed at
+        # the top of round r): URL-dedup then enqueue; counts as polled
+        n_injected = 0
+        for u in dict.fromkeys(injections.get(r, [])):
+            if u not in seen_urls:
+                frontier.append(Req(u, host_of(u), 0, None))
+                seen_urls.add(u)
+                n_injected += 1
         if not frontier:
             break
         out.rounds = r + 1
@@ -97,7 +111,7 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
         # --- gates F7, F1-F4 then robots F6 (engine order) ------------------
         counts = {"polled": len(frontier), "rejected": 0, "deferred": 0,
                   "fetched": 0, "fetch_failed": 0, "stored": 0,
-                  "discovered": 0}
+                  "discovered": 0, "injected": n_injected}
         passed: list[Req] = []
         deferred: list[Req] = []
         for q in frontier:
