@@ -28,6 +28,11 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=64)
     ap.add_argument("--max-depth", type=int, default=8)
     ap.add_argument("--shards", type=int, default=32)
+    ap.add_argument("--inject", default=None,
+                    help="comma-separated URLs to enqueue mid-crawl "
+                         "(the reference's POST /api/crawler/urls): "
+                         "staged for the next round, deduped against "
+                         "the URL-seen state, then run() proceeds")
     args = ap.parse_args()
 
     # imports resolve from --py-files (or PYTHONPATH when run directly)
@@ -50,6 +55,8 @@ def main() -> None:
     crawler = Crawler(spark, cfg, synth, args.store)
     if crawler.store.last_round() is None:
         crawler.bootstrap(seed_urls(synth, args.seeds))
+    if args.inject:
+        crawler.inject([u for u in args.inject.split(",") if u])
     stats = crawler.run(args.rounds)
     stats.pop("per_round", None)
     print(json.dumps(stats))
