@@ -497,25 +497,41 @@ class Crawler:
 
     # -- results -------------------------------------------------------------
 
-    def pages(self) -> DataFrame | None:
+    def _rounds_upto(self, as_of_round: int | None) -> int:
+        """Exclusive upper bound of processed-round reads: the committed
+        head, or an Iceberg-style time-travel point — snapshots are
+        immutable, so `as_of_round=k` reproduces exactly what pages()
+        returned when marker k was the head, forever."""
+        last = self.store.last_round() or 0
+        if as_of_round is None:
+            return last
+        if not 0 <= as_of_round <= last:
+            raise ValueError(
+                f"as_of_round={as_of_round} outside committed range "
+                f"0..{last}")
+        return as_of_round
+
+    def pages(self, as_of_round: int | None = None) -> DataFrame | None:
         """Canonical stored-pages view: raw fetches ⋉ stored winners.
         Payload bytes only materialize for consumers that select them —
-        every slim query stays on pruned columns."""
-        last = self.store.last_round() or 0
-        raw = self.store.read(self.spark, "pages", list(range(last)))
-        stored = self.store.read(self.spark, "stored", list(range(last)))
+        every slim query stays on pruned columns. ``as_of_round=k``
+        time-travels to the state as of commit marker k."""
+        upto = self._rounds_upto(as_of_round)
+        raw = self.store.read(self.spark, "pages", list(range(upto)))
+        stored = self.store.read(self.spark, "stored", list(range(upto)))
         if raw is None or stored is None:
             return None
         return pages_view(
             raw.join(stored.select("url"), "url", "left_semi"))
 
-    def stored_slim(self) -> DataFrame | None:
-        last = self.store.last_round() or 0
-        return self.store.read(self.spark, "stored", list(range(last)))
+    def stored_slim(self, as_of_round: int | None = None
+                    ) -> DataFrame | None:
+        upto = self._rounds_upto(as_of_round)
+        return self.store.read(self.spark, "stored", list(range(upto)))
 
-    def lineage(self) -> DataFrame | None:
-        last = self.store.last_round() or 0
-        return self.store.read(self.spark, "lineage", list(range(last)))
+    def lineage(self, as_of_round: int | None = None) -> DataFrame | None:
+        upto = self._rounds_upto(as_of_round)
+        return self.store.read(self.spark, "lineage", list(range(upto)))
 
     def visit_sequence(self) -> list[tuple[int, str, str]]:
         """Canonical (round, host, url) visit order — the parity target vs
