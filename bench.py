@@ -151,6 +151,7 @@ EXTRAS = [
     "fim_transform",         # fill-in-the-middle PSM reordering
     "epoch_expansion",       # temperature-mix stream materialization
     "dedup_eval",            # LSH band-config recall/precision report
+    "main_content",          # densest-run main-content selection
 ]
 
 

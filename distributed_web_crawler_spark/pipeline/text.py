@@ -1342,3 +1342,72 @@ def epoch_expansion(documents: DataFrame, alpha: float = 0.3,
             .select("doc_id", group_col, "copy_idx",
                     F.xxhash64(F.col("doc_id"), F.col("copy_idx"))
                     .alias("order_key")))
+
+
+def main_content_block(documents: DataFrame, min_words: int = 5,
+                       text_col: str = "text") -> DataFrame:
+    """Main-content selection over rendered page lines — the
+    boilerpipe/trafilatura density heuristic in relational form: short
+    sparse lines (nav crumbs, button labels, bylines) are noise; the
+    page's substance is the longest dense RUN of lines. A line
+    qualifies when it has >= ``min_words`` whitespace words; qualifying
+    lines group into contiguous runs (islands), and the run with the
+    most total words wins (ties: the earliest run).
+
+    Returns (doc_id, main_text, n_lines, block_lines, block_words);
+    documents with no qualifying line yield main_text = ''.
+
+    Complements the other two extraction tiers: `host_boilerplate_scrub`
+    removes lines REPEATED across a host, `duplicate_span_scrub` removes
+    spans repeated across the corpus — this removes lines that are
+    sparse in isolation, catching one-off chrome no frequency rule sees.
+
+    Scale shape: line explode map-side; the island grouping is one
+    doc-keyed window pass; the winner pick is a doc-keyed min_by
+    aggregate over the (few) runs, then one join back to collect the
+    winning run's lines. Two doc-keyed exchanges, text crosses once."""
+    from pyspark.sql import Window
+
+    d = documents.select("doc_id", F.col(text_col).alias("_t"))
+    lines = (d.select("doc_id",
+                      F.posexplode(F.split("_t", "\n")).alias("pos", "raw"))
+             .select("doc_id", "pos", F.trim("raw").alias("line"))
+             .withColumn("words", F.size(F.split(
+                 F.col("line"), r"\s+")) *
+                 (F.length("line") > 0).cast("int")))
+    qual = lines.where(F.col("words") >= min_words)
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+    runs = qual.withColumn("_grp", F.col("pos") - rn)
+    per_run = (runs.groupBy("doc_id", "_grp")
+               .agg(F.sum("words").alias("block_words"),
+                    F.count(F.lit(1)).alias("block_lines"),
+                    F.min("pos").alias("_start")))
+    # winner: max words, earliest start on ties — min_by over a struct
+    # whose first field is -block_words (hash agg, no window sort)
+    best = (per_run.groupBy("doc_id")
+            .agg(F.min_by(
+                F.struct("_grp", "block_words", "block_lines"),
+                F.struct((-F.col("block_words")).alias("nw"),
+                         F.col("_start"))).alias("_b"))
+            .select("doc_id", F.col("_b._grp").alias("_grp"),
+                    F.col("_b.block_words").alias("block_words"),
+                    F.col("_b.block_lines").alias("block_lines")))
+    win_lines = runs.join(best, ["doc_id", "_grp"])
+    rebuilt = (win_lines.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]), "\n").alias("main_text"),
+                    F.max("block_words").alias("block_words"),
+                    F.max("block_lines").alias("block_lines")))
+    totals = (lines.where(F.length("line") > 0)
+              .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines")))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("main_text", F.lit("")).alias("main_text"),
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    F.coalesce("block_lines", F.lit(0)).cast("long")
+                    .alias("block_lines"),
+                    F.coalesce("block_words", F.lit(0)).cast("long")
+                    .alias("block_words")))

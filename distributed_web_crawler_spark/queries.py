@@ -5366,3 +5366,66 @@ def dedup_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"16x{bands}").alias("config"), "*")
 
     return cfg(8).unionByName(cfg(2))
+
+
+# ---------------------------------------------------------------------------
+# main-content block selection (pipeline/text.main_content_block): the
+# density tier of extraction. Derivation: the dense body (8-word folded
+# lines, one contiguous run) vs a sparse "home" crumb, a second 6-word
+# qualifying run ("related items ..."), and a sparse copyright line —
+# the body run must win on total words.
+# ---------------------------------------------------------------------------
+
+@q("main_content", f"""
+  WITH {_MULTILINE_DOCS_SQL},
+  cdocs AS (
+    SELECT doc_id,
+      text || chr(10) || 'related items you may also like'
+           || chr(10) || 'home' AS text
+    FROM mdocs),
+  lines AS (
+    SELECT doc_id, i AS pos, trim(l[i]) AS line,
+           CASE WHEN length(trim(l[i])) > 0
+                THEN len(string_split_regex(trim(l[i]), '\\s+'))
+                ELSE 0 END AS words
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM cdocs),
+         UNNEST(range(1, len(l) + 1)) AS u(i)),
+  qual AS (
+    SELECT doc_id, pos, line, words,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             AS grp
+    FROM lines WHERE words >= 5),
+  per_run AS (
+    SELECT doc_id, grp, sum(words) AS block_words,
+           count(*) AS block_lines, min(pos) AS start
+    FROM qual GROUP BY doc_id, grp),
+  best AS (
+    SELECT doc_id, grp, block_words, block_lines FROM per_run
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY block_words DESC, start) = 1),
+  winlines AS (
+    SELECT q.doc_id, q.pos, q.line, b.block_words, b.block_lines
+    FROM qual q JOIN best b ON b.doc_id = q.doc_id AND b.grp = q.grp),
+  rebuilt AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS main_text,
+           max(block_words) AS block_words,
+           max(block_lines) AS block_lines
+    FROM winlines GROUP BY doc_id),
+  totals AS (SELECT doc_id, count(*) AS n_lines FROM lines
+             WHERE length(line) > 0 GROUP BY doc_id)
+  SELECT t.doc_id, coalesce(r.main_text, '') AS main_text,
+         CAST(t.n_lines AS BIGINT) AS n_lines,
+         CAST(coalesce(r.block_lines, 0) AS BIGINT) AS block_lines,
+         CAST(coalesce(r.block_words, 0) AS BIGINT) AS block_words
+  FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+""")
+def main_content_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest-run main-content selection: sparse crumb lines and a
+    shorter second dense run lose to the body block."""
+    base = _multiline_docs(spark, sf_dir)
+    docs = base.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit("\nrelated items you may also like\nhome"))
+        .alias("text"))
+    return ptext.main_content_block(docs, min_words=5)

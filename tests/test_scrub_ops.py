@@ -56,3 +56,26 @@ def test_dup_span_scrub_owner_keeps_and_spans_merge(spark):
     # sub-window documents pass through
     assert got[3]["clean_text"] == "short doc"
     assert got[3]["n_removed"] == 0
+
+
+def test_main_content_block_picks_densest_run(spark):
+    from distributed_web_crawler_spark.pipeline.text import (
+        main_content_block,
+    )
+    text = ("home\n"
+            "one two three four five six\n"      # run A: 6+7=13 words
+            "seven eight nine ten eleven tw th\n"
+            "login\n"
+            "alpha beta gamma delta epsilon\n"    # run B: 5 words
+            "© 2024\n")
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = main_content_block(df, min_words=5).collect()[0]
+    assert got["main_text"] == ("one two three four five six\n"
+                                "seven eight nine ten eleven tw th")
+    assert got["block_lines"] == 2 and got["block_words"] == 13
+    assert got["n_lines"] == 6
+    # a doc with no qualifying line yields an empty block
+    sparse = spark.createDataFrame([(2, "a b\nc d\n")],
+                                   "doc_id long, text string")
+    got2 = main_content_block(sparse, min_words=5).collect()[0]
+    assert got2["main_text"] == "" and got2["block_words"] == 0
