@@ -152,6 +152,7 @@ EXTRAS = [
     "epoch_expansion",       # temperature-mix stream materialization
     "dedup_eval",            # LSH band-config recall/precision report
     "main_content",          # densest-run main-content selection
+    "mime_sniff",            # magic-byte vs declared content type
 ]
 
 

@@ -1722,3 +1722,29 @@ def sibling_docs(sf_dir: str = ORACLE_SF_DIR) -> list[tuple]:
             out.append((d + 10000, " ".join(toks[:k] + fill)))
     _cache[key] = out
     return out
+
+
+def mime_sniff_sql(n: int = 128, dup_mod: int = 96) -> str:
+    """Mirror of pipeline.multimodal.mime_sniff over _images_df with the
+    query's planted mislabels (doc_id%7==0 declares the flipped format).
+    The TRUE format per payload group comes from the codec mirror
+    (_image_group); the sniff result must equal it — the oracle asserts
+    the magic-byte read against independent knowledge of what the codec
+    wrote, not against a re-read of the bytes."""
+    vals = ",\n    ".join(
+        f"({m}, '{_image_group(m, dup_mod)['fmt']}')"
+        for m in range(dup_mod))
+    return f"""
+  WITH {_IDS_CTE.format(n=n)},
+  v(m, fmt) AS (VALUES
+    {vals}),
+  j AS (
+    SELECT ids.doc_id, v.fmt AS true_fmt,
+           CASE WHEN ids.doc_id % 7 = 0
+                THEN CASE v.fmt WHEN 'png' THEN 'jpeg' ELSE 'png' END
+                ELSE v.fmt END AS declared
+    FROM ids JOIN v ON ids.doc_id % {dup_mod} = v.m)
+  SELECT printf('img-%08d', doc_id) AS image_id, declared,
+         true_fmt AS sniffed, declared <> true_fmt AS mismatch
+  FROM j
+"""

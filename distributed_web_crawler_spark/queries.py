@@ -5429,3 +5429,19 @@ def main_content_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit("\nrelated items you may also like\nhome"))
         .alias("text"))
     return ptext.main_content_block(docs, min_words=5)
+
+
+@q("mime_sniff", lambda: _oracles.mime_sniff_sql(n=128, dup_mod=96))
+def mime_sniff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte sniffing vs declared content type over the synthetic
+    image table, with planted mislabels (doc_id%7 declares the flipped
+    format): the sniff must recover the codec's true format — oracled
+    against the codec MIRROR's knowledge of what was written."""
+    imgs = _images_df(spark, sf_dir, n=128, dup_mod=96)
+    doc_id = F.substring("image_id", 5, 8).cast("long")
+    declared = F.when(
+        doc_id % 7 == 0,
+        F.when(F.col("fmt") == "png", F.lit("jpeg")).otherwise(F.lit("png"))
+    ).otherwise(F.col("fmt"))
+    return multimodal.mime_sniff(
+        imgs.withColumn("fmt", declared))

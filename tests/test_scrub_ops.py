@@ -79,3 +79,22 @@ def test_main_content_block_picks_densest_run(spark):
                                    "doc_id long, text string")
     got2 = main_content_block(sparse, min_words=5).collect()[0]
     assert got2["main_text"] == "" and got2["block_words"] == 0
+
+
+def test_mime_sniff_magic_beats_declared(spark):
+    from distributed_web_crawler_spark.pipeline.multimodal import (
+        mime_sniff,
+    )
+    rows = [
+        ("a", bytearray(b"sPNGxxxx"), "png"),     # honest
+        ("b", bytearray(b"sJPGxxxx"), "png"),     # mislabeled
+        ("c", bytearray(b"GARBAGE!"), "jpeg"),    # unknown signature
+        ("d", bytearray(b"sP"), "png"),           # truncated payload
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, "
+                               "fmt string")
+    got = {r["image_id"]: r for r in mime_sniff(df).collect()}
+    assert not got["a"]["mismatch"] and got["a"]["sniffed"] == "png"
+    assert got["b"]["mismatch"] and got["b"]["sniffed"] == "jpeg"
+    assert got["c"]["mismatch"] and got["c"]["sniffed"] == "unknown"
+    assert got["d"]["mismatch"] and got["d"]["sniffed"] == "unknown"
