@@ -153,6 +153,7 @@ EXTRAS = [
     "dedup_eval",            # LSH band-config recall/precision report
     "main_content",          # densest-run main-content selection
     "mime_sniff",            # magic-byte vs declared content type
+    "psnr_neardup",          # phash proposes, decoded-pixel PSNR verifies
 ]
 
 

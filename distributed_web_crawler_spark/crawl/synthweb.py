@@ -65,6 +65,13 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "jpeg":
         stored = (pixels >> 1) << 1  # quantize: lossy, max err 1
         magic = _JPG_MAGIC
+    elif fmt == "jpeg16":
+        # heavy re-encode (thumbnail/transcode stand-in): step-16 quantize,
+        # max err 15 → PSNR ≈ 29 dB — BELOW the input_hint 40 dB bar, so a
+        # pixel-verification tier must reject it even though its phash stays
+        # within a few bits of the source (measured ≤6 over the corpus).
+        stored = (pixels >> 4) << 4
+        magic = _JPG_MAGIC
     else:
         stored = pixels
         magic = _PNG_MAGIC
@@ -292,14 +299,19 @@ SYNTH_IMAGE_SCHEMA = (
 
 
 def images_for_keys(cfg: SynthWebConfig, dup_mod: int = 0,
-                    caption_dup_mod: int | None = None):
+                    caption_dup_mod: int | None = None,
+                    variant_fmts: tuple[str, ...] | None = None):
     """Arrow-batched generator of input_hint image rows — one deterministic
     image+caption per input key (`doc_id` column). Used to materialize the
     BASELINE.json input table at any scale without external data.
     dup_mod > 0 folds keys modulo dup_mod, creating exact-duplicate groups.
     caption_dup_mod (default: follow dup_mod) folds the CAPTION key
     separately — a coarser caption modulus yields caption-duplicate groups
-    spanning several distinct payloads, the shape cross-modal dedup needs."""
+    spanning several distinct payloads, the shape cross-modal dedup needs.
+    variant_fmts (with dup_mod) picks the encoding per key REPETITION —
+    ``variant_fmts[(key // dup_mod) % len]`` — so one pixel group yields
+    lossless/lossy/heavily-requantized encodings of the SAME image: the
+    corpus shape a pixel-verification dedup tier (psnr_neardup) needs."""
     import pandas as pd
 
     def gen(batches):
@@ -315,6 +327,9 @@ def images_for_keys(cfg: SynthWebConfig, dup_mod: int = 0,
                 w = cfg.min_dim + (h % span)
                 ht = cfg.min_dim + ((h >> 8) % span)
                 fmt = "png" if (h >> 16) % 2 == 0 else "jpeg"
+                if variant_fmts and dup_mod:
+                    fmt = variant_fmts[
+                        (int(key) // dup_mod) % len(variant_fmts)]
                 pixels = _byte_stream(cfg.seed, ck, w * ht).reshape(ht, w)
                 buf = encode_image(pixels, fmt)
                 rows["image_id"].append(f"img-{int(key):08d}")

@@ -443,6 +443,110 @@ def image_resize_sql(n: int = 128, dup_mod: int = 96,
 """
 
 
+_PSNR_FMTS = ("png", "jpeg", "jpeg16")
+
+
+def _image_combo(m: int, fmt: str, dup_mod: int):
+    """Stored pixels + phash for one (duplicate-group, encoding) combo —
+    the codec mirror at the grain psnr_neardup's verify tier needs (the
+    group's SOURCE pixels re-encoded per variant)."""
+    from .config import SynthWebConfig
+    from .crawl.synthweb import (
+        _byte_stream,
+        _dint,
+        average_phash,
+        decode_image,
+        encode_image,
+    )
+
+    key = ("imgcombo", m, fmt, dup_mod)
+    if key in _cache:
+        return _cache[key]
+    cfg = SynthWebConfig()
+    ck = f"doc:{m}"
+    h = _dint(cfg.seed, "img", ck)
+    span = max(1, cfg.max_dim - cfg.min_dim + 1)
+    w = cfg.min_dim + (h % span)
+    ht = cfg.min_dim + ((h >> 8) % span)
+    src = _byte_stream(cfg.seed, ck, w * ht).reshape(ht, w)
+    pix, _ = decode_image(encode_image(src, fmt))
+    _cache[key] = {"pix": pix, "phash": average_phash(pix)}
+    return _cache[key]
+
+
+def psnr_neardup_sql(n: int = 384, dup_mod: int = 96,
+                     max_hamming: int = 10, min_psnr: float = 40.0) -> str:
+    """Mirror of pipeline.multimodal.psnr_verified_neardup over the
+    variant-encoded image table (variant_fmts = png/jpeg/jpeg16/png): the
+    banded Hamming join is recomputed relationally from per-combo phash
+    VALUES, and the pixel verdict joins per-combo-pair psnr VALUES from the
+    codec mirror (pixel content is f(doc_id % dup_mod, fmt) — scale-free)."""
+    from .crawl.synthweb import psnr as psnr_py
+
+    variant_fmts = ("png", "jpeg", "jpeg16", "png")
+    combos = [(m, fi) for m in range(dup_mod)
+              for fi in range(len(_PSNR_FMTS))]
+
+    def cdata(m, fi):
+        return _image_combo(m, _PSNR_FMTS[fi], dup_mod)
+
+    sig_vals = ",\n    ".join(
+        f"({m}, {fi}, {cdata(m, fi)['phash']})" for m, fi in combos)
+
+    # pair verdicts for every combo pair that could survive banding
+    # (hamming <= max_hamming, self-pairs included: two keys can share one
+    # combo when variant_fmts repeats an encoding)
+    pair_rows = []
+    for i, (ma, fa) in enumerate(combos):
+        for mb, fb in combos[i:]:
+            a, b = cdata(ma, fa), cdata(mb, fb)
+            ham = bin((a["phash"] ^ b["phash"]) & ((1 << 64) - 1)).count("1")
+            if ham > max_hamming:
+                continue
+            ca, cb = ma * len(_PSNR_FMTS) + fa, mb * len(_PSNR_FMTS) + fb
+            if a["pix"].shape != b["pix"].shape:
+                pair_rows.append(f"({ca}, {cb}, FALSE, FALSE, NULL, FALSE)")
+                continue
+            v = psnr_py(a["pix"], b["pix"])
+            if v == float("inf"):
+                pair_rows.append(f"({ca}, {cb}, TRUE, TRUE, NULL, TRUE)")
+            else:
+                r = round(v, 6)
+                pair_rows.append(
+                    f"({ca}, {cb}, TRUE, FALSE, '{r!r}', {r >= min_psnr})")
+    pair_vals = ",\n    ".join(pair_rows)
+
+    fi_case = " ".join(
+        f"WHEN {v} THEN {_PSNR_FMTS.index(fmt)}"
+        for v, fmt in enumerate(variant_fmts))
+    nv = len(variant_fmts)
+    return f"""
+  WITH {_IDS_CTE.format(n=n)},
+  ph(m, fi, phash) AS (VALUES
+    {sig_vals}),
+  pv(c_lo, c_hi, same_shape0, exact0, psnr0, verified0) AS (VALUES
+    {pair_vals}),
+  imgs AS (SELECT printf('img-%08d', doc_id) AS image_id,
+                  (doc_id % {dup_mod}) * {len(_PSNR_FMTS)}
+                  + (CASE (doc_id // {dup_mod}) % {nv} {fi_case} END)
+                  AS cid
+           FROM ids),
+  sigs AS (SELECT i.image_id, i.cid, CAST(ph.phash AS BIGINT) AS sig
+           FROM imgs i
+           JOIN ph ON ph.m * {len(_PSNR_FMTS)} + ph.fi = i.cid),
+  pairs AS (WITH {_hamming_band_join_sql('sigs', 'image_id',
+                                         'img_a', 'img_b', max_hamming)})
+  SELECT p.img_a, p.img_b, p.hamming,
+         pv.same_shape0 AS same_shape, pv.exact0 AS exact_pixels,
+         CAST(pv.psnr0 AS DOUBLE) AS psnr_db, pv.verified0 AS verified
+  FROM pairs p
+  JOIN sigs sa ON sa.image_id = p.img_a
+  JOIN sigs sb ON sb.image_id = p.img_b
+  JOIN pv ON pv.c_lo = least(sa.cid, sb.cid)
+         AND pv.c_hi = greatest(sa.cid, sb.cid)
+"""
+
+
 def sample_keep_ids(rate: float, denom: int = 1_000_000) -> list[int]:
     """doc_ids the deterministic sample keeps — the XXH64-mirror
     restatement of pipeline.text.deterministic_sample's bucket test."""

@@ -2046,16 +2046,20 @@ def _media_keys(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
 
 def _images_df(spark: SparkSession, sf_dir: str, n: int = 128,
                dup_mod: int = 96,
-               caption_dup_mod: int | None = None) -> DataFrame:
+               caption_dup_mod: int | None = None,
+               variant_fmts: tuple[str, ...] | None = None) -> DataFrame:
     """Deterministic image table per BASELINE.json input_hint, derived from
     doc_ids through the synthetic codec (crawl/synthweb.py). dup_mod < n
     creates exact-duplicate payload groups (phash Hamming 0) so the image
     near-dup operator has real work; a coarser caption_dup_mod makes
-    caption groups span several payload variants (cross-modal dedup)."""
+    caption groups span several payload variants (cross-modal dedup);
+    variant_fmts re-encodes each group's pixels per repetition (lossless /
+    lossy / heavy-requantize variants for the PSNR verify tier)."""
     from .crawl.synthweb import SYNTH_IMAGE_SCHEMA, images_for_keys
     return _media_keys(spark, sf_dir, n).mapInPandas(
         images_for_keys(SynthWebConfig(), dup_mod=dup_mod,
-                        caption_dup_mod=caption_dup_mod),
+                        caption_dup_mod=caption_dup_mod,
+                        variant_fmts=variant_fmts),
         SYNTH_IMAGE_SCHEMA)
 
 
@@ -2073,6 +2077,20 @@ def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_hamming_neardup(
         _images_df(spark, sf_dir), max_hamming=10)
+
+
+@q("psnr_neardup", lambda: _oracles.psnr_neardup_sql(
+    n=384, dup_mod=96, max_hamming=10, min_psnr=40.0))
+def psnr_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier image near-dup over a variant-encoded corpus (each pixel
+    group appears as lossless png, ~51 dB jpeg, ~29 dB jpeg16 requantize,
+    and a second byte-identical png): phash banding proposes, decoded-pixel
+    PSNR verifies at the input_hint 40 dB bar — light lossy passes, heavy
+    requantize is REJECTED despite sitting a few phash bits away."""
+    return multimodal.psnr_verified_neardup(
+        _images_df(spark, sf_dir, n=384, dup_mod=96,
+                   variant_fmts=("png", "jpeg", "jpeg16", "png")),
+        max_hamming=10, min_psnr=40.0)
 
 
 @q("image_dedup_clusters", lambda: _oracles.image_clusters_sql(

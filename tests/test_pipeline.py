@@ -123,6 +123,37 @@ def test_phash_neardup_detects_duplicate_payloads(spark):
     assert {(f"img-{i:08d}", f"img-{i + 4:08d}") for i in range(4)} <= got
 
 
+def test_psnr_verify_rejects_heavy_requantize(spark):
+    """Two-tier near-dup: each pixel group appears as png / ~51 dB jpeg /
+    ~29 dB jpeg16. Banding proposes all three pairings (phash within a few
+    bits); the pixel tier must VERIFY png↔jpeg (≥40 dB) and REJECT any pair
+    touching the jpeg16 requantize — the call a signature-only dedup
+    cannot make."""
+    from distributed_web_crawler_spark.config import SynthWebConfig
+    from distributed_web_crawler_spark.crawl.synthweb import (
+        SYNTH_IMAGE_SCHEMA, images_for_keys)
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    imgs = ids.mapInPandas(
+        images_for_keys(SynthWebConfig(), dup_mod=4,
+                        variant_fmts=("png", "jpeg", "jpeg16")),
+        SYNTH_IMAGE_SCHEMA)
+    rows = multimodal.psnr_verified_neardup(
+        imgs, max_hamming=10, min_psnr=40.0).collect()
+    # group g: img-g (png), img-g+4 (jpeg), img-g+8 (jpeg16)
+    by_pair = {(r["img_a"], r["img_b"]): r for r in rows}
+    for g in range(4):
+        png, jpg, j16 = (f"img-{g:08d}", f"img-{g + 4:08d}",
+                         f"img-{g + 8:08d}")
+        ok = by_pair[(png, jpg)]
+        assert ok["verified"] and not ok["exact_pixels"]
+        assert ok["psnr_db"] > 40.0
+        for pair in ((png, j16), (jpg, j16)):
+            if pair in by_pair:  # banding may or may not propose it
+                r = by_pair[pair]
+                assert not r["verified"]
+                assert r["psnr_db"] is not None and r["psnr_db"] < 40.0
+
+
 def test_decode_real_image_is_gated(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_real_image(b"\x89PNG")
