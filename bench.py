@@ -154,6 +154,7 @@ EXTRAS = [
     "main_content",          # densest-run main-content selection
     "mime_sniff",            # magic-byte vs declared content type
     "psnr_neardup",          # phash proposes, decoded-pixel PSNR verifies
+    "image_variant_dedup",   # PSNR-verified clusters, lossless survivor
 ]
 
 

@@ -474,13 +474,15 @@ def _image_combo(m: int, fmt: str, dup_mod: int):
     return _cache[key]
 
 
-def psnr_neardup_sql(n: int = 384, dup_mod: int = 96,
-                     max_hamming: int = 10, min_psnr: float = 40.0) -> str:
-    """Mirror of pipeline.multimodal.psnr_verified_neardup over the
-    variant-encoded image table (variant_fmts = png/jpeg/jpeg16/png): the
-    banded Hamming join is recomputed relationally from per-combo phash
-    VALUES, and the pixel verdict joins per-combo-pair psnr VALUES from the
-    codec mirror (pixel content is f(doc_id % dup_mod, fmt) — scale-free)."""
+def _psnr_combo_ctes(n: int, dup_mod: int, max_hamming: int,
+                     min_psnr: float) -> str:
+    """Shared CTE chain for the variant-encoded image corpus
+    (variant_fmts = png/jpeg/jpeg16/png): per-combo phash VALUES (ph),
+    per-combo-pair pixel verdicts from the codec mirror (pv), the
+    image→combo map (imgs), per-image signatures (sigs), and the banded
+    Hamming candidate pairs (pairs). Pixel content is
+    f(doc_id % dup_mod, fmt) — scale-free, so pv is O(dup_mod²) VALUES
+    regardless of n."""
     from .crawl.synthweb import psnr as psnr_py
 
     variant_fmts = ("png", "jpeg", "jpeg16", "png")
@@ -520,8 +522,7 @@ def psnr_neardup_sql(n: int = 384, dup_mod: int = 96,
         f"WHEN {v} THEN {_PSNR_FMTS.index(fmt)}"
         for v, fmt in enumerate(variant_fmts))
     nv = len(variant_fmts)
-    return f"""
-  WITH {_IDS_CTE.format(n=n)},
+    return f"""{_IDS_CTE.format(n=n)},
   ph(m, fi, phash) AS (VALUES
     {sig_vals}),
   pv(c_lo, c_hi, same_shape0, exact0, psnr0, verified0) AS (VALUES
@@ -535,7 +536,17 @@ def psnr_neardup_sql(n: int = 384, dup_mod: int = 96,
            FROM imgs i
            JOIN ph ON ph.m * {len(_PSNR_FMTS)} + ph.fi = i.cid),
   pairs AS (WITH {_hamming_band_join_sql('sigs', 'image_id',
-                                         'img_a', 'img_b', max_hamming)})
+                                         'img_a', 'img_b', max_hamming)})"""
+
+
+def psnr_neardup_sql(n: int = 384, dup_mod: int = 96,
+                     max_hamming: int = 10, min_psnr: float = 40.0) -> str:
+    """Mirror of pipeline.multimodal.psnr_verified_neardup over the
+    variant-encoded image table: the banded Hamming join is recomputed
+    relationally from per-combo phash VALUES, and the pixel verdict joins
+    per-combo-pair psnr VALUES from the codec mirror."""
+    return f"""
+  WITH {_psnr_combo_ctes(n, dup_mod, max_hamming, min_psnr)}
   SELECT p.img_a, p.img_b, p.hamming,
          pv.same_shape0 AS same_shape, pv.exact0 AS exact_pixels,
          CAST(pv.psnr0 AS DOUBLE) AS psnr_db, pv.verified0 AS verified
@@ -544,6 +555,46 @@ def psnr_neardup_sql(n: int = 384, dup_mod: int = 96,
   JOIN sigs sb ON sb.image_id = p.img_b
   JOIN pv ON pv.c_lo = least(sa.cid, sb.cid)
          AND pv.c_hi = greatest(sa.cid, sb.cid)
+"""
+
+
+def image_variant_dedup_sql(n: int = 384, dup_mod: int = 96,
+                            max_hamming: int = 10,
+                            min_psnr: float = 40.0) -> str:
+    """Mirror of pipeline.multimodal.image_variant_dedup: verified pairs
+    (psnr_neardup_sql's machinery) → recursive reachability → min-id
+    cluster labels → one survivor per cluster by (fmt rank, image_id).
+    fmt rank falls straight out of the combo id: cid % 3 indexes
+    _PSNR_FMTS, whose order IS the engine's VARIANT_FMT_RANK."""
+    nf = len(_PSNR_FMTS)
+    fmt_case = " ".join(
+        f"WHEN {i} THEN '{f}'" for i, f in enumerate(_PSNR_FMTS))
+    return f"""
+  WITH RECURSIVE {_psnr_combo_ctes(n, dup_mod, max_hamming, min_psnr)},
+  vpairs AS (SELECT p.img_a, p.img_b
+             FROM pairs p
+             JOIN sigs sa ON sa.image_id = p.img_a
+             JOIN sigs sb ON sb.image_id = p.img_b
+             JOIN pv ON pv.c_lo = least(sa.cid, sb.cid)
+                    AND pv.c_hi = greatest(sa.cid, sb.cid)
+             WHERE pv.verified0),
+  edges AS (SELECT img_a AS a, img_b AS b FROM vpairs
+            UNION SELECT img_b, img_a FROM vpairs),
+  reach(node, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node),
+  labels AS (SELECT node, min(comp) AS cluster_id FROM reach
+             GROUP BY node),
+  lab AS (SELECT s.image_id,
+                 coalesce(l.cluster_id, s.image_id) AS cluster_id,
+                 CASE s.cid % {nf} {fmt_case} END AS fmt,
+                 s.cid % {nf} AS fmt_rank
+          FROM sigs s LEFT JOIN labels l ON l.node = s.image_id)
+  SELECT image_id, cluster_id, fmt,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY fmt_rank, image_id) = 1 AS keep
+  FROM lab
 """
 
 

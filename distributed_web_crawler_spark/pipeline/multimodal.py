@@ -218,6 +218,50 @@ def psnr_verified_neardup(images: DataFrame, max_hamming: int = 10,
     return cand.mapInPandas(verify, PSNR_VERIFY_SCHEMA)
 
 
+# encoding preference when one pixel group survives dedup: keep the
+# lossless copy; among lossy copies, the lighter quantizer
+VARIANT_FMT_RANK = ("png", "jpeg", "jpeg16")
+
+
+def image_variant_dedup(images: DataFrame, max_hamming: int = 10,
+                        min_psnr: float = 40.0) -> DataFrame:
+    """Variant-aware image dedup end-to-end: psnr_verified_neardup edges
+    (phash banding proposes, decoded pixels confirm ≥ min_psnr) →
+    connected components → ONE survivor per pixel group, preferring the
+    lossless encoding (VARIANT_FMT_RANK order, then min image_id). A heavy
+    requantize never verifies, so it is never merged — it survives as its
+    own cluster instead of silently replacing (or being replaced by) the
+    lossless copy. This is the keep-the-best-copy curation rule a
+    text-image training corpus runs after a crawl, and the rejection
+    boundary comes from pixels, not signatures.
+
+    Scale shape: everything downstream of the verify tier operates on
+    ids + small ints — components iterate over the VERIFIED edge set
+    (≪ candidates ≪ corpus), and the survivor pick is one
+    cluster_id-keyed min(struct) hash agg joined back at corpus volume
+    (broadcast when clusters ≪ corpus; both sides id-keyed otherwise)."""
+    from .dedup import assign_clusters
+
+    verified = (psnr_verified_neardup(images, max_hamming, min_psnr)
+                .where(F.col("verified"))
+                .select("img_a", "img_b"))
+    clustered = assign_clusters(
+        images.select("image_id", "fmt"), verified,
+        id_col="image_id", src="img_a", dst="img_b")
+    rank = F.coalesce(
+        *[F.when(F.col("fmt") == f, F.lit(i))
+          for i, f in enumerate(VARIANT_FMT_RANK)],
+        F.lit(len(VARIANT_FMT_RANK)))
+    ranked = clustered.select(
+        "image_id", "fmt", "cluster_id", rank.alias("fmt_rank"))
+    winners = (ranked.groupBy("cluster_id")
+               .agg(F.min(F.struct("fmt_rank", "image_id"))
+                    .getField("image_id").alias("survivor")))
+    return (ranked.join(winners, "cluster_id")
+            .select("image_id", "cluster_id", "fmt",
+                    (F.col("image_id") == F.col("survivor")).alias("keep")))
+
+
 # ---------------------------------------------------------------------------
 # audio / video plumbing — same opaque-binary + typed-metadata design as
 # images. The synthetic container formats below are deterministic stand-ins

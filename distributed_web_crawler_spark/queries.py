@@ -2093,6 +2093,19 @@ def psnr_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=10, min_psnr=40.0)
 
 
+@q("image_variant_dedup", lambda: _oracles.image_variant_dedup_sql(
+    n=384, dup_mod=96, max_hamming=10, min_psnr=40.0))
+def image_variant_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant-aware image dedup: PSNR-verified components over the
+    variant-encoded corpus, one survivor per pixel group preferring the
+    lossless encoding. The ~29 dB requantize never verifies, so it is its
+    own cluster — pixels, not signatures, draw the dedup boundary."""
+    return multimodal.image_variant_dedup(
+        _images_df(spark, sf_dir, n=384, dup_mod=96,
+                   variant_fmts=("png", "jpeg", "jpeg16", "png")),
+        max_hamming=10, min_psnr=40.0)
+
+
 @q("image_dedup_clusters", lambda: _oracles.image_clusters_sql(
     max_hamming=10))
 def image_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -154,6 +154,31 @@ def test_psnr_verify_rejects_heavy_requantize(spark):
                 assert r["psnr_db"] is not None and r["psnr_db"] < 40.0
 
 
+def test_image_variant_dedup_keeps_lossless_isolates_requantize(spark):
+    """Survivor selection over the variant corpus: each pixel group's
+    png/jpeg variants merge into one cluster that keeps the png; the
+    jpeg16 requantize never verifies, so it forms its own cluster and is
+    kept as its own (degraded) content — not silently merged."""
+    from distributed_web_crawler_spark.config import SynthWebConfig
+    from distributed_web_crawler_spark.crawl.synthweb import (
+        SYNTH_IMAGE_SCHEMA, images_for_keys)
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    imgs = ids.mapInPandas(
+        images_for_keys(SynthWebConfig(), dup_mod=4,
+                        variant_fmts=("png", "jpeg", "jpeg16")),
+        SYNTH_IMAGE_SCHEMA)
+    rows = {r["image_id"]: r for r in multimodal.image_variant_dedup(
+        imgs, max_hamming=10, min_psnr=40.0).collect()}
+    assert len(rows) == 12
+    for g in range(4):
+        png, jpg, j16 = (f"img-{g:08d}", f"img-{g + 4:08d}",
+                         f"img-{g + 8:08d}")
+        assert rows[png]["cluster_id"] == rows[jpg]["cluster_id"] == png
+        assert rows[png]["keep"] and not rows[jpg]["keep"]
+        # requantize: own cluster, kept as its own representative
+        assert rows[j16]["cluster_id"] == j16 and rows[j16]["keep"]
+
+
 def test_decode_real_image_is_gated(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_real_image(b"\x89PNG")
