@@ -155,6 +155,7 @@ EXTRAS = [
     "mime_sniff",            # magic-byte vs declared content type
     "psnr_neardup",          # phash proposes, decoded-pixel PSNR verifies
     "image_variant_dedup",   # PSNR-verified clusters, lossless survivor
+    "revalidate_merge",      # conditional-GET verdicts folded into store
 ]
 
 

@@ -111,14 +111,23 @@ class _ConnPool:
                 pass
 
 
-def _fetch_one(url: str, cfg: HttpFetcherConfig,
-               pool: _ConnPool) -> dict | None:
+def _fetch_one(url: str, cfg: HttpFetcherConfig, pool: _ConnPool,
+               etag: str | None = None,
+               last_modified: str | None = None) -> dict | None:
     """One GET → page dict (None ⇔ failure), over the thread's keep-alive
     pool. Runs on a pool thread; socket I/O releases the GIL. Redirects
     follow up to 5 hops (urlopen's behavior in the pre-keep-alive
     fetcher); a request that fails on a reused socket retries ONCE on a
     fresh connection — a keep-alive peer may have closed between
-    requests, which is indistinguishable from a stale socket."""
+    requests, which is indistinguishable from a stale socket.
+
+    etag / last_modified (from a prior fetch of this URL) make the GET
+    conditional: If-None-Match / If-Modified-Since ride the FIRST hop
+    only (a redirect target is a different resource — its copy must not
+    be validated against the origin's validators), and a 304 comes back
+    as a dict with not_modified=True and no payload. Every 200 dict
+    carries the response's own etag/last_modified so the caller can
+    store validators for the next revalidation round."""
     import http.client
     from urllib.parse import urljoin, urlsplit
 
@@ -135,12 +144,17 @@ def _fetch_one(url: str, cfg: HttpFetcherConfig,
         target = parts.path or "/"
         if parts.query:
             target += "?" + parts.query
+        headers = {"User-Agent": cfg.user_agent}
+        if _hop == 0:
+            if etag:
+                headers["If-None-Match"] = etag
+            if last_modified:
+                headers["If-Modified-Since"] = last_modified
         resp = body = None
         for attempt in (0, 1):
             conn = pool.get(*key)
             try:
-                conn.request("GET", target,
-                             headers={"User-Agent": cfg.user_agent})
+                conn.request("GET", target, headers=headers)
                 resp = conn.getresponse()
                 body = resp.read(cfg.max_body_bytes + 1)
                 break
@@ -154,6 +168,15 @@ def _fetch_one(url: str, cfg: HttpFetcherConfig,
             pool.drop(*key)  # truncated read leaves unread bytes on the wire
         elif resp.will_close:
             pool.drop(*key)
+        if status == 304:
+            return {
+                "image_id": None, "bytes": None, "w": None, "h": None,
+                "fmt": None, "caption": None, "phash": None, "links": [],
+                "http_status": 304, "content_type": None,
+                "not_modified": True,
+                "etag": resp.getheader("ETag"),
+                "last_modified": resp.getheader("Last-Modified"),
+            }
         loc = resp.getheader("Location")
         if 300 <= status < 400 and loc:
             # follow BEFORE the size cap: urlopen discarded oversized
@@ -179,6 +202,9 @@ def _fetch_one(url: str, cfg: HttpFetcherConfig,
         "links": extract_links_html(body) if is_html else [],
         "http_status": int(status),
         "content_type": ctype.split(";")[0] or None,
+        "not_modified": False,
+        "etag": resp.getheader("ETag"),
+        "last_modified": resp.getheader("Last-Modified"),
     }
 
 
@@ -273,6 +299,57 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
                     "robots_disallow": [rules for rules, _ in fetched],
                     "crawl_delay": pd.array([d for _, d in fetched],
                                             dtype="Float64"),
+                })
+
+    return fetch
+
+
+def make_http_revalidating_fetcher(cfg: HttpFetcherConfig | None = None):
+    """Arrow-batch CONDITIONAL fetcher for recrawl rounds: input batches
+    carry (url, etag, last_modified) — the validators stored by the prior
+    fetch — and each row becomes one conditional GET. A 304 costs headers
+    only (not_modified=True, no payload moves); a 200 returns the new
+    payload plus the response's own validators for the next round. Output
+    schema is pipeline.recrawl.REVALIDATE_SCHEMA; revalidate_merge() folds
+    these verdicts back into the stored page table."""
+    import pandas as pd
+
+    cfg = cfg or HttpFetcherConfig()
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        conns = _ConnPool(cfg)
+        with ThreadPoolExecutor(max_workers=cfg.concurrency) as pool:
+            for pdf in batches:
+                pages = list(pool.map(
+                    lambda t: _fetch_one(t[0], cfg, conns,
+                                         etag=t[1] or None,
+                                         last_modified=t[2] or None),
+                    zip(pdf["url"],
+                        pdf.get("etag", pd.Series([None] * len(pdf))),
+                        pdf.get("last_modified",
+                                pd.Series([None] * len(pdf))))))
+                yield pd.DataFrame({
+                    "url": pdf["url"].to_numpy(),
+                    "fetched": [p is not None for p in pages],
+                    "not_modified": [bool(p and p["not_modified"])
+                                     for p in pages],
+                    "http_status": pd.array(
+                        [None if p is None else p["http_status"]
+                         for p in pages], dtype="Int32"),
+                    "bytes": pd.Series(
+                        [None if p is None else p["bytes"] for p in pages],
+                        dtype="object"),
+                    "content_type": pd.Series(
+                        [None if p is None else p["content_type"]
+                         for p in pages], dtype="object"),
+                    "etag": pd.Series(
+                        [None if p is None else p["etag"] for p in pages],
+                        dtype="object"),
+                    "last_modified": pd.Series(
+                        [None if p is None else p["last_modified"]
+                         for p in pages], dtype="object"),
                 })
 
     return fetch

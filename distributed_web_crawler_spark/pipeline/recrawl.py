@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # snapshot-pair derivation constants (shared with the SQL oracle)
 ADDED_MOD, ADDED_RES = 11, 3      # doc_id % 11 == 3 → absent from OLD
@@ -420,6 +421,108 @@ def adaptive_host_budget(observations: DataFrame, base_budget: int = 64,
                          F.least(F.lit(max_budget), nxt))
     return p95.select("host", "n_obs", "err_cnt", "p95_ms",
                       clamped.alias("next_budget"))
+
+
+# conditional-GET verdict rows, as produced by
+# crawl.httpfetch.make_http_revalidating_fetcher (one row per candidate)
+REVALIDATE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("fetched", T.BooleanType()),
+    T.StructField("not_modified", T.BooleanType()),
+    T.StructField("http_status", T.IntegerType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("etag", T.StringType()),
+    T.StructField("last_modified", T.StringType()),
+])
+
+# revalidation-fixture constants (shared with the SQL oracle): the
+# deterministic verdict synthesis over doc_id, evaluated in this order
+REVAL_FAIL_MOD, REVAL_FAIL_RES = 11, 4   # network failure
+REVAL_304_MOD = 3                        # server honors the validator
+REVAL_CHANGED_MOD = 5                    # content actually moved
+
+
+def revalidate_merge(stored: DataFrame, verdicts: DataFrame) -> DataFrame:
+    """Fold one conditional-GET round back into the page store: per URL,
+      'failed'    — request failed; keep the stored copy and validators;
+      'unchanged' — 304; zero payload bytes moved, stored copy stands;
+      'refreshed' — 200 whose body hashes identical to the stored copy
+                    (server ignored or lacked validators — the fetch was
+                    wasted bandwidth, but the store needn't rewrite
+                    payload, only the validators);
+      'changed'   — 200 with new content; new hash + validators win.
+    Returns (url, verdict, http_status, content_hash, etag) — the slim
+    columns a recrawl scheduler feeds back into recrawl_schedule's
+    change history; payload rewrite rides the same verdict filter.
+
+    Scale shape: ONE url-keyed left join (storage-partitioned over
+    url-bucketed stores at 10^10 — the snapshot_diff contract); the
+    comparison is a fixed-width sha2 against the STORED hash column, so
+    stored page bytes never move — only the round's fetched bodies are
+    hashed, map-side, at candidate volume."""
+    v = verdicts.select(
+        "url", "fetched", "not_modified", "http_status",
+        F.sha2(F.col("bytes"), 256).alias("h_new"),
+        F.col("etag").alias("etag_new"))
+    j = stored.select("url", "content_hash", "etag").join(v, "url", "left")
+    verdict = (
+        F.when(~F.coalesce(F.col("fetched"), F.lit(False)), F.lit("failed"))
+        .when(F.col("not_modified"), F.lit("unchanged"))
+        .when(F.col("h_new") == F.col("content_hash"), F.lit("refreshed"))
+        .otherwise(F.lit("changed")))
+    keep_stored_hash = verdict.isin("failed", "unchanged", "refreshed")
+    keep_stored_etag = verdict.isin("failed", "unchanged")
+    return j.select(
+        "url", verdict.alias("verdict"), "http_status",
+        F.when(keep_stored_hash, F.col("content_hash"))
+        .otherwise(F.col("h_new")).alias("content_hash"),
+        F.when(keep_stored_etag, F.col("etag"))
+        .otherwise(F.coalesce(F.col("etag_new"), F.col("etag")))
+        .alias("etag"))
+
+
+def revalidation_fixture(documents: DataFrame) -> tuple[DataFrame,
+                                                        DataFrame]:
+    """Deterministic (stored, verdicts) pair for revalidate_merge, pure
+    modular functions of doc_id so the SQL oracle restates them exactly:
+    doc_id % 11 == 4 → the conditional GET failed; else % 3 == 0 → the
+    server honored the validator (304); else % 5 == 0 → content moved
+    ('[v2]' suffix); else a 200 re-serving identical content (refreshed).
+    ETags are quoted 16-hex-char prefixes of the content hash — the
+    strong-ETag shape a real server derives from content."""
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://h"),
+                   F.lpad((d % 20).cast("string"), 4, "0"),
+                   F.lit(".example.com/p/"), d.cast("string"))
+    h_old = F.sha2(F.col("text"), 256)
+    stored = documents.select(
+        url.alias("url"),
+        F.col("text").cast("binary").alias("bytes"),
+        h_old.alias("content_hash"),
+        F.concat(F.lit('"'), F.substring(h_old, 1, 16), F.lit('"'))
+        .alias("etag"))
+    failed = d % REVAL_FAIL_MOD == REVAL_FAIL_RES
+    nm = d % REVAL_304_MOD == 0
+    changed = d % REVAL_CHANGED_MOD == 0
+    new_text = F.when(changed, F.concat(F.col("text"), F.lit(" [v2]"))) \
+                .otherwise(F.col("text"))
+    h_new = F.sha2(new_text, 256)
+    verdicts = documents.select(
+        url.alias("url"),
+        (~failed).alias("fetched"),
+        (~failed & nm).alias("not_modified"),
+        F.when(failed, F.lit(None).cast("int"))
+        .when(nm, F.lit(304)).otherwise(F.lit(200)).alias("http_status"),
+        F.when(failed | nm, F.lit(None).cast("binary"))
+        .otherwise(new_text.cast("binary")).alias("bytes"),
+        F.when(failed | nm, F.lit(None).cast("string"))
+        .otherwise(F.lit("text/html")).alias("content_type"),
+        F.when(failed | nm, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit('"'), F.substring(h_new, 1, 16),
+                            F.lit('"'))).alias("etag"),
+        F.lit(None).cast("string").alias("last_modified"))
+    return stored, verdicts
 
 
 def sitemap_recrawl_candidates(candidates: DataFrame,

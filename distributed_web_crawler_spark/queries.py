@@ -3391,6 +3391,57 @@ def recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return precrawl.recrawl_schedule(_t(spark, sf_dir, "documents"))
 
 
+@q("revalidate_merge", r"""
+  WITH s AS (
+    SELECT doc_id,
+           'https://h' || lpad(CAST(doc_id % 20 AS VARCHAR), 4, '0')
+             || '.example.com/p/' || doc_id AS url,
+           sha256(text) AS content_hash,
+           '"' || substr(sha256(text), 1, 16) || '"' AS etag,
+           text
+    FROM documents),
+  v AS (
+    SELECT doc_id,
+           doc_id % 11 = 4 AS failed,
+           doc_id % 11 <> 4 AND doc_id % 3 = 0 AS nm,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]' ELSE text END
+             AS new_text
+    FROM documents),
+  m AS (
+    SELECT s.url, s.content_hash, s.etag, v.failed, v.nm,
+           sha256(v.new_text) AS h_new,
+           '"' || substr(sha256(v.new_text), 1, 16) || '"' AS etag_new
+    FROM s JOIN v USING (doc_id)),
+  verd AS (
+    SELECT url, content_hash, etag, h_new, etag_new, failed, nm,
+           CASE WHEN failed THEN 'failed'
+                WHEN nm THEN 'unchanged'
+                WHEN h_new = content_hash THEN 'refreshed'
+                ELSE 'changed' END AS verdict
+    FROM m)
+  SELECT url, verdict,
+         CASE WHEN failed THEN NULL WHEN nm THEN 304 ELSE 200 END
+           AS http_status,
+         CASE WHEN verdict = 'changed' THEN h_new ELSE content_hash END
+           AS content_hash,
+         CASE WHEN verdict IN ('failed', 'unchanged') THEN etag
+              ELSE etag_new END AS etag
+  FROM verd
+""")
+def revalidate_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-GET recrawl round folded into the page store: per-URL
+    failed/unchanged/refreshed/changed verdicts with the surviving
+    content hash and validators. 304s move zero payload; only fetched
+    bodies are hashed (map-side, candidate volume); the store join is
+    one url-keyed storage-partitioned join. The fixture synthesizes the
+    verdict mix deterministically from doc_id (pipeline/recrawl.py
+    constants), mirroring crawl.httpfetch.make_http_revalidating_fetcher
+    output, which the loopback e2e test exercises over real sockets."""
+    stored, verdicts = precrawl.revalidation_fixture(
+        _t(spark, sf_dir, "documents"))
+    return precrawl.revalidate_merge(stored, verdicts)
+
+
 @q("frontier_scoring", lambda: _oracles.frontier_scoring_sql(k=100))
 def frontier_scoring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed crawl-side flagship: PageRank host authority × trap

@@ -211,3 +211,104 @@ def test_injected_synth_fetcher_keeps_synthetic_robots(spark, tmp_path):
     c2 = Crawler(spark, CrawlConfig(), None, str(tmp_path / "b"),
                  fetcher=make_synth_fetcher(synth))
     assert c2.robots_fetcher is not None
+
+
+class _ETagHandler(BaseHTTPRequestHandler):
+    """Versioned pages with strong ETags: bump VERSIONS[path] to change a
+    page; a matching If-None-Match gets a bodyless 304."""
+    VERSIONS = {"/a": 1, "/b": 1, "/c": 1, "/stale": 1}
+
+    def do_GET(self):
+        v = self.VERSIONS.get(self.path)
+        if v is None:
+            self.send_error(404)
+            return
+        etag = f'"{self.path}-v{v}"'
+        if self.headers.get("If-None-Match") == etag:
+            self.send_response(304)
+            self.send_header("ETag", etag)
+            self.end_headers()
+            return
+        body = f"<html>content of {self.path} v{v}</html>".encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("ETag", etag)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_revalidation_end_to_end(spark):
+    """Conditional-GET recrawl over real sockets: store a first fetch's
+    payloads+validators, mutate one page server-side, then revalidate —
+    unchanged pages cost a bodyless 304, the mutated page returns new
+    content, a stale validator yields a 'refreshed' (200, same hash),
+    and a vanished page is 'failed'."""
+    import pandas as pd
+
+    from distributed_web_crawler_spark.crawl.httpfetch import (
+        make_http_revalidating_fetcher,
+    )
+    from distributed_web_crawler_spark.pipeline.recrawl import (
+        REVALIDATE_SCHEMA,
+        revalidate_merge,
+    )
+    from pyspark.sql import functions as F
+
+    _ETagHandler.VERSIONS = {"/a": 1, "/b": 1, "/c": 1, "/stale": 1}
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _ETagHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        fetcher = make_http_revalidating_fetcher(
+            HttpFetcherConfig(timeout_sec=5.0, concurrency=4))
+
+        # first fetch: no validators — everything 200, capture validators
+        first = pd.concat(list(fetcher(iter([pd.DataFrame({
+            "url": [f"{base}{p}" for p in ("/a", "/b", "/c", "/stale")],
+        })]))))
+        assert first["fetched"].all() and not first["not_modified"].any()
+        assert first["etag"].notna().all()
+
+        # build the stored table; /stale keeps a WRONG validator
+        stored_pd = first[["url", "bytes", "etag"]].copy()
+        stored_pd.loc[stored_pd["url"] == f"{base}/stale", "etag"] = '"bogus"'
+        stored = (spark.createDataFrame(stored_pd)
+                  .select("url", F.sha2("bytes", 256).alias("content_hash"),
+                          "etag"))
+        old_hashes = {r["url"]: r["content_hash"]
+                      for r in stored.collect()}
+        old_etags = dict(zip(stored_pd["url"], stored_pd["etag"]))
+
+        _ETagHandler.VERSIONS["/b"] += 1  # /b changes server-side
+
+        cand_pd = stored_pd[["url", "etag"]].copy()
+        cand_pd["last_modified"] = None
+        gone = pd.DataFrame({"url": [f"{base}/gone"], "etag": [None],
+                             "last_modified": [None]})
+        cand = spark.createDataFrame(pd.concat([cand_pd, gone]))
+        verdicts = cand.mapInPandas(
+            lambda it: fetcher(it), REVALIDATE_SCHEMA)
+        stored_all = stored.unionByName(spark.createDataFrame(
+            [(f"{base}/gone", "deadbeef", None)],
+            "url string, content_hash string, etag string"))
+        out = {r["url"]: r for r in
+               revalidate_merge(stored_all, verdicts).collect()}
+
+        assert out[f"{base}/a"]["verdict"] == "unchanged"
+        assert out[f"{base}/c"]["verdict"] == "unchanged"
+        assert out[f"{base}/a"]["http_status"] == 304
+        assert out[f"{base}/b"]["verdict"] == "changed"
+        assert out[f"{base}/b"]["content_hash"] != old_hashes[f"{base}/b"]
+        st = out[f"{base}/stale"]
+        assert st["verdict"] == "refreshed"
+        assert st["content_hash"] == old_hashes[f"{base}/stale"]
+        assert st["etag"] == '"/stale-v1"' != old_etags[f"{base}/stale"]
+        g = out[f"{base}/gone"]
+        assert g["verdict"] == "failed"
+        assert g["content_hash"] == "deadbeef"  # stored copy stands
+    finally:
+        srv.shutdown()

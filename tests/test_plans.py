@@ -382,3 +382,11 @@ def test_epoch_expansion_broadcast_mix_no_preshuffle(spark):
     plan = _plan(Q.QUERIES["epoch_expansion"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_revalidate_merge_one_join_no_window(spark):
+    plan = _plan(Q.QUERIES["revalidate_merge"](spark, SF))
+    joins = sum(plan.count(j) for j in
+                ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert joins == 1, plan[:2000]
+    assert "Window" not in plan and "CartesianProduct" not in plan
