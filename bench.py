@@ -156,6 +156,7 @@ EXTRAS = [
     "psnr_neardup",          # phash proposes, decoded-pixel PSNR verifies
     "image_variant_dedup",   # PSNR-verified clusters, lossless survivor
     "revalidate_merge",      # conditional-GET verdicts folded into store
+    "cache_ttl",             # RFC 7234 freshness → revalidation schedule
 ]
 
 

@@ -525,6 +525,79 @@ def revalidation_fixture(documents: DataFrame) -> tuple[DataFrame,
     return stored, verdicts
 
 
+# cache-TTL fixture constants (shared with the SQL oracle)
+TTL_NOCACHE_MOD = 7    # doc_id % 7 == 0 → Cache-Control: no-cache
+TTL_MAXAGE_MOD = 5     # else % 5 == 0  → Cache-Control: max-age=3600
+TTL_HEURISTIC_MOD = 3  # else % 3 == 0  → no CC, Last-Modified known
+DEFAULT_TTL_SEC = 86_400
+MAX_AGE_SEC = 3_600
+
+
+def cache_ttl_schedule(stored: DataFrame,
+                       default_ttl_sec: int = DEFAULT_TTL_SEC,
+                       max_ttl_sec: int = 7 * 86_400) -> DataFrame:
+    """RFC 7234 freshness → per-URL earliest-revalidation time: the
+    server-declared half of the recrawl scheduler (the observed half is
+    recrawl_schedule's Cho estimator; a scheduler takes the min of the
+    two intervals and respects this floor before issuing the
+    revalidate_merge round's conditional GETs).
+
+    Input: (url, cache_control, last_modified_ms, fetch_time_ms). Policy
+    precedence per RFC 7234 §4.2: no-store/no-cache → revalidate always
+    (ttl 0); max-age=N wins over Expires; no explicit freshness but a
+    known Last-Modified → the §4.2.2 heuristic, 10% of the age at fetch
+    time; otherwise a crawler-default TTL. TTLs clamp to max_ttl_sec.
+
+    Scale shape: pure scan projection — regexp_extract + integer
+    arithmetic, no UDF, no shuffle; the directive parse and the
+    heuristic division are integer-exact (floor spelled explicitly), so
+    the oracle restates them bit-for-bit."""
+    cc = F.coalesce(F.lower(F.col("cache_control")), F.lit(""))
+    max_age = F.regexp_extract(cc, r"max-age=(\d+)", 1)
+    heuristic = F.floor((F.col("fetch_time_ms")
+                         - F.col("last_modified_ms")) / F.lit(10_000))
+    ttl = (
+        F.when(cc.contains("no-store") | cc.contains("no-cache"), F.lit(0))
+        .when(max_age != "", max_age.cast("long"))
+        .when(F.col("last_modified_ms").isNotNull(),
+              F.greatest(F.lit(0), heuristic))
+        .otherwise(F.lit(default_ttl_sec)))
+    policy = (
+        F.when(cc.contains("no-store") | cc.contains("no-cache"),
+               F.lit("no-cache"))
+        .when(max_age != "", F.lit("max-age"))
+        .when(F.col("last_modified_ms").isNotNull(), F.lit("heuristic"))
+        .otherwise(F.lit("default")))
+    ttl_c = F.least(ttl, F.lit(max_ttl_sec)).cast("long")
+    return stored.select(
+        "url", policy.alias("policy"), ttl_c.alias("ttl_sec"),
+        (F.col("fetch_time_ms") + ttl_c * 1000)
+        .alias("next_revalidate_ms"))
+
+
+def cache_ttl_fixture(documents: DataFrame) -> DataFrame:
+    """Deterministic stored-header table for cache_ttl_schedule, pure
+    modular functions of doc_id: % 7 == 0 → no-cache; else % 5 == 0 →
+    max-age=3600; else % 3 == 0 → heuristic (Last-Modified known, age
+    = doc_id % 1000 hours); else no freshness info at all."""
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://h"),
+                   F.lpad((d % 20).cast("string"), 4, "0"),
+                   F.lit(".example.com/p/"), d.cast("string"))
+    fetch_ms = F.lit(1_700_000_000_000) + d * 1000
+    age_ms = (d % 1000) * 3_600_000
+    return documents.select(
+        url.alias("url"),
+        F.when(d % TTL_NOCACHE_MOD == 0, F.lit("private, no-cache"))
+        .when(d % TTL_MAXAGE_MOD == 0,
+              F.lit(f"public, max-age={MAX_AGE_SEC}"))
+        .otherwise(F.lit(None).cast("string")).alias("cache_control"),
+        F.when((d % TTL_NOCACHE_MOD != 0) & (d % TTL_MAXAGE_MOD != 0)
+               & (d % TTL_HEURISTIC_MOD == 0), fetch_ms - age_ms)
+        .otherwise(F.lit(None).cast("long")).alias("last_modified_ms"),
+        fetch_ms.alias("fetch_time_ms"))
+
+
 def sitemap_recrawl_candidates(candidates: DataFrame,
                                stored: DataFrame) -> DataFrame:
     """Close the discovery→recrawl loop: decide, per sitemap entry,

@@ -3442,6 +3442,63 @@ def revalidate_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return precrawl.revalidate_merge(stored, verdicts)
 
 
+@q("cache_ttl", r"""
+  WITH s AS (
+    SELECT doc_id,
+           'https://h' || lpad(CAST(doc_id % 20 AS VARCHAR), 4, '0')
+             || '.example.com/p/' || doc_id AS url,
+           CASE WHEN doc_id % 7 = 0 THEN 'private, no-cache'
+                WHEN doc_id % 5 = 0 THEN 'public, max-age=3600'
+                ELSE NULL END AS cache_control,
+           CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+                     AND doc_id % 3 = 0
+                THEN 1700000000000 + doc_id * 1000
+                     - (doc_id % 1000) * 3600000
+                ELSE NULL END AS last_modified_ms,
+           1700000000000 + doc_id * 1000 AS fetch_time_ms
+    FROM documents),
+  t AS (
+    SELECT url, fetch_time_ms,
+           CASE WHEN cache_control IS NOT NULL
+                     AND (contains(lower(cache_control), 'no-store')
+                          OR contains(lower(cache_control), 'no-cache'))
+                THEN 'no-cache'
+                WHEN cache_control IS NOT NULL
+                     AND regexp_extract(lower(cache_control),
+                                        'max-age=(\d+)', 1) <> ''
+                THEN 'max-age'
+                WHEN last_modified_ms IS NOT NULL THEN 'heuristic'
+                ELSE 'default' END AS policy,
+           CASE WHEN cache_control IS NOT NULL
+                     AND (contains(lower(cache_control), 'no-store')
+                          OR contains(lower(cache_control), 'no-cache'))
+                THEN 0
+                WHEN cache_control IS NOT NULL
+                     AND regexp_extract(lower(cache_control),
+                                        'max-age=(\d+)', 1) <> ''
+                THEN CAST(regexp_extract(lower(cache_control),
+                                         'max-age=(\d+)', 1) AS BIGINT)
+                WHEN last_modified_ms IS NOT NULL
+                THEN greatest(0, (fetch_time_ms - last_modified_ms)
+                                 // 10000)
+                ELSE 86400 END AS ttl_raw
+    FROM s)
+  SELECT url, policy,
+         least(ttl_raw, 604800) AS ttl_sec,
+         fetch_time_ms + least(ttl_raw, 604800) * 1000
+           AS next_revalidate_ms
+  FROM t
+""")
+def cache_ttl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 7234 freshness scheduling: per-URL revalidation policy and
+    earliest next-revalidation time from stored response headers —
+    no-cache/no-store → always revalidate, max-age wins, heuristic 10%
+    freshness when only Last-Modified is known, crawler default
+    otherwise. Pure scan projection, zero shuffle."""
+    return precrawl.cache_ttl_schedule(
+        precrawl.cache_ttl_fixture(_t(spark, sf_dir, "documents")))
+
+
 @q("frontier_scoring", lambda: _oracles.frontier_scoring_sql(k=100))
 def frontier_scoring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed crawl-side flagship: PageRank host authority × trap

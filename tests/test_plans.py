@@ -390,3 +390,9 @@ def test_revalidate_merge_one_join_no_window(spark):
                 ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
     assert joins == 1, plan[:2000]
     assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_cache_ttl_map_only_zero_exchange(spark):
+    plan = _plan(Q.QUERIES["cache_ttl"](spark, SF))
+    assert "Exchange" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

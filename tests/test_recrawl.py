@@ -160,3 +160,32 @@ def test_adaptive_budget_aimd_branches(spark):
     assert got["ok.com"]["next_budget"] == 72
     assert got["tarpit.com"]["next_budget"] == 4
     assert got["sick.com"]["err_cnt"] == 3
+
+
+def test_cache_ttl_policy_precedence_and_clamps(spark):
+    """no-store beats max-age when both appear; a Last-Modified in the
+    future clamps the heuristic at 0; TTLs clamp to max_ttl_sec."""
+    from distributed_web_crawler_spark.pipeline.recrawl import (
+        cache_ttl_schedule,
+    )
+
+    rows = [
+        ("u1", "no-store, max-age=3600", None, 1_000_000),
+        ("u2", "max-age=999999999", None, 1_000_000),    # clamps to max
+        ("u3", None, 2_000_000, 1_000_000),              # LM in the future
+        ("u4", None, 1_000_000 - 50_000_000, 1_000_000),  # 10% of ~50000s
+        ("u5", None, None, 1_000_000),                   # default
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, cache_control string, last_modified_ms long, "
+              "fetch_time_ms long")
+    out = {r["url"]: r for r in cache_ttl_schedule(
+        df, default_ttl_sec=86_400, max_ttl_sec=604_800).collect()}
+    assert out["u1"]["policy"] == "no-cache" and out["u1"]["ttl_sec"] == 0
+    assert out["u1"]["next_revalidate_ms"] == 1_000_000
+    assert out["u2"]["policy"] == "max-age"
+    assert out["u2"]["ttl_sec"] == 604_800
+    assert out["u3"]["policy"] == "heuristic" and out["u3"]["ttl_sec"] == 0
+    assert out["u4"]["ttl_sec"] == 50_000_000 // 10_000
+    assert out["u5"]["policy"] == "default"
+    assert out["u5"]["ttl_sec"] == 86_400
