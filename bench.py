@@ -157,6 +157,7 @@ EXTRAS = [
     "image_variant_dedup",   # PSNR-verified clusters, lossless survivor
     "revalidate_merge",      # conditional-GET verdicts folded into store
     "cache_ttl",             # RFC 7234 freshness → revalidation schedule
+    "revalidation_planner",  # TTL-due × change-rate × host-cap pick list
 ]
 
 

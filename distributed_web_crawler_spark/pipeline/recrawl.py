@@ -598,6 +598,50 @@ def cache_ttl_fixture(documents: DataFrame) -> DataFrame:
         fetch_ms.alias("fetch_time_ms"))
 
 
+# planner "now" (ms): ~28h past the fixture's fetch epoch, so the
+# policy mix splits into due/not-due non-trivially at every scale
+PLANNER_NOW_MS = 1_700_100_000_000
+
+
+def revalidation_planner(documents: DataFrame,
+                         now_ms: int = PLANNER_NOW_MS,
+                         host_budget: int = 8) -> DataFrame:
+    """Composed recrawl flagship: WHICH URLs get this round's conditional
+    GETs. cache_ttl_schedule supplies the server-declared freshness floor
+    (only URLs whose TTL has expired are candidates), recrawl_schedule's
+    Cho estimator supplies the priority (highest observed change rate
+    first), and a per-host cap enforces politeness — the three standalone
+    operators composed exactly as a production recrawl scheduler chains
+    them ahead of revalidate_merge.
+
+    Scale shape: the TTL side is a scan projection; the estimator side is
+    one doc-keyed partial-agg shuffle; they meet in ONE url-keyed join at
+    due-URL volume. The per-host cap is a WindowGroupLimit (rank ≤ K
+    filters below the exchange); at skewed hosts the swap-in is the
+    salted two-stage top-K of operators/politeness.py (provably equal).
+
+    Returns (url, host, lambda_hat, next_revalidate_ms, rk) for the
+    capped per-host pick, rk the within-host priority rank."""
+    from pyspark.sql import Window
+
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://h"),
+                   F.lpad((d % 20).cast("string"), 4, "0"),
+                   F.lit(".example.com/p/"), d.cast("string"))
+    ttl = cache_ttl_schedule(cache_ttl_fixture(documents))
+    due = ttl.where(F.col("next_revalidate_ms") <= now_ms)
+    sched = recrawl_schedule(documents).select(
+        url.alias("url"), "lambda_hat")
+    j = due.join(sched, "url")
+    host = F.regexp_extract(F.col("url"), r"https://([^/]+)/", 1)
+    w = (Window.partitionBy("host")
+         .orderBy(F.col("lambda_hat").desc(), "url"))
+    return (j.select("url", host.alias("host"), "lambda_hat",
+                     "next_revalidate_ms")
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= host_budget))
+
+
 def sitemap_recrawl_candidates(candidates: DataFrame,
                                stored: DataFrame) -> DataFrame:
     """Close the discovery→recrawl loop: decide, per sitemap entry,

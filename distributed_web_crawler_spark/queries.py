@@ -3499,6 +3499,83 @@ def cache_ttl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         precrawl.cache_ttl_fixture(_t(spark, sf_dir, "documents")))
 
 
+@q("revalidation_planner", r"""
+  WITH s AS (
+    SELECT doc_id,
+           'https://h' || lpad(CAST(doc_id % 20 AS VARCHAR), 4, '0')
+             || '.example.com/p/' || doc_id AS url,
+           CASE WHEN doc_id % 7 = 0 THEN 'private, no-cache'
+                WHEN doc_id % 5 = 0 THEN 'public, max-age=3600'
+                ELSE NULL END AS cache_control,
+           CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+                     AND doc_id % 3 = 0
+                THEN 1700000000000 + doc_id * 1000
+                     - (doc_id % 1000) * 3600000
+                ELSE NULL END AS last_modified_ms,
+           1700000000000 + doc_id * 1000 AS fetch_time_ms
+    FROM documents),
+  t AS (
+    SELECT url, fetch_time_ms,
+           CASE WHEN cache_control IS NOT NULL
+                     AND (contains(lower(cache_control), 'no-store')
+                          OR contains(lower(cache_control), 'no-cache'))
+                THEN 0
+                WHEN cache_control IS NOT NULL
+                     AND regexp_extract(lower(cache_control),
+                                        'max-age=(\d+)', 1) <> ''
+                THEN CAST(regexp_extract(lower(cache_control),
+                                         'max-age=(\d+)', 1) AS BIGINT)
+                WHEN last_modified_ms IS NOT NULL
+                THEN greatest(0, (fetch_time_ms - last_modified_ms)
+                                 // 10000)
+                ELSE 86400 END AS ttl_raw
+    FROM s),
+  due AS (
+    SELECT url,
+           fetch_time_ms + least(ttl_raw, 604800) * 1000
+             AS next_revalidate_ms
+    FROM t
+    WHERE fetch_time_ms + least(ttl_raw, 604800) * 1000
+          <= 1700100000000),
+  hist AS (
+    SELECT doc_id, u.i AS fetch_idx,
+           ((doc_id * 7 + u.i * 5) % 3 = 0) AS changed
+    FROM documents,
+         UNNEST(range(1, CAST(doc_id % 4 + 4 AS BIGINT))) AS u(i)),
+  agg AS (
+    SELECT doc_id, count(*) AS n_obs,
+           CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changes
+    FROM hist GROUP BY doc_id),
+  sched AS (
+    SELECT 'https://h' || lpad(CAST(doc_id % 20 AS VARCHAR), 4, '0')
+             || '.example.com/p/' || doc_id AS url,
+           round(-ln((CAST(n_obs AS DOUBLE) - CAST(n_changes AS DOUBLE)
+                      + CAST('0.5' AS DOUBLE))
+                     / (CAST(n_obs AS DOUBLE) + CAST('0.5' AS DOUBLE)))
+                 / CAST('7.0' AS DOUBLE), 6) AS lambda_hat
+    FROM agg),
+  j AS (
+    SELECT due.url,
+           regexp_extract(due.url, 'https://([^/]+)/', 1) AS host,
+           sched.lambda_hat, due.next_revalidate_ms
+    FROM due JOIN sched ON sched.url = due.url),
+  ranked AS (
+    SELECT url, host, lambda_hat, next_revalidate_ms,
+           CAST(row_number() OVER (PARTITION BY host
+                                   ORDER BY lambda_hat DESC, url)
+                AS INTEGER) AS rk
+    FROM j)
+  SELECT url, host, lambda_hat, next_revalidate_ms, rk
+  FROM ranked WHERE rk <= 8
+""")
+def revalidation_planner_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed recrawl flagship: due-by-TTL (RFC 7234 floor) ∩ ranked by
+    Cho change-rate ∩ capped per host — the round's conditional-GET pick
+    list, full-chain oracle over the three composed operators."""
+    return precrawl.revalidation_planner(_t(spark, sf_dir, "documents"))
+
+
 @q("frontier_scoring", lambda: _oracles.frontier_scoring_sql(k=100))
 def frontier_scoring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed crawl-side flagship: PageRank host authority × trap

@@ -396,3 +396,9 @@ def test_cache_ttl_map_only_zero_exchange(spark):
     plan = _plan(Q.QUERIES["cache_ttl"](spark, SF))
     assert "Exchange" not in plan, plan[:1500]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_revalidation_planner_partial_window_limit(spark):
+    plan = _plan(Q.QUERIES["revalidation_planner"](spark, SF))
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
