@@ -158,6 +158,7 @@ EXTRAS = [
     "revalidate_merge",      # conditional-GET verdicts folded into store
     "cache_ttl",             # RFC 7234 freshness → revalidation schedule
     "revalidation_planner",  # TTL-due × change-rate × host-cap pick list
+    "phash_band_eval",       # proposal-tier precision/recall vs pixels
 ]
 
 

@@ -598,6 +598,39 @@ def image_variant_dedup_sql(n: int = 384, dup_mod: int = 96,
 """
 
 
+def phash_band_eval_sql(n: int = 384, dup_mod: int = 96,
+                        thresholds: tuple[int, ...] = (0, 2, 4, 6, 8, 10),
+                        max_hamming: int = 12,
+                        min_psnr: float = 40.0) -> str:
+    """Mirror of pipeline.multimodal.phash_band_eval: the verified pair
+    stream (combo machinery) crossed with the threshold list, counted
+    per cutoff, plus precision/recall against the superset truth."""
+    th_vals = ", ".join(f"({t})" for t in thresholds)
+    return f"""
+  WITH {_psnr_combo_ctes(n, dup_mod, max_hamming, min_psnr)},
+  vp AS (SELECT p.hamming, pv.verified0 AS verified
+         FROM pairs p
+         JOIN sigs sa ON sa.image_id = p.img_a
+         JOIN sigs sb ON sb.image_id = p.img_b
+         JOIN pv ON pv.c_lo = least(sa.cid, sb.cid)
+                AND pv.c_hi = greatest(sa.cid, sb.cid)),
+  tt AS (SELECT count(*) AS n_truth FROM vp WHERE verified),
+  th(threshold) AS (VALUES {th_vals}),
+  per AS (SELECT th.threshold,
+                 count(*) AS n_candidates,
+                 CAST(sum(CASE WHEN verified THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_verified
+          FROM vp JOIN th ON vp.hamming <= th.threshold
+          GROUP BY th.threshold)
+  SELECT CAST(threshold AS INTEGER) AS threshold, n_candidates, n_verified,
+         round(n_verified / CAST(n_candidates AS DOUBLE), 6)
+           AS "precision",
+         round(n_verified / CAST(tt.n_truth AS DOUBLE), 6)
+           AS recall_in_superset
+  FROM per, tt
+"""
+
+
 def sample_keep_ids(rate: float, denom: int = 1_000_000) -> list[int]:
     """doc_ids the deterministic sample keeps — the XXH64-mirror
     restatement of pipeline.text.deterministic_sample's bucket test."""

@@ -262,6 +262,45 @@ def image_variant_dedup(images: DataFrame, max_hamming: int = 10,
                     (F.col("image_id") == F.col("survivor")).alias("keep")))
 
 
+def phash_band_eval(images: DataFrame,
+                    thresholds: tuple[int, ...] = (0, 2, 4, 6, 8, 10),
+                    max_hamming: int = 12) -> DataFrame:
+    """Threshold-tuning report for the phash proposal tier (the image
+    analog of dedup_eval): for each candidate Hamming cutoff, how many
+    pairs the banding would propose and what fraction the decoded-pixel
+    PSNR tier then confirms — precision of the cheap tier against pixel
+    truth, and recall relative to everything verified within the
+    max_hamming proposal superset. The operator that answers "is
+    Hamming ≤ 10 too loose (wasted pixel decodes) or too tight (missed
+    dups)?" before committing a corpus-wide run.
+
+    Sample contract (dedup_eval's): truth is the verified set WITHIN the
+    ≤ max_hamming superset — banding misses beyond that radius are by
+    construction invisible, so run this on a corpus slice with
+    max_hamming comfortably above the production cutoff.
+
+    Scale shape: one psnr_verified_neardup pass (bytes at candidate
+    volume only), then a |thresholds|-way explode of the PAIR table (≪
+    corpus) into one global hash agg — no second pass over payloads."""
+    pairs = psnr_verified_neardup(images, max_hamming=max_hamming)
+    th = F.explode(F.array(*[F.lit(t) for t in thresholds]))
+    tagged = (pairs.select("hamming", "verified", th.alias("threshold"))
+              .where(F.col("hamming") <= F.col("threshold")))
+    total_truth = (pairs.where("verified")
+                   .agg(F.count(F.lit(1)).alias("n_truth")))
+    per = (tagged.groupBy("threshold")
+           .agg(F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(F.col("verified").cast("long")).alias("n_verified")))
+    return (per.crossJoin(F.broadcast(total_truth))
+            .select("threshold", "n_candidates", "n_verified",
+                    F.round(F.col("n_verified")
+                            / F.col("n_candidates").cast("double"), 6)
+                    .alias("precision"),
+                    F.round(F.col("n_verified")
+                            / F.col("n_truth").cast("double"), 6)
+                    .alias("recall_in_superset")))
+
+
 # ---------------------------------------------------------------------------
 # audio / video plumbing — same opaque-binary + typed-metadata design as
 # images. The synthetic container formats below are deterministic stand-ins

@@ -2106,6 +2106,20 @@ def image_variant_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=10, min_psnr=40.0)
 
 
+@q("phash_band_eval", lambda: _oracles.phash_band_eval_sql(
+    n=384, dup_mod=96, thresholds=(0, 2, 4, 6, 8, 10), max_hamming=12,
+    min_psnr=40.0))
+def phash_band_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning report for the phash proposal tier: per Hamming
+    cutoff, candidates proposed vs pixel-verified — precision of the
+    cheap tier and recall within the proposal superset (the image
+    analog of dedup_eval's LSH band-config report)."""
+    return multimodal.phash_band_eval(
+        _images_df(spark, sf_dir, n=384, dup_mod=96,
+                   variant_fmts=("png", "jpeg", "jpeg16", "png")),
+        thresholds=(0, 2, 4, 6, 8, 10), max_hamming=12)
+
+
 @q("image_dedup_clusters", lambda: _oracles.image_clusters_sql(
     max_hamming=10))
 def image_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
