@@ -465,7 +465,10 @@ def revalidate_merge(stored: DataFrame, verdicts: DataFrame) -> DataFrame:
         "url", "fetched", "not_modified", "http_status",
         F.sha2(F.col("bytes"), 256).alias("h_new"),
         F.col("etag").alias("etag_new"))
-    j = stored.select("url", "content_hash", "etag").join(v, "url", "left")
+    # inner join: the fetcher emits one verdict row per candidate, so the
+    # output covers exactly this round's candidates — a stored URL outside
+    # the round is simply absent, never a phantom 'failed'
+    j = stored.select("url", "content_hash", "etag").join(v, "url")
     verdict = (
         F.when(~F.coalesce(F.col("fetched"), F.lit(False)), F.lit("failed"))
         .when(F.col("not_modified"), F.lit("unchanged"))
