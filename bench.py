@@ -159,6 +159,7 @@ EXTRAS = [
     "cache_ttl",             # RFC 7234 freshness → revalidation schedule
     "revalidation_planner",  # TTL-due × change-rate × host-cap pick list
     "phash_band_eval",       # proposal-tier precision/recall vs pixels
+    "warc_export",           # cdx index of the sharded WARC export
 ]
 
 

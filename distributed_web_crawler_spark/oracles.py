@@ -631,6 +631,45 @@ def phash_band_eval_sql(n: int = 384, dup_mod: int = 96,
 """
 
 
+def warc_export_sql(n_shards: int = 4) -> str:
+    """Mirror of sources.warc.warc_export_index over the documents-derived
+    page fixture: the shard key pmod(xxhash64(uri), n_shards) comes from
+    the Python XXH64 mirror as VALUES; the record grammar, lengths,
+    sha256 and the within-shard running offset are restated relationally
+    (chr(13)||chr(10) spells CRLF so the literal survives SQL quoting)."""
+    from .functions.xxh64 import xxhash64
+
+    vals = ", ".join(
+        f"({d}, {xxhash64('https://h%04d.example.com/p/%d' % (d % 20, d)) % n_shards})"
+        for d, _ in _docs(ORACLE_SF_DIR))
+    return f"""
+  WITH sh(doc_id, shard) AS (VALUES {vals}),
+  p AS (
+    SELECT d.doc_id, sh.shard,
+           'https://h' || lpad(CAST(d.doc_id % 20 AS VARCHAR), 4, '0')
+             || '.example.com/p/' || d.doc_id AS uri,
+           d.text AS body
+    FROM documents d JOIN sh USING (doc_id)),
+  rec AS (
+    SELECT shard, uri, length(body) AS content_length,
+           'WARC/1.0' || chr(13) || chr(10)
+             || 'WARC-Type: response' || chr(13) || chr(10)
+             || 'WARC-Target-URI: ' || uri || chr(13) || chr(10)
+             || 'Content-Length: ' || length(body)
+             || chr(13) || chr(10) || chr(13) || chr(10)
+             || body || chr(13) || chr(10) || chr(13) || chr(10)
+             AS record
+    FROM p)
+  SELECT shard, uri,
+         sum(length(record)) OVER (PARTITION BY shard ORDER BY uri
+                                   ROWS UNBOUNDED PRECEDING)
+           - length(record) AS rec_offset,
+         content_length,
+         sha256(record) AS record_sha256
+  FROM rec
+"""
+
+
 def sample_keep_ids(rate: float, denom: int = 1_000_000) -> list[int]:
     """doc_ids the deterministic sample keeps — the XXH64-mirror
     restatement of pipeline.text.deterministic_sample's bucket test."""

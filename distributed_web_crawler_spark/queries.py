@@ -3513,6 +3513,22 @@ def cache_ttl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         precrawl.cache_ttl_fixture(_t(spark, sf_dir, "documents")))
 
 
+@q("warc_export", lambda: _oracles.warc_export_sql(n_shards=4))
+def warc_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC export index (cdx): content-addressed shard assignment,
+    record grammar, sha256 and within-shard running offsets — all
+    JVM-side; index and archive come out of the same shard shuffle.
+    Round-trip with the segmenter (parse_warc) pinned in tests."""
+    from .sources import warc as warcmod
+    d = F.col("doc_id")
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://h"),
+                 F.lpad((d % 20).cast("string"), 4, "0"),
+                 F.lit(".example.com/p/"), d.cast("string")).alias("uri"),
+        F.col("text").alias("body"))
+    return warcmod.warc_export_index(pages, n_shards=4)
+
+
 @q("revalidation_planner", r"""
   WITH s AS (
     SELECT doc_id,

@@ -75,3 +75,78 @@ def build_warc_record(uri: str, body: str) -> str:
     """Golden-side record builder (tests + blob synthesis mirror)."""
     return (f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}"
             f"\r\nContent-Length: {len(body)}\r\n\r\n{body}\r\n\r\n")
+
+
+def warc_export_index(pages: DataFrame, uri_col: str = "uri",
+                      body_col: str = "body",
+                      n_shards: int = 4) -> DataFrame:
+    """The cdx index of a WARC export, computed WITH the shard layout and
+    entirely JVM-side: record text restates build_warc_record as a concat
+    expression, shard = pmod(xxhash64(uri), n_shards) (content-addressed,
+    rebalance-stable), and rec_offset is the running record-length sum in
+    (uri) order within the shard — so the index rows are exactly what a
+    reader needs to seek into the shard files export_warc_shards writes,
+    without ever re-reading them.
+
+    Scale shape: one shard-keyed exchange feeds both the window (offsets)
+    and the export grouping — index and archive come out of the SAME
+    shuffle. Lengths/offsets are in the string-codepoint space the
+    segmenter (parse_warc) also uses, so export → ingest round-trips
+    exactly. Reference analog: the crawler stores pages row-per-fetch
+    (storage layer, schema.cql pages table); WARC shards are the
+    interchange/archival layout Common Crawl publishes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    uri, body = F.col(uri_col), F.col(body_col)
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri, F.lit("\r\nContent-Length: "),
+        F.length(body).cast("string"), F.lit("\r\n\r\n"),
+        body, F.lit("\r\n\r\n"))
+    base = pages.select(
+        F.pmod(F.xxhash64(uri), F.lit(n_shards)).alias("shard"),
+        uri.alias("uri"), F.length(body).alias("content_length"),
+        F.length(rec).alias("rec_len"),
+        F.sha2(rec, 256).alias("record_sha256"))
+    w = Window.partitionBy("shard").orderBy("uri")
+    return base.select(
+        "shard", "uri",
+        (F.sum("rec_len").over(w) - F.col("rec_len")).alias("rec_offset"),
+        "content_length", "record_sha256")
+
+
+def export_warc_shards(pages: DataFrame, out_dir: str,
+                       uri_col: str = "uri", body_col: str = "body",
+                       n_shards: int = 4) -> DataFrame:
+    """The export sink itself: one WARC file per shard, records in (uri)
+    order, written worker-side (attempt-unique tmp + atomic rename — the
+    blob-sink discipline of operators/extract.py). Returns the receipt
+    table (shard, path, n_records, total_chars); warc_export_index over
+    the same input IS the cdx for these files, and parse_warc reads them
+    back (round-trip pinned in tests)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        pdf = pdf.sort_values("uri", ignore_index=True)
+        data = "".join(build_warc_record(u, b)
+                       for u, b in zip(pdf["uri"], pdf["body"]))
+        path = os.path.join(out_dir, f"shard-{shard:05d}.warc")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8", newline="") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return pd.DataFrame({"shard": [shard], "path": [path],
+                             "n_records": [len(pdf)],
+                             "total_chars": [len(data)]})
+
+    os.makedirs(out_dir, exist_ok=True)
+    keyed = pages.select(
+        F.pmod(F.xxhash64(F.col(uri_col)), F.lit(n_shards)).alias("shard"),
+        F.col(uri_col).alias("uri"), F.col(body_col).alias("body"))
+    return keyed.groupBy("shard").applyInPandas(
+        write_group,
+        "shard long, path string, n_records long, total_chars long")
