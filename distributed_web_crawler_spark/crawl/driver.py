@@ -57,6 +57,30 @@ FRONTIER_SCHEMA = T.StructType([
     T.StructField("round", T.IntegerType()),
 ])
 
+# conditional-refetch verdict rows (Crawler.revalidate): the
+# pipeline.recrawl.REVALIDATE_SCHEMA columns plus host and the media
+# columns a changed page needs to rewrite the input_hint-shaped store
+REVAL_PAGE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("fetched", T.BooleanType()),
+    T.StructField("not_modified", T.BooleanType()),
+    T.StructField("http_status", T.IntegerType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("etag", T.StringType()),
+    T.StructField("last_modified", T.StringType()),
+    T.StructField("image_id", T.StringType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("caption", T.StringType()),
+    T.StructField("phash", T.LongType()),
+    # the store's D2 hash convention (sha256(bytes || utf8(caption)),
+    # synthweb.content_hash_py) computed in-worker for changed rows
+    T.StructField("content_hash", T.StringType()),
+])
+
 
 def seeds_frontier(spark: SparkSession, seeds: list[str],
                    cfg: CrawlConfig, round_no: int = 0) -> DataFrame:
@@ -547,3 +571,129 @@ class Crawler:
         stored = self.stored_slim()
         return set() if stored is None else {
             row["url"] for row in stored.select("url").distinct().collect()}
+
+    # -- revalidation (conditional-GET recrawl epochs) -------------------------
+
+    def _reval_epochs(self) -> list[int]:
+        return self.store.committed_marks("reval")
+
+    def revalidations(self) -> DataFrame | None:
+        """All committed revalidation verdicts (url, verdict, http_status,
+        content_hash, etag, reval_epoch) — the change history the Cho
+        estimator (pipeline.recrawl.recrawl_schedule) consumes."""
+        return self.store.read(self.spark, "reval", self._reval_epochs())
+
+    def _current_hashes(self) -> DataFrame:
+        """(url, host, content_hash) with the LATEST committed state per
+        URL: the newest reval epoch's post-merge hash wins over the
+        original crawl's — so epoch k+1 validates against what epoch k
+        refreshed, not against stale history."""
+        base = (self.stored_slim()
+                .dropDuplicates(["url"]).select("url", "host",
+                                                "content_hash"))
+        rv = self.revalidations()
+        if rv is None:
+            return base
+        from pyspark.sql import Window
+        w = Window.partitionBy("url").orderBy(F.col("reval_epoch").desc())
+        latest = (rv.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1)
+                  .select("url", F.col("content_hash").alias("_h")))
+        return (base.join(latest, "url", "left")
+                .select("url", "host",
+                        F.coalesce(F.col("_h"), F.col("content_hash"))
+                        .alias("content_hash")))
+
+    def revalidate(self, changed=None, version: int = 1,
+                   fetcher=None) -> dict:
+        """One conditional-refetch epoch over everything stored: the
+        recrawl executed INSIDE the engine, against the crawl's own
+        store. Candidates validate against their latest known hash
+        (crawl or prior epoch); the conditional fetcher answers 304 for
+        unchanged content (no payload moves) and a full page row for
+        moved content; pipeline.recrawl.revalidate_merge folds verdicts
+        into per-URL outcomes. Changed payloads land in
+        reval_pages/round=<epoch> (input_hint media columns included)
+        and verdicts in reval/round=<epoch>; the epoch commits with its
+        own atomic marker namespace ('reval-<k>'), so crawl round
+        numbering — and therefore resume, time travel and golden parity
+        — is untouched, and a killed epoch re-runs idempotently.
+
+        The reference crawls once and stores (core/WebCrawler.java);
+        this is the maintenance loop a production deployment runs next.
+        changed/version parameterize the SYNTHETIC web's drift
+        (operators.extract.make_synth_conditional_fetcher); a real
+        deployment injects an HTTP conditional fetcher instead."""
+        from ..pipeline.recrawl import revalidate_merge
+
+        if self.store.last_round() is None:
+            raise RuntimeError("bootstrap(seeds) + run() first")
+        cand = self._current_hashes()
+        if fetcher is None:
+            if self.synth_cfg is None:
+                raise ValueError("revalidate() needs a conditional "
+                                 "fetcher when no synthetic web is "
+                                 "configured")
+            from ..operators.extract import make_synth_conditional_fetcher
+            fetcher = make_synth_conditional_fetcher(
+                self.synth_cfg, changed=changed, version=version)
+        k = (self._reval_epochs() or [-1])[-1] + 1
+        parts = max(self.spark.sparkContext.defaultParallelism,
+                    self.cfg.fetch_partitions or 0)
+        verdicts = (cand.repartition(parts, "host")
+                    .mapInPandas(fetcher, REVAL_PAGE_SCHEMA)
+                    .persist())
+        stored = cand.select(
+            "url", "content_hash",
+            F.concat(F.lit('"'), F.substring("content_hash", 1, 16),
+                     F.lit('"')).alias("etag"))
+        merged = (revalidate_merge(stored, verdicts,
+                                   hash_col="content_hash")
+                  .withColumn("reval_epoch", F.lit(k)))
+        self.store.stage_write("reval", merged, k)
+        changed_rows = (verdicts
+                        .where(F.col("fetched") & ~F.col("not_modified"))
+                        .withColumn("reval_epoch", F.lit(k)))
+        self.store.stage_write("reval_pages", changed_rows, k)
+        counts = {r["verdict"]: r["n"] for r in
+                  (self.store.read(self.spark, "reval", [k])
+                   .groupBy("verdict").agg(F.count("*").alias("n"))
+                   .collect())}
+        verdicts.unpersist()
+        self.store.commit_mark("reval", k, {"counts": counts})
+        return {"epoch": k, **counts}
+
+    def refreshed_pages(self) -> DataFrame | None:
+        """pages() with every URL's payload replaced by its newest
+        committed revalidation refresh (latest epoch wins); crawl
+        metadata (depth, parents, rounds) stays from the original
+        fetch. `refreshed` + `reval_epoch` mark overridden rows."""
+        p = self.pages()
+        if p is None:
+            return None
+        rp = self.store.read(self.spark, "reval_pages",
+                             self._reval_epochs())
+        if rp is None:
+            return p.withColumn("refreshed", F.lit(False)) \
+                    .withColumn("reval_epoch",
+                                F.lit(None).cast("int"))
+        from pyspark.sql import Window
+        w = Window.partitionBy("url").orderBy(F.col("reval_epoch").desc())
+        over = (rp.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select("url", F.col("reval_epoch").alias("_epoch"),
+                        *[F.col(c).alias(f"_{c}") for c in
+                          ("image_id", "bytes", "w", "h", "fmt",
+                           "caption", "phash", "http_status",
+                           "content_type", "content_hash")]))
+        j = p.join(over, "url", "left")
+        pick = {c: F.coalesce(F.col(f"_{c}"), F.col(c)) for c in
+                ("image_id", "bytes", "w", "h", "fmt", "caption",
+                 "phash", "http_status", "content_type",
+                 "content_hash")}
+        keep = [c for c in p.columns if c not in pick]
+        return j.select(
+            *keep,
+            *[pick[c].alias(c) for c in pick],
+            F.col("_epoch").isNotNull().alias("refreshed"),
+            F.col("_epoch").alias("reval_epoch"))

@@ -248,14 +248,23 @@ def links_for_content(content_key: str, cfg: SynthWebConfig) -> list[str]:
     return links
 
 
-def page_for_url(url: str, cfg: SynthWebConfig) -> dict | None:
+def page_for_url(url: str, cfg: SynthWebConfig,
+                 version: int = 0) -> dict | None:
     """Fetch one page. None ⇔ fetch failure (bad URL / 404), which the
-    reference catches and drops (core/WebCrawler.java:436-439)."""
+    reference catches and drops (core/WebCrawler.java:436-439).
+
+    version > 0 models the live web CHANGING under a recrawl: the
+    payload streams (pixels, caption, image id — and thus dimensions and
+    hashes) re-key on ``ck@v<version>`` while the LINK structure stays on
+    the original key, so content mutates without rewriting the graph.
+    version=0 is bit-identical to the historical behavior — golden
+    parity and every oracle are untouched."""
     loc = parse_synth_url(url, cfg)
     if loc is None:
         return None
     host_idx, page_idx = loc
-    ck = _content_key(host_idx, page_idx, cfg)
+    ck0 = _content_key(host_idx, page_idx, cfg)
+    ck = ck0 if not version else f"{ck0}@v{version}"
     h = _dint(cfg.seed, "img", ck)
     span = max(1, cfg.max_dim - cfg.min_dim + 1)
     w = cfg.min_dim + (h % span)
@@ -273,7 +282,7 @@ def page_for_url(url: str, cfg: SynthWebConfig) -> dict | None:
         "fmt": fmt,
         "caption": caption,
         "phash": average_phash(decode_image(buf)[0]),
-        "links": links_for_content(ck, cfg),
+        "links": links_for_content(ck0, cfg),  # graph keys on the base ck
         "http_status": 200,
         "content_type": f"image/{fmt}",
     }

@@ -91,6 +91,78 @@ def make_synth_fetcher(synth_cfg):
     return fetch
 
 
+def make_synth_conditional_fetcher(synth_cfg, changed=None,
+                                   version: int = 1):
+    """Conditional-GET analog over the synthetic web — the twin of
+    crawl.httpfetch.make_http_revalidating_fetcher for the deterministic
+    fetcher. Input batches carry (url, content_hash): the stored D2
+    digest (sha256(bytes || utf8(caption)), synthweb.content_hash_py)
+    plays the validator (a strong ETag IS a content digest). The page is
+    recomputed at ``version`` for URLs where ``changed(url)`` (else at
+    the original version 0 — the unchanged web), hashed in-worker, and an
+    equal digest short-circuits to a 304 verdict with no payload; a
+    moved digest returns the full new page row (media columns and the
+    new D2 hash included, so a refresh round can rewrite the
+    input_hint-shaped store). Output: crawl.driver.REVAL_PAGE_SCHEMA."""
+    from ..crawl.synthweb import content_hash_py, page_for_url
+
+    int_cols = {"http_status": "Int32", "w": "Int32", "h": "Int32",
+                "phash": "Int64"}
+    media_cols = ("image_id", "w", "h", "fmt", "caption", "phash")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..crawl.driver import REVAL_PAGE_SCHEMA
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("fetched", "not_modified", "http_status", "bytes",
+                     "content_type", "etag", "last_modified",
+                     *media_cols, "content_hash")}
+            for u, h_old in zip(pdf["url"], pdf["content_hash"]):
+                page = page_for_url(
+                    u, synth_cfg,
+                    version=version if changed and changed(u) else 0)
+                if page is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    rows["fetched"][-1] = False
+                    rows["not_modified"][-1] = False
+                    continue
+                h_new = content_hash_py(page["bytes"], page["caption"])
+                nm = h_new == h_old
+                rows["fetched"].append(True)
+                rows["not_modified"].append(nm)
+                rows["http_status"].append(304 if nm else
+                                           page["http_status"])
+                rows["etag"].append(f'"{h_new[:16]}"')
+                rows["last_modified"].append(None)
+                if nm:
+                    rows["bytes"].append(None)
+                    rows["content_type"].append(None)
+                    rows["content_hash"].append(None)
+                    for k in media_cols:
+                        rows[k].append(None)
+                else:
+                    rows["bytes"].append(page["bytes"])
+                    rows["content_type"].append(page["content_type"])
+                    rows["content_hash"].append(h_new)
+                    for k in media_cols:
+                        rows[k].append(page[k])
+            data = {"url": pdf["url"].to_numpy(),
+                    "host": pdf["host"].to_numpy()}
+            for k, vals in rows.items():
+                dtype = int_cols.get(k)
+                data[k] = (pd.array(vals, dtype=dtype) if dtype
+                           else pd.Series(vals, dtype="object"))
+            data["fetched"] = pd.Series(rows["fetched"], dtype="bool")
+            data["not_modified"] = pd.Series(rows["not_modified"],
+                                             dtype="bool")
+            yield pd.DataFrame(
+                data, columns=[f.name for f in REVAL_PAGE_SCHEMA])
+
+    return fetch
+
+
 def fetch_pages(selected: DataFrame, fetcher) -> DataFrame:
     """S6 over the selected frontier rows. Input columns: url, host, depth,
     parent_url, priority."""

@@ -443,7 +443,8 @@ REVAL_304_MOD = 3                        # server honors the validator
 REVAL_CHANGED_MOD = 5                    # content actually moved
 
 
-def revalidate_merge(stored: DataFrame, verdicts: DataFrame) -> DataFrame:
+def revalidate_merge(stored: DataFrame, verdicts: DataFrame,
+                     hash_col: str | None = None) -> DataFrame:
     """Fold one conditional-GET round back into the page store: per URL,
       'failed'    — request failed; keep the stored copy and validators;
       'unchanged' — 304; zero payload bytes moved, stored copy stands;
@@ -460,10 +461,17 @@ def revalidate_merge(stored: DataFrame, verdicts: DataFrame) -> DataFrame:
     url-bucketed stores at 10^10 — the snapshot_diff contract); the
     comparison is a fixed-width sha2 against the STORED hash column, so
     stored page bytes never move — only the round's fetched bodies are
-    hashed, map-side, at candidate volume."""
+    hashed, map-side, at candidate volume.
+
+    hash_col: column in ``verdicts`` already carrying the new content's
+    digest under the store's own convention (e.g. the crawl engine's D2
+    sha256(bytes || caption), computed in-worker by the conditional
+    fetcher); default derives sha2(bytes) relationally."""
+    h_new = (F.col(hash_col) if hash_col
+             else F.sha2(F.col("bytes"), 256))
     v = verdicts.select(
         "url", "fetched", "not_modified", "http_status",
-        F.sha2(F.col("bytes"), 256).alias("h_new"),
+        h_new.alias("h_new"),
         F.col("etag").alias("etag_new"))
     # inner join: the fetcher emits one verdict row per candidate, so the
     # output covers exactly this round's candidates — a stored URL outside

@@ -68,6 +68,11 @@ class RoundCatalog(Protocol):
 
     def committed_rounds(self) -> list[int]: ...
 
+    def committed_marks(self, kind: str) -> list[int]: ...
+
+    def commit_mark(self, kind: str, seq: int,
+                    meta: dict | None = None) -> None: ...
+
     def last_round(self) -> int | None: ...
 
     def round_meta(self, round_no: int) -> dict | None: ...

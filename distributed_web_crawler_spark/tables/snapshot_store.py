@@ -45,12 +45,25 @@ class SnapshotStore:
 
     # -- commit log ---------------------------------------------------------
 
+    def committed_marks(self, kind: str) -> list[int]:
+        """Committed sequence numbers of one marker namespace ('round' is
+        the crawl loop; 'reval' the revalidation epochs — independent
+        counters so a maintenance pass never perturbs crawl numbering)."""
+        pre, suf = f"{kind}-", ".json"
+        return sorted(int(f[len(pre):-len(suf)])
+                      for f in os.listdir(self.commits_dir)
+                      if f.startswith(pre) and f.endswith(suf))
+
+    def commit_mark(self, kind: str, seq: int, meta: dict | None = None
+                    ) -> None:
+        tmp = os.path.join(self.commits_dir, f".{kind}-{seq}.tmp")
+        final = os.path.join(self.commits_dir, f"{kind}-{seq}.json")
+        with open(tmp, "w") as fh:
+            json.dump({kind: seq, **(meta or {})}, fh)
+        os.replace(tmp, final)  # atomic commit point
+
     def committed_rounds(self) -> list[int]:
-        rounds = []
-        for f in os.listdir(self.commits_dir):
-            if f.startswith("round-") and f.endswith(".json"):
-                rounds.append(int(f[len("round-"):-len(".json")]))
-        return sorted(rounds)
+        return self.committed_marks("round")
 
     def last_round(self) -> int | None:
         rounds = self.committed_rounds()
@@ -64,11 +77,7 @@ class SnapshotStore:
             return json.load(fh)
 
     def commit_round(self, round_no: int, meta: dict | None = None) -> None:
-        tmp = os.path.join(self.commits_dir, f".round-{round_no}.tmp")
-        final = os.path.join(self.commits_dir, f"round-{round_no}.json")
-        with open(tmp, "w") as fh:
-            json.dump({"round": round_no, **(meta or {})}, fh)
-        os.replace(tmp, final)  # atomic commit point
+        self.commit_mark("round", round_no, meta)
 
     # -- staged writes ------------------------------------------------------
     # Orphaned staged dirs from a crash are invisible to readers (reads pass

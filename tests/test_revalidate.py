@@ -1,0 +1,104 @@
+"""Engine-level revalidation epochs: conditional refetch of the crawl's
+own store, latest-epoch-wins views, and isolation from crawl round
+numbering / golden parity."""
+
+from pyspark.sql import functions as F
+
+from distributed_web_crawler_spark.config import CrawlConfig, SynthWebConfig
+from distributed_web_crawler_spark.crawl.driver import Crawler
+from distributed_web_crawler_spark.crawl.synthweb import seed_urls
+
+
+# NB: the drift predicate must be a lambda/closure (serialized by value);
+# a module-level function pickles by reference to the test module, which
+# executors cannot import
+_pred = lambda u: u.endswith(("1", "5"))  # noqa: E731
+
+
+def _crawl(spark, tmp_path):
+    synth = SynthWebConfig(n_hosts=6, base_pages_per_host=12)
+    cfg = CrawlConfig(max_depth=2, host_budget_per_round=3, max_rounds=3,
+                      allowed_domains=(r".*\.example\.com",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 13)
+    c = Crawler(spark, cfg, synth, str(tmp_path))
+    c.bootstrap(seed_urls(synth, 3))
+    c.run()
+    return c, cfg, synth
+
+
+def test_revalidate_verdicts_refresh_and_latest_wins(spark, tmp_path):
+    c, cfg, synth = _crawl(spark, tmp_path)
+    stored = c.url_seen_set()
+    n_changed = sum(1 for u in stored if _pred(u))
+    assert 0 < n_changed < len(stored), "predicate must split the corpus"
+    before = {r["url"]: r for r in
+              c.pages().select("url", "bytes", "caption",
+                               "content_hash").collect()}
+    rounds_before = c.store.committed_rounds()
+
+    r1 = c.revalidate(changed=_pred)
+    assert r1["epoch"] == 0
+    assert r1.get("changed", 0) == n_changed
+    assert r1.get("unchanged", 0) == len(stored) - n_changed
+    assert "failed" not in r1 and "refreshed" not in r1
+
+    # crawl surfaces untouched: round markers, pages bytes
+    assert c.store.committed_rounds() == rounds_before
+    after_pages = {r["url"]: r for r in
+                   c.pages().select("url", "content_hash").collect()}
+    assert all(after_pages[u]["content_hash"] == before[u]["content_hash"]
+               for u in stored)
+
+    from distributed_web_crawler_spark.crawl.synthweb import (
+        content_hash_py,
+    )
+    rp = {r["url"]: r for r in c.refreshed_pages().collect()}
+    for u in stored:
+        row = rp[u]
+        if _pred(u):
+            assert row["refreshed"] and row["reval_epoch"] == 0
+            assert bytes(row["bytes"]) != bytes(before[u]["bytes"])
+            assert row["caption"] != before[u]["caption"]
+            assert row["content_hash"] == content_hash_py(
+                bytes(row["bytes"]), row["caption"])
+        else:
+            assert not row["refreshed"]
+            assert bytes(row["bytes"]) == bytes(before[u]["bytes"])
+            assert row["content_hash"] == before[u]["content_hash"]
+
+    # epoch 1, same drift: everything validates against the REFRESHED
+    # hashes -> all 304, no payload rewrites
+    r2 = c.revalidate(changed=_pred)
+    assert r2["epoch"] == 1
+    assert r2.get("unchanged", 0) == len(stored)
+    assert "changed" not in r2
+
+    # the verdict history accumulates per epoch (Cho-estimator input)
+    rv = c.revalidations()
+    assert rv.count() == 2 * len(stored)
+    assert (rv.where((F.col("reval_epoch") == 1)
+                     & (F.col("verdict") != "unchanged")).count() == 0)
+
+    # a fresh driver over the same store sees identical refreshed state
+    c2 = Crawler(spark, cfg, synth, str(tmp_path))
+    rp2 = {r["url"]: r["content_hash"]
+           for r in c2.refreshed_pages().collect()}
+    assert rp2 == {u: rp[u]["content_hash"] for u in rp}
+
+
+def test_revalidate_drift_back_detected_as_change(spark, tmp_path):
+    """If the web drifts BACK to the original content after a refresh,
+    the next epoch must see a change (validator is the refreshed hash),
+    and latest-wins must surface the original payload again."""
+    c, _, _ = _crawl(spark, tmp_path)
+    orig = {r["url"]: r["content_hash"]
+            for r in c.pages().select("url", "content_hash").collect()}
+    c.revalidate(changed=_pred)                    # drift to v1
+    r = c.revalidate(changed=None)                 # web back at v0
+    n_changed = sum(1 for u in orig if _pred(u))
+    assert r.get("changed", 0) == n_changed
+    rp = {row["url"]: row for row in c.refreshed_pages().collect()}
+    for u, h in orig.items():
+        assert rp[u]["content_hash"] == h          # back to original
+        if _pred(u):
+            assert rp[u]["refreshed"] and rp[u]["reval_epoch"] == 1
