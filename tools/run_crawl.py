@@ -33,6 +33,15 @@ def main() -> None:
                          "(the reference's POST /api/crawler/urls): "
                          "staged for the next round, deduped against "
                          "the URL-seen state, then run() proceeds")
+    ap.add_argument("--revalidate", action="store_true",
+                    help="after the crawl, run one conditional-refetch "
+                         "epoch over everything stored (Crawler."
+                         "revalidate); --drift-suffixes picks which "
+                         "URLs the synthetic web mutates first")
+    ap.add_argument("--drift-suffixes", default=None,
+                    help="comma-separated URL suffixes the synthetic "
+                         "web serves at version 1 during --revalidate "
+                         "(e.g. '1,5'); empty = unchanged web")
     args = ap.parse_args()
 
     # imports resolve from --py-files (or PYTHONPATH when run directly)
@@ -59,6 +68,10 @@ def main() -> None:
         crawler.inject([u for u in args.inject.split(",") if u])
     stats = crawler.run(args.rounds)
     stats.pop("per_round", None)
+    if args.revalidate:
+        sfx = tuple(s for s in (args.drift_suffixes or "").split(",") if s)
+        changed = (lambda u, _s=sfx: u.endswith(_s)) if sfx else None
+        stats["revalidation"] = crawler.revalidate(changed=changed)
     print(json.dumps(stats))
 
 
