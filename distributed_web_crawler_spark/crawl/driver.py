@@ -663,6 +663,24 @@ class Crawler:
         self.store.commit_mark("reval", k, {"counts": counts})
         return {"epoch": k, **counts}
 
+    def recrawl_intervals(self, interval_days: float = 7.0
+                          ) -> DataFrame | None:
+        """Cho change-rate estimates learned from the engine's OWN
+        revalidation history: every committed epoch contributes one
+        observation per URL (changed ⇔ verdict 'changed'; failed
+        epochs carry no signal and are excluded). Feeds the next
+        revalidation_planner pass — the closed recrawl loop:
+        revalidate → observe → re-estimate → re-plan."""
+        rv = self.revalidations()
+        if rv is None:
+            return None
+        from ..pipeline.recrawl import cho_intervals
+        hist = (rv.where(F.col("verdict") != "failed")
+                .select("url",
+                        (F.col("verdict") == "changed").alias("changed")))
+        return cho_intervals(hist, key_col="url",
+                             interval_days=interval_days)
+
     def refreshed_pages(self) -> DataFrame | None:
         """pages() with every URL's payload replaced by its newest
         committed revalidation refresh (latest epoch wins); crawl

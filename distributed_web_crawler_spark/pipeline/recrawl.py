@@ -103,33 +103,45 @@ def fetch_history(documents: DataFrame) -> DataFrame:
                     .alias("changed")))
 
 
-def recrawl_schedule(documents: DataFrame,
-                     interval_days: float = 7.0) -> DataFrame:
-    """Per-URL change-rate estimate and next-fetch interval — the
-    Cho & Garcia-Molina (2003) Poisson estimator over a fixed-cadence
-    fetch history: with n observations of which x detected a change,
-    lambda_hat = -ln((n - x + 0.5) / (n + 0.5)) / interval, and the
-    next interval targets one expected change (1 / lambda_hat, clamped
-    to [1, 90] days).
+def cho_intervals(hist: DataFrame, key_col: str = "doc_id",
+                  interval_days: float = 7.0) -> DataFrame:
+    """The Cho & Garcia-Molina (2003) Poisson estimator over any
+    fixed-cadence observation stream (key_col, changed): with n
+    observations of which x detected a change, lambda_hat =
+    -ln((n - x + 0.5) / (n + 0.5)) / interval, and the next interval
+    targets one expected change (1 / lambda_hat, clamped to [1, 90]
+    days). One partial-agg shuffle on the key.
 
     Numeric contract: (n - x + 0.5) and (n + 0.5) are exact doubles and
     their IEEE quotient is engine-identical; ln() has 1-ulp latitude,
     absorbed by round(·, 6); the next interval divides the ROUNDED
     lambda (both engines see the identical double), so the only libm
     call in the chain is the one guarded ln."""
-    hist = fetch_history(documents)
-    agg = (hist.groupBy("doc_id")
+    agg = (hist.groupBy(key_col)
            .agg(F.count(F.lit(1)).alias("n_obs"),
                 F.sum(F.col("changed").cast("int")).alias("n_changes")))
     ratio = ((F.col("n_obs") - F.col("n_changes") + 0.5)
              / (F.col("n_obs") + 0.5))
     lam = F.round(-F.log(ratio) / F.lit(interval_days), 6)
-    nxt = F.round(F.least(F.greatest(F.lit(1.0) / F.col("lambda_hat"),
-                                     F.lit(1.0)), F.lit(90.0)), 6)
-    return (agg.select("doc_id", "n_obs", "n_changes",
+    # lambda_hat == 0 (no change ever observed) ⇒ 1/λ = ∞ ⇒ the 90-day
+    # clamp; spelled as a guard because ANSI mode (Spark 4 default)
+    # raises on the literal division
+    inv = F.when(F.col("lambda_hat") > 0,
+                 F.lit(1.0) / F.col("lambda_hat")).otherwise(F.lit(90.0))
+    nxt = F.round(F.least(F.greatest(inv, F.lit(1.0)), F.lit(90.0)), 6)
+    return (agg.select(key_col, "n_obs", "n_changes",
                        lam.alias("lambda_hat"))
-            .select("doc_id", "n_obs", "n_changes", "lambda_hat",
+            .select(key_col, "n_obs", "n_changes", "lambda_hat",
                     nxt.alias("next_interval_days")))
+
+
+def recrawl_schedule(documents: DataFrame,
+                     interval_days: float = 7.0) -> DataFrame:
+    """Per-URL change-rate estimate and next-fetch interval: the Cho
+    estimator over the synthetic fixed-cadence fetch history (see
+    cho_intervals for the math and numeric contract)."""
+    return cho_intervals(fetch_history(documents), "doc_id",
+                         interval_days)
 
 
 # frontier synthesis constants (shared with trap detection + the oracle)

@@ -85,6 +85,19 @@ def test_revalidate_verdicts_refresh_and_latest_wins(spark, tmp_path):
            for r in c2.refreshed_pages().collect()}
     assert rp2 == {u: rp[u]["content_hash"] for u in rp}
 
+    # the closed loop: Cho estimates learned from the engine's own
+    # verdict history rank drifted URLs above stable ones
+    iv = {r["url"]: r for r in c.recrawl_intervals().collect()}
+    assert set(iv) == stored
+    for u in stored:
+        assert iv[u]["n_obs"] == 2
+        assert iv[u]["n_changes"] == (1 if _pred(u) else 0)
+        if _pred(u):
+            assert (iv[u]["lambda_hat"]
+                    > max(iv[v]["lambda_hat"] for v in stored
+                          if not _pred(v)))
+            assert iv[u]["next_interval_days"] < 90.0
+
 
 def test_revalidate_drift_back_detected_as_change(spark, tmp_path):
     """If the web drifts BACK to the original content after a refresh,
