@@ -180,13 +180,36 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
             .where(F.col("rank") <= k))
 
 
-def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-             n_lists: int = 16, nprobe: int = 4,
-             refine_iters: int = 0) -> DataFrame:
-    """ANN top-k probing the nprobe nearest inverted lists per query."""
+def build_ivf_index(embeddings: DataFrame, n_lists: int = 16,
+                    refine_iters: int = 0) -> dict[str, DataFrame]:
+    """The IVF index as a MATERIALIZABLE artifact — the history_index
+    pattern applied to ANN: at 10^10 vectors the index is built once,
+    its two frames written to tables ('lists' bucketed/partitioned by
+    list_id so a probe reads only the nprobe lists it touches;
+    'centroids' is n_lists rows), and every later query batch probes the
+    stored tables via ivf_topk(..., index=...) — zero rebuild cost per
+    batch, and new vectors append to their argmax list without touching
+    the rest. Each frame may be a table read back from storage (unit
+    arrays round-trip parquet bit-exact; pinned by test). The SQ8/PQ
+    variants take the same seam: quantize/encode the 'lists' frame once
+    at build time."""
     centroids, assigned = ivf_assign(embeddings, n_lists, refine_iters)
+    return {"centroids": centroids,
+            "lists": assigned.select("list_id", "vec_id", "unit")}
+
+
+def ivf_topk(embeddings: DataFrame | None, queries: DataFrame, k: int = 5,
+             n_lists: int = 16, nprobe: int = 4,
+             refine_iters: int = 0,
+             index: dict[str, DataFrame] | None = None) -> DataFrame:
+    """ANN top-k probing the nprobe nearest inverted lists per query.
+    index: a prebuilt build_ivf_index artifact (possibly read back from
+    storage) — skips the build; embeddings may then be None."""
+    if index is None:
+        index = build_ivf_index(embeddings, n_lists, refine_iters)
     scored = (
-        _probe_lists(queries, centroids, nprobe).join(assigned, "list_id")
+        _probe_lists(queries, index["centroids"], nprobe)
+        .join(index["lists"], "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id",
                 F.round(_cos(F.col("q_unit"), F.col("unit")), 6).alias("cosine"))

@@ -93,6 +93,27 @@ def test_ivf_recall_vs_brute_force(vecs):
     assert ivf_all == brute                # nprobe = n_lists ⇒ exact
 
 
+def test_ivf_index_parquet_roundtrip_identical(vecs, tmp_path):
+    """build_ivf_index → write to parquet → read back → probe: results
+    must be IDENTICAL to the inline build (build-once probe-forever is
+    only sound if the stored index is lossless)."""
+    queries = (vecs.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    inline = {(r["query_id"], r["vec_id"], r["cosine"], r["rank"])
+              for r in similarity.ivf_topk(vecs, queries, k=3,
+                                           n_lists=4, nprobe=2).collect()}
+    idx = similarity.build_ivf_index(vecs, n_lists=4)
+    spark = vecs.sparkSession
+    for name, df in idx.items():
+        df.write.mode("overwrite").parquet(str(tmp_path / name))
+    loaded = {name: spark.read.parquet(str(tmp_path / name))
+              for name in idx}
+    stored = {(r["query_id"], r["vec_id"], r["cosine"], r["rank"])
+              for r in similarity.ivf_topk(None, queries, k=3, nprobe=2,
+                                           index=loaded).collect()}
+    assert stored == inline
+
+
 def test_image_stats_roundtrip(spark):
     from distributed_web_crawler_spark.config import SynthWebConfig
     from distributed_web_crawler_spark.crawl.synthweb import (
