@@ -572,6 +572,29 @@ class Crawler:
         return set() if stored is None else {
             row["url"] for row in stored.select("url").distinct().collect()}
 
+    def register_views(self, prefix: str = "crawl_") -> list[str]:
+        """Expose every committed result surface as Spark SQL temp views
+        (`<prefix>pages`, `<prefix>stored`, `<prefix>lineage`, and when
+        epochs exist `<prefix>revalidations` / `<prefix>refreshed_pages`)
+        so `spark.sql(...)` works directly over the store — the engine's
+        query-API analog of the reference's REST read endpoints
+        (controller/CrawlerController.java). Views are lazy plans over
+        committed snapshots: re-register after new commits to advance."""
+        surfaces = {
+            "pages": self.pages(),
+            "stored": self.stored_slim(),
+            "lineage": self.lineage(),
+            "revalidations": self.revalidations(),
+            "refreshed_pages": (self.refreshed_pages()
+                                if self.pages() is not None else None),
+        }
+        names = []
+        for name, df in surfaces.items():
+            if df is not None:
+                df.createOrReplaceTempView(f"{prefix}{name}")
+                names.append(f"{prefix}{name}")
+        return names
+
     # -- revalidation (conditional-GET recrawl epochs) -------------------------
 
     def _reval_epochs(self) -> list[int]:

@@ -99,6 +99,26 @@ def test_revalidate_verdicts_refresh_and_latest_wins(spark, tmp_path):
             assert iv[u]["next_interval_days"] < 90.0
 
 
+def test_register_views_sql_surface(spark, tmp_path):
+    """spark.sql over the registered views answers the engine's own
+    surfaces, including revalidation state."""
+    c, _, _ = _crawl(spark, tmp_path)
+    c.revalidate(changed=_pred)
+    names = c.register_views()
+    assert {"crawl_pages", "crawl_stored", "crawl_lineage",
+            "crawl_revalidations", "crawl_refreshed_pages"} <= set(names)
+    n_pages = spark.sql("SELECT count(*) AS n FROM crawl_pages") \
+        .collect()[0]["n"]
+    assert n_pages == len(c.url_seen_set())
+    agg = {r["verdict"]: r["n"] for r in spark.sql(
+        "SELECT verdict, count(*) AS n FROM crawl_revalidations "
+        "GROUP BY verdict").collect()}
+    assert agg.get("changed", 0) > 0 and agg.get("unchanged", 0) > 0
+    n_ref = spark.sql("SELECT count(*) AS n FROM crawl_refreshed_pages "
+                      "WHERE refreshed").collect()[0]["n"]
+    assert n_ref == agg["changed"]
+
+
 def test_revalidate_drift_back_detected_as_change(spark, tmp_path):
     """If the web drifts BACK to the original content after a refresh,
     the next epoch must see a change (validator is the refreshed hash),
