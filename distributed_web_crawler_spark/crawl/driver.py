@@ -611,9 +611,11 @@ class Crawler:
         URL: the newest reval epoch's post-merge hash wins over the
         original crawl's — so epoch k+1 validates against what epoch k
         refreshed, not against stale history."""
-        base = (self.stored_slim()
-                .dropDuplicates(["url"]).select("url", "host",
-                                                "content_hash"))
+        slim = self.stored_slim()
+        if slim is None:
+            raise RuntimeError("nothing stored yet — run() first")
+        base = slim.dropDuplicates(["url"]).select("url", "host",
+                                                   "content_hash")
         rv = self.revalidations()
         if rv is None:
             return base
