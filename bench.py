@@ -160,6 +160,7 @@ EXTRAS = [
     "revalidation_planner",  # TTL-due × change-rate × host-cap pick list
     "phash_band_eval",       # proposal-tier precision/recall vs pixels
     "warc_export",           # cdx index of the sharded WARC export
+    "change_prediction",     # cold-start change prior, model-as-table
 ]
 
 

@@ -1377,6 +1377,46 @@ def hashed_classifier_sql(sf_dir: str = ORACLE_SF_DIR,
 """
 
 
+def change_prediction_sql(frontier_sql: str, n_buckets: int = 128) -> str:
+    """Mirror of pipeline.recrawl.change_prediction: both hash families
+    — bucket weights pmod(xxhash64(b), 2001)-1000 and the feature→bucket
+    map pmod(xxhash64(feat), B) over the closed 36-string feature
+    vocabulary (20 hosts × 8 depths × 3 priorities × 5 retries per the
+    frontier fixture) — come from the XXH64 mirror as VALUES."""
+    from .functions.xxh64 import xxhash64
+
+    wvals = ", ".join(f"({b}, {xxhash64(b) % 2001 - 1000})"
+                      for b in range(n_buckets))
+    feats = ([f"host=h{i:04d}.example.com" for i in range(20)]
+             + [f"depth={d}" for d in range(8)]
+             + [f"prio={p}" for p in range(1, 4)]
+             + [f"retry={r}" for r in range(5)])
+    fvals = ", ".join(f"('{s}', {xxhash64(s) % n_buckets})" for s in feats)
+    return f"""
+  WITH fr AS ({frontier_sql}),
+  wt(bucket, w) AS (VALUES {wvals}),
+  fb(feat, bucket) AS (VALUES {fvals}),
+  f AS (
+    SELECT url, host,
+           unnest(['host=' || host,
+                   'depth=' || depth,
+                   'prio=' || priority,
+                   'retry=' || retry_count]) AS feat
+    FROM fr),
+  scored AS (
+    SELECT f.url, f.host, count(*) AS n_feats,
+           CAST(sum(wt.w) AS BIGINT) AS score_int
+    FROM f JOIN fb USING (feat) JOIN wt USING (bucket)
+    GROUP BY f.url, f.host)
+  SELECT url, host, score_int,
+         round(1.0 / (1.0 + exp(-(CAST(score_int AS DOUBLE)
+                                  / (250.0 * CAST(n_feats AS DOUBLE))))),
+               6) AS prob,
+         CASE WHEN score_int >= 0 THEN 1 ELSE 0 END AS predicted_hot
+  FROM scored
+"""
+
+
 def frontier_scoring_sql(k: int = 100, n_nodes: int = 32,
                          iterations: int = 6, damping: float = 0.5) -> str:
     """Full-chain mirror of pipeline.recrawl.frontier_scoring: the

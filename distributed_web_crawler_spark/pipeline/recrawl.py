@@ -621,6 +621,53 @@ def cache_ttl_fixture(documents: DataFrame) -> DataFrame:
         fetch_ms.alias("fetch_time_ms"))
 
 
+def change_prediction(frontier: DataFrame,
+                      n_buckets: int = 128) -> DataFrame:
+    """Cold-start change prediction (Radinsky & Bennett, WWW'13
+    "Predicting content change on the web"): a URL with NO fetch history
+    cannot have a Cho estimate, so the scheduler needs a PRIOR — a
+    change propensity predicted from URL-shape features alone. Scored
+    with the hashed-feature linear-model shape of
+    pipeline.text.hashed_quality_classifier: score = Σ w[h(feat) mod B]
+    over the (host, depth, priority, retry) features, sigmoid-squashed.
+    The blend rule: observed Cho lambda when verdict history exists
+    (cho_intervals / Crawler.recrawl_intervals), else this prior.
+
+    Model-as-table: integer weights w[b] = pmod(xxhash64(b), 2001)-1000
+    stand in for trained parameters; a real model is a parquet read of
+    the same (bucket, w) shape. Scale shape: one 4-rows-per-URL explode,
+    a broadcast weights join, one url-keyed partial agg — no Python, no
+    corpus-sized shuffle beyond the agg. Integer score ⇒ the hot
+    decision is bit-exact; the sigmoid's 1-ulp exp is absorbed by
+    round(·, 6)."""
+    spark = frontier.sparkSession
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (F.pmod(F.xxhash64("id"), F.lit(2001)) - 1000).alias("w"))
+    feats = F.array(
+        F.concat(F.lit("host="), F.col("host")),
+        F.concat(F.lit("depth="), F.col("depth").cast("string")),
+        F.concat(F.lit("prio="), F.col("priority").cast("string")),
+        F.concat(F.lit("retry="), F.col("retry_count").cast("string")))
+    ex = (frontier
+          .select("url", "host", F.explode(feats).alias("feat"))
+          .select("url", "host",
+                  F.pmod(F.xxhash64("feat"), F.lit(n_buckets))
+                  .alias("bucket")))
+    scored = (ex.join(F.broadcast(weights), "bucket")
+              .groupBy("url", "host")
+              .agg(F.count(F.lit(1)).alias("n_feats"),
+                   F.sum("w").alias("score_int")))
+    logit = (F.col("score_int").cast("double")
+             / (F.lit(250.0) * F.col("n_feats").cast("double")))
+    return scored.select(
+        "url", "host", "score_int",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+        .alias("prob"),
+        F.when(F.col("score_int") >= 0, 1).otherwise(0)
+        .alias("predicted_hot"))
+
+
 # planner "now" (ms): ~28h past the fixture's fetch epoch, so the
 # policy mix splits into due/not-due non-trivially at every scale
 PLANNER_NOW_MS = 1_700_100_000_000

@@ -3606,6 +3606,17 @@ def revalidation_planner_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return precrawl.revalidation_planner(_t(spark, sf_dir, "documents"))
 
 
+@q("change_prediction", lambda: _oracles.change_prediction_sql(
+    _FRONTIER_SQL, n_buckets=128))
+def change_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start change propensity from URL-shape features — the
+    scheduler's prior for URLs with no verdict history (observed Cho
+    estimates win once history exists). Hashed-feature model-as-table,
+    one explode + broadcast join + url-keyed partial agg."""
+    return precrawl.change_prediction(
+        _frontier_from_orders(spark, sf_dir), n_buckets=128)
+
+
 @q("frontier_scoring", lambda: _oracles.frontier_scoring_sql(k=100))
 def frontier_scoring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed crawl-side flagship: PageRank host authority × trap
