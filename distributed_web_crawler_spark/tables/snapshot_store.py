@@ -12,6 +12,9 @@ implement the minimal subset directly over parquet):
   a staging location until the round commits;
 - the commit point is a single atomic rename of ``_commits/.round-<r>.tmp``
   to ``_commits/round-<r>.json`` **after** all staged writes finish;
+- independent maintenance passes get their OWN marker namespaces
+  (``commit_mark(kind, seq)``, e.g. ``reval-<k>`` for revalidation
+  epochs) so they never perturb crawl round numbering or resume;
 - readers enumerate committed rounds from the marker files and pass the
   explicit directory list to ``spark.read.parquet`` — uncommitted or
   orphaned data is invisible, so a job killed mid-round resumes from the
