@@ -161,6 +161,7 @@ EXTRAS = [
     "phash_band_eval",       # proposal-tier precision/recall vs pixels
     "warc_export",           # cdx index of the sharded WARC export
     "change_prediction",     # cold-start change prior, model-as-table
+    "audio_snr_neardup",     # energy-hash proposes, decoded PCM verifies
 ]
 
 

@@ -631,6 +631,97 @@ def phash_band_eval_sql(n: int = 384, dup_mod: int = 96,
 """
 
 
+_AUDIO_SHIFTS = (0, 4, 12)
+
+
+def _audio_combo(m: int, shift: int):
+    """Decoded PCM + energy hash for one (group, requantize-shift) combo
+    — the audio codec mirror at the grain audio_snr_neardup needs."""
+    from .pipeline.multimodal import (
+        _audio_payload,
+        audio_energy_hash,
+        decode_audio,
+        quantize_pcm,
+    )
+
+    key = ("audcombo", m, shift)
+    if key in _cache:
+        return _cache[key]
+    buf, _, _ = _audio_payload(42, m)
+    pcm, rate = decode_audio(buf)
+    if shift:
+        pcm = quantize_pcm(pcm, shift)
+    _cache[key] = {"pcm": pcm, "rate": rate,
+                   "ahash": audio_energy_hash(pcm)}
+    return _cache[key]
+
+
+def audio_snr_neardup_sql(n: int = 288, dup_mod: int = 96,
+                          max_hamming: int = 10,
+                          min_snr_db: float = 40.0) -> str:
+    """Mirror of pipeline.multimodal.audio_snr_verified_neardup over the
+    variant-requantized audio table (variant_shifts = 0/4/12): banded
+    Hamming join recomputed relationally from per-combo energy-hash
+    VALUES; the sample verdict joins per-combo-pair SNR VALUES from the
+    codec mirror (PCM content is f(doc_id % dup_mod, shift))."""
+    from .pipeline.multimodal import audio_psnr
+
+    nv = len(_AUDIO_SHIFTS)
+    combos = [(m, si) for m in range(dup_mod) for si in range(nv)]
+
+    sig_vals = ",\n    ".join(
+        f"({m}, {si}, {_audio_combo(m, _AUDIO_SHIFTS[si])['ahash']})"
+        for m, si in combos)
+
+    pair_rows = []
+    for i, (ma, sa) in enumerate(combos):
+        for mb, sb in combos[i:]:
+            a = _audio_combo(ma, _AUDIO_SHIFTS[sa])
+            b = _audio_combo(mb, _AUDIO_SHIFTS[sb])
+            ham = bin((a["ahash"] ^ b["ahash"])
+                      & ((1 << 64) - 1)).count("1")
+            if ham > max_hamming:
+                continue
+            ca, cb = ma * nv + sa, mb * nv + sb
+            if a["pcm"].shape != b["pcm"].shape or a["rate"] != b["rate"]:
+                pair_rows.append(f"({ca}, {cb}, FALSE, FALSE, NULL, FALSE)")
+                continue
+            v = audio_psnr(a["pcm"], b["pcm"])
+            if v == float("inf"):
+                pair_rows.append(f"({ca}, {cb}, TRUE, TRUE, NULL, TRUE)")
+            else:
+                r = round(v, 6)
+                pair_rows.append(
+                    f"({ca}, {cb}, TRUE, FALSE, '{r!r}', "
+                    f"{r >= min_snr_db})")
+    pair_vals = ",\n    ".join(pair_rows)
+
+    return f"""
+  WITH {_IDS_CTE.format(n=n)},
+  ph(m, si, ahash) AS (VALUES
+    {sig_vals}),
+  pv(c_lo, c_hi, same_shape0, exact0, snr0, verified0) AS (VALUES
+    {pair_vals}),
+  auds AS (SELECT printf('aud-%08d', doc_id) AS audio_id,
+                  (doc_id % {dup_mod}) * {nv}
+                  + ((doc_id // {dup_mod}) % {nv}) AS cid
+           FROM ids),
+  sigs AS (SELECT a.audio_id, a.cid, CAST(ph.ahash AS BIGINT) AS sig
+           FROM auds a
+           JOIN ph ON ph.m * {nv} + ph.si = a.cid),
+  pairs AS (WITH {_hamming_band_join_sql('sigs', 'audio_id',
+                                         'aud_a', 'aud_b', max_hamming)})
+  SELECT p.aud_a, p.aud_b, p.hamming,
+         pv.same_shape0 AS same_shape, pv.exact0 AS exact_samples,
+         CAST(pv.snr0 AS DOUBLE) AS snr_db, pv.verified0 AS verified
+  FROM pairs p
+  JOIN sigs sa ON sa.audio_id = p.aud_a
+  JOIN sigs sb ON sb.audio_id = p.aud_b
+  JOIN pv ON pv.c_lo = least(sa.cid, sb.cid)
+         AND pv.c_hi = greatest(sa.cid, sb.cid)
+"""
+
+
 def warc_export_sql(n_shards: int = 4) -> str:
     """Mirror of sources.warc.warc_export_index over the documents-derived
     page fixture: the shard key pmod(xxhash64(uri), n_shards) comes from

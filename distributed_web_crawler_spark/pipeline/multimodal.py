@@ -406,10 +406,52 @@ def _video_payload(seed: int, m: int) -> tuple[bytes, int, int, int, int]:
     return encode_video(frames, fps), fps, n, w, h
 
 
-def audios_for_keys(seed: int = 42, dup_mod: int = 0):
+def quantize_pcm(samples: np.ndarray, shift: int) -> np.ndarray:
+    """Requantize int16 PCM by an arithmetic bit-shift (the synthetic
+    stand-in for a lossy transcode): shift 4 ≈ 71 dB (inaudible), shift
+    12 ≈ 23 dB (badly degraded). Arithmetic shift floors negatives the
+    same way in numpy and the oracle mirror."""
+    return ((samples.astype(np.int64) >> shift) << shift).astype(np.int16)
+
+
+def audio_energy_hash(samples: np.ndarray) -> int:
+    """64-bit energy fingerprint (the aHash/chromaprint analog for
+    audio): 64 equal windows over |PCM|, bit i = window mean > global
+    mean. Robust to light requantization (≤1 bit flips at ~71 dB), a
+    few bits adrift under heavy requantization — the proposal tier
+    audio_snr_verified_neardup bands on. Signed-int64 convention matches
+    Spark's LongType."""
+    ax = np.abs(samples.astype(np.int64))
+    n = len(ax)
+    bounds = np.linspace(0, n, 65).astype(int)
+    g = ax.mean() if n else 0.0
+    bits = 0
+    for i in range(64):
+        w = ax[bounds[i]:max(bounds[i] + 1, bounds[i + 1])]
+        if len(w) and w.mean() > g:
+            bits |= 1 << i
+    return bits if bits < (1 << 63) else bits - (1 << 64)
+
+
+def audio_psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak-referenced SNR between two equal-length int16 PCM signals
+    (peak 32767, the audio analog of the image psnr); inf ⇔ identical."""
+    d = a.astype(np.int64) - b.astype(np.int64)
+    mse = float((d * d).mean())
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * float(np.log10(32767.0 ** 2 / mse))
+
+
+def audios_for_keys(seed: int = 42, dup_mod: int = 0,
+                    variant_shifts: tuple[int, ...] | None = None):
     """Arrow-batched generator of synthetic audio rows keyed by `doc_id`
     (the images_for_keys analog). dup_mod > 0 folds keys into
-    exact-duplicate payload groups."""
+    exact-duplicate payload groups; variant_shifts (with dup_mod) picks
+    the requantization shift per key REPETITION —
+    ``variant_shifts[(key // dup_mod) % len]`` — so one PCM group yields
+    lossless/light/heavy encodings of the SAME signal (the corpus shape
+    the SNR-verified dedup tier needs)."""
 
     def gen(batches):
         for pdf in batches:
@@ -418,6 +460,12 @@ def audios_for_keys(seed: int = 42, dup_mod: int = 0):
             for key in pdf["doc_id"]:
                 m = int(key) % dup_mod if dup_mod else int(key)
                 buf, rate, n = _audio_payload(seed, m)
+                if variant_shifts and dup_mod:
+                    shift = variant_shifts[
+                        (int(key) // dup_mod) % len(variant_shifts)]
+                    if shift:
+                        pcm, rate = decode_audio(buf)
+                        buf = encode_audio(quantize_pcm(pcm, shift), rate)
                 rows["audio_id"].append(f"aud-{int(key):08d}")
                 rows["bytes"].append(buf)
                 rows["sample_rate"].append(rate)
@@ -428,6 +476,104 @@ def audios_for_keys(seed: int = 42, dup_mod: int = 0):
                 "n_samples": pd.array(rows["n_samples"], dtype="Int32")})
 
     return gen
+
+
+AUDIO_SNR_SCHEMA = T.StructType([
+    T.StructField("aud_a", T.StringType()),
+    T.StructField("aud_b", T.StringType()),
+    T.StructField("hamming", T.IntegerType()),
+    T.StructField("same_shape", T.BooleanType()),
+    T.StructField("exact_samples", T.BooleanType()),
+    T.StructField("snr_db", T.DoubleType()),
+    T.StructField("verified", T.BooleanType()),
+])
+
+
+def audio_snr_verified_neardup(audios: DataFrame, max_hamming: int = 10,
+                               min_snr_db: float = 40.0) -> DataFrame:
+    """Two-tier audio near-dup — the psnr_verified_neardup pattern over
+    PCM: a cheap 64-bit energy fingerprint PROPOSES via a banded Hamming
+    join, decoded samples VERIFY at the peak-SNR bar. A light requantize
+    (~71 dB) passes; a heavy one (~23 dB) sits a few fingerprint bits
+    from its source yet FAILS — the call a signature-only dedup cannot
+    make.
+
+    Scale shape: fingerprints are one map-only Arrow pass; the banded
+    self-join prunes before any payload moves; bytes join at CANDIDATE
+    volume only; the sample compare is a map-only Arrow batch walk with
+    snr rounded at 1e-6 so the verdict is engine-exact vs the codec
+    mirror. Different (length, rate) ⇒ unverifiable (never a dup)."""
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"audio_id": [], "ahash": []}
+            for aid, buf in zip(pdf["audio_id"], pdf["bytes"]):
+                pcm, _ = decode_audio(bytes(buf))
+                out["audio_id"].append(aid)
+                out["ahash"].append(audio_energy_hash(pcm))
+            yield pd.DataFrame({
+                "audio_id": out["audio_id"],
+                "ahash": pd.array(out["ahash"], dtype="Int64")})
+
+    sigs = audios.select("audio_id", "bytes").mapInPandas(
+        fp, "audio_id string, ahash long")
+    bands = sigs.select(
+        "audio_id", "ahash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_no"),
+                     F.shiftright("ahash", i * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("bkt"))
+            for i in range(4)])).alias("bb"),
+    ).select("audio_id", "ahash", "bb.band_no", "bb.bkt").distinct()
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
+               & (F.col("a.bkt") == F.col("b.bkt"))
+               & (F.col("a.audio_id") < F.col("b.audio_id")))
+        .select(F.col("a.audio_id").alias("aud_a"),
+                F.col("b.audio_id").alias("aud_b"),
+                F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
+                .alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming))
+    payload = audios.select("audio_id", "bytes")
+    cand = (pairs
+            .join(payload.select(F.col("audio_id").alias("aud_a"),
+                                 F.col("bytes").alias("bytes_a")), "aud_a")
+            .join(payload.select(F.col("audio_id").alias("aud_b"),
+                                 F.col("bytes").alias("bytes_b")), "aud_b")
+            .select("aud_a", "aud_b", "hamming", "bytes_a", "bytes_b"))
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            same, exact, snrs, ok = [], [], [], []
+            for ba, bb in zip(pdf["bytes_a"], pdf["bytes_b"]):
+                pa, ra = decode_audio(bytes(ba))
+                pb, rb = decode_audio(bytes(bb))
+                if pa.shape != pb.shape or ra != rb:
+                    same.append(False)
+                    exact.append(False)
+                    snrs.append(None)
+                    ok.append(False)
+                    continue
+                same.append(True)
+                v = audio_psnr(pa, pb)
+                if v == float("inf"):
+                    exact.append(True)
+                    snrs.append(None)
+                    ok.append(True)
+                else:
+                    exact.append(False)
+                    r = round(v, 6)
+                    snrs.append(r)
+                    ok.append(r >= min_snr_db)
+            yield pd.DataFrame({
+                "aud_a": pdf["aud_a"], "aud_b": pdf["aud_b"],
+                "hamming": pdf["hamming"].astype("int32"),
+                "same_shape": same, "exact_samples": exact,
+                "snr_db": pd.array(snrs, dtype="float64"),
+                "verified": ok})
+
+    return cand.mapInPandas(verify, AUDIO_SNR_SCHEMA)
 
 
 def videos_for_keys(seed: int = 42, dup_mod: int = 0):

@@ -2165,6 +2165,21 @@ def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(audios)
 
 
+@q("audio_snr_neardup", lambda: _oracles.audio_snr_neardup_sql(
+    n=288, dup_mod=96, max_hamming=10, min_snr_db=40.0))
+def audio_snr_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier audio near-dup over a variant-requantized corpus (each
+    PCM group as lossless / shift-4 ≈71 dB / shift-12 ≈23 dB): energy
+    fingerprints propose via a banded Hamming join, decoded samples
+    verify at the 40 dB peak-SNR bar — the psnr_neardup pattern on the
+    audio modality."""
+    audios = _media_keys(spark, sf_dir, 288).mapInPandas(
+        multimodal.audios_for_keys(dup_mod=96, variant_shifts=(0, 4, 12)),
+        multimodal.SYNTH_AUDIO_SCHEMA)
+    return multimodal.audio_snr_verified_neardup(
+        audios, max_hamming=10, min_snr_db=40.0)
+
+
 @q("video_frame_sample", lambda: _oracles.video_frame_sample_sql(every_k=3))
 def video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: every 3rd frame's features, exploded

@@ -200,6 +200,30 @@ def test_image_variant_dedup_keeps_lossless_isolates_requantize(spark):
         assert rows[j16]["cluster_id"] == j16 and rows[j16]["keep"]
 
 
+def test_audio_snr_verify_rejects_heavy_requantize(spark):
+    """Audio two-tier: each PCM group appears lossless / shift-4
+    (~71 dB) / shift-12 (~23 dB). The sample tier must VERIFY the light
+    requantize and REJECT any pair touching the heavy one."""
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    auds = ids.mapInPandas(
+        multimodal.audios_for_keys(dup_mod=4, variant_shifts=(0, 4, 12)),
+        multimodal.SYNTH_AUDIO_SCHEMA)
+    rows = multimodal.audio_snr_verified_neardup(
+        auds, max_hamming=10, min_snr_db=40.0).collect()
+    by_pair = {(r["aud_a"], r["aud_b"]): r for r in rows}
+    for g in range(4):
+        pcm, light, heavy = (f"aud-{g:08d}", f"aud-{g + 4:08d}",
+                             f"aud-{g + 8:08d}")
+        ok = by_pair[(pcm, light)]
+        assert ok["verified"] and not ok["exact_samples"]
+        assert ok["snr_db"] > 40.0
+        for pair in ((pcm, heavy), (light, heavy)):
+            if pair in by_pair:  # banding may or may not propose it
+                r = by_pair[pair]
+                assert not r["verified"]
+                assert r["snr_db"] is not None and r["snr_db"] < 40.0
+
+
 def test_decode_real_image_is_gated(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_real_image(b"\x89PNG")
