@@ -162,6 +162,7 @@ EXTRAS = [
     "warc_export",           # cdx index of the sharded WARC export
     "change_prediction",     # cold-start change prior, model-as-table
     "audio_snr_neardup",     # energy-hash proposes, decoded PCM verifies
+    "video_psnr_neardup",    # temporal-hash proposes, frames verify
 ]
 
 

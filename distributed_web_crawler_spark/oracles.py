@@ -722,6 +722,94 @@ def audio_snr_neardup_sql(n: int = 288, dup_mod: int = 96,
 """
 
 
+_VIDEO_SHIFTS = (0, 1, 4)
+
+
+def _video_combo(m: int, shift: int):
+    """Decoded frames + spatiotemporal hash for one (group, shift) combo."""
+    from .pipeline.multimodal import (
+        _video_payload,
+        decode_video,
+        quantize_frames,
+        video_temporal_hash,
+    )
+
+    key = ("vidcombo", m, shift)
+    if key in _cache:
+        return _cache[key]
+    buf, _, _, _, _ = _video_payload(42, m)
+    frames, fps = decode_video(buf)
+    if shift:
+        frames = quantize_frames(frames, shift)
+    _cache[key] = {"frames": frames, "fps": fps,
+                   "vhash": video_temporal_hash(frames)}
+    return _cache[key]
+
+
+def video_psnr_neardup_sql(n: int = 288, dup_mod: int = 96,
+                           max_hamming: int = 10,
+                           min_psnr: float = 40.0) -> str:
+    """Mirror of pipeline.multimodal.video_psnr_verified_neardup over the
+    variant-requantized video table (variant_shifts = 0/1/4) — the
+    audio_snr_neardup_sql shape on the video codec mirror."""
+    from .pipeline.multimodal import video_psnr
+
+    nv = len(_VIDEO_SHIFTS)
+    combos = [(m, si) for m in range(dup_mod) for si in range(nv)]
+
+    sig_vals = ",\n    ".join(
+        f"({m}, {si}, {_video_combo(m, _VIDEO_SHIFTS[si])['vhash']})"
+        for m, si in combos)
+
+    pair_rows = []
+    for i, (ma, sa) in enumerate(combos):
+        for mb, sb in combos[i:]:
+            a = _video_combo(ma, _VIDEO_SHIFTS[sa])
+            b = _video_combo(mb, _VIDEO_SHIFTS[sb])
+            ham = bin((a["vhash"] ^ b["vhash"])
+                      & ((1 << 64) - 1)).count("1")
+            if ham > max_hamming:
+                continue
+            ca, cb = ma * nv + sa, mb * nv + sb
+            if (a["frames"].shape != b["frames"].shape
+                    or a["fps"] != b["fps"]):
+                pair_rows.append(f"({ca}, {cb}, FALSE, FALSE, NULL, FALSE)")
+                continue
+            v = video_psnr(a["frames"], b["frames"])
+            if v == float("inf"):
+                pair_rows.append(f"({ca}, {cb}, TRUE, TRUE, NULL, TRUE)")
+            else:
+                r = round(v, 6)
+                pair_rows.append(
+                    f"({ca}, {cb}, TRUE, FALSE, '{r!r}', {r >= min_psnr})")
+    pair_vals = ",\n    ".join(pair_rows)
+
+    return f"""
+  WITH {_IDS_CTE.format(n=n)},
+  ph(m, si, vhash) AS (VALUES
+    {sig_vals}),
+  pv(c_lo, c_hi, same_shape0, exact0, psnr0, verified0) AS (VALUES
+    {pair_vals}),
+  vids AS (SELECT printf('vid-%08d', doc_id) AS video_id,
+                  (doc_id % {dup_mod}) * {nv}
+                  + ((doc_id // {dup_mod}) % {nv}) AS cid
+           FROM ids),
+  sigs AS (SELECT v.video_id, v.cid, CAST(ph.vhash AS BIGINT) AS sig
+           FROM vids v
+           JOIN ph ON ph.m * {nv} + ph.si = v.cid),
+  pairs AS (WITH {_hamming_band_join_sql('sigs', 'video_id',
+                                         'vid_a', 'vid_b', max_hamming)})
+  SELECT p.vid_a, p.vid_b, p.hamming,
+         pv.same_shape0 AS same_shape, pv.exact0 AS exact_frames,
+         CAST(pv.psnr0 AS DOUBLE) AS psnr_db, pv.verified0 AS verified
+  FROM pairs p
+  JOIN sigs sa ON sa.video_id = p.vid_a
+  JOIN sigs sb ON sb.video_id = p.vid_b
+  JOIN pv ON pv.c_lo = least(sa.cid, sb.cid)
+         AND pv.c_hi = greatest(sa.cid, sb.cid)
+"""
+
+
 def warc_export_sql(n_shards: int = 4) -> str:
     """Mirror of sources.warc.warc_export_index over the documents-derived
     page fixture: the shard key pmod(xxhash64(uri), n_shards) comes from

@@ -576,8 +576,127 @@ def audio_snr_verified_neardup(audios: DataFrame, max_hamming: int = 10,
     return cand.mapInPandas(verify, AUDIO_SNR_SCHEMA)
 
 
-def videos_for_keys(seed: int = 42, dup_mod: int = 0):
-    """Arrow-batched generator of synthetic video rows keyed by `doc_id`."""
+def quantize_frames(frames: np.ndarray, shift: int) -> np.ndarray:
+    """Requantize uint8 frames by a bit-shift (lossy re-encode stand-in):
+    shift 1 ≈ 51 dB (visually identical), shift 4 ≈ 29 dB (degraded)."""
+    return ((frames >> shift) << shift)
+
+
+def video_temporal_hash(frames: np.ndarray) -> int:
+    """64-bit spatiotemporal energy fingerprint: the audio energy hash
+    over the flattened frame stream (windows span the time axis first,
+    so temporal structure dominates the bits)."""
+    return audio_energy_hash(frames.astype(np.int16).ravel())
+
+
+def video_psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """PSNR (peak 255) across all frames; inf ⇔ identical."""
+    d = a.astype(np.int64) - b.astype(np.int64)
+    mse = float((d * d).mean())
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * float(np.log10(255.0 ** 2 / mse))
+
+
+VIDEO_PSNR_SCHEMA = T.StructType([
+    T.StructField("vid_a", T.StringType()),
+    T.StructField("vid_b", T.StringType()),
+    T.StructField("hamming", T.IntegerType()),
+    T.StructField("same_shape", T.BooleanType()),
+    T.StructField("exact_frames", T.BooleanType()),
+    T.StructField("psnr_db", T.DoubleType()),
+    T.StructField("verified", T.BooleanType()),
+])
+
+
+def video_psnr_verified_neardup(videos: DataFrame, max_hamming: int = 10,
+                                min_psnr: float = 40.0) -> DataFrame:
+    """Two-tier video near-dup — the psnr_neardup pattern on frame
+    streams: spatiotemporal energy fingerprints PROPOSE via a banded
+    Hamming join, decoded frames VERIFY at the 40 dB bar. A light
+    re-encode (~51 dB) merges; a heavy one (~29 dB) sits ≤4 fingerprint
+    bits away yet is REJECTED. Same scale shape as the image/audio
+    tiers: fingerprints map-only, bytes join at candidate volume, the
+    frame compare a map-only Arrow walk; (fps, n, h, w) mismatch ⇒
+    unverifiable."""
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"video_id": [], "vhash": []}
+            for vid, buf in zip(pdf["video_id"], pdf["bytes"]):
+                frames, _ = decode_video(bytes(buf))
+                out["video_id"].append(vid)
+                out["vhash"].append(video_temporal_hash(frames))
+            yield pd.DataFrame({
+                "video_id": out["video_id"],
+                "vhash": pd.array(out["vhash"], dtype="Int64")})
+
+    sigs = videos.select("video_id", "bytes").mapInPandas(
+        fp, "video_id string, vhash long")
+    bands = sigs.select(
+        "video_id", "vhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_no"),
+                     F.shiftright("vhash", i * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("bkt"))
+            for i in range(4)])).alias("bb"),
+    ).select("video_id", "vhash", "bb.band_no", "bb.bkt").distinct()
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
+               & (F.col("a.bkt") == F.col("b.bkt"))
+               & (F.col("a.video_id") < F.col("b.video_id")))
+        .select(F.col("a.video_id").alias("vid_a"),
+                F.col("b.video_id").alias("vid_b"),
+                F.bit_count(F.col("a.vhash").bitwiseXOR(F.col("b.vhash")))
+                .alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming))
+    payload = videos.select("video_id", "bytes")
+    cand = (pairs
+            .join(payload.select(F.col("video_id").alias("vid_a"),
+                                 F.col("bytes").alias("bytes_a")), "vid_a")
+            .join(payload.select(F.col("video_id").alias("vid_b"),
+                                 F.col("bytes").alias("bytes_b")), "vid_b")
+            .select("vid_a", "vid_b", "hamming", "bytes_a", "bytes_b"))
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            same, exact, psnrs, ok = [], [], [], []
+            for ba, bb in zip(pdf["bytes_a"], pdf["bytes_b"]):
+                fa, ra = decode_video(bytes(ba))
+                fb, rb = decode_video(bytes(bb))
+                if fa.shape != fb.shape or ra != rb:
+                    same.append(False)
+                    exact.append(False)
+                    psnrs.append(None)
+                    ok.append(False)
+                    continue
+                same.append(True)
+                v = video_psnr(fa, fb)
+                if v == float("inf"):
+                    exact.append(True)
+                    psnrs.append(None)
+                    ok.append(True)
+                else:
+                    exact.append(False)
+                    r = round(v, 6)
+                    psnrs.append(r)
+                    ok.append(r >= min_psnr)
+            yield pd.DataFrame({
+                "vid_a": pdf["vid_a"], "vid_b": pdf["vid_b"],
+                "hamming": pdf["hamming"].astype("int32"),
+                "same_shape": same, "exact_frames": exact,
+                "psnr_db": pd.array(psnrs, dtype="float64"),
+                "verified": ok})
+
+    return cand.mapInPandas(verify, VIDEO_PSNR_SCHEMA)
+
+
+def videos_for_keys(seed: int = 42, dup_mod: int = 0,
+                    variant_shifts: tuple[int, ...] | None = None):
+    """Arrow-batched generator of synthetic video rows keyed by `doc_id`.
+    variant_shifts (with dup_mod): requantization shift per key
+    repetition — lossless/light/heavy encodings of the SAME frames."""
 
     def gen(batches):
         for pdf in batches:
@@ -586,6 +705,13 @@ def videos_for_keys(seed: int = 42, dup_mod: int = 0):
             for key in pdf["doc_id"]:
                 m = int(key) % dup_mod if dup_mod else int(key)
                 buf, fps, n, w, h = _video_payload(seed, m)
+                if variant_shifts and dup_mod:
+                    shift = variant_shifts[
+                        (int(key) // dup_mod) % len(variant_shifts)]
+                    if shift:
+                        frames, fps0 = decode_video(buf)
+                        buf = encode_video(quantize_frames(frames, shift),
+                                           fps0)
                 rows["video_id"].append(f"vid-{int(key):08d}")
                 rows["bytes"].append(buf)
                 rows["fps"].append(fps)

@@ -2180,6 +2180,20 @@ def audio_snr_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         audios, max_hamming=10, min_snr_db=40.0)
 
 
+@q("video_psnr_neardup", lambda: _oracles.video_psnr_neardup_sql(
+    n=288, dup_mod=96, max_hamming=10, min_psnr=40.0))
+def video_psnr_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier video near-dup over a variant-requantized corpus (each
+    frame group as lossless / shift-1 ≈51 dB / shift-4 ≈29 dB):
+    spatiotemporal fingerprints propose, decoded frames verify at
+    40 dB — completing the image/audio/video two-tier dedup triple."""
+    videos = _media_keys(spark, sf_dir, 288).mapInPandas(
+        multimodal.videos_for_keys(dup_mod=96, variant_shifts=(0, 1, 4)),
+        multimodal.SYNTH_VIDEO_SCHEMA)
+    return multimodal.video_psnr_verified_neardup(
+        videos, max_hamming=10, min_psnr=40.0)
+
+
 @q("video_frame_sample", lambda: _oracles.video_frame_sample_sql(every_k=3))
 def video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: every 3rd frame's features, exploded

@@ -1206,3 +1206,26 @@ def test_rrf_fuse_one_sided_and_order(spark):
     assert got[11]["rrf_score"] == round((16393 + 16129) / 1e6, 6)
     assert got[10]["rrf_score"] == round(16393 / 1e6, 6)
     assert len(got) == 4
+
+
+def test_video_psnr_verify_rejects_heavy_requantize(spark):
+    """Video two-tier: lossless / shift-1 (~51 dB) / shift-4 (~29 dB)
+    variants of each frame group — light merges, heavy is rejected."""
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    vids = ids.mapInPandas(
+        multimodal.videos_for_keys(dup_mod=4, variant_shifts=(0, 1, 4)),
+        multimodal.SYNTH_VIDEO_SCHEMA)
+    rows = multimodal.video_psnr_verified_neardup(
+        vids, max_hamming=10, min_psnr=40.0).collect()
+    by_pair = {(r["vid_a"], r["vid_b"]): r for r in rows}
+    for g in range(4):
+        raw, light, heavy = (f"vid-{g:08d}", f"vid-{g + 4:08d}",
+                             f"vid-{g + 8:08d}")
+        ok = by_pair[(raw, light)]
+        assert ok["verified"] and not ok["exact_frames"]
+        assert ok["psnr_db"] > 40.0
+        for pair in ((raw, heavy), (light, heavy)):
+            if pair in by_pair:
+                r = by_pair[pair]
+                assert not r["verified"]
+                assert r["psnr_db"] is not None and r["psnr_db"] < 40.0
