@@ -630,7 +630,7 @@ class Crawler:
                         .alias("content_hash")))
 
     def revalidate(self, changed=None, version: int = 1,
-                   fetcher=None) -> dict:
+                   fetcher=None, urls=None) -> dict:
         """One conditional-refetch epoch over everything stored: the
         recrawl executed INSIDE the engine, against the crawl's own
         store. Candidates validate against their latest known hash
@@ -648,12 +648,23 @@ class Crawler:
         this is the maintenance loop a production deployment runs next.
         changed/version parameterize the SYNTHETIC web's drift
         (operators.extract.make_synth_conditional_fetcher); a real
-        deployment injects an HTTP conditional fetcher instead."""
+        deployment injects an HTTP conditional fetcher instead.
+
+        urls: restrict the epoch to a pick list — a list[str] or a
+        DataFrame with a url column, e.g. revalidation_planner output —
+        via one url-keyed semi-join; everything else (latest-wins
+        hashes, views) stays global, so partial epochs compose."""
         from ..pipeline.recrawl import revalidate_merge
 
         if self.store.last_round() is None:
             raise RuntimeError("bootstrap(seeds) + run() first")
         cand = self._current_hashes()
+        if urls is not None:
+            pick = (urls if isinstance(urls, DataFrame)
+                    else self.spark.createDataFrame(
+                        [(u,) for u in urls], "url string"))
+            cand = cand.join(pick.select("url").dropDuplicates(["url"]),
+                             "url", "left_semi")
         if fetcher is None:
             if self.synth_cfg is None:
                 raise ValueError("revalidate() needs a conditional "

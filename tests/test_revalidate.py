@@ -135,3 +135,23 @@ def test_revalidate_drift_back_detected_as_change(spark, tmp_path):
         assert rp[u]["content_hash"] == h          # back to original
         if _pred(u):
             assert rp[u]["refreshed"] and rp[u]["reval_epoch"] == 1
+
+
+def test_partial_epoch_over_pick_list(spark, tmp_path):
+    """A planner-picked subset drives the epoch; URLs outside the pick
+    list are untouched and a later full epoch still sees their ORIGINAL
+    validators (partial epochs compose via latest-wins)."""
+    c, _, _ = _crawl(spark, tmp_path)
+    stored = sorted(c.url_seen_set())
+    pick, rest = stored[: len(stored) // 2], stored[len(stored) // 2:]
+    r = c.revalidate(changed=lambda u: True, urls=pick)
+    assert r.get("changed", 0) == len(pick)
+    rv = c.revalidations()
+    assert rv.count() == len(pick)          # epoch covers the pick only
+    rp = {row["url"]: row["refreshed"]
+          for row in c.refreshed_pages().collect()}
+    assert all(rp[u] for u in pick) and not any(rp[u] for u in rest)
+    # full epoch, same drift: pick already at v1 (unchanged), rest moves
+    r2 = c.revalidate(changed=lambda u: True)
+    assert r2.get("unchanged", 0) == len(pick)
+    assert r2.get("changed", 0) == len(rest)
