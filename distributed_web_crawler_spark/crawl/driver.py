@@ -600,11 +600,100 @@ class Crawler:
     def _reval_epochs(self) -> list[int]:
         return self.store.committed_marks("reval")
 
+    def _latest_reval_compact(self, name: str) -> int | None:
+        """Newest committed epoch whose ``name`` compaction snapshot
+        exists (valid iff its reval marker committed — a crash between
+        the staged compact write and the marker leaves an orphan that is
+        invisible and overwritten on re-run, the _latest_compact rule)."""
+        for c in reversed(self._reval_epochs()):
+            if self.store.exists(name, c):
+                return c
+        return None
+
+    def _reval_read(self, tail_name: str, compact_name: str
+                    ) -> DataFrame | None:
+        """One epoch table as (newest compaction snapshot ∪ tail epochs)
+        — without this, steady-state daily epochs make every view read
+        O(epochs) directories, the same scale tail the crawl's seen
+        state had before _compact_state. Compact rows keep their
+        original reval_epoch, so downstream latest-wins windows work
+        unchanged."""
+        epochs = self._reval_epochs()
+        if not epochs:
+            return None
+        c = self._latest_reval_compact(compact_name)
+        if c is None:
+            return self.store.read(self.spark, tail_name, epochs)
+        base = self.store.read(self.spark, compact_name, [c])
+        tail = self.store.read(self.spark, tail_name,
+                               [e for e in epochs if e > c])
+        return base if tail is None else base.unionByName(tail)
+
     def revalidations(self) -> DataFrame | None:
         """All committed revalidation verdicts (url, verdict, http_status,
-        content_hash, etag, reval_epoch) — the change history the Cho
-        estimator (pipeline.recrawl.recrawl_schedule) consumes."""
+        content_hash, etag, reval_epoch) — the full-fidelity analytic
+        surface (compaction never deletes epoch dirs; the STATE paths
+        below read compact+tail instead of this)."""
         return self.store.read(self.spark, "reval", self._reval_epochs())
+
+    def _reval_stats(self, extra: DataFrame | None = None
+                     ) -> DataFrame | None:
+        """Per-URL sufficient statistics of the epoch history — the O(1)
+        state read: newest reval_compact snapshot (url, n_obs,
+        n_changes, content_hash, etag, reval_epoch) merged with an
+        aggregate over the ≤K uncompacted tail epochs (⊕ ``extra``, a
+        staged epoch's merged frame during compaction). n_obs/n_changes
+        count non-failed verdicts (the Cho observation rule);
+        content_hash/etag are the LATEST epoch's (failed rows carry the
+        stored values, so latest-over-all is correct)."""
+        epochs = self._reval_epochs()
+        if not epochs and extra is None:
+            return None
+        c = self._latest_reval_compact("reval_compact")
+        tail = self.store.read(
+            self.spark, "reval",
+            [e for e in epochs if c is None or e > c])
+        if extra is not None:
+            tail = extra if tail is None else tail.unionByName(extra)
+
+        def agg_rows(df):
+            ok = (F.col("verdict") != "failed").cast("int")
+            latest = F.max(F.struct("reval_epoch", "content_hash",
+                                    "etag")).alias("_l")
+            return (df.groupBy("url")
+                    .agg(F.sum(ok).alias("n_obs"),
+                         F.sum(F.when(F.col("verdict") == "changed", 1)
+                               .otherwise(0)).alias("n_changes"),
+                         latest)
+                    .select("url", "n_obs", "n_changes",
+                            F.col("_l.content_hash").alias("content_hash"),
+                            F.col("_l.etag").alias("etag"),
+                            F.col("_l.reval_epoch").alias("reval_epoch")))
+
+        t = None if tail is None else agg_rows(tail)
+        base = (None if c is None else
+                self.store.read(self.spark, "reval_compact", [c]))
+        if base is None:
+            return t
+        if t is None:
+            return base
+        b = base.select(*[F.col(col).alias(f"_b_{col}")
+                          for col in base.columns])
+        j = t.join(b, t["url"] == b["_b_url"], "full_outer")
+        tail_wins = F.col("reval_epoch").isNotNull()
+        return j.select(
+            F.coalesce(F.col("url"), F.col("_b_url")).alias("url"),
+            (F.coalesce(F.col("n_obs"), F.lit(0))
+             + F.coalesce(F.col("_b_n_obs"), F.lit(0))).alias("n_obs"),
+            (F.coalesce(F.col("n_changes"), F.lit(0))
+             + F.coalesce(F.col("_b_n_changes"), F.lit(0)))
+            .alias("n_changes"),
+            F.when(tail_wins, F.col("content_hash"))
+            .otherwise(F.col("_b_content_hash")).alias("content_hash"),
+            F.when(tail_wins, F.col("etag"))
+            .otherwise(F.col("_b_etag")).alias("etag"),
+            F.greatest(F.col("reval_epoch"), F.col("_b_reval_epoch"))
+            .alias("reval_epoch"))
 
     def _current_hashes(self) -> DataFrame:
         """(url, host, content_hash) with the LATEST committed state per
@@ -616,14 +705,10 @@ class Crawler:
             raise RuntimeError("nothing stored yet — run() first")
         base = slim.dropDuplicates(["url"]).select("url", "host",
                                                    "content_hash")
-        rv = self.revalidations()
-        if rv is None:
+        stats = self._reval_stats()
+        if stats is None:
             return base
-        from pyspark.sql import Window
-        w = Window.partitionBy("url").orderBy(F.col("reval_epoch").desc())
-        latest = (rv.withColumn("_rn", F.row_number().over(w))
-                  .where(F.col("_rn") == 1)
-                  .select("url", F.col("content_hash").alias("_h")))
+        latest = stats.select("url", F.col("content_hash").alias("_h"))
         return (base.join(latest, "url", "left")
                 .select("url", "host",
                         F.coalesce(F.col("_h"), F.col("content_hash"))
@@ -695,6 +780,26 @@ class Crawler:
                   (self.store.read(self.spark, "reval", [k])
                    .groupBy("verdict").agg(F.count("*").alias("n"))
                    .collect())}
+        # epoch compaction (every compact_every_rounds epochs): rewrite
+        # the per-URL sufficient statistics and the latest refresh rows
+        # as single snapshots @k, staged BEFORE the marker so a crash
+        # leaves an invisible orphan (the _compact_state rule). Without
+        # this, steady-state daily epochs make every state read —
+        # validators, Cho stats, refreshed payloads — O(epochs) dirs.
+        if (self.cfg.compact_every_rounds
+                and (k + 1) % self.cfg.compact_every_rounds == 0):
+            self.store.stage_write("reval_compact",
+                                   self._reval_stats(extra=merged), k)
+            from pyspark.sql import Window
+            rp_all = self._reval_read("reval_pages", "reval_pages_compact")
+            rp_all = (changed_rows if rp_all is None
+                      else rp_all.unionByName(changed_rows))
+            w = (Window.partitionBy("url")
+                 .orderBy(F.col("reval_epoch").desc()))
+            self.store.stage_write(
+                "reval_pages_compact",
+                rp_all.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn"), k)
         verdicts.unpersist()
         self.store.commit_mark("reval", k, {"counts": counts})
         return {"epoch": k, **counts}
@@ -706,16 +811,16 @@ class Crawler:
         observation per URL (changed ⇔ verdict 'changed'; failed
         epochs carry no signal and are excluded). Feeds the next
         revalidation_planner pass — the closed recrawl loop:
-        revalidate → observe → re-estimate → re-plan."""
-        rv = self.revalidations()
-        if rv is None:
+        revalidate → observe → re-estimate → re-plan. Reads the O(1)
+        per-URL statistics (compact ⊕ tail), never the full epoch log."""
+        stats = self._reval_stats()
+        if stats is None:
             return None
-        from ..pipeline.recrawl import cho_intervals
-        hist = (rv.where(F.col("verdict") != "failed")
-                .select("url",
-                        (F.col("verdict") == "changed").alias("changed")))
-        return cho_intervals(hist, key_col="url",
-                             interval_days=interval_days)
+        from ..pipeline.recrawl import cho_from_counts
+        return cho_from_counts(
+            stats.where(F.col("n_obs") > 0)
+            .select("url", "n_obs", "n_changes"),
+            key_col="url", interval_days=interval_days)
 
     def refreshed_pages(self) -> DataFrame | None:
         """pages() with every URL's payload replaced by its newest
@@ -725,8 +830,7 @@ class Crawler:
         p = self.pages()
         if p is None:
             return None
-        rp = self.store.read(self.spark, "reval_pages",
-                             self._reval_epochs())
+        rp = self._reval_read("reval_pages", "reval_pages_compact")
         if rp is None:
             return p.withColumn("refreshed", F.lit(False)) \
                     .withColumn("reval_epoch",

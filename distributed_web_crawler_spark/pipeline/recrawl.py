@@ -120,6 +120,16 @@ def cho_intervals(hist: DataFrame, key_col: str = "doc_id",
     agg = (hist.groupBy(key_col)
            .agg(F.count(F.lit(1)).alias("n_obs"),
                 F.sum(F.col("changed").cast("int")).alias("n_changes")))
+    return cho_from_counts(agg, key_col, interval_days)
+
+
+def cho_from_counts(agg: DataFrame, key_col: str = "doc_id",
+                    interval_days: float = 7.0) -> DataFrame:
+    """cho_intervals' closed-form half over PRE-AGGREGATED observation
+    counts (key, n_obs, n_changes) — the entry point for state kept as
+    per-key sufficient statistics (e.g. the crawl driver's compacted
+    revalidation history), where the raw observation stream is never
+    replayed."""
     ratio = ((F.col("n_obs") - F.col("n_changes") + 0.5)
              / (F.col("n_obs") + 0.5))
     lam = F.round(-F.log(ratio) / F.lit(interval_days), 6)

@@ -155,3 +155,53 @@ def test_partial_epoch_over_pick_list(spark, tmp_path):
     r2 = c.revalidate(changed=lambda u: True)
     assert r2.get("unchanged", 0) == len(pick)
     assert r2.get("changed", 0) == len(rest)
+
+
+def test_epoch_compaction_preserves_state_and_history_stats(spark,
+                                                            tmp_path):
+    """With compact_every_rounds=2, four epochs of alternating drift
+    compact twice; the latest-wins views and the Cho statistics must be
+    identical to the uncompacted semantics, across a fresh driver."""
+    synth = SynthWebConfig(n_hosts=6, base_pages_per_host=12)
+    cfg = CrawlConfig(max_depth=2, host_budget_per_round=3, max_rounds=3,
+                      allowed_domains=(r".*\.example\.com",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 13,
+                      compact_every_rounds=2)
+    c = Crawler(spark, cfg, synth, str(tmp_path))
+    c.bootstrap(seed_urls(synth, 3))
+    c.run()
+    stored = c.url_seen_set()
+    orig = {r["url"]: r["content_hash"]
+            for r in c.pages().select("url", "content_hash").collect()}
+
+    c.revalidate(changed=_pred)              # e0: pred → v1
+    c.revalidate(changed=None)               # e1: pred back to v0  [compact]
+    c.revalidate(changed=_pred)              # e2: pred → v1 again
+    r3 = c.revalidate(changed=_pred)         # e3: all 304          [compact]
+    assert r3.get("unchanged", 0) == len(stored)
+
+    assert c.store.exists("reval_compact", 1)
+    assert c.store.exists("reval_compact", 3)
+    assert c.store.exists("reval_pages_compact", 3)
+
+    n_pred = sum(1 for u in stored if _pred(u))
+    iv = {r["url"]: r for r in c.recrawl_intervals().collect()}
+    for u in stored:
+        assert iv[u]["n_obs"] == 4
+        assert iv[u]["n_changes"] == (3 if _pred(u) else 0)
+
+    # latest-wins payload state: pred URLs at v1, rest original
+    c2 = Crawler(spark, cfg, synth, str(tmp_path))  # fresh driver
+    rp = {r["url"]: r for r in c2.refreshed_pages().collect()}
+    assert sum(1 for u in stored if rp[u]["refreshed"]) == n_pred
+    for u in stored:
+        if _pred(u):
+            assert rp[u]["content_hash"] != orig[u]
+            assert rp[u]["reval_epoch"] == 2    # last CHANGE epoch
+        else:
+            assert rp[u]["content_hash"] == orig[u]
+
+    # validators come from the compacted stats: one more no-drift epoch
+    # sees everything unchanged
+    r4 = c2.revalidate(changed=_pred)
+    assert r4.get("unchanged", 0) == len(stored)
