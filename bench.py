@@ -163,6 +163,8 @@ EXTRAS = [
     "change_prediction",     # cold-start change prior, model-as-table
     "audio_snr_neardup",     # energy-hash proposes, decoded PCM verifies
     "video_psnr_neardup",    # temporal-hash proposes, frames verify
+    "audio_variant_dedup",   # verified clusters, largest-payload winner
+    "video_variant_dedup",   # verified clusters, largest-payload winner
 ]
 
 

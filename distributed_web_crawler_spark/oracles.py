@@ -644,6 +644,8 @@ def _audio_combo(m: int, shift: int):
         quantize_pcm,
     )
 
+    from .pipeline.multimodal import encode_audio
+
     key = ("audcombo", m, shift)
     if key in _cache:
         return _cache[key]
@@ -651,9 +653,82 @@ def _audio_combo(m: int, shift: int):
     pcm, rate = decode_audio(buf)
     if shift:
         pcm = quantize_pcm(pcm, shift)
+        buf = encode_audio(pcm, rate)
     _cache[key] = {"pcm": pcm, "rate": rate,
-                   "ahash": audio_energy_hash(pcm)}
+                   "ahash": audio_energy_hash(pcm),
+                   "nbytes": len(buf)}
     return _cache[key]
+
+
+def _media_combo_ctes(kind: str, n: int, dup_mod: int, max_hamming: int,
+                      min_bar: float) -> str:
+    """Shared CTE chain for the variant-requantized audio/video corpora:
+    per-combo fingerprint VALUES (ph), per-combo-pair sample verdicts
+    (pv), per-combo payload byte lengths (nb), the id→combo map, per-id
+    signatures (sigs) and the banded Hamming candidate pairs (pairs).
+    kind='aud' (energy hash / peak-SNR) or 'vid' (temporal hash /
+    frame PSNR)."""
+    from .pipeline.multimodal import audio_psnr, video_psnr
+
+    if kind == "aud":
+        shifts, combo, hkey, ref = (_AUDIO_SHIFTS, _audio_combo,
+                                    "ahash", "pcm")
+        psnr_fn, idp = audio_psnr, "aud"
+
+        def shape_of(c):
+            return (c["pcm"].shape, c["rate"])
+    else:
+        shifts, combo, hkey, ref = (_VIDEO_SHIFTS, _video_combo,
+                                    "vhash", "frames")
+        psnr_fn, idp = video_psnr, "vid"
+
+        def shape_of(c):
+            return (c["frames"].shape, c["fps"])
+
+    nv = len(shifts)
+    combos = [(m, si) for m in range(dup_mod) for si in range(nv)]
+    sig_vals = ",\n    ".join(
+        f"({m}, {si}, {combo(m, shifts[si])[hkey]})" for m, si in combos)
+    nb_vals = ",\n    ".join(
+        f"({m * nv + si}, {combo(m, shifts[si])['nbytes']})"
+        for m, si in combos)
+
+    pair_rows = []
+    for i, (ma, sa) in enumerate(combos):
+        for mb, sb in combos[i:]:
+            a, b = combo(ma, shifts[sa]), combo(mb, shifts[sb])
+            ham = bin((a[hkey] ^ b[hkey]) & ((1 << 64) - 1)).count("1")
+            if ham > max_hamming:
+                continue
+            ca, cb = ma * nv + sa, mb * nv + sb
+            if shape_of(a) != shape_of(b):
+                pair_rows.append(f"({ca}, {cb}, FALSE, FALSE, NULL, FALSE)")
+                continue
+            v = psnr_fn(a[ref], b[ref])
+            if v == float("inf"):
+                pair_rows.append(f"({ca}, {cb}, TRUE, TRUE, NULL, TRUE)")
+            else:
+                r = round(v, 6)
+                pair_rows.append(
+                    f"({ca}, {cb}, TRUE, FALSE, '{r!r}', {r >= min_bar})")
+    pair_vals = ",\n    ".join(pair_rows)
+
+    return f"""{_IDS_CTE.format(n=n)},
+  ph(m, si, hsig) AS (VALUES
+    {sig_vals}),
+  nb(cid, nbytes) AS (VALUES
+    {nb_vals}),
+  pv(c_lo, c_hi, same_shape0, exact0, snr0, verified0) AS (VALUES
+    {pair_vals}),
+  items AS (SELECT printf('{idp}-%08d', doc_id) AS item_id,
+                   (doc_id % {dup_mod}) * {nv}
+                   + ((doc_id // {dup_mod}) % {nv}) AS cid
+            FROM ids),
+  sigs AS (SELECT i.item_id, i.cid, CAST(ph.hsig AS BIGINT) AS sig
+           FROM items i
+           JOIN ph ON ph.m * {nv} + ph.si = i.cid),
+  pairs AS (WITH {_hamming_band_join_sql('sigs', 'item_id',
+                                         'id_a', 'id_b', max_hamming)})"""
 
 
 def audio_snr_neardup_sql(n: int = 288, dup_mod: int = 96,
@@ -664,62 +739,67 @@ def audio_snr_neardup_sql(n: int = 288, dup_mod: int = 96,
     Hamming join recomputed relationally from per-combo energy-hash
     VALUES; the sample verdict joins per-combo-pair SNR VALUES from the
     codec mirror (PCM content is f(doc_id % dup_mod, shift))."""
-    from .pipeline.multimodal import audio_psnr
-
-    nv = len(_AUDIO_SHIFTS)
-    combos = [(m, si) for m in range(dup_mod) for si in range(nv)]
-
-    sig_vals = ",\n    ".join(
-        f"({m}, {si}, {_audio_combo(m, _AUDIO_SHIFTS[si])['ahash']})"
-        for m, si in combos)
-
-    pair_rows = []
-    for i, (ma, sa) in enumerate(combos):
-        for mb, sb in combos[i:]:
-            a = _audio_combo(ma, _AUDIO_SHIFTS[sa])
-            b = _audio_combo(mb, _AUDIO_SHIFTS[sb])
-            ham = bin((a["ahash"] ^ b["ahash"])
-                      & ((1 << 64) - 1)).count("1")
-            if ham > max_hamming:
-                continue
-            ca, cb = ma * nv + sa, mb * nv + sb
-            if a["pcm"].shape != b["pcm"].shape or a["rate"] != b["rate"]:
-                pair_rows.append(f"({ca}, {cb}, FALSE, FALSE, NULL, FALSE)")
-                continue
-            v = audio_psnr(a["pcm"], b["pcm"])
-            if v == float("inf"):
-                pair_rows.append(f"({ca}, {cb}, TRUE, TRUE, NULL, TRUE)")
-            else:
-                r = round(v, 6)
-                pair_rows.append(
-                    f"({ca}, {cb}, TRUE, FALSE, '{r!r}', "
-                    f"{r >= min_snr_db})")
-    pair_vals = ",\n    ".join(pair_rows)
-
     return f"""
-  WITH {_IDS_CTE.format(n=n)},
-  ph(m, si, ahash) AS (VALUES
-    {sig_vals}),
-  pv(c_lo, c_hi, same_shape0, exact0, snr0, verified0) AS (VALUES
-    {pair_vals}),
-  auds AS (SELECT printf('aud-%08d', doc_id) AS audio_id,
-                  (doc_id % {dup_mod}) * {nv}
-                  + ((doc_id // {dup_mod}) % {nv}) AS cid
-           FROM ids),
-  sigs AS (SELECT a.audio_id, a.cid, CAST(ph.ahash AS BIGINT) AS sig
-           FROM auds a
-           JOIN ph ON ph.m * {nv} + ph.si = a.cid),
-  pairs AS (WITH {_hamming_band_join_sql('sigs', 'audio_id',
-                                         'aud_a', 'aud_b', max_hamming)})
-  SELECT p.aud_a, p.aud_b, p.hamming,
+  WITH {_media_combo_ctes('aud', n, dup_mod, max_hamming, min_snr_db)}
+  SELECT p.id_a AS aud_a, p.id_b AS aud_b, p.hamming,
          pv.same_shape0 AS same_shape, pv.exact0 AS exact_samples,
          CAST(pv.snr0 AS DOUBLE) AS snr_db, pv.verified0 AS verified
   FROM pairs p
-  JOIN sigs sa ON sa.audio_id = p.aud_a
-  JOIN sigs sb ON sb.audio_id = p.aud_b
+  JOIN sigs sa ON sa.item_id = p.id_a
+  JOIN sigs sb ON sb.item_id = p.id_b
   JOIN pv ON pv.c_lo = least(sa.cid, sb.cid)
          AND pv.c_hi = greatest(sa.cid, sb.cid)
 """
+
+
+def _media_variant_dedup_sql(kind: str, id_col: str, n: int, dup_mod: int,
+                             max_hamming: int, min_bar: float) -> str:
+    """Mirror of pipeline.multimodal.media_variant_dedup: verified pairs
+    → recursive reachability → min-id cluster labels → one survivor per
+    cluster by (payload bytes DESC, id ASC)."""
+    return f"""
+  WITH RECURSIVE {_media_combo_ctes(kind, n, dup_mod, max_hamming,
+                                    min_bar)},
+  vpairs AS (SELECT p.id_a, p.id_b
+             FROM pairs p
+             JOIN sigs sa ON sa.item_id = p.id_a
+             JOIN sigs sb ON sb.item_id = p.id_b
+             JOIN pv ON pv.c_lo = least(sa.cid, sb.cid)
+                    AND pv.c_hi = greatest(sa.cid, sb.cid)
+             WHERE pv.verified0),
+  edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+            UNION SELECT id_b, id_a FROM vpairs),
+  reach(node, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node),
+  labels AS (SELECT node, min(comp) AS cluster_id FROM reach
+             GROUP BY node),
+  lab AS (SELECT s.item_id,
+                 coalesce(l.cluster_id, s.item_id) AS cluster_id,
+                 CAST(nb.nbytes AS BIGINT) AS nbytes
+          FROM sigs s
+          LEFT JOIN labels l ON l.node = s.item_id
+          JOIN nb ON nb.cid = s.cid)
+  SELECT item_id AS {id_col}, cluster_id, nbytes,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY nbytes DESC, item_id) = 1 AS keep
+  FROM lab
+"""
+
+
+def audio_variant_dedup_sql(n: int = 288, dup_mod: int = 96,
+                            max_hamming: int = 10,
+                            min_snr_db: float = 40.0) -> str:
+    return _media_variant_dedup_sql("aud", "audio_id", n, dup_mod,
+                                    max_hamming, min_snr_db)
+
+
+def video_variant_dedup_sql(n: int = 288, dup_mod: int = 96,
+                            max_hamming: int = 10,
+                            min_psnr: float = 40.0) -> str:
+    return _media_variant_dedup_sql("vid", "video_id", n, dup_mod,
+                                    max_hamming, min_psnr)
 
 
 _VIDEO_SHIFTS = (0, 1, 4)
@@ -734,6 +814,8 @@ def _video_combo(m: int, shift: int):
         video_temporal_hash,
     )
 
+    from .pipeline.multimodal import encode_video
+
     key = ("vidcombo", m, shift)
     if key in _cache:
         return _cache[key]
@@ -741,8 +823,10 @@ def _video_combo(m: int, shift: int):
     frames, fps = decode_video(buf)
     if shift:
         frames = quantize_frames(frames, shift)
+        buf = encode_video(frames, fps)
     _cache[key] = {"frames": frames, "fps": fps,
-                   "vhash": video_temporal_hash(frames)}
+                   "vhash": video_temporal_hash(frames),
+                   "nbytes": len(buf)}
     return _cache[key]
 
 
@@ -752,59 +836,14 @@ def video_psnr_neardup_sql(n: int = 288, dup_mod: int = 96,
     """Mirror of pipeline.multimodal.video_psnr_verified_neardup over the
     variant-requantized video table (variant_shifts = 0/1/4) — the
     audio_snr_neardup_sql shape on the video codec mirror."""
-    from .pipeline.multimodal import video_psnr
-
-    nv = len(_VIDEO_SHIFTS)
-    combos = [(m, si) for m in range(dup_mod) for si in range(nv)]
-
-    sig_vals = ",\n    ".join(
-        f"({m}, {si}, {_video_combo(m, _VIDEO_SHIFTS[si])['vhash']})"
-        for m, si in combos)
-
-    pair_rows = []
-    for i, (ma, sa) in enumerate(combos):
-        for mb, sb in combos[i:]:
-            a = _video_combo(ma, _VIDEO_SHIFTS[sa])
-            b = _video_combo(mb, _VIDEO_SHIFTS[sb])
-            ham = bin((a["vhash"] ^ b["vhash"])
-                      & ((1 << 64) - 1)).count("1")
-            if ham > max_hamming:
-                continue
-            ca, cb = ma * nv + sa, mb * nv + sb
-            if (a["frames"].shape != b["frames"].shape
-                    or a["fps"] != b["fps"]):
-                pair_rows.append(f"({ca}, {cb}, FALSE, FALSE, NULL, FALSE)")
-                continue
-            v = video_psnr(a["frames"], b["frames"])
-            if v == float("inf"):
-                pair_rows.append(f"({ca}, {cb}, TRUE, TRUE, NULL, TRUE)")
-            else:
-                r = round(v, 6)
-                pair_rows.append(
-                    f"({ca}, {cb}, TRUE, FALSE, '{r!r}', {r >= min_psnr})")
-    pair_vals = ",\n    ".join(pair_rows)
-
     return f"""
-  WITH {_IDS_CTE.format(n=n)},
-  ph(m, si, vhash) AS (VALUES
-    {sig_vals}),
-  pv(c_lo, c_hi, same_shape0, exact0, psnr0, verified0) AS (VALUES
-    {pair_vals}),
-  vids AS (SELECT printf('vid-%08d', doc_id) AS video_id,
-                  (doc_id % {dup_mod}) * {nv}
-                  + ((doc_id // {dup_mod}) % {nv}) AS cid
-           FROM ids),
-  sigs AS (SELECT v.video_id, v.cid, CAST(ph.vhash AS BIGINT) AS sig
-           FROM vids v
-           JOIN ph ON ph.m * {nv} + ph.si = v.cid),
-  pairs AS (WITH {_hamming_band_join_sql('sigs', 'video_id',
-                                         'vid_a', 'vid_b', max_hamming)})
-  SELECT p.vid_a, p.vid_b, p.hamming,
+  WITH {_media_combo_ctes('vid', n, dup_mod, max_hamming, min_psnr)}
+  SELECT p.id_a AS vid_a, p.id_b AS vid_b, p.hamming,
          pv.same_shape0 AS same_shape, pv.exact0 AS exact_frames,
-         CAST(pv.psnr0 AS DOUBLE) AS psnr_db, pv.verified0 AS verified
+         CAST(pv.snr0 AS DOUBLE) AS psnr_db, pv.verified0 AS verified
   FROM pairs p
-  JOIN sigs sa ON sa.video_id = p.vid_a
-  JOIN sigs sb ON sb.video_id = p.vid_b
+  JOIN sigs sa ON sa.item_id = p.id_a
+  JOIN sigs sb ON sb.item_id = p.id_b
   JOIN pv ON pv.c_lo = least(sa.cid, sb.cid)
          AND pv.c_hi = greatest(sa.cid, sb.cid)
 """

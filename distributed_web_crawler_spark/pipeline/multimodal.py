@@ -576,6 +576,32 @@ def audio_snr_verified_neardup(audios: DataFrame, max_hamming: int = 10,
     return cand.mapInPandas(verify, AUDIO_SNR_SCHEMA)
 
 
+def media_variant_dedup(items: DataFrame, verified_pairs: DataFrame,
+                        id_col: str, a_col: str, b_col: str) -> DataFrame:
+    """Variant-aware survivor selection for opaque media (audio/video —
+    the image tier has its own fmt-ranked variant): connected components
+    over the VERIFIED pair set, one survivor per cluster preferring the
+    LARGEST payload — under a fixed codec the least-quantized encoding
+    compresses worst, so byte length is the fidelity rank a schemaless
+    store can always compute — ties to the lowest id. Same scale shape
+    as image_variant_dedup: components iterate over verified edges only;
+    the survivor pick is one cluster-keyed min(struct) hash agg joined
+    back at corpus volume."""
+    from .dedup import assign_clusters
+
+    clustered = assign_clusters(
+        items.select(F.col(id_col),
+                     F.length(F.col("bytes")).alias("nbytes")),
+        verified_pairs, id_col=id_col, src=a_col, dst=b_col)
+    winners = (clustered.groupBy("cluster_id")
+               .agg(F.min(F.struct((-F.col("nbytes")).alias("neg"),
+                                   F.col(id_col).alias("win")))
+                    .getField("win").alias("survivor")))
+    return (clustered.join(winners, "cluster_id")
+            .select(id_col, "cluster_id", "nbytes",
+                    (F.col(id_col) == F.col("survivor")).alias("keep")))
+
+
 def quantize_frames(frames: np.ndarray, shift: int) -> np.ndarray:
     """Requantize uint8 frames by a bit-shift (lossy re-encode stand-in):
     shift 1 ≈ 51 dB (visually identical), shift 4 ≈ 29 dB (degraded)."""

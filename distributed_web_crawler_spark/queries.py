@@ -2194,6 +2194,38 @@ def video_psnr_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         videos, max_hamming=10, min_psnr=40.0)
 
 
+@q("audio_variant_dedup", lambda: _oracles.audio_variant_dedup_sql(
+    n=288, dup_mod=96, max_hamming=10, min_snr_db=40.0))
+def audio_variant_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant-aware audio dedup: SNR-verified components, one survivor
+    per PCM group preferring the largest payload (least-quantized
+    encoding); the ~23 dB requantize never verifies and stays its own
+    cluster."""
+    audios = _media_keys(spark, sf_dir, 288).mapInPandas(
+        multimodal.audios_for_keys(dup_mod=96, variant_shifts=(0, 4, 12)),
+        multimodal.SYNTH_AUDIO_SCHEMA)
+    pairs = (multimodal.audio_snr_verified_neardup(
+        audios, max_hamming=10, min_snr_db=40.0)
+        .where(F.col("verified")).select("aud_a", "aud_b"))
+    return multimodal.media_variant_dedup(
+        audios, pairs, id_col="audio_id", a_col="aud_a", b_col="aud_b")
+
+
+@q("video_variant_dedup", lambda: _oracles.video_variant_dedup_sql(
+    n=288, dup_mod=96, max_hamming=10, min_psnr=40.0))
+def video_variant_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant-aware video dedup: PSNR-verified components, largest
+    payload survives; ~29 dB requantizes stay their own clusters."""
+    videos = _media_keys(spark, sf_dir, 288).mapInPandas(
+        multimodal.videos_for_keys(dup_mod=96, variant_shifts=(0, 1, 4)),
+        multimodal.SYNTH_VIDEO_SCHEMA)
+    pairs = (multimodal.video_psnr_verified_neardup(
+        videos, max_hamming=10, min_psnr=40.0)
+        .where(F.col("verified")).select("vid_a", "vid_b"))
+    return multimodal.media_variant_dedup(
+        videos, pairs, id_col="video_id", a_col="vid_a", b_col="vid_b")
+
+
 @q("video_frame_sample", lambda: _oracles.video_frame_sample_sql(every_k=3))
 def video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: every 3rd frame's features, exploded
