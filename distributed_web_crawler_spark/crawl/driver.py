@@ -82,6 +82,44 @@ REVAL_PAGE_SCHEMA = T.StructType([
 ])
 
 
+def _adapt_reval_fetcher(fetcher):
+    """Normalize ANY conditional fetcher to REVAL_PAGE_SCHEMA, so both
+    the synthetic fetcher (full 16 columns) and the real HTTP one
+    (crawl.httpfetch.make_http_revalidating_fetcher, the slim 8-column
+    REVALIDATE_SCHEMA) plug into Crawler.revalidate unchanged: host is
+    joined back from the input batch, missing media columns become
+    nulls, and a missing content_hash is computed in-worker under the
+    store's D2 convention (caption-less bodies hash alone, matching the
+    real-HTTP crawl path)."""
+    import pandas as pd
+
+    cols = [f.name for f in REVAL_PAGE_SCHEMA]
+
+    def run(batches):
+        from ..crawl.synthweb import content_hash_py
+
+        for pdf in batches:
+            for out in fetcher(iter([pdf])):
+                out = out.copy()
+                if "host" not in out.columns:
+                    out = out.merge(pdf[["url", "host"]], on="url",
+                                    how="left")
+                if "content_hash" not in out.columns:
+                    caps = (out["caption"] if "caption" in out.columns
+                            else pd.Series([None] * len(out),
+                                           index=out.index))
+                    out["content_hash"] = [
+                        None if b is None else content_hash_py(
+                            bytes(b), c if isinstance(c, str) else None)
+                        for b, c in zip(out["bytes"], caps)]
+                for c in cols:
+                    if c not in out.columns:
+                        out[c] = None
+                yield out[cols]
+
+    return run
+
+
 def seeds_frontier(spark: SparkSession, seeds: list[str],
                    cfg: CrawlConfig, round_no: int = 0) -> DataFrame:
     """S5: seed injection — CrawlRequest(url, depth=0, parent=null,
@@ -696,23 +734,33 @@ class Crawler:
             .alias("reval_epoch"))
 
     def _current_hashes(self) -> DataFrame:
-        """(url, host, content_hash) with the LATEST committed state per
-        URL: the newest reval epoch's post-merge hash wins over the
-        original crawl's — so epoch k+1 validates against what epoch k
-        refreshed, not against stale history."""
+        """(url, host, content_hash, etag) with the LATEST committed
+        state per URL: the newest reval epoch's post-merge values win
+        over the original crawl's — so epoch k+1 validates against what
+        epoch k refreshed, not against stale history. Before any epoch,
+        etag is the strong-ETag convention derived from the content hash
+        (a real server's etag replaces it after the first epoch)."""
         slim = self.stored_slim()
         if slim is None:
             raise RuntimeError("nothing stored yet — run() first")
         base = slim.dropDuplicates(["url"]).select("url", "host",
                                                    "content_hash")
         stats = self._reval_stats()
-        if stats is None:
-            return base
-        latest = stats.select("url", F.col("content_hash").alias("_h"))
-        return (base.join(latest, "url", "left")
-                .select("url", "host",
-                        F.coalesce(F.col("_h"), F.col("content_hash"))
-                        .alias("content_hash")))
+        if stats is not None:
+            latest = stats.select("url", F.col("content_hash").alias("_h"),
+                                  F.col("etag").alias("_e"))
+            base = (base.join(latest, "url", "left")
+                    .select("url", "host",
+                            F.coalesce(F.col("_h"), F.col("content_hash"))
+                            .alias("content_hash"), F.col("_e")))
+        else:
+            base = base.withColumn("_e", F.lit(None).cast("string"))
+        return base.select(
+            "url", "host", "content_hash",
+            F.coalesce(F.col("_e"),
+                       F.concat(F.lit('"'),
+                                F.substring("content_hash", 1, 16),
+                                F.lit('"'))).alias("etag"))
 
     def revalidate(self, changed=None, version: int = 1,
                    fetcher=None, urls=None) -> dict:
@@ -762,18 +810,21 @@ class Crawler:
         parts = max(self.spark.sparkContext.defaultParallelism,
                     self.cfg.fetch_partitions or 0)
         verdicts = (cand.repartition(parts, "host")
-                    .mapInPandas(fetcher, REVAL_PAGE_SCHEMA)
+                    .mapInPandas(_adapt_reval_fetcher(fetcher),
+                                 REVAL_PAGE_SCHEMA)
                     .persist())
-        stored = cand.select(
-            "url", "content_hash",
-            F.concat(F.lit('"'), F.substring("content_hash", 1, 16),
-                     F.lit('"')).alias("etag"))
-        merged = (revalidate_merge(stored, verdicts,
-                                   hash_col="content_hash")
+        merged = (revalidate_merge(cand.select("url", "content_hash",
+                                               "etag"),
+                                   verdicts, hash_col="content_hash")
                   .withColumn("reval_epoch", F.lit(k)))
         self.store.stage_write("reval", merged, k)
+        # payload is staged for GENUINE changes only — a 'refreshed'
+        # verdict (200 whose body hashes identical: server ignored or
+        # lacked validators) updates validators via the merge but must
+        # not duplicate the unchanged corpus into reval_pages
         changed_rows = (verdicts
-                        .where(F.col("fetched") & ~F.col("not_modified"))
+                        .join(merged.where(F.col("verdict") == "changed")
+                              .select("url"), "url", "left_semi")
                         .withColumn("reval_epoch", F.lit(k)))
         self.store.stage_write("reval_pages", changed_rows, k)
         counts = {r["verdict"]: r["n"] for r in

@@ -169,6 +169,11 @@ def _fetch_one(url: str, cfg: HttpFetcherConfig, pool: _ConnPool,
         elif resp.will_close:
             pool.drop(*key)
         if status == 304:
+            # only meaningful as an answer to the conditional headers we
+            # sent on hop 0; a 304 to an UNconditional GET (broken server
+            # / stale proxy) is a failed fetch, not an empty stored page
+            if _hop != 0 or not (etag or last_modified):
+                return None
             return {
                 "image_id": None, "bytes": None, "w": None, "h": None,
                 "fmt": None, "caption": None, "phash": None, "links": [],

@@ -120,29 +120,12 @@ def image_resize(pages: DataFrame, target: int = 8,
 
 
 def phash_hamming_neardup(pages: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-duplicate *images* by perceptual-hash Hamming distance — same
-    banded-bucket shape as pipeline.dedup.simhash_neardup_pairs but over
-    the crawl's phash column (input_hint schema)."""
-    bands = pages.select(
-        F.col("image_id"), F.col("phash"),
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band_no"),
-                     F.shiftright("phash", i * 16).bitwiseAND(F.lit(0xFFFF))
-                     .alias("bkt"))
-            for i in range(4)])).alias("bb"),
-    ).select("image_id", "phash", "bb.band_no", "bb.bkt").distinct()
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
-               & (F.col("a.bkt") == F.col("b.bkt"))
-               & (F.col("a.image_id") < F.col("b.image_id")))
-        .select(F.col("a.image_id").alias("img_a"),
-                F.col("b.image_id").alias("img_b"),
-                F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
-                .alias("hamming"))
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
-    )
+    """Near-duplicate *images* by perceptual-hash Hamming distance — the
+    shared banded-bucket proposal tier over the crawl's phash column
+    (input_hint schema)."""
+    return banded_hamming_pairs(pages.select("image_id", "phash"),
+                                "image_id", "phash", "img_a", "img_b",
+                                max_hamming)
 
 
 PSNR_VERIFY_SCHEMA = T.StructType([
@@ -498,82 +481,113 @@ def audio_snr_verified_neardup(audios: DataFrame, max_hamming: int = 10,
     from its source yet FAILS — the call a signature-only dedup cannot
     make.
 
-    Scale shape: fingerprints are one map-only Arrow pass; the banded
-    self-join prunes before any payload moves; bytes join at CANDIDATE
-    volume only; the sample compare is a map-only Arrow batch walk with
-    snr rounded at 1e-6 so the verdict is engine-exact vs the codec
-    mirror. Different (length, rate) ⇒ unverifiable (never a dup)."""
-    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"audio_id": [], "ahash": []}
-            for aid, buf in zip(pdf["audio_id"], pdf["bytes"]):
-                pcm, _ = decode_audio(bytes(buf))
-                out["audio_id"].append(aid)
-                out["ahash"].append(audio_energy_hash(pcm))
-            yield pd.DataFrame({
-                "audio_id": out["audio_id"],
-                "ahash": pd.array(out["ahash"], dtype="Int64")})
+    Scale shape (the shared _verified_pairs engine): fingerprints are
+    one map-only Arrow pass; the banded self-join prunes before any
+    payload moves; bytes join at CANDIDATE volume only; the sample
+    compare is a map-only Arrow batch walk with snr rounded at 1e-6 so
+    the verdict is engine-exact vs the codec mirror. Different
+    (length, rate) ⇒ unverifiable (never a dup)."""
+    return _verified_pairs(
+        audios, id_col="audio_id", a_col="aud_a", b_col="aud_b",
+        sig_col="ahash", fingerprint_fn=audio_energy_hash,
+        decode_fn=decode_audio, psnr_fn=audio_psnr,
+        max_hamming=max_hamming, min_bar=min_snr_db,
+        out_schema=AUDIO_SNR_SCHEMA, exact_col="exact_samples",
+        value_col="snr_db")
 
-    sigs = audios.select("audio_id", "bytes").mapInPandas(
-        fp, "audio_id string, ahash long")
+
+def banded_hamming_pairs(sigs: DataFrame, id_col: str, sig_col: str,
+                         a_col: str, b_col: str,
+                         max_hamming: int) -> DataFrame:
+    """Banded 64-bit Hamming self-join (4 × 16-bit bands): the shared
+    proposal tier of the image/audio/video two-tier near-dups (and the
+    relational half the oracles restate via _hamming_band_join_sql)."""
     bands = sigs.select(
-        "audio_id", "ahash",
+        id_col, sig_col,
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band_no"),
-                     F.shiftright("ahash", i * 16)
+                     F.shiftright(sig_col, i * 16)
                      .bitwiseAND(F.lit(0xFFFF)).alias("bkt"))
             for i in range(4)])).alias("bb"),
-    ).select("audio_id", "ahash", "bb.band_no", "bb.bkt").distinct()
+    ).select(id_col, sig_col, "bb.band_no", "bb.bkt").distinct()
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    return (
         a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
                & (F.col("a.bkt") == F.col("b.bkt"))
-               & (F.col("a.audio_id") < F.col("b.audio_id")))
-        .select(F.col("a.audio_id").alias("aud_a"),
-                F.col("b.audio_id").alias("aud_b"),
-                F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias(a_col),
+                F.col(f"b.{id_col}").alias(b_col),
+                F.bit_count(F.col(f"a.{sig_col}")
+                            .bitwiseXOR(F.col(f"b.{sig_col}")))
                 .alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming))
-    payload = audios.select("audio_id", "bytes")
+
+
+def _verified_pairs(items: DataFrame, id_col: str, a_col: str,
+                    b_col: str, sig_col: str, fingerprint_fn,
+                    decode_fn, psnr_fn, max_hamming: int,
+                    min_bar: float, out_schema: T.StructType,
+                    exact_col: str, value_col: str) -> DataFrame:
+    """The shared two-tier engine for opaque media: an Arrow fingerprint
+    pass → banded_hamming_pairs proposal → payload joins at CANDIDATE
+    volume → an Arrow decode-compare verify at the quality bar.
+    decode_fn returns (payload, meta); pairs with differing
+    (payload.shape, meta) are unverifiable; psnr_fn inf ⇔ exact."""
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: [], sig_col: []}
+            for mid, buf in zip(pdf[id_col], pdf["bytes"]):
+                payload, _ = decode_fn(bytes(buf))
+                out[id_col].append(mid)
+                out[sig_col].append(fingerprint_fn(payload))
+            yield pd.DataFrame({
+                id_col: out[id_col],
+                sig_col: pd.array(out[sig_col], dtype="Int64")})
+
+    sigs = items.select(id_col, "bytes").mapInPandas(
+        fp, f"{id_col} string, {sig_col} long")
+    pairs = banded_hamming_pairs(sigs, id_col, sig_col, a_col, b_col,
+                                 max_hamming)
+    payload = items.select(id_col, "bytes")
     cand = (pairs
-            .join(payload.select(F.col("audio_id").alias("aud_a"),
-                                 F.col("bytes").alias("bytes_a")), "aud_a")
-            .join(payload.select(F.col("audio_id").alias("aud_b"),
-                                 F.col("bytes").alias("bytes_b")), "aud_b")
-            .select("aud_a", "aud_b", "hamming", "bytes_a", "bytes_b"))
+            .join(payload.select(F.col(id_col).alias(a_col),
+                                 F.col("bytes").alias("bytes_a")), a_col)
+            .join(payload.select(F.col(id_col).alias(b_col),
+                                 F.col("bytes").alias("bytes_b")), b_col)
+            .select(a_col, b_col, "hamming", "bytes_a", "bytes_b"))
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            same, exact, snrs, ok = [], [], [], []
+            same, exact, vals, ok = [], [], [], []
             for ba, bb in zip(pdf["bytes_a"], pdf["bytes_b"]):
-                pa, ra = decode_audio(bytes(ba))
-                pb, rb = decode_audio(bytes(bb))
-                if pa.shape != pb.shape or ra != rb:
+                pa, ma = decode_fn(bytes(ba))
+                pb, mb = decode_fn(bytes(bb))
+                if pa.shape != pb.shape or ma != mb:
                     same.append(False)
                     exact.append(False)
-                    snrs.append(None)
+                    vals.append(None)
                     ok.append(False)
                     continue
                 same.append(True)
-                v = audio_psnr(pa, pb)
+                v = psnr_fn(pa, pb)
                 if v == float("inf"):
                     exact.append(True)
-                    snrs.append(None)
+                    vals.append(None)
                     ok.append(True)
                 else:
-                    exact.append(False)
                     r = round(v, 6)
-                    snrs.append(r)
-                    ok.append(r >= min_snr_db)
+                    exact.append(False)
+                    vals.append(r)
+                    ok.append(r >= min_bar)
             yield pd.DataFrame({
-                "aud_a": pdf["aud_a"], "aud_b": pdf["aud_b"],
+                a_col: pdf[a_col], b_col: pdf[b_col],
                 "hamming": pdf["hamming"].astype("int32"),
-                "same_shape": same, "exact_samples": exact,
-                "snr_db": pd.array(snrs, dtype="float64"),
+                "same_shape": same, exact_col: exact,
+                value_col: pd.array(vals, dtype="float64"),
                 "verified": ok})
 
-    return cand.mapInPandas(verify, AUDIO_SNR_SCHEMA)
+    return cand.mapInPandas(verify, out_schema)
 
 
 def media_variant_dedup(items: DataFrame, verified_pairs: DataFrame,
@@ -642,80 +656,16 @@ def video_psnr_verified_neardup(videos: DataFrame, max_hamming: int = 10,
     Hamming join, decoded frames VERIFY at the 40 dB bar. A light
     re-encode (~51 dB) merges; a heavy one (~29 dB) sits ≤4 fingerprint
     bits away yet is REJECTED. Same scale shape as the image/audio
-    tiers: fingerprints map-only, bytes join at candidate volume, the
-    frame compare a map-only Arrow walk; (fps, n, h, w) mismatch ⇒
-    unverifiable."""
-    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"video_id": [], "vhash": []}
-            for vid, buf in zip(pdf["video_id"], pdf["bytes"]):
-                frames, _ = decode_video(bytes(buf))
-                out["video_id"].append(vid)
-                out["vhash"].append(video_temporal_hash(frames))
-            yield pd.DataFrame({
-                "video_id": out["video_id"],
-                "vhash": pd.array(out["vhash"], dtype="Int64")})
-
-    sigs = videos.select("video_id", "bytes").mapInPandas(
-        fp, "video_id string, vhash long")
-    bands = sigs.select(
-        "video_id", "vhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band_no"),
-                     F.shiftright("vhash", i * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("bkt"))
-            for i in range(4)])).alias("bb"),
-    ).select("video_id", "vhash", "bb.band_no", "bb.bkt").distinct()
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
-               & (F.col("a.bkt") == F.col("b.bkt"))
-               & (F.col("a.video_id") < F.col("b.video_id")))
-        .select(F.col("a.video_id").alias("vid_a"),
-                F.col("b.video_id").alias("vid_b"),
-                F.bit_count(F.col("a.vhash").bitwiseXOR(F.col("b.vhash")))
-                .alias("hamming"))
-        .distinct()
-        .where(F.col("hamming") <= max_hamming))
-    payload = videos.select("video_id", "bytes")
-    cand = (pairs
-            .join(payload.select(F.col("video_id").alias("vid_a"),
-                                 F.col("bytes").alias("bytes_a")), "vid_a")
-            .join(payload.select(F.col("video_id").alias("vid_b"),
-                                 F.col("bytes").alias("bytes_b")), "vid_b")
-            .select("vid_a", "vid_b", "hamming", "bytes_a", "bytes_b"))
-
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            same, exact, psnrs, ok = [], [], [], []
-            for ba, bb in zip(pdf["bytes_a"], pdf["bytes_b"]):
-                fa, ra = decode_video(bytes(ba))
-                fb, rb = decode_video(bytes(bb))
-                if fa.shape != fb.shape or ra != rb:
-                    same.append(False)
-                    exact.append(False)
-                    psnrs.append(None)
-                    ok.append(False)
-                    continue
-                same.append(True)
-                v = video_psnr(fa, fb)
-                if v == float("inf"):
-                    exact.append(True)
-                    psnrs.append(None)
-                    ok.append(True)
-                else:
-                    exact.append(False)
-                    r = round(v, 6)
-                    psnrs.append(r)
-                    ok.append(r >= min_psnr)
-            yield pd.DataFrame({
-                "vid_a": pdf["vid_a"], "vid_b": pdf["vid_b"],
-                "hamming": pdf["hamming"].astype("int32"),
-                "same_shape": same, "exact_frames": exact,
-                "psnr_db": pd.array(psnrs, dtype="float64"),
-                "verified": ok})
-
-    return cand.mapInPandas(verify, VIDEO_PSNR_SCHEMA)
+    tiers (the shared _verified_pairs engine): fingerprints map-only,
+    bytes join at candidate volume, the frame compare a map-only Arrow
+    walk; (fps, n, h, w) mismatch ⇒ unverifiable."""
+    return _verified_pairs(
+        videos, id_col="video_id", a_col="vid_a", b_col="vid_b",
+        sig_col="vhash", fingerprint_fn=video_temporal_hash,
+        decode_fn=decode_video, psnr_fn=video_psnr,
+        max_hamming=max_hamming, min_bar=min_psnr,
+        out_schema=VIDEO_PSNR_SCHEMA, exact_col="exact_frames",
+        value_col="psnr_db")
 
 
 def videos_for_keys(seed: int = 42, dup_mod: int = 0,

@@ -109,7 +109,10 @@ def warc_export_index(pages: DataFrame, uri_col: str = "uri",
         uri.alias("uri"), F.length(body).alias("content_length"),
         F.length(rec).alias("rec_len"),
         F.sha2(rec, 256).alias("record_sha256"))
-    w = Window.partitionBy("shard").orderBy("uri")
+    # tie-break duplicate URIs (row-per-fetch stores) on the record hash
+    # so the offset order is total and IDENTICAL to the shard writer's;
+    # equal (uri, sha) ⇒ byte-identical records ⇒ order immaterial
+    w = Window.partitionBy("shard").orderBy("uri", "record_sha256")
     return base.select(
         "shard", "uri",
         (F.sum("rec_len").over(w) - F.col("rec_len")).alias("rec_offset"),
@@ -131,9 +134,13 @@ def export_warc_shards(pages: DataFrame, out_dir: str,
 
     def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
-        pdf = pdf.sort_values("uri", ignore_index=True)
-        data = "".join(build_warc_record(u, b)
-                       for u, b in zip(pdf["uri"], pdf["body"]))
+        # same total order as the index window: (uri, record sha256)
+        recs = [build_warc_record(u, b)
+                for u, b in zip(pdf["uri"], pdf["body"])]
+        pdf = pdf.assign(_rec=recs, _sha=[
+            hashlib.sha256(r.encode()).hexdigest() for r in recs])
+        pdf = pdf.sort_values(["uri", "_sha"], ignore_index=True)
+        data = "".join(pdf["_rec"])
         path = os.path.join(out_dir, f"shard-{shard:05d}.warc")
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "w", encoding="utf-8", newline="") as f:

@@ -312,3 +312,54 @@ def test_revalidation_end_to_end(spark):
         assert g["content_hash"] == "deadbeef"  # stored copy stands
     finally:
         srv.shutdown()
+
+
+def test_engine_revalidation_over_real_http(spark, tmp_path):
+    """Crawler.revalidate with the REAL HTTP conditional fetcher: epoch 0
+    re-fetches (stored validators are synthetic hash-prefixes the server
+    doesn't know) but recognizes unchanged content by hash ('refreshed',
+    validators upgraded to the server's ETags, no payload staged);
+    epoch 1 sends those ETags and gets pure 304s; after a server-side
+    change, epoch 2 detects exactly it and refreshed_pages serves the
+    new body."""
+    from distributed_web_crawler_spark.crawl.httpfetch import (
+        make_http_revalidating_fetcher,
+    )
+
+    _ETagHandler.VERSIONS = {"/a": 1, "/b": 1, "/c": 1, "/stale": 1}
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _ETagHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        cfg = CrawlConfig(max_depth=1, host_budget_per_round=10,
+                          max_rounds=1, url_seen_shards=2,
+                          bloom_bits_per_shard=1 << 12)
+        hcfg = HttpFetcherConfig(timeout_sec=5.0, concurrency=4)
+        c = Crawler(spark, cfg, None, str(tmp_path),
+                    fetcher=make_http_fetcher(hcfg))
+        c.bootstrap([f"{base}{p}" for p in _ETagHandler.VERSIONS])
+        stats = c.run()
+        assert stats["stored"] == 4
+        rfetch = make_http_revalidating_fetcher(hcfg)
+
+        r0 = c.revalidate(fetcher=rfetch)
+        assert r0 == {"epoch": 0, "refreshed": 4}
+        # no payload staged; validators upgraded to the server's ETags
+        assert all(not r["refreshed"]
+                   for r in c.refreshed_pages().collect())
+        etags = {r["url"]: r["etag"] for r in c.revalidations().collect()}
+        assert all(v.startswith('"/') for v in etags.values())
+
+        r1 = c.revalidate(fetcher=rfetch)
+        assert r1 == {"epoch": 1, "unchanged": 4}
+
+        _ETagHandler.VERSIONS["/b"] += 1
+        r2 = c.revalidate(fetcher=rfetch)
+        assert r2 == {"epoch": 2, "unchanged": 3, "changed": 1}
+        rp = {r["url"]: r for r in c.refreshed_pages().collect()}
+        changed = rp[f"{base}/b"]
+        assert changed["refreshed"] and changed["reval_epoch"] == 2
+        assert b"v2" in bytes(changed["bytes"])
+        assert sum(1 for r in rp.values() if r["refreshed"]) == 1
+    finally:
+        srv.shutdown()

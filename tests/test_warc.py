@@ -68,6 +68,11 @@ def test_warc_export_roundtrip_and_index(spark, tmp_path):
              f"body {i} " + "x" * (i * 7 % 50) +
              ("WARC/1.0\r\n" if i % 4 == 0 else ""))  # magic inside body
             for i in range(23)]
+    # row-per-fetch stores carry the SAME uri twice with different
+    # bodies — offsets must still be a total order shared by index and
+    # writer (tie-break on the record hash)
+    rows += [(rows[0][0], "refetched body, different content"),
+             (rows[5][0], "another refetch")]
     pages = spark.createDataFrame(rows, "uri string, body string")
     out = str(tmp_path / "warc")
 
@@ -75,7 +80,7 @@ def test_warc_export_roundtrip_and_index(spark, tmp_path):
                 export_warc_shards(pages, out, n_shards=3).collect()}
     idx = warc_export_index(pages, n_shards=3).collect()
     assert {r["shard"] for r in idx} == set(receipts)
-    assert sum(r["n_records"] for r in receipts.values()) == 23
+    assert sum(r["n_records"] for r in receipts.values()) == len(rows)
 
     # read the files back through the segmenter
     blobs = []
@@ -87,11 +92,18 @@ def test_warc_export_roundtrip_and_index(spark, tmp_path):
     parsed = parse_warc(
         spark.createDataFrame(blobs, "blob_id long, data string")).collect()
 
-    body_sha = {u: hashlib.sha256(b.encode()).hexdigest() for u, b in rows}
-    got = {(r["blob_id"], r["uri"]): r for r in parsed}
-    assert len(got) == 23
+    from distributed_web_crawler_spark.sources.warc import (
+        build_warc_record,
+    )
+    rec_to_body = {
+        hashlib.sha256(build_warc_record(u, b).encode()).hexdigest():
+        hashlib.sha256(b.encode()).hexdigest() for u, b in rows}
+    got = {(r["blob_id"], r["rec_offset"]): r for r in parsed}
+    assert len(got) == len(rows)
     for r in idx:
-        p = got[(r["shard"], r["uri"])]
-        assert p["rec_offset"] == r["rec_offset"]
+        p = got[(r["shard"], r["rec_offset"])]   # seek via the cdx
+        assert p["uri"] == r["uri"]
         assert p["content_length"] == r["content_length"]
-        assert p["body_sha256"] == body_sha[r["uri"]]
+        # the record at that offset is the exact record the index row
+        # describes — duplicate URIs land at distinct, correct offsets
+        assert p["body_sha256"] == rec_to_body[r["record_sha256"]]
