@@ -53,9 +53,14 @@ def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
 # --------------------------------------------------------------------------
 
 def shingles(documents: DataFrame, n: int = 3,
-             text_col: str = "text") -> DataFrame:
+             text_col: str = "text", distinct: bool = True) -> DataFrame:
     """(doc_id, shingle) pairs: word n-grams, distinct per doc. Built from
-    explode + slice over the token array — JVM-side."""
+    explode + slice over the token array — JVM-side.
+
+    ``distinct=False`` skips the per-doc dedup exchange and returns the
+    raw exploded stream WITH duplicates — for consumers that dedup on a
+    cheaper derived key (the 128-bit fingerprint paths dedup on fixed
+    16-byte hashes instead of shuffling variable-length shingle text)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     df = documents.select(
         "doc_id",
@@ -66,7 +71,7 @@ def shingles(documents: DataFrame, n: int = 3,
             )
         ).alias("shingle"),
     ).where(F.size(toks) >= n)
-    return df.distinct()
+    return df.distinct() if distinct else df
 
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
@@ -82,10 +87,7 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     16-byte keys shuffle and compare far cheaper than variable-length
     n-gram text at corpus scale, and a collision needs both 64-bit hashes
     to collide (~2^-128 per pair, never observable)."""
-    sh = shingles(documents, n, text_col).select(
-        "doc_id",
-        F.xxhash64("shingle").alias("h1"),
-        F.xxhash64(F.lit(1), "shingle").alias("h2"))
+    sh = _shingle_fingerprints(documents, n, text_col)
     # per-doc shingle-set size rides along on every row (size-ratio
     # pre-filter below needs it pair-side, BEFORE the groupBy)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -139,14 +141,19 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
 def _shingle_fingerprints(documents: DataFrame, n: int,
                           text_col: str) -> DataFrame:
     """(doc_id, h1, h2): 128-bit shingle fingerprints (two independent
-    xxhash64). The shingle STRING is dropped before any shuffle — every
-    downstream consumer (signatures, bucket join, exact verification) works
-    on the fixed 16-byte key. One shared subtree, so Catalyst's exchange
-    reuse materializes the distinct once per query."""
-    return shingles(documents, n, text_col).select(
+    xxhash64), distinct per doc. The shingle STRING is dropped before ANY
+    shuffle — the raw exploded stream is hashed map-side and the per-doc
+    dedup exchange itself runs on the fixed 16-byte key, so no
+    variable-length n-gram text ever crosses the wire (set-equal to
+    deduping the strings up to a ~2^-128 double-collision, the same
+    accepted fingerprint argument as the candidate join). Every downstream
+    consumer (signatures, bucket join, exact verification) shares this one
+    subtree, so Catalyst's exchange reuse materializes the distinct once
+    per query."""
+    return shingles(documents, n, text_col, distinct=False).select(
         "doc_id",
         F.xxhash64("shingle").alias("h1"),
-        F.xxhash64(F.lit(1), "shingle").alias("h2"))
+        F.xxhash64(F.lit(1), "shingle").alias("h2")).distinct()
 
 
 def _minhash_aggs(num_hashes: int) -> list:
