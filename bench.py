@@ -165,6 +165,7 @@ EXTRAS = [
     "video_psnr_neardup",    # temporal-hash proposes, frames verify
     "audio_variant_dedup",   # verified clusters, largest-payload winner
     "video_variant_dedup",   # verified clusters, largest-payload winner
+    "image_training_mix",    # curation→dedup→variant→batches flagship
 ]
 
 

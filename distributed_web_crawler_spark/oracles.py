@@ -598,6 +598,107 @@ def image_variant_dedup_sql(n: int = 384, dup_mod: int = 96,
 """
 
 
+def image_training_mix_sql(n: int = 384, dup_mod: int = 96,
+                           caption_dup_mod: int = 48,
+                           max_hamming: int = 10, min_psnr: float = 40.0,
+                           batch_size: int = 4, n_shards: int = 4) -> str:
+    """Full-chain mirror of pipeline.multimodal.image_training_mix:
+    curation verdicts, source dims and shard keys come from the Python
+    codec / caption / XXH64 mirrors as VALUES; DuckDB independently
+    recomputes the exact-tier winner per byte-identical combo, the
+    PSNR-verified reachability + lossless-preferred survivor pick
+    (image_variant_dedup_sql's machinery), and the aspect-bucket batch
+    layout over the survivors."""
+    from .functions.xxh64 import xxhash64
+    from .pipeline.multimodal import (
+        CURATION_FMTS,
+        CURATION_MAX_ASPECT_NUM,
+        CURATION_MIN_CAPTION_TOKENS,
+        CURATION_MIN_SIDE,
+    )
+
+    nf = len(_PSNR_FMTS)
+    cur_rows, dim_rows = [], []
+    for m in range(dup_mod):
+        g = _image_group(m, dup_mod)
+        w, h = int(g["w"]), int(g["h"])
+        dim_rows.append(f"({m}, {w}, {h})")
+        cap_toks = len(_caption_for(m % caption_dup_mod).split())
+        short, lng = min(w, h), max(w, h)
+        dims_ok = (short >= CURATION_MIN_SIDE
+                   and lng <= CURATION_MAX_ASPECT_NUM * short
+                   and cap_toks >= CURATION_MIN_CAPTION_TOKENS)
+        for fi, fmt in enumerate(_PSNR_FMTS):
+            ok = dims_ok and fmt in CURATION_FMTS
+            cur_rows.append(f"({m * nf + fi}, {ok})")
+    cur_vals = ",\n    ".join(cur_rows)
+    dim_vals = ",\n    ".join(dim_rows)
+    ids = sorted(d for d, _ in _docs(ORACLE_SF_DIR))[:n]
+    shard_vals = ",\n    ".join(
+        f"('img-{int(d):08d}', {xxhash64(f'img-{int(d):08d}') % n_shards})"
+        for d in ids)
+    return f"""
+  WITH RECURSIVE {_psnr_combo_ctes(n, dup_mod, max_hamming, min_psnr)},
+  curv(cid, ok) AS (VALUES
+    {cur_vals}),
+  dims(m, w, h) AS (VALUES
+    {dim_vals}),
+  shards(image_id, shard) AS (VALUES
+    {shard_vals}),
+  -- curation gate, then exact tier: one winner per byte-identical combo
+  exact_surv AS (
+    SELECT s.cid, min(s.image_id) AS image_id
+    FROM sigs s JOIN curv ON curv.cid = s.cid AND curv.ok
+    GROUP BY s.cid),
+  vpairs AS (SELECT p.img_a, p.img_b
+             FROM pairs p
+             JOIN exact_surv sa ON sa.image_id = p.img_a
+             JOIN exact_surv sb ON sb.image_id = p.img_b
+             JOIN pv ON pv.c_lo = least(sa.cid, sb.cid)
+                    AND pv.c_hi = greatest(sa.cid, sb.cid)
+             WHERE pv.verified0),
+  edges AS (SELECT img_a AS a, img_b AS b FROM vpairs
+            UNION SELECT img_b, img_a FROM vpairs),
+  reach(node, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node),
+  labels AS (SELECT node, min(comp) AS cluster_id FROM reach
+             GROUP BY node),
+  lab AS (SELECT s.image_id, s.cid,
+                 coalesce(l.cluster_id, s.image_id) AS cluster_id,
+                 s.cid % {nf} AS fmt_rank
+          FROM exact_surv s LEFT JOIN labels l ON l.node = s.image_id),
+  survivors AS (
+    SELECT image_id, cid FROM (
+      SELECT image_id, cid,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY fmt_rank, image_id) AS rk
+      FROM lab) WHERE rk = 1),
+  classed AS (
+    SELECT s.image_id,
+           CASE WHEN d.w >= 2 * d.h THEN 'wide2'
+                WHEN 3 * d.w >= 4 * d.h THEN 'wide'
+                WHEN 4 * d.w > 3 * d.h THEN 'square'
+                WHEN 2 * d.w > d.h THEN 'tall'
+                ELSE 'tall2' END AS bucket,
+           sh.shard
+    FROM survivors s
+    JOIN dims d ON d.m = s.cid // {nf}
+    JOIN shards sh ON sh.image_id = s.image_id),
+  rn AS (
+    SELECT image_id, bucket, shard,
+           row_number() OVER (PARTITION BY bucket, shard
+                              ORDER BY image_id) AS r,
+           count(*) OVER (PARTITION BY bucket, shard) AS cnt
+    FROM classed)
+  SELECT image_id, bucket, CAST(shard AS INTEGER) AS shard,
+         CAST((r - 1) // {batch_size} AS BIGINT) AS batch_id
+  FROM rn
+  WHERE (r - 1) // {batch_size} < cnt // {batch_size}
+"""
+
+
 def phash_band_eval_sql(n: int = 384, dup_mod: int = 96,
                         thresholds: tuple[int, ...] = (0, 2, 4, 6, 8, 10),
                         max_hamming: int = 12,

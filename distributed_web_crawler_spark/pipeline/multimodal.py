@@ -969,3 +969,37 @@ def mime_sniff(images: DataFrame, bytes_col: str = "bytes",
         F.col(declared_col).alias("declared"),
         sniffed.alias("sniffed"),
         (F.col(declared_col) != sniffed).alias("mismatch"))
+
+
+def image_training_mix(images: DataFrame, max_hamming: int = 10,
+                       min_psnr: float = 40.0, batch_size: int = 4,
+                       n_shards: int = 4) -> DataFrame:
+    """The composed image-side training-set flagship (the image analog of
+    pipeline.text's training_mix): curation gates → exact payload dedup →
+    PSNR-verified variant collapse → aspect-bucket batch manifest. One
+    call takes a raw crawled image+caption table (input_hint schema) to
+    the dataloader's (image_id, bucket, shard, batch_id) gather list, the
+    full pipeline a text-image pre-training corpus runs after a crawl.
+
+    Stage order is the cost ladder: the map-only curation gates and the
+    hash-only exact tier shrink the corpus BEFORE the decode-verify
+    near-dup tier spends pixels, and batching sees only final survivors.
+
+    Scale shape: curation is map-only; the exact tier shuffles
+    (sha2, image_id) pairs — payload bytes never cross an exchange (the
+    PSNR tier joins bytes at candidate volume internally); every
+    composition join is an id-keyed semi-join; the batch layout is the
+    sharded-window shape of aspect_bucket_batches."""
+    kept = images.join(
+        image_curation(images).where(F.col("keep")).select("image_id"),
+        "image_id", "left_semi")
+    payload_winners = (
+        kept.select(F.sha2("bytes", 256).alias("payload_fp"), "image_id")
+        .groupBy("payload_fp")
+        .agg(F.min("image_id").alias("image_id"))
+        .select("image_id"))
+    uniq = kept.join(payload_winners, "image_id", "left_semi")
+    survivors = (image_variant_dedup(uniq, max_hamming, min_psnr)
+                 .where(F.col("keep")).select("image_id"))
+    final = images.join(survivors, "image_id", "left_semi")
+    return aspect_bucket_batches(final, batch_size, n_shards)

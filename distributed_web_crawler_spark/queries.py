@@ -2106,6 +2106,22 @@ def image_variant_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=10, min_psnr=40.0)
 
 
+@q("image_training_mix", lambda: _oracles.image_training_mix_sql(
+    n=384, dup_mod=96, caption_dup_mod=48, max_hamming=10, min_psnr=40.0,
+    batch_size=4, n_shards=4))
+def image_training_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed image-side training-set flagship: curation gates → exact
+    payload dedup → PSNR-verified variant collapse → aspect-bucket batch
+    manifest, one call from the raw input_hint table to the dataloader's
+    gather list. The oracle independently recomputes every stage from the
+    codec/caption/XXH64 mirrors (curation verdicts and dims as VALUES,
+    reachability as a recursive CTE, the batch layout as windows)."""
+    return multimodal.image_training_mix(
+        _images_df(spark, sf_dir, n=384, dup_mod=96, caption_dup_mod=48,
+                   variant_fmts=("png", "jpeg", "jpeg16", "png")),
+        max_hamming=10, min_psnr=40.0, batch_size=4, n_shards=4)
+
+
 @q("phash_band_eval", lambda: _oracles.phash_band_eval_sql(
     n=384, dup_mod=96, thresholds=(0, 2, 4, 6, 8, 10), max_hamming=12,
     min_psnr=40.0))

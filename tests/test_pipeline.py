@@ -1229,3 +1229,48 @@ def test_video_psnr_verify_rejects_heavy_requantize(spark):
                 r = by_pair[pair]
                 assert not r["verified"]
                 assert r["psnr_db"] is not None and r["psnr_db"] < 40.0
+
+
+def test_image_training_mix_composes_all_four_stages(spark):
+    """The composed flagship equals its stages composed: the manifest
+    holds exactly one curation-passing representative per pixel group
+    (lossless preferred), never a jpeg16 (curation format gate), never
+    the byte-identical png twin (exact tier), and batch ids are dense in
+    image_id order per (bucket, shard)."""
+    from collections import defaultdict
+
+    from distributed_web_crawler_spark.config import SynthWebConfig
+    from distributed_web_crawler_spark.crawl.synthweb import (
+        SYNTH_IMAGE_SCHEMA, images_for_keys)
+    ids = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    imgs = ids.mapInPandas(
+        images_for_keys(SynthWebConfig(), dup_mod=4,
+                        variant_fmts=("png", "jpeg", "jpeg16", "png")),
+        SYNTH_IMAGE_SCHEMA)
+    rows = multimodal.image_training_mix(
+        imgs, max_hamming=10, min_psnr=40.0,
+        batch_size=1, n_shards=2).collect()
+    got = {r["image_id"] for r in rows}
+    kept = {r["image_id"] for r in
+            multimodal.image_curation(imgs).where("keep").collect()}
+    assert got, "manifest must not be empty"
+    groups = defaultdict(list)
+    for iid in got:
+        d = int(iid.split("-")[1])
+        assert not (8 <= d < 12), f"jpeg16 {iid} leaked through curation"
+        assert d < 8, f"byte-identical twin {iid} survived the exact tier"
+        assert iid in kept, f"{iid} failed curation but is in the manifest"
+        groups[d % 4].append(d)
+    for g, members in groups.items():
+        assert len(members) == 1, f"group {g}: {members} both survived"
+        png, jpg = f"img-{g:08d}", f"img-{g + 4:08d}"
+        if png in kept:  # lossless preferred whenever it is eligible
+            assert members == [g], f"group {g} kept {members}, not the png"
+    # batch layout: batch_size=1 -> batch_id dense in image_id order
+    per_bs = defaultdict(list)
+    for r in rows:
+        per_bs[(r["bucket"], r["shard"])].append(
+            (r["image_id"], r["batch_id"]))
+    for key, pairs in per_bs.items():
+        pairs.sort()
+        assert [b for _, b in pairs] == list(range(len(pairs))), key
