@@ -166,6 +166,7 @@ EXTRAS = [
     "audio_variant_dedup",   # verified clusters, largest-payload winner
     "video_variant_dedup",   # verified clusters, largest-payload winner
     "image_training_mix",    # curation→dedup→variant→batches flagship
+    "incremental_image_dedup",  # new image batch vs history two-tier
 ]
 
 

@@ -699,6 +699,58 @@ def image_training_mix_sql(n: int = 384, dup_mod: int = 96,
 """
 
 
+def incremental_image_dedup_sql(n: int = 384, n_old: int = 48,
+                                dup_mod: int = 96, max_hamming: int = 10,
+                                min_psnr: float = 40.0) -> str:
+    """Mirror of pipeline.multimodal.incremental_image_dedup over the
+    history/new split of the variant-encoded corpus (first n_old ids are
+    the accepted history; the rest are the incoming batch). The engine's
+    sha2-byte exact tier is restated as combo-id equality (byte-identical
+    ⟺ same (pixel-group, encoding) combo — the synthetic codec is
+    deterministic and injective across groups), the banded probe as the
+    old-endpoint × new-endpoint restriction of the full banded self-join
+    (both equal "all cross pairs with Hamming ≤ max" — banding is
+    lossless there), and the PSNR verify joins the codec mirror's
+    per-combo-pair verdict VALUES."""
+    return f"""
+  WITH {_psnr_combo_ctes(n, dup_mod, max_hamming, min_psnr)},
+  olds AS (SELECT image_id, cid FROM imgs ORDER BY image_id LIMIT {n_old}),
+  news AS (SELECT image_id, cid FROM imgs
+           WHERE image_id NOT IN (SELECT image_id FROM olds)),
+  exact_m AS (
+    SELECT nw.image_id, min(o.image_id) AS exact_old
+    FROM news nw JOIN olds o ON o.cid = nw.cid
+    GROUP BY nw.image_id),
+  cand AS (
+    SELECT nw.image_id, o.image_id AS old_id, p.hamming,
+           pv.exact0, CAST(pv.psnr0 AS DOUBLE) AS psnr0
+    FROM pairs p
+    JOIN olds o ON o.image_id = p.img_a
+    JOIN news nw ON nw.image_id = p.img_b
+    JOIN pv ON pv.c_lo = least(o.cid, nw.cid)
+           AND pv.c_hi = greatest(o.cid, nw.cid)
+    WHERE pv.verified0
+      AND nw.image_id NOT IN (SELECT image_id FROM exact_m)),
+  best AS (
+    SELECT image_id, old_id, hamming, psnr0,
+           row_number() OVER (PARTITION BY image_id
+                              ORDER BY exact0 DESC,
+                                       psnr0 DESC NULLS LAST,
+                                       old_id ASC) AS rk
+    FROM cand)
+  SELECT nw.image_id,
+         (e.exact_old IS NULL AND b.old_id IS NULL) AS keep,
+         CASE WHEN e.exact_old IS NOT NULL THEN 'exact'
+              WHEN b.old_id IS NOT NULL THEN 'psnr' END AS match_kind,
+         coalesce(e.exact_old, b.old_id) AS matched_old,
+         CAST(b.hamming AS INTEGER) AS hamming,
+         b.psnr0 AS psnr_db
+  FROM news nw
+  LEFT JOIN exact_m e ON e.image_id = nw.image_id
+  LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.image_id = nw.image_id
+"""
+
+
 def phash_band_eval_sql(n: int = 384, dup_mod: int = 96,
                         thresholds: tuple[int, ...] = (0, 2, 4, 6, 8, 10),
                         max_hamming: int = 12,

@@ -167,6 +167,14 @@ def psnr_verified_neardup(images: DataFrame, max_hamming: int = 10,
         .join(payload.select(F.col("image_id").alias("img_b"),
                              F.col("bytes").alias("bytes_b")), "img_b")
         .select("img_a", "img_b", "hamming", "bytes_a", "bytes_b"))
+    return _psnr_verify_map(cand, min_psnr)
+
+
+def _psnr_verify_map(cand: DataFrame, min_psnr: float) -> DataFrame:
+    """The decode-compare verify tier shared by the self-join
+    (psnr_verified_neardup) and the new-vs-history probe
+    (incremental_image_dedup): a map-only Arrow batch walk over candidate
+    rows (img_a, img_b, hamming, bytes_a, bytes_b) → PSNR_VERIFY_SCHEMA."""
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -517,6 +525,44 @@ def banded_hamming_pairs(sigs: DataFrame, id_col: str, sig_col: str,
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias(a_col),
                 F.col(f"b.{id_col}").alias(b_col),
+                F.bit_count(F.col(f"a.{sig_col}")
+                            .bitwiseXOR(F.col(f"b.{sig_col}")))
+                .alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming))
+
+
+def banded_hamming_probe(new_sigs: DataFrame, old_sigs: DataFrame,
+                         new_id: str, old_id: str, sig_col: str,
+                         a_col: str, b_col: str,
+                         max_hamming: int) -> DataFrame:
+    """Cross-table variant of banded_hamming_pairs: the NEW batch probes
+    the HISTORY signature index (4 × 16-bit bands), yielding only
+    new×old candidates — new×new and old×old pairs are never formed.
+    Lossless for Hamming ≤ 48 by pigeonhole (any such pair agrees on at
+    least one full band); in practice max_hamming ≪ 16.
+
+    Scale shape: both sides explode to 4 band rows and meet in ONE
+    (band_no, bkt) hash join; at 10^10 the history side is a
+    materialized table bucketed on (band_no, bkt) so only the new
+    batch shuffles."""
+    def bands(df: DataFrame, id_c: str) -> DataFrame:
+        return df.select(
+            id_c, sig_col,
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("band_no"),
+                         F.shiftright(sig_col, i * 16)
+                         .bitwiseAND(F.lit(0xFFFF)).alias("bkt"))
+                for i in range(4)])).alias("bb"),
+        ).select(id_c, sig_col, "bb.band_no", "bb.bkt").distinct()
+
+    a, b = bands(new_sigs, new_id).alias("a"), bands(old_sigs,
+                                                     old_id).alias("b")
+    return (
+        a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
+               & (F.col("a.bkt") == F.col("b.bkt")))
+        .select(F.col(f"a.{new_id}").alias(a_col),
+                F.col(f"b.{old_id}").alias(b_col),
                 F.bit_count(F.col(f"a.{sig_col}")
                             .bitwiseXOR(F.col(f"b.{sig_col}")))
                 .alias("hamming"))
@@ -1003,3 +1049,93 @@ def image_training_mix(images: DataFrame, max_hamming: int = 10,
                  .where(F.col("keep")).select("image_id"))
     final = images.join(survivors, "image_id", "left_semi")
     return aspect_bucket_batches(final, batch_size, n_shards)
+
+
+def image_history_index(old_images: DataFrame) -> dict[str, DataFrame]:
+    """The accepted image corpus's dedup index: exact payload
+    fingerprints and the phash signature table every incoming crawl
+    batch probes. At production scale both are MATERIALIZED —
+    fp hash-partitioned on fp, phash bucketed on its 16-bit bands — and
+    appended to as batches are accepted, so the 10^10-image history is
+    never re-hashed per batch. incremental_image_dedup() accepts this
+    dict (each DataFrame may be a table read back from storage) via
+    `index=`."""
+    return {
+        "fp": old_images.select(F.col("image_id").alias("old_id"),
+                                F.sha2("bytes", 256).alias("fp")),
+        "phash": old_images.select(F.col("image_id").alias("old_id"),
+                                   "phash"),
+    }
+
+
+def incremental_image_dedup(new_images: DataFrame,
+                            old_images: DataFrame,
+                            max_hamming: int = 10, min_psnr: float = 40.0,
+                            index: dict[str, DataFrame] | None = None
+                            ) -> DataFrame:
+    """Dedup a NEW image batch against the ACCEPTED corpus — the
+    steady-state shape of a continuously-crawled text-image training
+    set, where new×new and old×old comparisons are never re-done (the
+    image analog of pipeline.dedup.incremental_dedup).
+
+    Two tiers, cheap one first:
+    1. exact: sha2(bytes) probe of the history fp index — an equi-join
+       on a 32-byte key; match is the min old image_id per fingerprint.
+    2. psnr: survivors only. The new batch's stored phash probes the
+       history phash index via banded_hamming_probe (new×old only);
+       payload bytes join at CANDIDATE volume (new side from the batch,
+       old side a point join into the history table); decoded pixels
+       verify at min_psnr. Best match per new image by
+       (exact_pixels DESC, psnr DESC, old_id ASC) on the 1e-6-quantized
+       score — deterministic under any partitioning.
+
+    Pass `index=image_history_index(...)` (typically read back from
+    materialized tables) to skip re-hashing the history; old_images is
+    still consulted for BYTES, but only at candidate volume.
+
+    Returns one row per new image: (image_id, keep, match_kind
+    'exact'|'psnr'|null, matched_old, hamming, psnr_db). hamming/psnr
+    are NULL for exact-byte matches (tier 2 never sees them); psnr is
+    NULL when the verified match is exact-pixel (different container,
+    identical pixels)."""
+    from pyspark.sql import Window
+
+    if index is None:
+        index = image_history_index(old_images)
+    exact = (new_images
+             .select("image_id", F.sha2("bytes", 256).alias("fp"))
+             .join(index["fp"], "fp")
+             .groupBy("image_id")
+             .agg(F.min("old_id").alias("exact_old")))
+    survivors = new_images.join(exact, "image_id", "left_anti")
+    cand = (banded_hamming_probe(
+        survivors.select("image_id", "phash"), index["phash"],
+        "image_id", "old_id", "phash", "img_a", "img_b", max_hamming)
+        .join(survivors.select(F.col("image_id").alias("img_a"),
+                               F.col("bytes").alias("bytes_a")), "img_a")
+        .join(old_images.select(F.col("image_id").alias("img_b"),
+                                F.col("bytes").alias("bytes_b")), "img_b")
+        .select("img_a", "img_b", "hamming", "bytes_a", "bytes_b"))
+    verified = _psnr_verify_map(cand, min_psnr).where(F.col("verified"))
+    win = Window.partitionBy("img_a").orderBy(
+        F.col("exact_pixels").desc(),
+        F.col("psnr_db").desc_nulls_last(),
+        F.col("img_b").asc())
+    best = (verified
+            .withColumn("_rk", F.row_number().over(win))
+            .where(F.col("_rk") == 1)
+            .select(F.col("img_a").alias("image_id"),
+                    F.col("img_b").alias("psnr_old"),
+                    "hamming", "psnr_db"))
+    return (new_images.select("image_id")
+            .join(exact, "image_id", "left")
+            .join(best, "image_id", "left")
+            .select(
+                "image_id",
+                (F.col("exact_old").isNull()
+                 & F.col("psnr_old").isNull()).alias("keep"),
+                F.when(F.col("exact_old").isNotNull(), F.lit("exact"))
+                .when(F.col("psnr_old").isNotNull(), F.lit("psnr"))
+                .alias("match_kind"),
+                F.coalesce("exact_old", "psnr_old").alias("matched_old"),
+                "hamming", "psnr_db"))

@@ -2047,7 +2047,8 @@ def _media_keys(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
 def _images_df(spark: SparkSession, sf_dir: str, n: int = 128,
                dup_mod: int = 96,
                caption_dup_mod: int | None = None,
-               variant_fmts: tuple[str, ...] | None = None) -> DataFrame:
+               variant_fmts: tuple[str, ...] | None = None,
+               keys: DataFrame | None = None) -> DataFrame:
     """Deterministic image table per BASELINE.json input_hint, derived from
     doc_ids through the synthetic codec (crawl/synthweb.py). dup_mod < n
     creates exact-duplicate payload groups (phash Hamming 0) so the image
@@ -2056,7 +2057,9 @@ def _images_df(spark: SparkSession, sf_dir: str, n: int = 128,
     variant_fmts re-encodes each group's pixels per repetition (lossless /
     lossy / heavy-requantize variants for the PSNR verify tier)."""
     from .crawl.synthweb import SYNTH_IMAGE_SCHEMA, images_for_keys
-    return _media_keys(spark, sf_dir, n).mapInPandas(
+    if keys is None:
+        keys = _media_keys(spark, sf_dir, n)
+    return keys.mapInPandas(
         images_for_keys(SynthWebConfig(), dup_mod=dup_mod,
                         caption_dup_mod=caption_dup_mod,
                         variant_fmts=variant_fmts),
@@ -2103,6 +2106,28 @@ def image_variant_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_variant_dedup(
         _images_df(spark, sf_dir, n=384, dup_mod=96,
                    variant_fmts=("png", "jpeg", "jpeg16", "png")),
+        max_hamming=10, min_psnr=40.0)
+
+
+@q("incremental_image_dedup", lambda: _oracles.incremental_image_dedup_sql(
+    n=384, n_old=48, dup_mod=96, max_hamming=10, min_psnr=40.0))
+def incremental_image_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New image batch vs accepted history (steady-state crawl shape):
+    the first 48 keys are the committed png corpus, the remaining 336 the
+    incoming batch — which carries byte-identical re-crawls (exact tier),
+    ~51 dB jpeg re-encodes (PSNR-verified matches), ~29 dB requantizes
+    (proposed but REJECTED at the 40 dB bar) and genuinely novel groups
+    (kept). new×new duplicates are deliberately not compared — that is
+    image_training_mix's intra-batch job."""
+    vf = ("png", "jpeg", "jpeg16", "png")
+    old_keys = _media_keys(spark, sf_dir, 48)
+    new_keys = _media_keys(spark, sf_dir, 384).join(
+        old_keys, "doc_id", "left_anti")
+    return multimodal.incremental_image_dedup(
+        _images_df(spark, sf_dir, dup_mod=96, variant_fmts=vf,
+                   keys=new_keys),
+        _images_df(spark, sf_dir, dup_mod=96, variant_fmts=vf,
+                   keys=old_keys),
         max_hamming=10, min_psnr=40.0)
 
 

@@ -1274,3 +1274,70 @@ def test_image_training_mix_composes_all_four_stages(spark):
     for key, pairs in per_bs.items():
         pairs.sort()
         assert [b for _, b in pairs] == list(range(len(pairs))), key
+
+
+def test_incremental_image_dedup_tiers_and_novelty(spark):
+    """History = png of groups 0..3; batch carries a byte-identical png
+    re-crawl (exact), a ~51 dB jpeg re-encode (psnr match), a ~29 dB
+    jpeg16 requantize (proposed but rejected -> kept) and novel groups
+    the history never saw (kept, no match)."""
+    from distributed_web_crawler_spark.config import SynthWebConfig
+    from distributed_web_crawler_spark.crawl.synthweb import (
+        SYNTH_IMAGE_SCHEMA, images_for_keys)
+    vf = ("png", "jpeg", "jpeg16", "png")
+
+    def imgs(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+        return df.mapInPandas(
+            images_for_keys(SynthWebConfig(), dup_mod=8, variant_fmts=vf),
+            SYNTH_IMAGE_SCHEMA)
+
+    # dup_mod=8: groups 0..3 in history (png, rep 0); batch reps 1..3
+    old = imgs(range(4))
+    new = imgs(list(range(8, 20)) + list(range(24, 28)))
+    rows = {r["image_id"]: r for r in multimodal.incremental_image_dedup(
+        new, old, max_hamming=10, min_psnr=40.0).collect()}
+    assert len(rows) == 16
+    for g in range(4):
+        jpeg = rows[f"img-{8 + g:08d}"]       # rep 1, group g
+        j16 = rows[f"img-{16 + g:08d}"]       # rep 2, group g
+        png2 = rows[f"img-{24 + g:08d}"]      # rep 3, byte-identical
+        novel = rows[f"img-{12 + g:08d}"]     # rep 1, group 4+g: no history
+        assert png2["match_kind"] == "exact" and not png2["keep"]
+        assert png2["matched_old"] == f"img-{g:08d}"
+        assert png2["hamming"] is None and png2["psnr_db"] is None
+        assert jpeg["match_kind"] == "psnr" and not jpeg["keep"]
+        assert jpeg["matched_old"] == f"img-{g:08d}"
+        assert jpeg["psnr_db"] is None or jpeg["psnr_db"] >= 40.0
+        assert j16["keep"] and j16["match_kind"] is None
+        assert novel["keep"] and novel["matched_old"] is None
+
+
+def test_incremental_image_dedup_materialized_index_identical(spark):
+    """A history index round-tripped through parquet yields bit-identical
+    verdicts to the inline build (the materialized-artifact contract)."""
+    import tempfile
+
+    from distributed_web_crawler_spark.config import SynthWebConfig
+    from distributed_web_crawler_spark.crawl.synthweb import (
+        SYNTH_IMAGE_SCHEMA, images_for_keys)
+    vf = ("png", "jpeg", "jpeg16", "png")
+
+    def imgs(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+        return df.mapInPandas(
+            images_for_keys(SynthWebConfig(), dup_mod=8, variant_fmts=vf),
+            SYNTH_IMAGE_SCHEMA)
+
+    old, new = imgs(range(4)), imgs(range(8, 20))
+    inline = sorted(map(tuple, multimodal.incremental_image_dedup(
+        new, old, max_hamming=10, min_psnr=40.0).collect()))
+    with tempfile.TemporaryDirectory() as d:
+        idx = multimodal.image_history_index(old)
+        for k, df in idx.items():
+            df.write.mode("overwrite").parquet(f"{d}/{k}")
+        stored = {k: spark.read.parquet(f"{d}/{k}") for k in idx}
+        via_index = sorted(map(tuple, multimodal.incremental_image_dedup(
+            new, old, max_hamming=10, min_psnr=40.0,
+            index=stored).collect()))
+    assert inline == via_index
