@@ -906,3 +906,36 @@ class Crawler:
             *[pick[c].alias(c) for c in pick],
             F.col("_epoch").isNotNull().alias("refreshed"),
             F.col("_epoch").alias("reval_epoch"))
+
+    def training_manifest(self, max_hamming: int = 10,
+                          min_psnr: float = 40.0, batch_size: int = 4,
+                          n_shards: int = 4,
+                          refreshed: bool = False) -> DataFrame | None:
+        """The crawl→training handoff: pipeline.multimodal.
+        image_training_mix over the engine's OWN committed store —
+        curation gates → exact payload dedup → PSNR-verified variant
+        collapse → aspect-bucket batch manifest, straight off pages().
+        This closes the BASELINE.json loop in one repo: seed list →
+        politeness-budgeted fetch → dedup'd image+caption store →
+        dataloader gather list. ``refreshed=True`` reads the
+        revalidation-merged view so the manifest reflects each URL's
+        newest verified payload.
+
+        Rows are keyed by image_id; a revalidation can refresh two URLs
+        to byte-identical payloads (same image_id), so the projection
+        de-duplicates on image_id first — safe because every selected
+        column is a pure function of the payload content. Returns None
+        on an empty store; imports pipeline code lazily so the crawl
+        round loop itself never depends on the training side."""
+        from ..pipeline.multimodal import image_training_mix
+
+        p = self.refreshed_pages() if refreshed else self.pages()
+        if p is None:
+            return None
+        imgs = (p.select("image_id", "bytes", "w", "h", "fmt",
+                         "caption", "phash")
+                .dropDuplicates(["image_id"]))
+        return image_training_mix(imgs, max_hamming=max_hamming,
+                                  min_psnr=min_psnr,
+                                  batch_size=batch_size,
+                                  n_shards=n_shards)

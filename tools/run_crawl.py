@@ -42,6 +42,13 @@ def main() -> None:
                     help="comma-separated URL suffixes the synthetic "
                          "web serves at version 1 during --revalidate "
                          "(e.g. '1,5'); empty = unchanged web")
+    ap.add_argument("--training-manifest", default=None, metavar="DIR",
+                    help="after the crawl, write the image training "
+                         "manifest (Crawler.training_manifest: curation "
+                         "-> dedup -> variant collapse -> aspect-bucket "
+                         "batches over the store) as parquet to DIR")
+    ap.add_argument("--batch-size", type=int, default=4,
+                    help="--training-manifest batch size (drop_last)")
     args = ap.parse_args()
 
     # imports resolve from --py-files (or PYTHONPATH when run directly)
@@ -72,6 +79,18 @@ def main() -> None:
         sfx = tuple(s for s in (args.drift_suffixes or "").split(",") if s)
         changed = (lambda u, _s=sfx: u.endswith(_s)) if sfx else None
         stats["revalidation"] = crawler.revalidate(changed=changed)
+    if args.training_manifest:
+        manifest = crawler.training_manifest(
+            batch_size=args.batch_size, refreshed=args.revalidate)
+        if manifest is not None:
+            manifest.write.mode("overwrite").parquet(args.training_manifest)
+            out = spark.read.parquet(args.training_manifest)
+            stats["training_manifest"] = {
+                "rows": out.count(),
+                "batches": out.select("bucket", "shard", "batch_id")
+                              .distinct().count(),
+                "path": args.training_manifest,
+            }
     print(json.dumps(stats))
 
 
