@@ -46,3 +46,34 @@ def test_training_manifest_from_committed_store(spark, tmp_path):
 def test_training_manifest_empty_store_is_none(spark, tmp_path):
     c = Crawler(spark, CFG, SYNTH, str(tmp_path))
     assert c.training_manifest() is None
+
+
+def test_training_manifest_reflects_revalidation_drift(spark, tmp_path):
+    """refreshed=True builds the manifest from the revalidation-merged
+    payload view: drifted URLs contribute their NEW image_ids, and the
+    stale pre-drift ids drop out of the gather list."""
+    synth = SynthWebConfig(n_hosts=6, base_pages_per_host=12)
+    cfg = CrawlConfig(max_depth=2, host_budget_per_round=3, max_rounds=3,
+                      allowed_domains=(r".*\.example\.com",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 13)
+    c = Crawler(spark, cfg, synth, str(tmp_path))
+    c.bootstrap(seed_urls(synth, 3))
+    c.run()
+    pred = lambda u: u.endswith(("1", "5"))  # noqa: E731
+    r = c.revalidate(changed=pred)
+    assert r.get("changed", 0) > 0
+    stale = c.training_manifest(batch_size=1, n_shards=1)
+    fresh = c.training_manifest(batch_size=1, n_shards=1, refreshed=True)
+    stale_ids = {x["image_id"] for x in stale.collect()}
+    fresh_ids = {x["image_id"] for x in fresh.collect()}
+    assert stale_ids != fresh_ids, "drift must change the manifest"
+    rp = c.refreshed_pages()
+    refreshed_ids = {x["image_id"] for x in
+                     rp.where("refreshed").select("image_id").collect()}
+    pre_drift_ids = {x["image_id"] for x in
+                     c.pages().join(rp.where("refreshed").select("url"),
+                                    "url", "left_semi")
+                     .select("image_id").collect()}
+    assert fresh_ids & refreshed_ids, "new payloads enter the manifest"
+    assert not (fresh_ids & (pre_drift_ids - refreshed_ids)), \
+        "stale pre-drift payloads must not appear in the refreshed manifest"
