@@ -167,6 +167,7 @@ EXTRAS = [
     "video_variant_dedup",   # verified clusters, largest-payload winner
     "image_training_mix",    # curation→dedup→variant→batches flagship
     "incremental_image_dedup",  # new image batch vs history two-tier
+    "image_mix_report",      # per-rung dataset-card counts
 ]
 
 

@@ -598,17 +598,18 @@ def image_variant_dedup_sql(n: int = 384, dup_mod: int = 96,
 """
 
 
-def image_training_mix_sql(n: int = 384, dup_mod: int = 96,
-                           caption_dup_mod: int = 48,
-                           max_hamming: int = 10, min_psnr: float = 40.0,
-                           batch_size: int = 4, n_shards: int = 4) -> str:
-    """Full-chain mirror of pipeline.multimodal.image_training_mix:
-    curation verdicts, source dims and shard keys come from the Python
-    codec / caption / XXH64 mirrors as VALUES; DuckDB independently
-    recomputes the exact-tier winner per byte-identical combo, the
-    PSNR-verified reachability + lossless-preferred survivor pick
-    (image_variant_dedup_sql's machinery), and the aspect-bucket batch
-    layout over the survivors."""
+def _image_mix_ctes(n: int, dup_mod: int, caption_dup_mod: int,
+                    max_hamming: int, min_psnr: float,
+                    n_shards: int) -> str:
+    """Shared CTE chain for the image training-mix pipeline: curation
+    verdicts (with first-failing reason), source dims and shard keys
+    from the Python codec / caption / XXH64 mirrors as VALUES; the
+    exact-tier winner per byte-identical combo, the PSNR-verified
+    reachability + lossless-preferred survivor pick
+    (image_variant_dedup_sql's machinery), and the per-(bucket, shard)
+    running batch layout over the survivors — ends at ``rn``. Used by
+    image_training_mix_sql (final manifest) and image_mix_report_sql
+    (per-rung counts)."""
     from .functions.xxh64 import xxhash64
     from .pipeline.multimodal import (
         CURATION_FMTS,
@@ -625,21 +626,27 @@ def image_training_mix_sql(n: int = 384, dup_mod: int = 96,
         dim_rows.append(f"({m}, {w}, {h})")
         cap_toks = len(_caption_for(m % caption_dup_mod).split())
         short, lng = min(w, h), max(w, h)
-        dims_ok = (short >= CURATION_MIN_SIDE
-                   and lng <= CURATION_MAX_ASPECT_NUM * short
-                   and cap_toks >= CURATION_MIN_CAPTION_TOKENS)
         for fi, fmt in enumerate(_PSNR_FMTS):
-            ok = dims_ok and fmt in CURATION_FMTS
-            cur_rows.append(f"({m * nf + fi}, {ok})")
+            if short < CURATION_MIN_SIDE:
+                reason = "too_small"
+            elif lng > CURATION_MAX_ASPECT_NUM * short:
+                reason = "bad_aspect"
+            elif cap_toks < CURATION_MIN_CAPTION_TOKENS:
+                reason = "short_caption"
+            elif fmt not in CURATION_FMTS:
+                reason = "bad_format"
+            else:
+                reason = "ok"
+            cur_rows.append(
+                f"({m * nf + fi}, {reason == 'ok'}, '{reason}')")
     cur_vals = ",\n    ".join(cur_rows)
     dim_vals = ",\n    ".join(dim_rows)
     ids = sorted(d for d, _ in _docs(ORACLE_SF_DIR))[:n]
     shard_vals = ",\n    ".join(
         f"('img-{int(d):08d}', {xxhash64(f'img-{int(d):08d}') % n_shards})"
         for d in ids)
-    return f"""
-  WITH RECURSIVE {_psnr_combo_ctes(n, dup_mod, max_hamming, min_psnr)},
-  curv(cid, ok) AS (VALUES
+    return f"""{_psnr_combo_ctes(n, dup_mod, max_hamming, min_psnr)},
+  curv(cid, ok, reason) AS (VALUES
     {cur_vals}),
   dims(m, w, h) AS (VALUES
     {dim_vals}),
@@ -691,11 +698,50 @@ def image_training_mix_sql(n: int = 384, dup_mod: int = 96,
            row_number() OVER (PARTITION BY bucket, shard
                               ORDER BY image_id) AS r,
            count(*) OVER (PARTITION BY bucket, shard) AS cnt
-    FROM classed)
+    FROM classed)"""
+
+
+def image_training_mix_sql(n: int = 384, dup_mod: int = 96,
+                           caption_dup_mod: int = 48,
+                           max_hamming: int = 10, min_psnr: float = 40.0,
+                           batch_size: int = 4, n_shards: int = 4) -> str:
+    """Full-chain mirror of pipeline.multimodal.image_training_mix:
+    the shared _image_mix_ctes chain, then the drop_last batch cut."""
+    return f"""
+  WITH RECURSIVE {_image_mix_ctes(n, dup_mod, caption_dup_mod,
+                                  max_hamming, min_psnr, n_shards)}
   SELECT image_id, bucket, CAST(shard AS INTEGER) AS shard,
          CAST((r - 1) // {batch_size} AS BIGINT) AS batch_id
   FROM rn
   WHERE (r - 1) // {batch_size} < cnt // {batch_size}
+"""
+
+
+def image_mix_report_sql(n: int = 384, dup_mod: int = 96,
+                         caption_dup_mod: int = 48,
+                         max_hamming: int = 10, min_psnr: float = 40.0,
+                         batch_size: int = 4, n_shards: int = 4) -> str:
+    """Mirror of pipeline.multimodal.image_mix_report: per-rung counts
+    and the curation reject breakdown, recomputed from the shared
+    _image_mix_ctes chain."""
+    return f"""
+  WITH RECURSIVE {_image_mix_ctes(n, dup_mod, caption_dup_mod,
+                                  max_hamming, min_psnr, n_shards)}
+  SELECT 'stage' AS kind, 'raw' AS key, count(*) AS "rows" FROM imgs
+  UNION ALL
+  SELECT 'stage', 'curated', count(*)
+  FROM imgs i JOIN curv ON curv.cid = i.cid AND curv.ok
+  UNION ALL
+  SELECT 'stage', 'payload_unique', count(*) FROM exact_surv
+  UNION ALL
+  SELECT 'stage', 'variant_survivors', count(*) FROM survivors
+  UNION ALL
+  SELECT 'stage', 'batched', count(*) FROM rn
+  WHERE (r - 1) // {batch_size} < cnt // {batch_size}
+  UNION ALL
+  SELECT 'reject', curv.reason, count(*)
+  FROM imgs i JOIN curv ON curv.cid = i.cid AND NOT curv.ok
+  GROUP BY curv.reason
 """
 
 

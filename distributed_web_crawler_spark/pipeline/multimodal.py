@@ -1036,8 +1036,18 @@ def image_training_mix(images: DataFrame, max_hamming: int = 10,
     PSNR tier joins bytes at candidate volume internally); every
     composition join is an id-keyed semi-join; the batch layout is the
     sharded-window shape of aspect_bucket_batches."""
+    return _mix_stages(images, max_hamming, min_psnr, batch_size,
+                       n_shards)["batched"]
+
+
+def _mix_stages(images: DataFrame, max_hamming: int, min_psnr: float,
+                batch_size: int, n_shards: int) -> dict[str, DataFrame]:
+    """The training-mix cost ladder as named stages, shared by
+    image_training_mix (returns the final manifest) and image_mix_report
+    (counts every rung)."""
+    curation = image_curation(images)
     kept = images.join(
-        image_curation(images).where(F.col("keep")).select("image_id"),
+        curation.where(F.col("keep")).select("image_id"),
         "image_id", "left_semi")
     payload_winners = (
         kept.select(F.sha2("bytes", 256).alias("payload_fp"), "image_id")
@@ -1048,7 +1058,47 @@ def image_training_mix(images: DataFrame, max_hamming: int = 10,
     survivors = (image_variant_dedup(uniq, max_hamming, min_psnr)
                  .where(F.col("keep")).select("image_id"))
     final = images.join(survivors, "image_id", "left_semi")
-    return aspect_bucket_batches(final, batch_size, n_shards)
+    return {
+        "curation": curation,
+        "curated": kept,
+        "payload_unique": uniq,
+        "variant_survivors": final,
+        "batched": aspect_bucket_batches(final, batch_size, n_shards),
+    }
+
+
+def image_mix_report(images: DataFrame, max_hamming: int = 10,
+                     min_psnr: float = 40.0, batch_size: int = 4,
+                     n_shards: int = 4) -> DataFrame:
+    """Dataset-card accounting for image_training_mix — the auditable
+    "where did my corpus go" report a 100 TB curation run publishes next
+    to its manifest. One row per pipeline rung with surviving-row
+    counts (kind='stage': raw → curated → payload_unique →
+    variant_survivors → batched), plus the curation rejection breakdown
+    (kind='reject', one row per first-failing rule observed).
+
+    Scale shape: each rung's count is one partial agg over an id
+    projection of the shared stage ladder (payload bytes never enter
+    any count); the reject breakdown is a map-only groupBy on the
+    curation verdict column. The report costs roughly one extra pass
+    of the mix pipeline's CHEAP tiers — the PSNR verify tier is reused
+    from the ladder, not re-run per rung."""
+    stages = _mix_stages(images, max_hamming, min_psnr, batch_size,
+                         n_shards)
+
+    def stage_count(df: DataFrame, key: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("rows")).select(
+            F.lit("stage").alias("kind"), F.lit(key).alias("key"), "rows")
+
+    rejects = (stages["curation"].where(~F.col("keep"))
+               .groupBy(F.col("reason").alias("key"))
+               .agg(F.count(F.lit(1)).alias("rows"))
+               .select(F.lit("reject").alias("kind"), "key", "rows"))
+    out = stage_count(images, "raw")
+    for key in ("curated", "payload_unique", "variant_survivors",
+                "batched"):
+        out = out.unionByName(stage_count(stages[key], key))
+    return out.unionByName(rejects)
 
 
 def image_history_index(old_images: DataFrame) -> dict[str, DataFrame]:

@@ -2109,6 +2109,20 @@ def image_variant_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=10, min_psnr=40.0)
 
 
+@q("image_mix_report", lambda: _oracles.image_mix_report_sql(
+    n=384, dup_mod=96, caption_dup_mod=48, max_hamming=10, min_psnr=40.0,
+    batch_size=4, n_shards=4))
+def image_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card accounting for the image training-mix pipeline:
+    surviving-row counts per rung (raw → curated → payload_unique →
+    variant_survivors → batched) plus the curation reject breakdown —
+    the audit a 100 TB curation run publishes next to its manifest."""
+    return multimodal.image_mix_report(
+        _images_df(spark, sf_dir, n=384, dup_mod=96, caption_dup_mod=48,
+                   variant_fmts=("png", "jpeg", "jpeg16", "png")),
+        max_hamming=10, min_psnr=40.0, batch_size=4, n_shards=4)
+
+
 @q("incremental_image_dedup", lambda: _oracles.incremental_image_dedup_sql(
     n=384, n_old=48, dup_mod=96, max_hamming=10, min_psnr=40.0))
 def incremental_image_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1341,3 +1341,29 @@ def test_incremental_image_dedup_materialized_index_identical(spark):
             new, old, max_hamming=10, min_psnr=40.0,
             index=stored).collect()))
     assert inline == via_index
+
+
+def test_image_mix_report_counts_are_internally_consistent(spark):
+    """The dataset card's rungs are monotone non-increasing, reconcile
+    with the manifest, and the reject breakdown sums to raw - curated."""
+    from distributed_web_crawler_spark.config import SynthWebConfig
+    from distributed_web_crawler_spark.crawl.synthweb import (
+        SYNTH_IMAGE_SCHEMA, images_for_keys)
+    ids = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    imgs = ids.mapInPandas(
+        images_for_keys(SynthWebConfig(), dup_mod=4,
+                        variant_fmts=("png", "jpeg", "jpeg16", "png")),
+        SYNTH_IMAGE_SCHEMA)
+    rep = multimodal.image_mix_report(
+        imgs, max_hamming=10, min_psnr=40.0, batch_size=1, n_shards=1)
+    rows = {(r["kind"], r["key"]): r["rows"] for r in rep.collect()}
+    stages = [rows[("stage", k)] for k in
+              ("raw", "curated", "payload_unique", "variant_survivors",
+               "batched")]
+    assert stages[0] == 16
+    assert all(a >= b for a, b in zip(stages, stages[1:]))
+    rejects = sum(v for (k, _), v in rows.items() if k == "reject")
+    assert rejects == stages[0] - stages[1]
+    manifest = multimodal.image_training_mix(
+        imgs, max_hamming=10, min_psnr=40.0, batch_size=1, n_shards=1)
+    assert manifest.count() == stages[4] == stages[3]  # batch_size=1
