@@ -238,6 +238,111 @@ def crawl_job(cores: int, store: str, rounds: int = 4,
     return stats
 
 
+def mix_job(cores: int, n_images: int = 4096,
+            dup_mod: int | None = None) -> dict:
+    """One image-pipeline benchmark: image_training_mix (curation →
+    exact dedup → phash-banded + PSNR-verified variant collapse →
+    aspect-bucket batches) over a deterministic synthetic image+caption
+    corpus (input_hint schema; 64-128 px payloads so the Arrow
+    decode/PSNR tier carries real CPU). The corpus is materialized and
+    cached BEFORE the timed region, so the measurement is the pipeline,
+    not the input synthesis. Workload is fixed (n_shards constant)
+    regardless of core count — the scaling-efficiency subject for the
+    image side of the graft."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from distributed_web_crawler_spark.config import SynthWebConfig
+    from distributed_web_crawler_spark.crawl.synthweb import (
+        SYNTH_IMAGE_SCHEMA,
+        images_for_keys,
+    )
+    from distributed_web_crawler_spark.pipeline.multimodal import (
+        image_training_mix,
+    )
+    from distributed_web_crawler_spark.session import get_spark
+
+    # 4 variants per pixel group (png/jpeg/jpeg16/png): dedup work GROWS
+    # with the corpus — a fixed dup_mod would cap the distinct-combo
+    # count and let images/sec inflate with n at constant work
+    if dup_mod is None:
+        dup_mod = max(1, n_images // 4)
+    spark = get_spark(f"mix_bench_{cores}", cores=cores,
+                      shuffle_partitions=max(8, cores))
+    # 128-256 px payloads: the Arrow decode/PSNR tier must dominate the
+    # per-stage scheduling floor, the same reasoning as the crawl scale
+    # preset — scaling efficiency is only meaningful in the
+    # compute-dominated regime a real cluster runs in
+    cfg = SynthWebConfig(min_dim=128, max_dim=256)
+    keys = (spark.range(n_images).select(F.col("id").alias("doc_id"))
+            .repartition(max(16, cores * 4)))
+    imgs = keys.mapInPandas(
+        images_for_keys(cfg, dup_mod=dup_mod,
+                        caption_dup_mod=max(1, dup_mod // 2),
+                        variant_fmts=("png", "jpeg", "jpeg16", "png")),
+        SYNTH_IMAGE_SCHEMA).persist(StorageLevel.MEMORY_AND_DISK)
+    n_in = imgs.count()
+    t0 = time.time()
+    n_out = image_training_mix(imgs, max_hamming=10, min_psnr=40.0,
+                               batch_size=8, n_shards=16).count()
+    wall = time.time() - t0
+    imgs.unpersist()
+    return {
+        "cores": cores,
+        "n_images": n_in,
+        "manifest_rows": n_out,
+        "wall_sec": round(wall, 3),
+        "images_per_sec": round(n_in / wall, 2),
+    }
+
+
+def _mix_subprocess(cores: int, n_images: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--mix-only", "--cores", str(cores),
+         "--mix-images", str(n_images), "--pin"],
+        capture_output=True, text=True, timeout=3600,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_scaling_mix(levels: tuple[int, int] = (2, 8),
+                    n_images: int = 4096, reps: int = 3) -> dict:
+    """image_training_mix at N and 4N pinned local cores — the image-
+    pipeline side of the north_rule's two-cluster-size criterion, same
+    protocol as run_scaling: fresh JVM per run, whole process tree
+    affinity-pinned, interleaved reps, best-of per level, raw efficiency
+    plus the probe-normalized figure."""
+    runs: dict[int, list] = {c: [] for c in levels}
+    probes: dict[int, list] = {c: [] for c in levels}
+    for _ in range(reps):
+        for cores in levels:
+            probes[cores].append(cpu_baseline(cores, seconds=3.0))
+            runs[cores].append(_mix_subprocess(cores, n_images))
+    n, n4 = levels
+    best = {c: max(runs[c], key=lambda s: s["images_per_sec"])
+            for c in levels}
+    tp_n, tp_4n = best[n]["images_per_sec"], best[n4]["images_per_sec"]
+    hw_speedup = max(probes[n4]) / max(probes[n])
+    raw_eff = tp_4n / tp_n / (n4 / n)
+    return {
+        "metric": "image_mix_scaling_efficiency_N_to_4N",
+        "value": round(raw_eff, 4),
+        "unit": "efficiency",
+        "normalized_efficiency": round(tp_4n / tp_n / hw_speedup, 4),
+        "hw_probe_speedup": round(hw_speedup, 3),
+        "reps": reps,
+        "throughput": {f"local[{n}]": round(tp_n, 2),
+                       f"local[{n4}]": round(tp_4n, 2)},
+        "all_images_per_sec": {str(c): [round(s["images_per_sec"], 1)
+                                        for s in runs[c]] for c in levels},
+        "levels": {str(c): best[c] for c in levels},
+        "baseline_units_per_sec": {str(c): [round(b, 0) for b in probes[c]]
+                                   for c in levels},
+    }
+
+
 def run_headline() -> dict:
     import __spark_entry__ as entrymod
     from distributed_web_crawler_spark.session import get_spark
@@ -398,6 +503,11 @@ def run_scaling(levels: tuple[int, int] = (2, 8),
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-mix", action="store_true",
+                    help="N→4N scaling of image_training_mix (the image-"
+                         "pipeline analog of --scaling)")
+    ap.add_argument("--mix-only", action="store_true")
+    ap.add_argument("--mix-images", type=int, default=4096)
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--store", default=None)
@@ -418,6 +528,12 @@ def main() -> None:
         finally:
             if args.store is None:
                 shutil.rmtree(store, ignore_errors=True)
+    elif args.mix_only:
+        if args.pin:
+            pin_to_cores(args.cores)
+        print(json.dumps(mix_job(args.cores, n_images=args.mix_images)))
+    elif args.scaling_mix:
+        print(json.dumps(run_scaling_mix(n_images=args.mix_images)))
     elif args.scaling:
         print(json.dumps(run_scaling()))
     else:

@@ -45,6 +45,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # payload-aware Arrow batch bound: the default 10k rows/batch is
+        # ~600 MB of pandas per task for 60 KB media payloads — N
+        # concurrent tasks then thrash allocation/GC and byte-heavy
+        # mapInPandas stages ANTI-scale with cores (measured: the PSNR
+        # verify tier ran 22s at 8 cores vs 15s at 2 until bounded).
+        # 1024 rows caps worker memory at rows × max_payload while slim-
+        # row Arrow ops keep amortizing per-batch overhead fine
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

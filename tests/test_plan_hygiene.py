@@ -18,7 +18,8 @@ invariants the per-query pins in test_plans.py check locally:
       (bm25's corpus stats, lm_perplexity's totals, tf-idf's N, ANN's
       tiling count);
   (b) the final single-partition agg of a global scalar (page_count) or
-      a deliberately tiny report (dedup_eval's per-config rollup).
+      a deliberately tiny report (dedup_eval's per-config rollup,
+      image_mix_report's per-rung dataset-card counts).
 
 Any query OUTSIDE the whitelist growing one of these markers is a plan
 regression and fails here, board-wide, without needing a bespoke pin.
@@ -50,7 +51,8 @@ NESTED_LOOP_OK = {
 SINGLE_PARTITION_OK = {
     "bm25_search", "budget_allocation", "centroid_drift", "corpus_drift",
     "dedup_eval", "epoch_expansion", "funnel_stages", "host_hits",
-    "hybrid_rrf", "lm_perplexity", "mix_weights", "page_count",
+    "hybrid_rrf", "image_mix_report", "lm_perplexity", "mix_weights",
+    "page_count",
     "pmi_collocations", "snapshot_expiry", "tfidf_topterms",
 }
 
