@@ -443,6 +443,70 @@ def image_resize_sql(n: int = 128, dup_mod: int = 96,
 """
 
 
+def _image_member(m: int, dup_mod: int):
+    """Payload/caption member sizes for one duplicate group — the codec
+    mirror at the grain the WebDataset member index needs (byte lengths
+    only; the round-trip pytest pins content)."""
+    key = ("imgmem", m, dup_mod)
+    if key in _cache:
+        return _cache[key]
+    from .config import SynthWebConfig
+    from .crawl.synthweb import _byte_stream, _digest, _dint, encode_image
+
+    cfg = SynthWebConfig()
+    ck = f"doc:{m}"
+    h = _dint(cfg.seed, "img", ck)
+    span = max(1, cfg.max_dim - cfg.min_dim + 1)
+    w = cfg.min_dim + (h % span)
+    ht = cfg.min_dim + ((h >> 8) % span)
+    fmt = "png" if (h >> 16) % 2 == 0 else "jpeg"
+    buf = encode_image(_byte_stream(cfg.seed, ck, w * ht).reshape(ht, w),
+                       fmt)
+    caption = f"cap {ck} " + _digest(cfg.seed, "cap", ck).hex()[:16]
+    _cache[key] = {"fmt": fmt, "p": len(buf), "c": len(caption.encode())}
+    return _cache[key]
+
+
+def wds_index_sql(n: int = 64, dup_mod: int = 48, n_shards: int = 4) -> str:
+    """Mirror of sources.wds.wds_member_index: shard keys come from the
+    XXH64 mirror as VALUES, member sizes from the codec mirror, and the
+    tar layout math (512-byte header + block-padded data, running-sum
+    offsets in (image_id, member_name) order) is restated relationally."""
+    from .functions.xxh64 import xxhash64
+
+    ids = sorted(d for d, _ in _docs(ORACLE_SF_DIR))[:n]
+    sh_vals = ", ".join(
+        f"({d}, {xxhash64('img-%08d' % d) % n_shards})" for d in ids)
+    mem_vals = ",\n    ".join(
+        "({m}, '{fmt}', {p}, {c})".format(m=m, **_image_member(m, dup_mod))
+        for m in range(dup_mod))
+    return f"""
+  WITH {_IDS_CTE.format(n=n)},
+  sh(doc_id, shard) AS (VALUES {sh_vals}),
+  v(m, fmt, psize, csize) AS (VALUES
+    {mem_vals}),
+  img AS (SELECT printf('img-%08d', ids.doc_id) AS image_id, sh.shard,
+                 v.fmt, v.psize, v.csize
+          FROM ids JOIN v ON ids.doc_id % {dup_mod} = v.m
+                   JOIN sh ON sh.doc_id = ids.doc_id),
+  mem AS (
+    SELECT shard, image_id, image_id || '.' || fmt AS member_name,
+           CAST(psize AS BIGINT) AS size_bytes FROM img
+    UNION ALL
+    SELECT shard, image_id, image_id || '.txt', CAST(csize AS BIGINT)
+    FROM img),
+  b AS (SELECT shard, image_id, member_name, size_bytes,
+               512 + 512 * ((size_bytes + 511) // 512) AS blocks FROM mem)
+  SELECT CAST(shard AS INTEGER) AS shard, member_name,
+         CAST(sum(blocks) OVER (PARTITION BY shard
+                                ORDER BY image_id, member_name
+                                ROWS UNBOUNDED PRECEDING)
+              - blocks + 512 AS BIGINT) AS data_offset,
+         size_bytes
+  FROM b
+"""
+
+
 _PSNR_FMTS = ("png", "jpeg", "jpeg16")
 
 

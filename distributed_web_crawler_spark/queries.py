@@ -3645,6 +3645,20 @@ def warc_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warcmod.warc_export_index(pages, n_shards=4)
 
 
+@q("wds_index", lambda: _oracles.wds_index_sql(n=64, dup_mod=48,
+                                               n_shards=4))
+def wds_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard member index (the image-training analog of
+    the WARC cdx): content-addressed shard assignment and the tar layout
+    math (512-byte headers, block-padded data, running offsets in
+    (image_id, member_name) order) — all JVM-side, zero archive reads.
+    Export→ingest round-trip pinned in tests/test_wds.py."""
+    from .sources import wds as wdsmod
+    idx = wdsmod.wds_member_index(
+        _images_df(spark, sf_dir, n=64, dup_mod=48), n_shards=4)
+    return idx.drop("member_sha256")
+
+
 @q("revalidation_planner", r"""
   WITH s AS (
     SELECT doc_id,
