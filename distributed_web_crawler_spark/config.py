@@ -81,6 +81,21 @@ class CrawlConfig:
     # (the reference has no analog; hostnames only).
     pld_budget_per_round: int = 0
 
+    # frontier prioritization (Cho, Garcia-Molina & Page, WWW 1998,
+    # "Efficient Crawling Through URL Ordering" — backlink-count
+    # ordering). The reference DECLARES priority crawling (README.md:38)
+    # but hard-codes priority=1 everywhere (core/WebCrawler.java:92,425);
+    # "inlink" completes that intent: a child discovered by many pages
+    # this round gets priority = max(1, cap - discovered_inlinks), so
+    # well-linked pages rank earlier in the (priority, host, url) total
+    # order AND win politeness-budget slots first. "constant" =
+    # bug-for-bug reference parity (every request priority 1). The
+    # count is per discovery round (stateless — each round's evidence),
+    # computed inside the child-winner aggregation at zero extra
+    # exchange, and mirrored by the golden model.
+    priority_mode: str = "constant"
+    priority_inlink_cap: int = 8
+
     # deterministic clock: round r happens at epoch + r * round_seconds
     epoch_ms: int = 1_700_000_000_000
     round_seconds: int = 60

@@ -191,6 +191,7 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
 
         # --- fetch + D1/D2 dedup + store, canonical order -------------------
         children_cand: dict[str, tuple[int, str]] = {}
+        children_edges: dict[str, int] = {}   # per-round discovered inlinks
         round_stats: dict[str, list[int]] = {}
         for q in sorted(selected, key=lambda q: (q.priority, q.host, q.url)):
             stat = round_stats.setdefault(q.host, [0, 0])
@@ -228,10 +229,22 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
                 prev = children_cand.get(link)
                 if prev is None or cand < prev:
                     children_cand[link] = cand             # min(depth, parent)
+                # inlink-priority mirror: one (page, distinct href) edge,
+                # exactly the engine's post-filter count(*) grain
+                children_edges[link] = children_edges.get(link, 0) + 1
 
         # --- D4 URL-seen + next frontier ------------------------------------
+        def child_priority(url: str) -> int:
+            # cfg.priority_mode="inlink": Cho/Garcia-Molina/Page backlink
+            # ordering — max(1, cap - discovered inlinks this round);
+            # "constant" keeps the reference's hard-coded 1
+            if cfg.priority_mode == "inlink":
+                return max(1, cfg.priority_inlink_cap - children_edges[url])
+            return 1
+
         new_reqs = [
-            Req(url, host_of(url), depth, parent)
+            Req(url, host_of(url), depth, parent,
+                priority=child_priority(url))
             for url, (depth, parent) in children_cand.items()
             if url not in seen_urls
         ]

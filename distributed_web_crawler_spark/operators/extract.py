@@ -338,7 +338,20 @@ def extract_children(stored: DataFrame, cfg: CrawlConfig,
     win = F.min(F.struct(
         "depth", "parent_url", "host", "discovered_at_ms", "priority",
         "retry_count", "scheduled_for_ms")).alias("w")
-    return (children.groupBy("url").agg(win)
-            .select("url", "w.host", "w.depth", "w.parent_url",
-                    "w.discovered_at_ms", "w.priority", "w.retry_count",
-                    "w.scheduled_for_ms"))
+    # inlink-priority tier (cfg.priority_mode="inlink"): the same hash
+    # aggregate also counts the child's discovered in-links this round
+    # (count(*) rides the map-side partial combine — zero extra
+    # exchange), and priority = max(1, cap - n_inlinks) replaces the
+    # reference's constant 1 (Cho/Garcia-Molina/Page backlink ordering;
+    # see CrawlConfig.priority_mode). Edges are (parent page, distinct
+    # raw href) rows post-filter — exactly what the golden model counts.
+    agg = children.groupBy("url").agg(win, F.count(F.lit(1)).alias("n_in"))
+    if cfg.priority_mode == "inlink":
+        priority = F.greatest(
+            F.lit(1),
+            F.lit(cfg.priority_inlink_cap) - F.col("n_in")).cast("int")
+    else:
+        priority = F.col("w.priority")
+    return agg.select("url", "w.host", "w.depth", "w.parent_url",
+                      "w.discovered_at_ms", priority.alias("priority"),
+                      "w.retry_count", "w.scheduled_for_ms")
