@@ -939,3 +939,39 @@ class Crawler:
                                   min_psnr=min_psnr,
                                   batch_size=batch_size,
                                   n_shards=n_shards)
+
+    def export_training_shards(self, out_dir: str, n_tar_shards: int = 4,
+                               refreshed: bool = False,
+                               **manifest_kwargs) -> DataFrame | None:
+        """Materialize the training corpus as WebDataset tar shards
+        (sources/wds.py): the training_manifest's surviving image_ids,
+        joined back id-keyed-semi to the store's payload rows (bytes
+        move only for survivors), written as content-addressed tar
+        shards with the member index published next to them as parquet
+        (``<out_dir>/index``) — the layout a dataloader mounts. The
+        manifest's (bucket, shard, batch_id) stays the LOADER grouping;
+        tar shards are the STORAGE grouping (pmod(xxhash64(image_id))),
+        so re-exports after incremental crawls touch only shards whose
+        membership changed. Returns the receipt table, or None on an
+        empty store."""
+        from ..sources.wds import export_wds_shards, wds_member_index
+
+        manifest = self.training_manifest(refreshed=refreshed,
+                                          **manifest_kwargs)
+        if manifest is None:
+            return None
+        p = self.refreshed_pages() if refreshed else self.pages()
+        imgs = (p.select("image_id", "bytes", "fmt", "caption")
+                .dropDuplicates(["image_id"])
+                .join(manifest.select("image_id").distinct(),
+                      "image_id", "left_semi"))
+        imgs = imgs.cache()  # one pass feeds both archive and index
+        try:
+            receipts = export_wds_shards(
+                imgs, out_dir, n_shards=n_tar_shards).localCheckpoint()
+            (wds_member_index(imgs, n_shards=n_tar_shards)
+             .write.mode("overwrite")
+             .parquet(os.path.join(out_dir, "index")))
+        finally:
+            imgs.unpersist()
+        return receipts

@@ -77,3 +77,44 @@ def test_training_manifest_reflects_revalidation_drift(spark, tmp_path):
     assert fresh_ids & refreshed_ids, "new payloads enter the manifest"
     assert not (fresh_ids & (pre_drift_ids - refreshed_ids)), \
         "stale pre-drift payloads must not appear in the refreshed manifest"
+
+
+def test_export_training_shards_roundtrip(spark, tmp_path):
+    """Crawl → manifest → WebDataset tar shards: the archived members
+    are exactly the manifest's survivors (payload + caption per image),
+    payload bytes match the store, and the published parquet index
+    describes the files the tar reader actually sees."""
+    from distributed_web_crawler_spark.sources.wds import parse_wds
+
+    c = Crawler(spark, CFG, SYNTH, str(tmp_path / "store"))
+    c.bootstrap(seed_urls(SYNTH, 4))
+    c.run()
+    out = str(tmp_path / "wds")
+    receipts = c.export_training_shards(out, n_tar_shards=2,
+                                        batch_size=2, n_shards=2)
+    manifest_ids = {r["image_id"] for r in
+                    c.training_manifest(batch_size=2, n_shards=2)
+                    .select("image_id").collect()}
+    assert receipts is not None
+    assert sum(r.n_members for r in receipts.collect()) \
+        == 2 * len(manifest_ids)
+
+    parsed = {r.member_name: (r.shard, r.data_offset, bytes(r.data))
+              for r in parse_wds(spark, out).collect()}
+    store = {r.image_id: r for r in
+             c.pages().select("image_id", "bytes", "fmt", "caption")
+             .dropDuplicates(["image_id"]).collect()}
+    assert {n.rsplit(".", 1)[0] for n in parsed} == manifest_ids
+    for iid in manifest_ids:
+        row = store[iid]
+        assert parsed[f"{iid}.{row.fmt}"][2] == bytes(row.bytes)
+        assert parsed[f"{iid}.txt"][2].decode() == row.caption
+
+    idx = {r.member_name: (r.shard, r.data_offset) for r in
+           spark.read.parquet(f"{out}/index").collect()}
+    assert {n: v[:2] for n, v in parsed.items()} == idx
+
+
+def test_export_training_shards_empty_store_is_none(spark, tmp_path):
+    c = Crawler(spark, CFG, SYNTH, str(tmp_path))
+    assert c.export_training_shards(str(tmp_path / "wds")) is None

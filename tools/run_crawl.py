@@ -49,6 +49,12 @@ def main() -> None:
                          "batches over the store) as parquet to DIR")
     ap.add_argument("--batch-size", type=int, default=4,
                     help="--training-manifest batch size (drop_last)")
+    ap.add_argument("--export-wds", default=None, metavar="DIR",
+                    help="after the crawl, export the training-manifest "
+                         "survivors as WebDataset tar shards + member "
+                         "index (Crawler.export_training_shards) to DIR")
+    ap.add_argument("--wds-shards", type=int, default=4,
+                    help="--export-wds tar shard count")
     args = ap.parse_args()
 
     # imports resolve from --py-files (or PYTHONPATH when run directly)
@@ -90,6 +96,18 @@ def main() -> None:
                 "batches": out.select("bucket", "shard", "batch_id")
                               .distinct().count(),
                 "path": args.training_manifest,
+            }
+    if args.export_wds:
+        receipts = crawler.export_training_shards(
+            args.export_wds, n_tar_shards=args.wds_shards,
+            batch_size=args.batch_size, refreshed=args.revalidate)
+        if receipts is not None:
+            rows = receipts.collect()
+            stats["wds_export"] = {
+                "shards": len(rows),
+                "members": sum(r.n_members for r in rows),
+                "tar_bytes": sum(r.tar_bytes for r in rows),
+                "path": args.export_wds,
             }
     print(json.dumps(stats))
 
