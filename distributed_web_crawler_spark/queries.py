@@ -624,6 +624,67 @@ def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# six-table star join: regional supplier revenue (TPC-H Q5 shape) — the
+# join-strategy showcase: dims broadcast, fact shuffles once per key
+# ---------------------------------------------------------------------------
+
+@q("regional_revenue", """
+  SELECT n_name,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1
+""")
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue per nation where customer and supplier share the
+    nation, one region, two-year order window. 100 TB plan: region/nation/
+    supplier/customer broadcast (region filter prunes nation then supplier
+    BEFORE the fact joins — the dim reduction rides the broadcast build
+    side), so lineitem crosses ONE exchange (the l_orderkey join against
+    the date-filtered orders, which Catalyst pushes to the orders scan);
+    the c_nationkey = s_nationkey correlation is an extra equi-key on the
+    broadcast customer probe, never a shuffle. Decimal-summed, double-cast
+    (bit-exact vs the oracle)."""
+    region = (_t(spark, sf_dir, "region")
+              .where(F.col("r_name") == "ASIA").select("r_regionkey"))
+    nation = (_t(spark, sf_dir, "nation")
+              .join(F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .select("n_nationkey", "n_name"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_nationkey", "n_name"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (_t(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= "1996-01-01")
+                     & (F.col("o_orderdate") < "1998-01-01"))
+              .select("o_orderkey", "o_custkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(cust),
+                  (F.col("o_custkey") == F.col("c_custkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .groupBy("n_name")
+            .agg(F.sum(rev.cast("decimal(18,4)")).cast("double")
+                 .alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+# ---------------------------------------------------------------------------
 # event-time tumbling window aggregation (streaming-shape batch analog)
 # ---------------------------------------------------------------------------
 
