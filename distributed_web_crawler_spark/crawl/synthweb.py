@@ -78,6 +78,53 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     return magic + struct.pack("<HH", w, h) + zlib.compress(stored.tobytes(), 6)
 
 
+_META_MAGIC = b"META"
+
+
+def wrap_with_meta(buf: bytes, meta: dict[str, str]) -> bytes:
+    """Attach a metadata envelope to an encoded image — the synthetic
+    stand-in for an EXIF/APP1 segment (real EXIF parsing needs the
+    env-gated real codec, like decode_real_image). Layout:
+    b"META" + u16 n_pairs + n×(u16 klen, u16 vlen, key, value) + inner
+    image bytes. Keys/values are UTF-8."""
+    out = [_META_MAGIC, struct.pack("<H", len(meta))]
+    for k in sorted(meta):   # deterministic byte layout
+        kb, vb = k.encode(), meta[k].encode()
+        out.append(struct.pack("<HH", len(kb), len(vb)))
+        out.append(kb)
+        out.append(vb)
+    out.append(buf)
+    return b"".join(out)
+
+
+def split_meta(buf: bytes) -> tuple[dict[str, str], bytes]:
+    """Inverse of wrap_with_meta; a buffer without the envelope returns
+    ({}, buf) unchanged — scrub is idempotent and pass-through-safe."""
+    if buf[:4] != _META_MAGIC:
+        return {}, buf
+    n, = struct.unpack("<H", buf[4:6])
+    pos, meta = 6, {}
+    for _ in range(n):
+        klen, vlen = struct.unpack("<HH", buf[pos:pos + 4])
+        pos += 4
+        meta[buf[pos:pos + klen].decode()] = \
+            buf[pos + klen:pos + klen + vlen].decode()
+        pos += klen + vlen
+    return meta, buf[pos:]
+
+
+def meta_for_key(key: int) -> dict[str, str]:
+    """Deterministic per-image metadata fixture: every image carries a
+    device tag, every third a GPS pair, every fifth a software tag —
+    pure function of the image key so the DuckDB mirror can restate it."""
+    meta = {"device": f"cam-{key % 5}"}
+    if key % 3 == 0:
+        meta["gps"] = f"{key % 90}.0,{key % 180}.0"
+    if key % 5 == 0:
+        meta["software"] = "synthcam 1.0"
+    return meta
+
+
 def decode_image(buf: bytes) -> tuple[np.ndarray, str]:
     magic, rest = buf[:4], buf[4:]
     fmt = "jpeg" if magic == _JPG_MAGIC else "png"

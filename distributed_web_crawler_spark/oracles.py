@@ -463,7 +463,9 @@ def _image_member(m: int, dup_mod: int):
     buf = encode_image(_byte_stream(cfg.seed, ck, w * ht).reshape(ht, w),
                        fmt)
     caption = f"cap {ck} " + _digest(cfg.seed, "cap", ck).hex()[:16]
-    _cache[key] = {"fmt": fmt, "p": len(buf), "c": len(caption.encode())}
+    import hashlib
+    _cache[key] = {"fmt": fmt, "p": len(buf), "c": len(caption.encode()),
+                   "sha": hashlib.sha256(buf).hexdigest()}
     return _cache[key]
 
 
@@ -504,6 +506,37 @@ def wds_index_sql(n: int = 64, dup_mod: int = 48, n_shards: int = 4) -> str:
               - blocks + 512 AS BIGINT) AS data_offset,
          size_bytes
   FROM b
+"""
+
+
+def image_meta_stats_sql(n: int = 64, dup_mod: int = 48) -> str:
+    """Mirror of pipeline.multimodal.image_meta_stats over the
+    meta-wrapped image fixture: per-image envelope contents come from
+    the same pure function (synthweb.meta_for_key) as VALUES, and the
+    scrubbed-payload sha256 is the codec mirror's hash of the UNWRAPPED
+    group buffer — so a scrub that leaves envelope bytes behind (or
+    strips pixel bytes) hash-mismatches."""
+    from .crawl.synthweb import meta_for_key
+
+    ids = sorted(d for d, _ in _docs(ORACLE_SF_DIR))[:n]
+    dvals = ", ".join(
+        "({d}, {n}, {g})".format(
+            d=d, n=len(meta_for_key(d)),
+            g=str("gps" in meta_for_key(d)).upper())
+        for d in ids)
+    svals = ",\n    ".join(
+        f"({m}, '{_image_member(m, dup_mod)['sha']}')"
+        for m in range(dup_mod))
+    return f"""
+  WITH {_IDS_CTE.format(n=n)},
+  dm(doc_id, n_meta, has_gps) AS (VALUES {dvals}),
+  s(m, sha) AS (VALUES
+    {svals})
+  SELECT printf('img-%08d', ids.doc_id) AS image_id,
+         CAST(dm.n_meta AS INTEGER) AS n_meta, dm.has_gps,
+         s.sha AS payload_sha256
+  FROM ids JOIN dm ON dm.doc_id = ids.doc_id
+           JOIN s ON ids.doc_id % {dup_mod} = s.m
 """
 
 

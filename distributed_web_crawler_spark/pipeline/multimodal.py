@@ -1017,6 +1017,66 @@ def mime_sniff(images: DataFrame, bytes_col: str = "bytes",
         (F.col(declared_col) != sniffed).alias("mismatch"))
 
 
+META_STATS_SCHEMA = ("image_id string, n_meta int, has_gps boolean, "
+                     "payload_sha256 string")
+
+
+def image_meta_stats(images: DataFrame, bytes_col: str = "bytes",
+                     id_col: str = "image_id") -> DataFrame:
+    """Metadata-envelope audit + scrub evidence in one pass: per image,
+    the number of embedded metadata pairs, whether a GPS tag is present
+    (the privacy flag an image-training curation run gates on — LAION
+    strips EXIF/GPS before release), and the sha256 of the payload with
+    the envelope REMOVED. The synthetic envelope (crawl/synthweb.py
+    wrap_with_meta) stands in for JPEG APP1/EXIF; real-EXIF parsing
+    belongs to the env-gated real codec, same as decode_real_image.
+
+    Scale shape: map-only Arrow batch walk (header parse + one hash per
+    payload), no exchange; payload bytes never leave the task."""
+    from ..crawl.synthweb import split_meta
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            ids, ns, gps, shas = [], [], [], []
+            for iid, buf in zip(pdf[id_col], pdf[bytes_col]):
+                meta, inner = split_meta(bytes(buf))
+                ids.append(iid)
+                ns.append(len(meta))
+                gps.append("gps" in meta)
+                shas.append(hashlib.sha256(inner).hexdigest())
+            yield pd.DataFrame({
+                "image_id": ids,
+                "n_meta": pd.array(ns, dtype="Int32"),
+                "has_gps": gps,
+                "payload_sha256": shas})
+
+    return images.select(id_col, bytes_col).mapInPandas(
+        stats, META_STATS_SCHEMA)
+
+
+def image_meta_scrub(images: DataFrame, bytes_col: str = "bytes") \
+        -> DataFrame:
+    """Strip the metadata envelope, preserving every other column and
+    the pixel stream byte-for-byte (scrub-then-decode equals
+    decode-then-scrub; idempotent on already-clean payloads). Map-only
+    Arrow walk — the schema out equals the schema in, so the scrub
+    composes anywhere in the curation ladder."""
+    from ..crawl.synthweb import split_meta
+
+    cols = images.columns
+    schema = images.schema
+
+    def scrub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[bytes_col] = [split_meta(bytes(b))[1]
+                              for b in pdf[bytes_col]]
+            yield pdf
+
+    return images.select(*cols).mapInPandas(scrub, schema)
+
+
 def image_training_mix(images: DataFrame, max_hamming: int = 10,
                        min_psnr: float = 40.0, batch_size: int = 4,
                        n_shards: int = 4) -> DataFrame:

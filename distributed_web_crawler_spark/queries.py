@@ -2127,6 +2127,38 @@ def _images_df(spark: SparkSession, sf_dir: str, n: int = 128,
         SYNTH_IMAGE_SCHEMA)
 
 
+def _meta_images_df(spark: SparkSession, sf_dir: str, n: int = 64,
+                    dup_mod: int = 48) -> DataFrame:
+    """Image table with the synthetic metadata envelope attached —
+    meta pairs are a pure function of the image key
+    (synthweb.meta_for_key), so the DuckDB mirror restates them."""
+    from .crawl.synthweb import meta_for_key, wrap_with_meta
+
+    imgs = _images_df(spark, sf_dir, n=n, dup_mod=dup_mod)
+    schema = imgs.schema
+
+    def wrap(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            keys = [int(i.rsplit("-", 1)[1]) for i in pdf["image_id"]]
+            pdf["bytes"] = [wrap_with_meta(bytes(b), meta_for_key(k))
+                            for b, k in zip(pdf["bytes"], keys)]
+            yield pdf
+
+    return imgs.mapInPandas(wrap, schema)
+
+
+@q("image_meta_stats", lambda: _oracles.image_meta_stats_sql(n=64,
+                                                             dup_mod=48))
+def image_meta_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF-envelope audit + scrub evidence: per-image metadata pair
+    count, GPS privacy flag, and the sha256 of the scrubbed payload —
+    oracled against the codec mirror's hash of the unwrapped buffer, so
+    envelope-stripping correctness is inside the hash check."""
+    return multimodal.image_meta_stats(
+        _meta_images_df(spark, sf_dir, n=64, dup_mod=48))
+
+
 @q("image_stats", lambda: _oracles.image_stats_sql())
 def image_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_stats(_images_df(spark, sf_dir))

@@ -98,3 +98,51 @@ def test_mime_sniff_magic_beats_declared(spark):
     assert got["b"]["mismatch"] and got["b"]["sniffed"] == "jpeg"
     assert got["c"]["mismatch"] and got["c"]["sniffed"] == "unknown"
     assert got["d"]["mismatch"] and got["d"]["sniffed"] == "unknown"
+
+
+def test_image_meta_envelope_roundtrip_and_scrub(spark):
+    """wrap → split is the identity on both sides; image_meta_scrub
+    strips the envelope byte-exactly (decode(scrubbed) == original
+    pixels), passes clean payloads through untouched, and is
+    idempotent."""
+    import numpy as np
+
+    from distributed_web_crawler_spark.crawl.synthweb import (
+        decode_image, encode_image, meta_for_key, split_meta,
+        wrap_with_meta,
+    )
+    from distributed_web_crawler_spark.pipeline.multimodal import (
+        image_meta_scrub, image_meta_stats,
+    )
+
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, size=(12, 9), dtype=np.uint8)
+    buf = encode_image(pix, "png")
+    meta = {"device": "cam-1", "gps": "10.0,20.0", "": "empty-key-ok"}
+    wrapped = wrap_with_meta(buf, meta)
+    got_meta, inner = split_meta(wrapped)
+    assert got_meta == meta and inner == buf
+    assert split_meta(buf) == ({}, buf)          # clean pass-through
+
+    rows = [("w", bytearray(wrapped), "png", "cap w"),
+            ("c", bytearray(buf), "png", "cap c")]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, caption string")
+    scrubbed = {r.image_id: bytes(r.bytes)
+                for r in image_meta_scrub(df).collect()}
+    assert scrubbed["w"] == buf and scrubbed["c"] == buf
+    assert np.array_equal(decode_image(scrubbed["w"])[0], pix)
+    # idempotent: scrubbing the scrubbed output changes nothing
+    df2 = image_meta_scrub(image_meta_scrub(df))
+    assert {r.image_id: bytes(r.bytes) for r in df2.collect()} == scrubbed
+    # schema preserved: scrub composes anywhere in the ladder
+    assert image_meta_scrub(df).schema == df.schema
+
+    stats = {r.image_id: r for r in image_meta_stats(df).collect()}
+    assert stats["w"].n_meta == 3 and stats["w"].has_gps
+    assert stats["c"].n_meta == 0 and not stats["c"].has_gps
+    assert stats["w"].payload_sha256 == stats["c"].payload_sha256
+
+    # the fixture generator is deterministic and mirrors meta_for_key
+    assert meta_for_key(15).keys() == {"device", "gps", "software"}
+    assert meta_for_key(1) == {"device": "cam-1"}
