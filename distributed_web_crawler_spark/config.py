@@ -96,6 +96,20 @@ class CrawlConfig:
     priority_mode: str = "constant"
     priority_inlink_cap: int = 8
 
+    # frontier eviction (0 = unbounded): after each round, keep only the
+    # frontier_cap smallest rows under the canonical (priority, host,
+    # url) total order and drop the rest — bounded frontier storage at
+    # 10^10 discovery rates (a crawler that enqueues faster than it
+    # fetches otherwise grows the frontier without bound). Eviction is
+    # backpressure, not a blacklist: an evicted NEW discovery was never
+    # persisted to a frontier snapshot, so the exact URL-seen re-check
+    # (which reads persisted enqueue history) re-admits it if a later
+    # page rediscovers it — its stale bloom bit is just a false
+    # positive the exact check resolves. Evicted DEFERRED rows were
+    # already persisted and stay seen forever. Mirrored by the golden
+    # model; "evicted" is reported in the round counts like "injected".
+    frontier_cap: int = 0
+
     # deterministic clock: round r happens at epoch + r * round_seconds
     epoch_ms: int = 1_700_000_000_000
     round_seconds: int = 60

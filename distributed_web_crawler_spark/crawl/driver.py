@@ -499,9 +499,13 @@ class Crawler:
             # and later sinks run as concurrent cache-only Spark jobs, so
             # no stage computes twice and the serialized tail is a single
             # wave of small jobs.
+            next_frontier, evicted = res.next_frontier, 0
+            if self.cfg.frontier_cap:
+                next_frontier, evicted = _timed(
+                    "evict", lambda: self._evict_frontier(res.next_frontier))
             with ThreadPoolExecutor(max_workers=2) as ex:
                 f1 = ex.submit(_timed, "frontier", lambda: self.store
-                               .stage_write("frontier", res.next_frontier,
+                               .stage_write("frontier", next_frontier,
                                             r + 1))
                 f2 = ex.submit(_timed, "robots", lambda: self.store
                                .stage_write("robots", plan.robots_new, r))
@@ -541,6 +545,8 @@ class Crawler:
                                          + row["value"])
             if inj_n:
                 counts["injected"] = inj_n
+            if evicted:
+                counts["evicted"] = evicted
             self.store.commit_round(r + 1, {"round_processed": r,
                                             "counts": counts,
                                             "stage_sec": stage_sec,
@@ -556,6 +562,39 @@ class Crawler:
         return {**totals, "wall_sec": wall,
                 "urls_per_sec": totals["fetched"] / wall if wall > 0 else 0.0,
                 "per_round": per_round}
+
+    def _evict_frontier(self, nf: DataFrame) -> tuple[DataFrame, int]:
+        """Frontier eviction (cfg.frontier_cap): keep exactly the cap
+        smallest rows under the canonical (priority, host, url) total
+        order. Distributed selection via priority strata — priorities
+        are a small integer domain (≤ priority_inlink_cap values), so
+        one tiny per-priority count aggregate (collected: ≤ cap_p rows)
+        finds the boundary stratum by prefix sum; whole strata below it
+        keep without any sort, and only the BOUNDARY stratum runs a
+        top-K (TakeOrderedAndProject at test scale; at a 10^9-row
+        boundary stratum the same prefix-sum trick recurses on a salted
+        sub-key). Equal by construction to a global
+        orderBy(priority, host, url).limit(cap) — the golden model
+        mirrors it as exactly that sort-and-slice."""
+        counts = sorted(
+            (row["priority"], row["n"]) for row in
+            nf.groupBy("priority").agg(F.count("*").alias("n")).collect())
+        total = sum(n for _, n in counts)
+        cap = self.cfg.frontier_cap
+        if total <= cap:
+            return nf, 0
+        kept = 0
+        for p_star, n in counts:
+            if kept + n > cap:
+                room = cap - kept
+                break
+            kept += n
+        keep = nf.where(F.col("priority") < p_star)
+        if room:
+            keep = keep.unionByName(
+                nf.where(F.col("priority") == p_star)
+                .orderBy("host", "url").limit(room))
+        return keep, total - cap
 
     # -- results -------------------------------------------------------------
 

@@ -67,6 +67,7 @@ class GoldenResult:
 def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
                  max_rounds: int | None = None,
                  injections: dict[int, list[str]] | None = None,
+                 frontier_log: list | None = None,
                  ) -> GoldenResult:
     """``injections`` mirrors Crawler.inject: {round: [urls]} enqueued at
     the top of that round (depth 0, priority 1), deduped against the
@@ -84,6 +85,7 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
 
     frontier = [Req(u, host_of(u), 0, None) for u in dict.fromkeys(seeds)]
     seen_urls = {r.url for r in frontier}     # D4: every URL ever enqueued
+    persisted = {r.url for r in frontier}     # urls in any written snapshot
     seen_hashes: set[str] = set()
     robots_cache: dict[str, list[str]] = {}
     delay_cache: dict[str, float | None] = {}
@@ -101,6 +103,7 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
             if u not in seen_urls:
                 frontier.append(Req(u, host_of(u), 0, None))
                 seen_urls.add(u)
+                persisted.add(u)   # inject dirs are read as enqueued state
                 n_injected += 1
         if not frontier:
             break
@@ -251,9 +254,31 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
         seen_urls.update(q.url for q in new_reqs)
         counts["stored"] = sum(1 for v in out.visits if v[0] == r)
         counts["discovered"] = len(new_reqs)
+        frontier = deferred + new_reqs
+        # frontier eviction mirror (cfg.frontier_cap): keep the cap
+        # smallest under (priority, host, url). Eviction is
+        # backpressure, not a blacklist: an evicted NEW child was never
+        # persisted to any frontier snapshot, so the engine's exact
+        # URL-seen re-check (which reads persisted enqueue history —
+        # frontier + inject dirs) lets a later rediscovery re-enqueue
+        # it; its stale bloom bit is a false positive the exact check
+        # resolves. An evicted DEFERRED row, by contrast, was already
+        # written to an earlier frontier dir and stays seen forever.
+        # `persisted` mirrors exactly that on-disk enqueue history.
+        if cfg.frontier_cap and len(frontier) > cfg.frontier_cap:
+            frontier.sort(key=lambda q: (q.priority, q.host, q.url))
+            counts["evicted"] = len(frontier) - cfg.frontier_cap
+            for q in frontier[cfg.frontier_cap:]:
+                if q.url not in persisted:
+                    seen_urls.discard(q.url)
+            frontier = frontier[:cfg.frontier_cap]
+        persisted.update(q.url for q in frontier)
         out.lineage.append({"round": r,
                             **{k: v for k, v in counts.items() if v > 0}})
-        frontier = deferred + new_reqs
+        if frontier_log is not None:   # debug/test visibility hook
+            frontier_log.append(
+                (r + 1, sorted((q.priority, q.host, q.url)
+                               for q in frontier)))
         prev_fetch_stats = round_stats
 
     return out

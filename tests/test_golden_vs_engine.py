@@ -445,3 +445,54 @@ def test_inlink_priority_golden_parity_and_reorders(spark, tmp_path):
     c2b = Crawler(spark, cfg, synth, str(tmp_path / "s2"))
     c2b.run()
     assert c2b.visit_sequence() == g_on.visits
+
+
+def test_frontier_cap_golden_parity_and_bounds(spark, tmp_path):
+    """Frontier eviction (cfg.frontier_cap): every committed frontier
+    round holds at most cap rows, the evicted count is reported, the
+    visit sequence still matches the golden model exactly (including
+    across a fresh-process resume), and eviction demonstrably changes
+    the crawl vs the unbounded run. Run under inlink priorities so the
+    boundary-stratum path (not just whole-stratum keeps) is exercised."""
+    from dataclasses import replace as dc_replace
+
+    from pyspark.sql import functions as F
+
+    synth = SynthWebConfig(n_hosts=10, base_pages_per_host=24)
+    cfg = CrawlConfig(max_depth=3, host_budget_per_round=3, max_rounds=5,
+                      allowed_domains=(r".*\.example\.com",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12,
+                      priority_mode="inlink", frontier_cap=12)
+    seeds = W.seed_urls(synth, 4)
+    g_on = golden_crawl(seeds, cfg, synth)
+    g_off = golden_crawl(seeds, dc_replace(cfg, frontier_cap=0), synth)
+    assert g_on.visits != g_off.visits, \
+        "the cap never evicted anything - test has no power"
+    assert any("evicted" in ln for ln in g_on.lineage)
+
+    c = Crawler(spark, cfg, synth, str(tmp_path / "s1"))
+    c.bootstrap(seeds)
+    stats = c.run()
+    assert c.visit_sequence() == g_on.visits
+    assert c.url_seen_set() == g_on.stored_urls
+    # engine round counts mirror golden's evicted accounting
+    eng_ev = {r["round"]: r["evicted"] for r in stats["per_round"]
+              if "evicted" in r}
+    gold_ev = {ln["round"]: ln["evicted"] for ln in g_on.lineage
+               if "evicted" in ln}
+    assert eng_ev == gold_ev and eng_ev
+    # every committed frontier round from round 1 on holds <= cap rows
+    fr = c.store.read(spark, "frontier")
+    per_round = {r["round"]: r["n"] for r in
+                 fr.groupBy("round").agg(F.count("*").alias("n"))
+                 .collect()}
+    assert all(n <= cfg.frontier_cap
+               for rd, n in per_round.items() if rd > 0)
+
+    # fresh-process resume: the capped frontier is the committed one
+    c2 = Crawler(spark, cfg, synth, str(tmp_path / "s2"))
+    c2.bootstrap(seeds)
+    c2.run(max_rounds=2)
+    c2b = Crawler(spark, cfg, synth, str(tmp_path / "s2"))
+    c2b.run()
+    assert c2b.visit_sequence() == g_on.visits
