@@ -49,6 +49,13 @@ def main() -> None:
                          "batches over the store) as parquet to DIR")
     ap.add_argument("--batch-size", type=int, default=4,
                     help="--training-manifest batch size (drop_last)")
+    ap.add_argument("--priority-mode", default="constant",
+                    choices=("constant", "inlink"),
+                    help="frontier ordering: reference-parity constant "
+                         "priority, or backlink-count (Cho et al. WWW'98)")
+    ap.add_argument("--frontier-cap", type=int, default=0,
+                    help="frontier eviction: keep at most N rows per "
+                         "round under (priority, host, url); 0 = off")
     ap.add_argument("--export-wds", default=None, metavar="DIR",
                     help="after the crawl, export the training-manifest "
                          "survivors as WebDataset tar shards + member "
@@ -73,7 +80,9 @@ def main() -> None:
     cfg = CrawlConfig(max_depth=args.max_depth,
                       host_budget_per_round=args.budget,
                       max_rounds=args.rounds,
-                      url_seen_shards=args.shards)
+                      url_seen_shards=args.shards,
+                      priority_mode=args.priority_mode,
+                      frontier_cap=args.frontier_cap)
     crawler = Crawler(spark, cfg, synth, args.store)
     if crawler.store.last_round() is None:
         crawler.bootstrap(seed_urls(synth, args.seeds))
