@@ -96,6 +96,17 @@ class CrawlConfig:
     priority_mode: str = "constant"
     priority_inlink_cap: int = 8
 
+    # robots cache TTL in rounds (0 = cache forever, reference parity:
+    # the reference's in-memory robotsCache never expires,
+    # core/WebCrawler.java:34,458-473 — though its crawl_state table
+    # declares last_crawl_time+robots_txt, i.e. a refreshable cache,
+    # schema.cql:19-24). With ttl=K, a host's cached rules expire K
+    # rounds after fetch and the host is re-fetched the next time it
+    # appears in the frontier; latest fetch wins. RFC 9309 §2.4
+    # recommends re-validating robots.txt on the order of a day — the
+    # round clock makes that K = 86400 / round_seconds.
+    robots_ttl_rounds: int = 0
+
     # frontier eviction (0 = unbounded): after each round, keep only the
     # frontier_cap smallest rows under the canonical (priority, host,
     # url) total order and drop the rest — bounded frontier storage at
@@ -136,6 +147,12 @@ class SynthWebConfig:
     # reference: core/WebCrawler.java:530-532)
     robots_every: int = 5
     robots_disallow: tuple[str, ...] = ("/private", "/p/3")
+    # robots drift: from this round on, rule-bearing hosts serve
+    # robots_disallow_drifted instead (0 = robots never change) —
+    # exercises the engine's robots cache TTL (CrawlConfig
+    # robots_ttl_rounds)
+    robots_drift_round: int = 0
+    robots_disallow_drifted: tuple[str, ...] = ("/private", "/p/1")
     # fraction of links that are intentionally broken/invalid (exercises F8)
     invalid_link_every: int = 17
     # every k-th host additionally advertises "Crawl-delay: N" in robots

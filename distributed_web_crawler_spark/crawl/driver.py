@@ -356,11 +356,22 @@ class Crawler:
                            bucketed(urls, "url"), nxt, ["bucket"])
             fh = ex.submit(self.store.stage_write, "hash_seen",
                            bucketed(hashes, "content_hash"), nxt, ["bucket"])
-            from ..operators.robots import with_robots_cols
+            from ..operators.robots import ROBOTS_COLS, with_robots_cols
             robots = with_robots_cols(
                 self.store.read(self.spark, "robots", [r]))
             if state.robots is not None:
                 robots = with_robots_cols(state.robots).unionByName(robots)
+            # latest-fetch-wins per host: robots TTL refetches
+            # (cfg.robots_ttl_rounds) re-record a host; compaction keeps
+            # one row so the snapshot stays host-grain-bounded
+            robots = (robots.groupBy("host")
+                      .agg(F.max_by(
+                          F.struct(*[c for c in ROBOTS_COLS
+                                     if c != "host"]),
+                          F.coalesce(F.col("fetched_round"), F.lit(-1)))
+                          .alias("w"))
+                      .select("host", *[f"w.{c}" for c in ROBOTS_COLS
+                                        if c != "host"]))
             fr = ex.submit(self.store.stage_write, "robots_compact",
                            robots, nxt)
             fu.result(), fh.result(), fr.result()

@@ -124,7 +124,8 @@ def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
     robots_cached: list = []
     robots_full, robots_new = resolve_robots(
         spark, gated.where(F.col("decision") == "PASS"), state.robots,
-        synth_cfg, robots_fetcher, cached=robots_cached)
+        synth_cfg, robots_fetcher, cached=robots_cached,
+        round_no=round_no, ttl_rounds=cfg.robots_ttl_rounds)
     # persist the pre-politeness frame: the salted partial top-K inside
     # apply_politeness unions four branches of it, and without the cache
     # each branch would re-scan the frontier + redo the robots join

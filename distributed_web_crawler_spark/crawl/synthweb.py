@@ -212,15 +212,27 @@ def _host_idx_of(host: str) -> int | None:
         return None
 
 
-def robots_disallow_for_host(host: str, cfg: SynthWebConfig) -> list[str]:
+def robots_disallow_for_host(host: str, cfg: SynthWebConfig,
+                             version: int = 0) -> list[str]:
     """Disallow paths for user-agent:* — substring-match semantics exactly as
-    the reference's ``isPathDisallowed`` (core/WebCrawler.java:530-532)."""
+    the reference's ``isPathDisallowed`` (core/WebCrawler.java:530-532).
+    ``version > 0`` models a site editing its robots.txt mid-crawl: hosts
+    that have rules swap to cfg.robots_disallow_drifted (the page-content
+    analog is page_for_url's version re-keying)."""
     host_idx = _host_idx_of(host)
     if host_idx is None:
         return []
     if cfg.robots_every > 0 and host_idx % cfg.robots_every == 0 and host_idx > 0:
-        return list(cfg.robots_disallow)
+        return list(cfg.robots_disallow_drifted if version
+                    else cfg.robots_disallow)
     return []
+
+
+def robots_version_at_round(cfg: SynthWebConfig, round_no: int) -> int:
+    """The robots.txt the synthetic web serves at round r:
+    version 1 from cfg.robots_drift_round on (0 ⇒ robots never change)."""
+    return int(cfg.robots_drift_round > 0
+               and round_no >= cfg.robots_drift_round)
 
 
 def robots_crawl_delay_for_host(host: str,

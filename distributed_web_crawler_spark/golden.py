@@ -31,6 +31,7 @@ from .crawl.synthweb import (
     page_for_url,
     robots_crawl_delay_for_host,
     robots_disallow_for_host,
+    robots_version_at_round,
 )
 from .functions.urls import (
     combined_allow_pattern,
@@ -87,8 +88,24 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
     seen_urls = {r.url for r in frontier}     # D4: every URL ever enqueued
     persisted = {r.url for r in frontier}     # urls in any written snapshot
     seen_hashes: set[str] = set()
-    robots_cache: dict[str, list[str]] = {}
-    delay_cache: dict[str, float | None] = {}
+    # host → (disallow rules, crawl delay, fetched_round): one cache
+    # entry per robots fetch, rules+delay refreshed TOGETHER — exactly
+    # the engine's per-host robots row. cfg.robots_ttl_rounds expires an
+    # entry K rounds after fetch; the refetch sees whichever robots.txt
+    # the synthetic web serves at that round (drift mirror).
+    robots_cache: dict[str, tuple[list[str], float | None, int]] = {}
+
+    def _robots_rules(host: str, rnd: int) -> list[str]:
+        ent = robots_cache.get(host)
+        ttl = cfg.robots_ttl_rounds
+        if ent is not None and (ttl == 0 or ent[2] > rnd - ttl):
+            return ent[0]
+        rules = robots_disallow_for_host(
+            host, synth, robots_version_at_round(synth, rnd))
+        robots_cache[host] = (rules,
+                              robots_crawl_delay_for_host(host, synth),
+                              rnd)
+        return rules
     # AIMD mirror (cfg.adaptive_budget): previous round's per-host
     # (attempts, failures) — the engine derives the same signal from the
     # committed round-(r-1) pages table (driver._adaptive_overrides)
@@ -134,8 +151,7 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
             if excl_re and re.search(excl_re, q.url):      # F4
                 counts["rejected"] += 1
                 continue
-            rules = robots_cache.setdefault(
-                q.host, robots_disallow_for_host(q.host, synth))
+            rules = _robots_rules(q.host, r)
             if any(p in q.url for p in rules):             # F6 substring
                 counts["rejected"] += 1
                 continue
@@ -149,8 +165,7 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
         for host, qs in by_host.items():
             # per-host budget override from robots Crawl-delay:
             # min(configured, ceil(round_seconds / delay))
-            delay = delay_cache.setdefault(
-                host, robots_crawl_delay_for_host(host, synth))
+            delay = robots_cache[host][1]  # refreshed with the rules
             budget = cfg.host_budget_per_round
             if delay is not None and delay > 0:
                 budget = min(budget,

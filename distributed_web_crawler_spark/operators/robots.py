@@ -28,24 +28,32 @@ ROBOTS_SCHEMA = T.StructType([
     T.StructField("crawl_delay", T.DoubleType()),
 ])
 
-ROBOTS_COLS = [f.name for f in ROBOTS_SCHEMA.fields]
+# persisted host state = fetch result + provenance round (drives the TTL)
+ROBOTS_STATE_COLS = [f.name for f in ROBOTS_SCHEMA.fields] \
+    + ["fetched_round"]
+ROBOTS_COLS = ROBOTS_STATE_COLS
 
 
 def with_robots_cols(df: DataFrame) -> DataFrame:
-    """Project to the robots schema, backfilling columns a pre-crawl-delay
-    store doesn't have (null crawl_delay ⇒ no override) — same migration
-    posture as the pre-hash-bloom / flat-pages resume support."""
+    """Project to the robots state schema, backfilling columns an older
+    store doesn't have (null crawl_delay ⇒ no override; null
+    fetched_round ⇒ unknown age, treated as expired once a TTL is set) —
+    same migration posture as the pre-hash-bloom / flat-pages resume
+    support."""
     out = df
     if "crawl_delay" not in df.columns:
         out = out.withColumn("crawl_delay", F.lit(None).cast("double"))
+    if "fetched_round" not in df.columns:
+        out = out.withColumn("fetched_round", F.lit(None).cast("int"))
     return out.select(*ROBOTS_COLS)
 
 
-def make_robots_fetcher(synth_cfg):
+def make_robots_fetcher(synth_cfg, version: int = 0):
     """Vectorized robots fetch over a batch of distinct hosts (S7). In
     production this is an async-HTTP batch; in tests it is the pure
-    synthetic rule function. Fetch failure ⇒ allow-all (reference:
-    core/WebCrawler.java:470-473)."""
+    synthetic rule function — ``version`` selects which robots.txt the
+    synthetic web is serving (drift, synthweb.robots_version_at_round).
+    Fetch failure ⇒ allow-all (reference: core/WebCrawler.java:470-473)."""
     from ..crawl.synthweb import (
         robots_crawl_delay_for_host,
         robots_disallow_for_host,
@@ -56,7 +64,8 @@ def make_robots_fetcher(synth_cfg):
             yield pd.DataFrame({
                 "host": pdf["host"],
                 "robots_disallow": [
-                    robots_disallow_for_host(h, synth_cfg) for h in pdf["host"]
+                    robots_disallow_for_host(h, synth_cfg, version)
+                    for h in pdf["host"]
                 ],
                 "crawl_delay": pd.array(
                     [robots_crawl_delay_for_host(h, synth_cfg)
@@ -69,24 +78,57 @@ def make_robots_fetcher(synth_cfg):
 def resolve_robots(spark: SparkSession, frontier: DataFrame,
                    known: DataFrame | None, synth_cfg,
                    robots_fetcher=None,
-                   cached: list | None = None) -> tuple[DataFrame, DataFrame]:
+                   cached: list | None = None,
+                   round_no: int = 0,
+                   ttl_rounds: int = 0) -> tuple[DataFrame, DataFrame]:
     """Return (full robots table for this round's hosts, newly fetched rows).
 
     ``known`` is accumulated host state from prior rounds; only hosts not
     yet known are fetched (cache semantics of core/WebCrawler.java:460).
+    With ``ttl_rounds=K`` (CrawlConfig.robots_ttl_rounds) a cached row
+    expires K rounds after its fetch: expired hosts re-fetch when they
+    next appear in the frontier, and the accumulated state resolves
+    latest-fetch-wins (one host-grain max_by aggregate over the
+    host-table — broadcast-sized, never frontier-sized). This completes
+    the reference's crawl_state (last_crawl_time + robots_txt,
+    schema.cql:19-24) refresh intent; rows whose age is unknown
+    (pre-TTL stores: null fetched_round) count as expired.
     ``robots_fetcher`` overrides the synthetic fetcher (e.g.
     crawl/httpfetch.make_http_robots_fetcher for real HTTP). When the
     caller supplies a ``cached`` list it takes ownership of unpersisting
     the fetched rows — persisted so a non-pure fetcher executes once for
     both the decision path and the persisted host state."""
+    from ..crawl.synthweb import robots_version_at_round
+
     hosts = frontier.select("host").distinct()
     if known is not None:
         known = with_robots_cols(known)
-        new_hosts = hosts.join(F.broadcast(known.select("host")), "host", "left_anti")
+        # latest-fetch-wins across refetch generations (no-op when every
+        # host appears once, the TTL-disabled layout)
+        known = (known
+                 .groupBy("host")
+                 .agg(F.max_by(
+                     F.struct(*[c for c in ROBOTS_COLS if c != "host"]),
+                     F.coalesce(F.col("fetched_round"), F.lit(-1)))
+                     .alias("w"))
+                 .select("host", *[f"w.{c}" for c in ROBOTS_COLS
+                                   if c != "host"]))
+        if ttl_rounds > 0:
+            fresh = F.coalesce(F.col("fetched_round"), F.lit(-(1 << 30))) \
+                > F.lit(round_no - ttl_rounds)
+            known = known.where(fresh)
+        new_hosts = hosts.join(F.broadcast(known.select("host")), "host",
+                               "left_anti")
     else:
         new_hosts = hosts
-    fetched = new_hosts.mapInPandas(
-        robots_fetcher or make_robots_fetcher(synth_cfg), ROBOTS_SCHEMA)
+    if robots_fetcher is None:
+        if synth_cfg is None:
+            raise ValueError("resolve_robots needs a robots_fetcher when "
+                             "no synthetic web is configured")
+        robots_fetcher = make_robots_fetcher(
+            synth_cfg, robots_version_at_round(synth_cfg, round_no))
+    fetched = new_hosts.mapInPandas(robots_fetcher, ROBOTS_SCHEMA) \
+        .withColumn("fetched_round", F.lit(round_no).cast("int"))
     if cached is not None:
         fetched = fetched.persist()
         cached.append(fetched)

@@ -496,3 +496,51 @@ def test_frontier_cap_golden_parity_and_bounds(spark, tmp_path):
     c2b = Crawler(spark, cfg, synth, str(tmp_path / "s2"))
     c2b.run()
     assert c2b.visit_sequence() == g_on.visits
+
+
+def test_robots_ttl_golden_parity_and_refreshes(spark, tmp_path):
+    """Robots cache TTL (cfg.robots_ttl_rounds) against a web whose
+    robots.txt drifts mid-crawl: with a TTL, expired hosts re-fetch and
+    the new rules change the crawl (power vs ttl=0, where the reference-
+    parity forever-cache keeps serving the round-0 rules); engine/golden
+    visit parity holds, including across a fresh-process resume, and the
+    persisted host state records refetch generations latest-wins."""
+    from dataclasses import replace as dc_replace
+
+    from pyspark.sql import functions as F
+
+    synth = SynthWebConfig(n_hosts=10, base_pages_per_host=24,
+                           robots_every=2, robots_drift_round=2,
+                           robots_disallow_drifted=("/p/1", "/p/2"))
+    cfg = CrawlConfig(max_depth=4, host_budget_per_round=3, max_rounds=8,
+                      allowed_domains=(r".*\.example\.com",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12,
+                      robots_ttl_rounds=2)
+    seeds = W.seed_urls(synth, 4)
+    g_on = golden_crawl(seeds, cfg, synth)
+    g_off = golden_crawl(seeds, dc_replace(cfg, robots_ttl_rounds=0),
+                         synth)
+    assert g_on.visits != g_off.visits, \
+        "robots drift never bit through the TTL - test has no power"
+
+    c = Crawler(spark, cfg, synth, str(tmp_path / "s1"))
+    c.bootstrap(seeds)
+    c.run()
+    assert c.visit_sequence() == g_on.visits
+    assert c.url_seen_set() == g_on.stored_urls
+
+    # persisted robots state: refetched hosts carry multiple generations
+    rob = c.store.read(spark, "robots")
+    gens = (rob.groupBy("host")
+            .agg(F.count("*").alias("n"),
+                 F.max("fetched_round").alias("newest")).collect())
+    assert any(g["n"] > 1 for g in gens), "no host ever refetched"
+    assert any(g["newest"] >= 2 for g in gens)
+
+    # fresh-process resume recomputes TTL decisions identically
+    c2 = Crawler(spark, cfg, synth, str(tmp_path / "s2"))
+    c2.bootstrap(seeds)
+    c2.run(max_rounds=3)
+    c2b = Crawler(spark, cfg, synth, str(tmp_path / "s2"))
+    c2b.run()
+    assert c2b.visit_sequence() == g_on.visits
