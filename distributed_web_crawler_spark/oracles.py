@@ -465,7 +465,9 @@ def _image_member(m: int, dup_mod: int):
     caption = f"cap {ck} " + _digest(cfg.seed, "cap", ck).hex()[:16]
     import hashlib
     _cache[key] = {"fmt": fmt, "p": len(buf), "c": len(caption.encode()),
-                   "sha": hashlib.sha256(buf).hexdigest()}
+                   "sha": hashlib.sha256(buf).hexdigest(),
+                   "csha": hashlib.sha256(caption.encode()).hexdigest(),
+                   "buf": buf}
     return _cache[key]
 
 
@@ -537,6 +539,60 @@ def image_meta_stats_sql(n: int = 64, dup_mod: int = 48) -> str:
          s.sha AS payload_sha256
   FROM ids JOIN dm ON dm.doc_id = ids.doc_id
            JOIN s ON ids.doc_id % {dup_mod} = s.m
+"""
+
+
+def wds_incremental_plan_sql(n_old: int = 72, n_new: int = 64,
+                             dup_mod: int = 48, n_shards: int = 4) -> str:
+    """Mirror of sources.wds.wds_incremental_plan over (old = clean
+    images, new = meta-wrapped images): both generations' member shas
+    come from the codec/envelope mirrors as VALUES, and the full-outer
+    membership diff + per-shard dirtiness is restated relationally."""
+    import hashlib
+
+    from .crawl.synthweb import meta_for_key, wrap_with_meta
+    from .functions.xxh64 import xxhash64
+
+    ids = sorted(d for d, _ in _docs(ORACLE_SF_DIR))
+    rows_old, rows_new = [], []
+    for d in ids[:max(n_old, n_new)]:
+        m = _image_member(d % dup_mod, dup_mod)
+        iid = f"img-{d:08d}"
+        shard = xxhash64(iid) % n_shards
+        pay, txt = f"{iid}.{m['fmt']}", f"{iid}.txt"
+        if d in set(ids[:n_old]):
+            rows_old += [(shard, pay, m["sha"]), (shard, txt, m["csha"])]
+        if d in set(ids[:n_new]):
+            wsha = hashlib.sha256(
+                wrap_with_meta(m["buf"], meta_for_key(d))).hexdigest()
+            rows_new += [(shard, pay, wsha), (shard, txt, m["csha"])]
+
+    def vals(rows):
+        return ", ".join(f"({s}, '{n}', '{h}')" for s, n, h in rows)
+
+    return f"""
+  WITH o(shard, member_name, old_sha) AS (VALUES {vals(rows_old)}),
+  nn(shard, member_name, new_sha) AS (VALUES {vals(rows_new)}),
+  j AS (
+    SELECT coalesce(o.shard, nn.shard) AS shard,
+           CASE WHEN o.old_sha IS NULL THEN 'added'
+                WHEN nn.new_sha IS NULL THEN 'removed'
+                WHEN o.old_sha <> nn.new_sha THEN 'changed'
+                ELSE 'same' END AS status
+    FROM o FULL OUTER JOIN nn
+      ON o.shard = nn.shard AND o.member_name = nn.member_name)
+  SELECT CAST(shard AS INTEGER) AS shard,
+         CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_added,
+         CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_removed,
+         CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_changed,
+         CAST(sum(CASE WHEN status = 'same' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_same,
+         (sum(CASE WHEN status IN ('added', 'removed', 'changed')
+              THEN 1 ELSE 0 END) > 0) AS dirty
+  FROM j GROUP BY 1
 """
 
 

@@ -3752,6 +3752,23 @@ def wds_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.drop("member_sha256")
 
 
+@q("wds_incremental_plan", lambda: _oracles.wds_incremental_plan_sql(
+    n_old=72, n_new=64, dup_mod=48, n_shards=4))
+def wds_incremental_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-export planner: diff two WebDataset member indexes
+    (previous corpus = clean images; current = meta-wrapped subset, so
+    all four member statuses occur) into per-shard dirtiness — clean
+    shards are byte-identical by construction and skip the rewrite.
+    One index-grain full-outer join + one shard-grain agg; O(index),
+    never O(archive)."""
+    from .sources import wds as wdsmod
+    old = wdsmod.wds_member_index(
+        _images_df(spark, sf_dir, n=72, dup_mod=48), n_shards=4)
+    new = wdsmod.wds_member_index(
+        _meta_images_df(spark, sf_dir, n=64, dup_mod=48), n_shards=4)
+    return wdsmod.wds_incremental_plan(old, new)
+
+
 @q("revalidation_planner", r"""
   WITH s AS (
     SELECT doc_id,

@@ -56,6 +56,8 @@ def main() -> None:
     ap.add_argument("--frontier-cap", type=int, default=0,
                     help="frontier eviction: keep at most N rows per "
                          "round under (priority, host, url); 0 = off")
+    ap.add_argument("--robots-ttl", type=int, default=0,
+                    help="robots cache TTL in rounds (0 = cache forever)")
     ap.add_argument("--export-wds", default=None, metavar="DIR",
                     help="after the crawl, export the training-manifest "
                          "survivors as WebDataset tar shards + member "
@@ -82,7 +84,8 @@ def main() -> None:
                       max_rounds=args.rounds,
                       url_seen_shards=args.shards,
                       priority_mode=args.priority_mode,
-                      frontier_cap=args.frontier_cap)
+                      frontier_cap=args.frontier_cap,
+                      robots_ttl_rounds=args.robots_ttl)
     crawler = Crawler(spark, cfg, synth, args.store)
     if crawler.store.last_round() is None:
         crawler.bootstrap(seed_urls(synth, args.seeds))
