@@ -126,6 +126,11 @@ def meta_for_key(key: int) -> dict[str, str]:
 
 
 def decode_image(buf: bytes) -> tuple[np.ndarray, str]:
+    if buf[:4] == _META_MAGIC:
+        # metadata envelope is transparent to the decoder, the way real
+        # codecs skip an EXIF/APP1 segment — pixels decode identically
+        # whether or not the envelope was scrubbed
+        buf = split_meta(buf)[1]
     magic, rest = buf[:4], buf[4:]
     fmt = "jpeg" if magic == _JPG_MAGIC else "png"
     w, h = struct.unpack("<HH", rest[:4])

@@ -1079,13 +1079,21 @@ def image_meta_scrub(images: DataFrame, bytes_col: str = "bytes") \
 
 def image_training_mix(images: DataFrame, max_hamming: int = 10,
                        min_psnr: float = 40.0, batch_size: int = 4,
-                       n_shards: int = 4) -> DataFrame:
+                       n_shards: int = 4,
+                       scrub_meta: bool = False) -> DataFrame:
     """The composed image-side training-set flagship (the image analog of
     pipeline.text's training_mix): curation gates → exact payload dedup →
     PSNR-verified variant collapse → aspect-bucket batch manifest. One
     call takes a raw crawled image+caption table (input_hint schema) to
     the dataloader's (image_id, bucket, shard, batch_id) gather list, the
     full pipeline a text-image pre-training corpus runs after a crawl.
+
+    ``scrub_meta=True`` inserts the metadata-envelope scrub
+    (image_meta_scrub) ahead of the exact tier — privacy (EXIF/GPS
+    never reaches the training set) and better dedup in one move:
+    copies of the same pixels that differ only in embedded metadata
+    hash apart raw but collapse to one exact-duplicate group once
+    scrubbed. Default off (reference-parity hashes).
 
     Stage order is the cost ladder: the map-only curation gates and the
     hash-only exact tier shrink the corpus BEFORE the decode-verify
@@ -1097,14 +1105,19 @@ def image_training_mix(images: DataFrame, max_hamming: int = 10,
     composition join is an id-keyed semi-join; the batch layout is the
     sharded-window shape of aspect_bucket_batches."""
     return _mix_stages(images, max_hamming, min_psnr, batch_size,
-                       n_shards)["batched"]
+                       n_shards, scrub_meta=scrub_meta)["batched"]
 
 
 def _mix_stages(images: DataFrame, max_hamming: int, min_psnr: float,
-                batch_size: int, n_shards: int) -> dict[str, DataFrame]:
+                batch_size: int, n_shards: int,
+                scrub_meta: bool = False) -> dict[str, DataFrame]:
     """The training-mix cost ladder as named stages, shared by
     image_training_mix (returns the final manifest) and image_mix_report
     (counts every rung)."""
+    if scrub_meta:
+        # scrub FIRST so every downstream hash/decode sees clean bytes
+        # (map-only, schema-preserving — the ladder shape is unchanged)
+        images = image_meta_scrub(images)
     curation = image_curation(images)
     kept = images.join(
         curation.where(F.col("keep")).select("image_id"),
