@@ -574,6 +574,58 @@ class Crawler:
                 "urls_per_sec": totals["fetched"] / wall if wall > 0 else 0.0,
                 "per_round": per_round}
 
+    def expire_state(self) -> dict[str, int]:
+        """Iceberg ExpireSnapshots EXECUTED for the engine's derived
+        state: delete directories fully absorbed by newer compaction
+        snapshots or superseded filter generations, so a long crawl's
+        disk footprint stays O(corpus + tail) instead of O(corpus ×
+        rounds). Never touches RESULT surfaces (pages / stored /
+        lineage / inject≥c / revalidations) or anything a resume reads;
+        commit markers stay — they are the log.
+
+        With committed head h and latest compaction generation c:
+        - older compaction generations of url_seen / hash_seen /
+          robots_compact (resume reads only the latest ≤ h);
+        - bloom / hash_bloom dirs at rounds < h (resume reads @h only);
+        - frontier dirs ≤ min(c, h-1) (url_seen@c absorbs rounds 0..c;
+          round h is the live frontier) — at 10^10 scale these carry
+          full frontier snapshots and dominate derived-state bytes;
+        - robots dirs < c (robots_compact@c covers fetches 0..c-1).
+        Inject dirs are kept: they are the injection audit record and
+        tiny by construction.
+        Returns per-table deleted-dir counts. Idempotent; crash-safe
+        (operates only on committed, already-absorbed rounds — a crash
+        mid-expiry leaves a subset deleted, which the next call or any
+        read tolerates since absorbed dirs are never consulted)."""
+        h = self.store.last_round()
+        counts: dict[str, int] = {}
+        if h is None:
+            return counts
+
+        def drop(name: str, rounds) -> None:
+            n = sum(self.store.delete_round(name, r) for r in rounds)
+            if n:
+                counts[name] = n
+
+        for name in ("url_seen", "hash_seen", "robots_compact"):
+            gens = [g for g in self.store.rounds_present(name) if g <= h]
+            if len(gens) > 1:
+                drop(name, gens[:-1])
+        c = self._latest_compact("url_seen", h)
+        drop("bloom", [r for r in self.store.rounds_present("bloom")
+                       if r < h])
+        drop("hash_bloom",
+             [r for r in self.store.rounds_present("hash_bloom")
+              if r < h])
+        if c is not None:
+            drop("frontier",
+                 [r for r in self.store.rounds_present("frontier")
+                  if r <= min(c, h - 1)])
+            drop("robots",
+                 [r for r in self.store.rounds_present("robots")
+                  if r < c])
+        return counts
+
     def _evict_frontier(self, nf: DataFrame) -> tuple[DataFrame, int]:
         """Frontier eviction (cfg.frontier_cap): keep exactly the cap
         smallest rows under the canonical (priority, host, url) total

@@ -101,6 +101,23 @@ class SnapshotStore:
             os.makedirs(path, exist_ok=True)
         return path
 
+    def delete_round(self, name: str, round_no: int) -> bool:
+        """Remove one committed round directory (state expiry). The
+        commit markers are untouched — they are the log, not the data."""
+        path = os.path.join(self.tables_dir, name, f"round={round_no}")
+        if not os.path.isdir(path):
+            return False
+        shutil.rmtree(path)
+        return True
+
+    def rounds_present(self, name: str) -> list[int]:
+        """Round numbers that physically exist for one table."""
+        base = os.path.join(self.tables_dir, name)
+        if not os.path.isdir(base):
+            return []
+        return sorted(int(d.split("=", 1)[1]) for d in os.listdir(base)
+                      if d.startswith("round="))
+
     def stage_write(self, name: str, df: DataFrame, round_no: int,
                     partition_by: list[str] | None = None) -> str:
         path = os.path.join(self.tables_dir, name, f"round={round_no}")

@@ -60,3 +60,44 @@ def test_crash_before_commit_marker_redoes_round_identically(
     assert c2.pages().count() == len(golden.visits)
     assert c2.pages().select("url").distinct().count() == \
         len(golden.visits)
+
+
+def test_expire_state_preserves_crawl_and_shrinks_dirs(spark, tmp_path):
+    """Crawler.expire_state deletes only absorbed/superseded state:
+    after expiry mid-crawl, a fresh driver resumes and finishes with
+    golden-identical visits, and the deleted directories are the
+    compaction-absorbed frontier/robots rounds, old filter generations
+    and superseded compact snapshots."""
+    from distributed_web_crawler_spark.golden import golden_crawl
+
+    synth = SynthWebConfig(n_hosts=10, base_pages_per_host=24)
+    cfg = CrawlConfig(max_depth=4, host_budget_per_round=3, max_rounds=8,
+                      allowed_domains=(r".*\.example\.com",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12,
+                      compact_every_rounds=3)
+    seeds = seed_urls(synth, 4)
+    c = Crawler(spark, cfg, synth, str(tmp_path))
+    c.bootstrap(seeds)
+    c.run(max_rounds=5)
+
+    pre_frontier = set(c.store.rounds_present("frontier"))
+    pre_bloom = set(c.store.rounds_present("bloom"))
+    counts = c.expire_state()
+    assert counts.get("frontier") and counts.get("bloom"), counts
+    post_frontier = set(c.store.rounds_present("frontier"))
+    assert post_frontier < pre_frontier
+    assert max(pre_frontier) in post_frontier  # live frontier kept
+    assert set(c.store.rounds_present("bloom")) == {max(pre_bloom)}
+    # only the latest compaction generation survives
+    for t in ("url_seen", "hash_seen", "robots_compact"):
+        assert len(c.store.rounds_present(t)) == 1
+
+    # idempotent
+    assert c.expire_state() == {}
+
+    # fresh process resumes on the expired store and finishes the crawl
+    c2 = Crawler(spark, cfg, synth, str(tmp_path))
+    c2.run()
+    g = golden_crawl(seeds, cfg, synth)
+    assert c2.visit_sequence() == g.visits
+    assert c2.url_seen_set() == g.stored_urls

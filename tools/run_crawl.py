@@ -58,6 +58,9 @@ def main() -> None:
                          "round under (priority, host, url); 0 = off")
     ap.add_argument("--robots-ttl", type=int, default=0,
                     help="robots cache TTL in rounds (0 = cache forever)")
+    ap.add_argument("--expire-state", action="store_true",
+                    help="after the crawl, delete compaction-absorbed "
+                         "state dirs (Crawler.expire_state)")
     ap.add_argument("--export-wds", default=None, metavar="DIR",
                     help="after the crawl, export the training-manifest "
                          "survivors as WebDataset tar shards + member "
@@ -121,6 +124,8 @@ def main() -> None:
                 "tar_bytes": sum(r.tar_bytes for r in rows),
                 "path": args.export_wds,
             }
+    if args.expire_state:
+        stats["expired"] = crawler.expire_state()
     print(json.dumps(stats))
 
 
