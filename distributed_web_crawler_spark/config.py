@@ -96,6 +96,21 @@ class CrawlConfig:
     priority_mode: str = "constant"
     priority_inlink_cap: int = 8
 
+    # sitemap discovery (sitemaps.org protocol): when True, every robots
+    # fetch also surfaces the host's `Sitemap:` directives; the round
+    # fetches those sitemap documents once (host-grain, rides the robots
+    # cache lifecycle — a TTL refetch re-reads the sitemap too), parses
+    # entries with the spec rules (loc required, same-host only,
+    # first-entry-wins), gates them like discovered links (F3/F4 + http
+    # validity), and enqueues the survivors as depth-0 frontier
+    # candidates (parent = the sitemap URL). A URL listed in a sitemap
+    # AND discovered by a link the same round enqueues ONCE with the
+    # sitemap's (depth 0, priority 1) identity. The reference discovers
+    # URLs only from anchor tags; this is the other standard discovery
+    # source a production crawler feeds from. Default off (reference
+    # parity). Mirrored by the golden model.
+    sitemap_discovery: bool = False
+
     # robots cache TTL in rounds (0 = cache forever, reference parity:
     # the reference's in-memory robotsCache never expires,
     # core/WebCrawler.java:34,458-473 — though its crawl_state table
@@ -162,6 +177,21 @@ class SynthWebConfig:
     # schema-only intent there: no Java reads it).
     crawl_delay_every: int = 0
     crawl_delay_secs: float = 45.0
+    # every k-th host (including host 0) publishes /sitemap.xml and
+    # advertises it with a `Sitemap:` line in robots.txt (0 ⇒ no host
+    # has one). The sitemap lists the host's even-indexed pages — a
+    # discovery source independent of the link graph — plus spec-rule
+    # negatives (an entry with no <loc>, a cross-host <loc>, a
+    # duplicate <loc>, and a <loc> past the host's page range that
+    # 404s at fetch time).
+    sitemap_every: int = 0
+    # every k-th same-host link is emitted in redirect form (/r/N, a 301
+    # to /p/N on the same host; 0 ⇒ no redirects). Exercises the
+    # fetcher's redirect following AND the engine's final-URL resolution
+    # base: Jsoup's abs:href resolves against the POST-redirect document
+    # location (Document.location()), so a relative href on a /r/N page
+    # must resolve under /p/, not /r/.
+    redirect_every: int = 0
     # image payloads
     min_dim: int = 8
     max_dim: int = 24

@@ -178,7 +178,7 @@ def pages_view(pages: DataFrame) -> DataFrame:
 class Crawler:
     def __init__(self, spark: SparkSession, cfg: CrawlConfig,
                  synth_cfg: SynthWebConfig, root: str, fetcher=None,
-                 robots_fetcher=None, store=None):
+                 robots_fetcher=None, store=None, sitemap_fetcher=None):
         self.spark = spark
         self.cfg = cfg
         self.synth_cfg = synth_cfg
@@ -204,6 +204,14 @@ class Crawler:
             from .httpfetch import make_http_robots_fetcher
             robots_fetcher = make_http_robots_fetcher()
         self.robots_fetcher = robots_fetcher
+        # same pairing rule for the sitemap-document fetcher: a real-web
+        # crawl (no synth_cfg) defaults to real HTTP; a synthetic web
+        # defaults to the synthetic fetcher inside build_fetch
+        if (sitemap_fetcher is None and cfg.sitemap_discovery
+                and synth_cfg is None):
+            from .httpfetch import make_http_sitemap_fetcher
+            sitemap_fetcher = make_http_sitemap_fetcher()
+        self.sitemap_fetcher = sitemap_fetcher
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -492,7 +500,8 @@ class Crawler:
                 self.spark, frontier, state,
                 self.cfg, self.fetcher, self.synth_cfg, r, pages_dir,
                 robots_fetcher=self.robots_fetcher,
-                overrides=self._adaptive_overrides(r)))
+                overrides=self._adaptive_overrides(r),
+                sitemap_fetcher=self.sitemap_fetcher))
             # the action: workers sink their shard and return a receipt row
             receipts = _timed("fetch_write", lambda: plan.fetched.collect())
             if not any(f.endswith(".parquet")

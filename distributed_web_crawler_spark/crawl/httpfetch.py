@@ -131,6 +131,7 @@ def _fetch_one(url: str, cfg: HttpFetcherConfig, pool: _ConnPool,
     import http.client
     from urllib.parse import urljoin, urlsplit
 
+    requested = url
     for _hop in range(10):  # urlopen's redirect ceiling, preserved
         try:
             parts = urlsplit(url)
@@ -178,6 +179,7 @@ def _fetch_one(url: str, cfg: HttpFetcherConfig, pool: _ConnPool,
                 "image_id": None, "bytes": None, "w": None, "h": None,
                 "fmt": None, "caption": None, "phash": None, "links": [],
                 "http_status": 304, "content_type": None,
+                "final_url": None,
                 "not_modified": True,
                 "etag": resp.getheader("ETag"),
                 "last_modified": resp.getheader("Last-Modified"),
@@ -207,27 +209,39 @@ def _fetch_one(url: str, cfg: HttpFetcherConfig, pool: _ConnPool,
         "links": extract_links_html(body) if is_html else [],
         "http_status": int(status),
         "content_type": ctype.split(";")[0] or None,
+        "final_url": url if url != requested else None,
         "not_modified": False,
         "etag": resp.getheader("ETag"),
         "last_modified": resp.getheader("Last-Modified"),
     }
 
 
-def parse_robots_directives(text: str) -> tuple[list[str], float | None]:
-    """(disallow paths, crawl-delay) for user-agent:*, reference semantics
+def parse_robots_directives(
+        text: str) -> tuple[list[str], float | None, list[str]]:
+    """(disallow paths, crawl-delay, sitemap URLs) — disallow/crawl-delay
+    for user-agent:* with reference semantics
     (core/WebCrawler.java:509-528): only the ``*`` section's rules apply,
     Disallow matched later as URL substrings (bug-for-bug, F6).
     Crawl-delay (seconds, float; last * directive wins) feeds the per-host
     politeness budget override — the reference's crawl_state.crawl_delay
-    intent (schema.cql:19-24)."""
+    intent (schema.cql:19-24). `Sitemap:` lines are non-group records
+    (RFC 9309 §2.3): collected regardless of user-agent section,
+    case-insensitive, absolute http(s) URLs only, first-seen order with
+    duplicates dropped — matching operators/sitemap.robots_sitemap_urls."""
     rules: list[str] = []
     delay: float | None = None
+    sitemaps: list[str] = []
     in_star = False
     for line in text.splitlines():
         line = line.split("#", 1)[0].strip()
         if not line:
             continue
         low = line.lower()
+        if ":" in low and low.split(":", 1)[0].strip() == "sitemap":
+            u = line.split(":", 1)[1].strip()
+            if u.startswith(("http://", "https://")) and u not in sitemaps:
+                sitemaps.append(u)
+            continue
         if low.startswith("user-agent:"):
             in_star = line.split(":", 1)[1].strip() == "*"
         elif low.startswith("disallow:") and in_star:
@@ -241,7 +255,7 @@ def parse_robots_directives(text: str) -> tuple[list[str], float | None]:
                 continue
             if d > 0:
                 delay = d
-    return rules, delay
+    return rules, delay, sitemaps
 
 
 def parse_robots_txt(text: str) -> list[str]:
@@ -266,12 +280,12 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
 
     cfg = cfg or HttpFetcherConfig()
 
-    def fetch_rules(host: str) -> tuple[list[str], float | None]:
+    def fetch_rules(host: str) -> tuple[list[str], float | None, list[str]]:
         import urllib.error
         import urllib.request
 
         if not host:
-            return [], None
+            return [], None, []
         # https first: an https-only site's robots.txt must not be taken
         # from whatever a middlebox/CDN happens to serve on cleartext port
         # 80 — only if https fails (refused OR timed out: a firewall that
@@ -291,7 +305,7 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
                         resp.read(1 << 20).decode("utf-8", errors="replace"))
             except (urllib.error.URLError, TimeoutError, OSError, ValueError):
                 continue
-        return [], None
+        return [], None, []
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor
@@ -301,9 +315,51 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
                 fetched = list(pool.map(fetch_rules, pdf["host"]))
                 yield pd.DataFrame({
                     "host": pdf["host"],
-                    "robots_disallow": [rules for rules, _ in fetched],
-                    "crawl_delay": pd.array([d for _, d in fetched],
+                    "robots_disallow": [rules for rules, _, _ in fetched],
+                    "crawl_delay": pd.array([d for _, d, _ in fetched],
                                             dtype="Float64"),
+                    "sitemaps": [sm for _, _, sm in fetched],
+                })
+
+    return fetch
+
+
+def make_http_sitemap_fetcher(cfg: HttpFetcherConfig | None = None):
+    """Sitemap-document fetcher over real HTTP: input batches carry
+    (host, sitemap_url); each row becomes one GET (10 s timeout, 1 MiB
+    cap — the spec's 50 MB limit is a server obligation, the cap is our
+    defense). Failure ⇒ null xml, which parse_sitemaps yields no entries
+    for — discovery degrades to link-following, never fails the round.
+    Same contract as operators/sitemap.make_synth_sitemap_fetcher."""
+    import pandas as pd
+
+    cfg = cfg or HttpFetcherConfig()
+
+    def fetch_one(url: str) -> str | None:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, headers={"User-Agent": cfg.user_agent})
+        try:
+            with urllib.request.urlopen(req, timeout=10.0) as resp:
+                if resp.status >= 300:
+                    return None
+                return resp.read(1 << 20).decode("utf-8", errors="replace")
+        except (urllib.error.URLError, TimeoutError, OSError, ValueError):
+            return None
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=cfg.concurrency) as pool:
+            for pdf in batches:
+                yield pd.DataFrame({
+                    "host": pdf["host"],
+                    "sitemap_url": pdf["sitemap_url"],
+                    "xml": pd.Series(
+                        list(pool.map(fetch_one, pdf["sitemap_url"])),
+                        dtype="object"),
                 })
 
     return fetch
@@ -369,7 +425,7 @@ def make_http_fetcher(cfg: HttpFetcherConfig | None = None):
     int_cols = {"w": "Int32", "h": "Int32", "phash": "Int64",
                 "http_status": "Int32"}
     page_cols = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-                 "links", "http_status", "content_type")
+                 "links", "http_status", "content_type", "final_url")
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor

@@ -74,6 +74,10 @@ class FetchPlan:
     robots_new: DataFrame     # newly fetched robots rows
     decided: DataFrame        # persisted decision-tagged frontier
     cached: list
+    # sitemap-declared frontier candidates (cfg.sitemap_discovery):
+    # depth-0 rows parsed from the round's newly fetched hosts' sitemaps,
+    # merged with link children in finish_round (sitemap identity wins)
+    sitemap_cands: DataFrame | None = None
 
 
 @dataclass
@@ -102,7 +106,8 @@ def _tagged(df: DataFrame, metric: str) -> DataFrame:
 def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
                 cfg: CrawlConfig, fetcher, synth_cfg,
                 round_no: int, pages_dir: str,
-                robots_fetcher=None, overrides=None) -> FetchPlan:
+                robots_fetcher=None, overrides=None,
+                sitemap_fetcher=None) -> FetchPlan:
     """Phase A: decision chain + fetch. The returned `fetched` plan is the
     SLIM fetch result; its execution sinks payload shards to ``pages_dir``
     from inside the Arrow workers (operators/extract.fetch_pages_sink).
@@ -152,9 +157,29 @@ def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
     fetched = fetch_pages_sink(
         salted_repartition_for_fetch(selected, cfg, n_fetch_parts),
         fetcher, pages_dir, ts, round_no)
+    # sitemap discovery tier: the round's NEWLY fetched robots rows carry
+    # the hosts' Sitemap: declarations — fetch + parse those documents
+    # once per host per robots generation (host-grain work; the TTL
+    # refetch path re-reads a host's sitemap with its rules). Candidates
+    # merge with link children in finish_round.
+    sitemap_cands = None
+    if cfg.sitemap_discovery:
+        from ..operators.sitemap import (
+            make_synth_sitemap_fetcher,
+            sitemap_frontier_candidates,
+        )
+        if sitemap_fetcher is None:
+            if synth_cfg is None:
+                raise ValueError("sitemap_discovery needs a "
+                                 "sitemap_fetcher when no synthetic web "
+                                 "is configured")
+            sitemap_fetcher = make_synth_sitemap_fetcher(synth_cfg)
+        sitemap_cands = sitemap_frontier_candidates(
+            robots_new, cfg, sitemap_fetcher, ts, cached=robots_cached)
     return FetchPlan(fetched=fetched, deferred=deferred,
                      robots_new=robots_new, decided=decided,
-                     cached=[decided, gated_rob, *robots_cached])
+                     cached=[decided, gated_rob, *robots_cached],
+                     sitemap_cands=sitemap_cands)
 
 
 PAGES_PER_LINK_TASK = 512
@@ -188,7 +213,7 @@ def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
     # skips the exchange entirely — its packed single-split scan is
     # cheaper than the shuffle, which interleaved round-3 A/B measured at
     # ~0.3 s/round of pure overhead at the default preset.
-    links = raw.select("url", "depth", "links")
+    links = raw.select("url", "depth", "links", "final_url")
     max_parts = spark.sparkContext.defaultParallelism * 2
     if fetched_hint is None:
         links = links.repartition(max_parts)
@@ -197,6 +222,21 @@ def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
             min(max_parts, -(-fetched_hint // PAGES_PER_LINK_TASK)))
     child_src = links.join(stored.select("url"), "url", "left_semi")
     children = extract_children(child_src, cfg, ts)                 # E1/E2/F8
+    # sitemap-declared candidates (cfg.sitemap_discovery) merge here: a
+    # URL both sitemap-listed and link-discovered this round enqueues
+    # ONCE with the sitemap's identity (depth 0, parent=sitemap,
+    # priority 1) — equivalent to a min(struct(depth,…)) winner since
+    # children are always depth ≥ 1. The candidate side is host-grain
+    # (≤ entries per newly fetched host), so the anti-join broadcasts
+    # it: zero extra exchange over the frontier-scale children.
+    sitemap_cands = plan.sitemap_cands
+    if sitemap_cands is not None:
+        sitemap_cands = sitemap_cands.persist()
+        extra_cached.append(sitemap_cands)
+        children = (children
+                    .join(F.broadcast(sitemap_cands.select("url")),
+                          "url", "left_anti")
+                    .unionByName(sitemap_cands))
     new_urls = filter_unseen_urls(children, state.seen_urls,
                                   state.blooms, cfg,
                                   cached=extra_cached).persist()    # D4
@@ -218,14 +258,25 @@ def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
         )).alias("metric")).where(F.col("metric").isNotNull())
     raw_tags = raw.select(
         _host_shard().alias("host_shard"),
-        F.when(F.col("fetched"), F.lit("fetched"))
-        .otherwise(F.lit("fetch_failed")).alias("metric"))
+        F.explode(F.array(
+            F.when(F.col("fetched"), F.lit("fetched"))
+            .otherwise(F.lit("fetch_failed")),
+            # pages served through a redirect chain (final_url set):
+            # rides the same single lineage shuffle
+            F.when(F.col("fetched") & F.col("final_url").isNotNull(),
+                   F.lit("redirected")),
+        )).alias("metric")).where(F.col("metric").isNotNull())
     tagged = (
         decided_tags
         .unionByName(raw_tags)
         .unionByName(_tagged(stored, "stored"))
         .unionByName(_tagged(new_urls, "discovered"))
     )
+    if sitemap_cands is not None:
+        # candidate volume pre-seen-check (post spec rules + F3/F4) —
+        # rides the same single lineage shuffle
+        tagged = tagged.unionByName(
+            _tagged(sitemap_cands, "sitemap_candidates"))
     lineage = (tagged.groupBy("host_shard", "metric")
                .agg(F.count("*").alias("value"))
                .select(F.lit(round_no).alias("round"), "host_shard",

@@ -190,6 +190,22 @@ def parse_synth_url(url: str, cfg: SynthWebConfig) -> tuple[int, int] | None:
     return host_idx, page_idx
 
 
+def follow_redirect(url: str, cfg: SynthWebConfig) -> str | None:
+    """The synthetic web's redirect layer: /r/N 301s to /p/N on the same
+    host (cfg.redirect_every gates whether links in that form are ever
+    emitted; the redirect ENDPOINT itself always resolves, like a real
+    site whose old URLs keep redirecting after the last link to them is
+    gone). Returns the final URL, or None when ``url`` is not a redirect."""
+    prefix = "http://"
+    if not url.startswith(prefix):
+        return None
+    rest = url[len(prefix):]
+    host_part, _, path = rest.partition("/")
+    if not host_part.endswith(".example.com") or not path.startswith("r/"):
+        return None
+    return f"{prefix}{host_part}/p/{path[2:]}"
+
+
 def seed_urls(cfg: SynthWebConfig, n_seeds: int = 4) -> list[str]:
     """First page of the n_seeds largest hosts (analog of sample-urls.txt)."""
     return [cfg.url(i, 0) for i in range(min(n_seeds, cfg.n_hosts))]
@@ -256,6 +272,72 @@ def robots_crawl_delay_for_host(host: str,
     return None
 
 
+def sitemap_urls_for_host(host: str, cfg: SynthWebConfig) -> list[str]:
+    """`Sitemap:` directives the host's robots.txt advertises (sitemaps.org
+    discovery; RFC 9309 §2.3 non-group records). Every cfg.sitemap_every-th
+    host publishes one sitemap at /sitemap.xml."""
+    host_idx = _host_idx_of(host)
+    if host_idx is None or cfg.sitemap_every <= 0:
+        return []
+    if host_idx % cfg.sitemap_every == 0:
+        return [f"http://{host}/sitemap.xml"]
+    return []
+
+
+def _sitemap_locs(host_idx: int, cfg: SynthWebConfig) -> list[str]:
+    """Ground-truth loc list for a host's sitemap, in document order,
+    BEFORE spec filtering: even-indexed pages, one out-of-range page
+    (valid URL shape, 404s at fetch), a duplicate of the first entry, and
+    a cross-host entry (dropped by the same-host rule)."""
+    locs = [cfg.url(host_idx, p)
+            for p in range(0, cfg.n_pages(host_idx), 2)]
+    locs.append(cfg.url(host_idx, cfg.n_pages(host_idx) + 1))  # 404s
+    if locs:
+        locs.append(locs[0])                                    # duplicate
+    other = (host_idx + 1) % cfg.n_hosts
+    if other != host_idx:
+        locs.append(cfg.url(other, 0))                          # cross-host
+    return locs
+
+
+def sitemap_xml_for_url(url: str, cfg: SynthWebConfig) -> str | None:
+    """Serve a sitemap document (pure function of the URL, like pages).
+    None ⇔ not a sitemap URL this web publishes (fetch failure)."""
+    if cfg.sitemap_every <= 0 or not url.endswith("/sitemap.xml"):
+        return None
+    prefix = "http://"
+    if not url.startswith(prefix):
+        return None
+    host = url[len(prefix):].split("/", 1)[0]
+    host_idx = _host_idx_of(host)
+    if (host_idx is None or not (0 <= host_idx < cfg.n_hosts)
+            or host_idx % cfg.sitemap_every != 0):
+        return None
+    entries = ["<url><lastmod>not-a-date</lastmod></url>"]  # no <loc>: dropped
+    for loc in _sitemap_locs(host_idx, cfg):
+        entries.append(f"<url><loc>{loc}</loc>"
+                       f"<priority>0.5</priority></url>")
+    return ("<?xml version=\"1.0\"?><urlset>"
+            + "".join(entries) + "</urlset>")
+
+
+def sitemap_entries_py(host: str, cfg: SynthWebConfig) -> list[str]:
+    """Golden mirror of operators/sitemap.parse_sitemaps over this web's
+    XML: same-host entries with a non-empty <loc>, duplicates collapsed
+    first-entry-wins. Pure function — the parity test proves the engine's
+    regexp parse against this independently-derived list."""
+    host_idx = _host_idx_of(host)
+    if (host_idx is None or cfg.sitemap_every <= 0
+            or host_idx % cfg.sitemap_every != 0):
+        return []
+    same = f"http://{host}/"
+    out: list[str] = []
+    for loc in _sitemap_locs(host_idx, cfg):
+        if loc.startswith(same) and loc not in out:
+            out.append(loc)
+    return out
+
+
 # --------------------------------------------------------------------------
 # page content
 # --------------------------------------------------------------------------
@@ -298,6 +380,12 @@ def links_for_content(content_key: str, cfg: SynthWebConfig) -> list[str]:
                 links.append(f"//{cfg.host_name(t_host)}/p/{t_page}")
             else:
                 links.append(cfg.url(t_host, t_page))  # absolute (may 404)
+        elif (cfg.redirect_every > 0
+              and hk % cfg.redirect_every == 0):
+            # redirect-form link: /r/N 301s to /p/N (same host). Emitted
+            # root-relative, so resolving it exercises the final-URL
+            # base too when the DISCOVERING page was itself a redirect.
+            links.append(f"/r/{t_page}")
         else:      # same-host refs: the relative forms real HTML uses
             form = (hk >> 32) % 4
             if form == 0:
@@ -323,6 +411,18 @@ def page_for_url(url: str, cfg: SynthWebConfig,
     the original key, so content mutates without rewriting the graph.
     version=0 is bit-identical to the historical behavior — golden
     parity and every oracle are untouched."""
+    final = follow_redirect(url, cfg)
+    if final is not None:
+        # the redirect target's page, delivered under the REQUESTED url
+        # (Jsoup follows redirects transparently and the reference keys
+        # PageContent by the request URL, core/WebCrawler.java:324-329);
+        # final_url records the post-redirect document location — the
+        # base Jsoup's abs:href actually resolves against
+        page = page_for_url(final, cfg, version)
+        if page is None:
+            return None
+        return {**page, "url": url, "final_url": final,
+                "http_status": 200}
     loc = parse_synth_url(url, cfg)
     if loc is None:
         return None
@@ -349,11 +449,15 @@ def page_for_url(url: str, cfg: SynthWebConfig,
         "links": links_for_content(ck0, cfg),  # graph keys on the base ck
         "http_status": 200,
         "content_type": f"image/{fmt}",
+        "final_url": None,
     }
 
 
 def original_pixels_for_url(url: str, cfg: SynthWebConfig) -> np.ndarray | None:
     """Pre-encoding pixels (the PSNR ground truth for lossy pages)."""
+    final = follow_redirect(url, cfg)
+    if final is not None:
+        url = final
     loc = parse_synth_url(url, cfg)
     if loc is None:
         return None

@@ -32,6 +32,8 @@ from .crawl.synthweb import (
     robots_crawl_delay_for_host,
     robots_disallow_for_host,
     robots_version_at_round,
+    sitemap_entries_py,
+    sitemap_urls_for_host,
 )
 from .functions.urls import (
     combined_allow_pattern,
@@ -94,6 +96,10 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
     # entry K rounds after fetch; the refetch sees whichever robots.txt
     # the synthetic web serves at that round (drift mirror).
     robots_cache: dict[str, tuple[list[str], float | None, int]] = {}
+    # hosts whose robots were (re)fetched in the CURRENT round — the
+    # golden analog of the engine's robots_new rows; drives the sitemap
+    # discovery tier (cfg.sitemap_discovery). Cleared each round.
+    robots_fetched_now: set[str] = set()
 
     def _robots_rules(host: str, rnd: int) -> list[str]:
         ent = robots_cache.get(host)
@@ -105,6 +111,7 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
         robots_cache[host] = (rules,
                               robots_crawl_delay_for_host(host, synth),
                               rnd)
+        robots_fetched_now.add(host)
         return rules
     # AIMD mirror (cfg.adaptive_budget): previous round's per-host
     # (attempts, failures) — the engine derives the same signal from the
@@ -131,7 +138,9 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
         # --- gates F7, F1-F4 then robots F6 (engine order) ------------------
         counts = {"polled": len(frontier), "rejected": 0, "deferred": 0,
                   "fetched": 0, "fetch_failed": 0, "stored": 0,
-                  "discovered": 0, "injected": n_injected}
+                  "discovered": 0, "injected": n_injected,
+                  "sitemap_candidates": 0, "redirected": 0}
+        robots_fetched_now.clear()
         passed: list[Req] = []
         deferred: list[Req] = []
         for q in frontier:
@@ -220,6 +229,8 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
                 stat[1] += 1                               # failures
                 continue                                   # fetch failure
             counts["fetched"] += 1
+            if page["final_url"] is not None:
+                counts["redirected"] += 1
             chash = content_hash_py(page["bytes"], page["caption"])
             if chash in seen_hashes:
                 continue                                   # D1 duplicate
@@ -232,8 +243,11 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
                               "phash": page["phash"], "fmt": page["fmt"]})
 
             # E1/E2/F8: distinct links → resolve X3 → validity/allow/exclude
+            # (base = the post-redirect document location when the page
+            # was served through one — Jsoup abs:href semantics)
+            base = page["final_url"] or q.url
             for href in dict.fromkeys(page["links"]):      # D3
-                link = resolve_ref_py(q.url, href)         # X3
+                link = resolve_ref_py(base, href)          # X3
                 if not re.match(r"^https?://", link):
                     continue
                 lhost = host_of(link)
@@ -251,11 +265,46 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
                 # exactly the engine's post-filter count(*) grain
                 children_edges[link] = children_edges.get(link, 0) + 1
 
+        # --- sitemap discovery tier (cfg.sitemap_discovery) ------------------
+        # mirror of operators/sitemap.sitemap_frontier_candidates + the
+        # finish_round merge: each host whose robots were (re)fetched this
+        # round contributes its sitemap entries (spec rules inside
+        # sitemap_entries_py: loc required, same-host, first-wins), gated
+        # by F3/F4 like discovered links; a candidate OVERRIDES any link
+        # discovery of the same URL (depth 0, parent=sitemap, priority 1
+        # — the engine's anti-join + union, equivalent to a min-struct
+        # winner since link children are always depth ≥ 1)
+        sitemap_won: set[str] = set()
+        if cfg.sitemap_discovery:
+            for h in sorted(robots_fetched_now):
+                sm_urls = sitemap_urls_for_host(h, synth)
+                if not sm_urls:
+                    continue
+                # parentage = min(sitemap_url) per host, exactly the
+                # engine's deterministic pick when a host ships several
+                # sitemap files; entries are per (host, url) — counted
+                # once however many documents list them (parse_sitemaps'
+                # first-wins aggregate)
+                parent = min(sm_urls)
+                for link in sitemap_entries_py(h, synth):
+                    lhost = host_of(link)
+                    if not lhost:
+                        continue
+                    if allow_re and not re.search(allow_re, lhost):
+                        continue
+                    if excl_re and re.search(excl_re, link):
+                        continue
+                    counts["sitemap_candidates"] += 1
+                    children_cand[link] = (0, parent)
+                    sitemap_won.add(link)
+
         # --- D4 URL-seen + next frontier ------------------------------------
         def child_priority(url: str) -> int:
             # cfg.priority_mode="inlink": Cho/Garcia-Molina/Page backlink
             # ordering — max(1, cap - discovered inlinks this round);
             # "constant" keeps the reference's hard-coded 1
+            if url in sitemap_won:
+                return 1   # sitemap identity wins (engine: literal 1)
             if cfg.priority_mode == "inlink":
                 return max(1, cfg.priority_inlink_cap - children_edges[url])
             return 1

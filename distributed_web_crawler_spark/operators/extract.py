@@ -50,6 +50,12 @@ FETCH_SCHEMA = T.StructType([
     T.StructField("links", T.ArrayType(T.StringType())),
     T.StructField("http_status", T.IntegerType()),
     T.StructField("content_type", T.StringType()),
+    # post-redirect document location (null = served directly): the base
+    # X3 resolution must use, per Jsoup abs:href semantics — Jsoup
+    # resolves against Document.location(), the FINAL URL after
+    # redirects, while the page stays keyed by the request URL
+    # (core/WebCrawler.java:324-341)
+    T.StructField("final_url", T.StringType()),
 ])
 
 
@@ -63,7 +69,7 @@ def make_synth_fetcher(synth_cfg):
     from ..crawl.synthweb import page_for_url
 
     page_cols = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-                 "links", "http_status", "content_type")
+                 "links", "http_status", "content_type", "final_url")
     # nullable integer columns must be built as pandas extension arrays —
     # a rows-of-dicts DataFrame with mixed None/int coerces to float64 and
     # silently corrupts 64-bit values (phash) through Arrow
@@ -293,24 +299,33 @@ def extract_children(stored: DataFrame, cfg: CrawlConfig,
     allow_re = combined_allow_pattern(cfg.allowed_domains)
     excl_re = combined_exclude_pattern(cfg.exclude_patterns)
 
-    # X3 base parts (3 regexes over the parent URL) evaluate once per
+    # X3 resolution base: the POST-REDIRECT document location when the
+    # page was served through one (Jsoup's abs:href resolves against
+    # Document.location(), the final URL — a relative href on a
+    # redirected page belongs to the target's URL space), else the
+    # request URL. Stores written before final_url existed read it as
+    # null (allowMissingColumns), which coalesces to the old behavior.
+    base = (F.coalesce(F.col("final_url"), F.col("url"))
+            if "final_url" in stored.columns else F.col("url"))
+    # X3 base parts (3 regexes over the base URL) evaluate once per
     # PAGE, below the explode — every href of a page shares them, so the
     # per-link resolver skips the base parsing entirely (measured ~40% of
     # the resolver's per-link cost at max_out_links=12)
-    auth, scheme, bdir = base_parts(F.col("parent_url"))
+    auth, scheme, bdir = base_parts(F.col("_base"))
     children = (
         stored
-        .select(F.col("url").alias("parent_url"), "depth", "links")
+        .select(F.col("url").alias("parent_url"), "depth", "links",
+                base.alias("_base"))
         .withColumns({"_auth": auth, "_scheme": scheme, "_bdir": bdir})
-        .select("parent_url", "depth", "_auth", "_scheme", "_bdir",
+        .select("parent_url", "depth", "_base", "_auth", "_scheme", "_bdir",
                 F.explode(F.array_distinct("links")).alias("href"))  # E1+D3
         # X3: relative→absolute against the discovering page (reference
         # resolves via Jsoup abs:href, core/WebCrawler.java:341) — pure
         # Catalyst, stays inside codegen on the per-link hot path
         .withColumn("url", resolve_url_with_parts(
-            F.col("parent_url"), F.col("_auth"), F.col("_scheme"),
+            F.col("_base"), F.col("_auth"), F.col("_scheme"),
             F.col("_bdir"), F.col("href")))
-        .drop("href", "_auth", "_scheme", "_bdir")
+        .drop("href", "_base", "_auth", "_scheme", "_bdir")
         .where(is_http_url(F.col("url")))                           # F8
         .withColumn("host", host_of(F.col("url")))
     )

@@ -26,6 +26,9 @@ ROBOTS_SCHEMA = T.StructType([
     T.StructField("host", T.StringType()),
     T.StructField("robots_disallow", T.ArrayType(T.StringType())),
     T.StructField("crawl_delay", T.DoubleType()),
+    # `Sitemap:` directives found in the host's robots.txt (sitemaps.org
+    # discovery; consumed when CrawlConfig.sitemap_discovery is on)
+    T.StructField("sitemaps", T.ArrayType(T.StringType())),
 ])
 
 # persisted host state = fetch result + provenance round (drives the TTL)
@@ -43,6 +46,9 @@ def with_robots_cols(df: DataFrame) -> DataFrame:
     out = df
     if "crawl_delay" not in df.columns:
         out = out.withColumn("crawl_delay", F.lit(None).cast("double"))
+    if "sitemaps" not in df.columns:
+        out = out.withColumn("sitemaps",
+                             F.lit(None).cast("array<string>"))
     if "fetched_round" not in df.columns:
         out = out.withColumn("fetched_round", F.lit(None).cast("int"))
     return out.select(*ROBOTS_COLS)
@@ -57,6 +63,7 @@ def make_robots_fetcher(synth_cfg, version: int = 0):
     from ..crawl.synthweb import (
         robots_crawl_delay_for_host,
         robots_disallow_for_host,
+        sitemap_urls_for_host,
     )
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -70,6 +77,8 @@ def make_robots_fetcher(synth_cfg, version: int = 0):
                 "crawl_delay": pd.array(
                     [robots_crawl_delay_for_host(h, synth_cfg)
                      for h in pdf["host"]], dtype="Float64"),
+                "sitemaps": [sitemap_urls_for_host(h, synth_cfg)
+                             for h in pdf["host"]],
             })
 
     return fetch

@@ -106,6 +106,94 @@ def robots_sitemap_urls(robots: DataFrame, host_col: str = "host",
             .select("host", "sitemap_url"))
 
 
+# -- crawl-loop integration (CrawlConfig.sitemap_discovery) ------------------
+
+SITEMAP_DOC_SCHEMA = "host string, sitemap_url string, xml string"
+
+
+def make_synth_sitemap_fetcher(synth_cfg):
+    """Sitemap-document fetcher over the synthetic web: (host, sitemap_url)
+    → (host, sitemap_url, xml), xml null on failure. Pure function of the
+    URL, like every synthetic fetcher, so the distributed fetch and the
+    golden mirror agree with zero shared state. Real-HTTP twin:
+    crawl/httpfetch.make_http_sitemap_fetcher."""
+    import pandas as pd
+
+    from ..crawl.synthweb import sitemap_xml_for_url
+
+    def fetch(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "host": pdf["host"],
+                "sitemap_url": pdf["sitemap_url"],
+                "xml": pd.Series(
+                    [sitemap_xml_for_url(u, synth_cfg)
+                     for u in pdf["sitemap_url"]], dtype="object"),
+            })
+
+    return fetch
+
+
+def sitemap_frontier_candidates(robots_new: DataFrame, cfg,
+                                fetcher, round_ts_ms: int,
+                                cached: list | None = None) -> DataFrame:
+    """The discovery tier executed inside the crawl round: newly fetched
+    robots rows → their `Sitemap:` declarations → one document fetch per
+    distinct (host, sitemap_url) → spec-rule parse (parse_sitemaps:
+    loc required, same-host only, first-entry-wins) → link gates (F3
+    allow / F4 exclude — the same predicates discovered links pass in
+    extract_children) → depth-0 frontier candidate rows (parent = the
+    sitemap URL, priority 1 like a seed).
+
+    Scale shape: everything here is HOST-grain — robots_new is ≤ the
+    round's new hosts, sitemap documents fetch once per host per robots
+    generation (the TTL refetch path re-reads them), and the parse's only
+    exchange is parse_sitemaps' (host, url) first-wins aggregate over
+    entry rows. Nothing frontier-scale is touched; the candidates join
+    the frontier through the same D4 seen-check as link children."""
+    from ..functions.urls import (
+        combined_allow_pattern,
+        combined_exclude_pattern,
+    )
+
+    docs = (robots_new
+            .where(F.size(F.coalesce(F.col("sitemaps"),
+                                     F.array())) > 0)
+            .select("host", F.explode("sitemaps").alias("sitemap_url"))
+            .dropDuplicates(["host", "sitemap_url"])
+            .mapInPandas(fetcher, SITEMAP_DOC_SCHEMA)
+            .where(F.col("xml").isNotNull()))
+    # persisted: the doc table feeds BOTH the entry parse and the
+    # parentage lookup below — uncached, a NON-PURE fetcher (real HTTP)
+    # would execute twice and could disagree with itself
+    docs = docs.persist()
+    if cached is not None:
+        cached.append(docs)
+    cands = parse_sitemaps(docs, host_col="host", xml_col="xml")
+    # parse_sitemaps collapses to (host, url); parentage rejoins per host
+    # — a url's host equals its sitemap's host (same-host rule), and the
+    # min() keeps parentage deterministic when a host ships several
+    # sitemap files
+    parent = (docs.groupBy("host")
+              .agg(F.min("sitemap_url").alias("parent_url")))
+    allow_re = combined_allow_pattern(cfg.allowed_domains)
+    excl_re = combined_exclude_pattern(cfg.exclude_patterns)
+    out = cands.join(parent, "host")
+    if allow_re is not None:
+        out = out.where(F.col("host").rlike(allow_re))       # F3 on entries
+    if excl_re is not None:
+        out = out.where(~F.col("url").rlike(excl_re))        # F4 on entries
+    return out.select(
+        "url", "host",
+        F.lit(0).alias("depth"),           # host-declared, like a seed
+        "parent_url",
+        F.lit(round_ts_ms).alias("discovered_at_ms"),
+        F.lit(1).alias("priority"),
+        F.lit(0).alias("retry_count"),
+        F.lit(None).cast("long").alias("scheduled_for_ms"),
+    )
+
+
 _INDEX_ENTRY_RE = "<sitemap>(.*?)</sitemap>"
 
 

@@ -544,3 +544,118 @@ def test_robots_ttl_golden_parity_and_refreshes(spark, tmp_path):
     c2b = Crawler(spark, cfg, synth, str(tmp_path / "s2"))
     c2b.run()
     assert c2b.visit_sequence() == g_on.visits
+
+
+def test_sitemap_discovery_golden_parity_and_reaches_orphans(
+        spark, tmp_path):
+    """Sitemap discovery tier (cfg.sitemap_discovery): robots-declared
+    sitemaps are fetched once per host per robots generation, parsed
+    under the sitemaps.org spec rules, and their entries enqueue as
+    depth-0 candidates. The tier has power (reaches URLs the link graph
+    alone never fetched), engine/golden visit parity holds including
+    across a fresh-process resume, a URL both sitemap-listed and
+    link-discovered enqueues once with the sitemap identity, and
+    lineage reports the candidate volume."""
+    from dataclasses import replace as dc_replace
+
+    synth = SynthWebConfig(n_hosts=10, base_pages_per_host=24,
+                           sitemap_every=2, robots_every=3,
+                           max_out_links=3)
+    cfg = CrawlConfig(max_depth=4, host_budget_per_round=3, max_rounds=8,
+                      allowed_domains=(r".*\.example\.com",),
+                      exclude_patterns=(r".*/p/5",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12,
+                      sitemap_discovery=True)
+    seeds = W.seed_urls(synth, 3)
+    g_on = golden_crawl(seeds, cfg, synth)
+    g_off = golden_crawl(seeds, dc_replace(cfg, sitemap_discovery=False),
+                         synth)
+    orphans = g_on.stored_urls - g_off.stored_urls
+    assert orphans, "sitemaps discovered nothing new - test has no power"
+    # spec rules held: no excluded URL, nothing outside the allow list
+    assert not any(u.endswith("/p/5") for u in g_on.stored_urls)
+
+    c = Crawler(spark, cfg, synth, str(tmp_path / "s1"))
+    c.bootstrap(seeds)
+    c.run()
+    assert c.visit_sequence() == g_on.visits
+    assert c.url_seen_set() == g_on.stored_urls
+
+    # sitemap-won identity: every frontier row whose parent is a sitemap
+    # has depth 0 and priority 1; at least one such URL was ALSO
+    # link-reachable in g_off (the collision enqueues once, sitemap wins)
+    fr = c.store.read(spark, "frontier")
+    sm_rows = fr.where(fr.parent_url.endswith("/sitemap.xml")).collect()
+    assert sm_rows
+    assert all(r["depth"] == 0 and r["priority"] == 1 for r in sm_rows)
+    sm_urls = {r["url"] for r in sm_rows}
+    assert sm_urls & g_off.stored_urls, "no sitemap/link collision seen"
+
+    # lineage mirrors the candidate volume per round
+    lin = {(r["round"], r["metric"]): r["value"]
+           for r in c.lineage().groupBy("round", "metric")
+           .sum("value").withColumnRenamed("sum(value)", "value")
+           .collect()}
+    for g in g_on.lineage:
+        want = g.get("sitemap_candidates", 0)
+        got = lin.get((g["round"], "sitemap_candidates"), 0)
+        assert got == want, (g["round"], got, want)
+
+    # fresh-process resume replays sitemap decisions identically
+    c2 = Crawler(spark, cfg, synth, str(tmp_path / "s2"))
+    c2.bootstrap(seeds)
+    c2.run(max_rounds=2)
+    c2b = Crawler(spark, cfg, synth, str(tmp_path / "s2"))
+    c2b.run()
+    assert c2b.visit_sequence() == g_on.visits
+    assert c2b.url_seen_set() == g_on.stored_urls
+
+
+def test_redirect_final_url_golden_parity(spark, tmp_path):
+    """Redirect tier: /r/N pages 301 to /p/N (synthetic web,
+    cfg.redirect_every). The fetcher follows (Jsoup parity: page stays
+    keyed by the REQUEST URL, content comes from the target), final_url
+    records the post-redirect location, X3 resolves relative hrefs
+    against it, and the lineage reports redirected fetch counts.
+    Engine/golden visit parity holds with redirects in the link graph."""
+    synth = SynthWebConfig(n_hosts=8, base_pages_per_host=24,
+                           redirect_every=3, robots_every=3)
+    cfg = CrawlConfig(max_depth=4, host_budget_per_round=3, max_rounds=7,
+                      allowed_domains=(r".*\.example\.com",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12)
+    seeds = W.seed_urls(synth, 3)
+    g = golden_crawl(seeds, cfg, synth)
+    assert sum(r.get("redirected", 0) for r in g.lineage) > 0, \
+        "no redirect was ever followed - test has no power"
+
+    # unit semantics: a /r/N page serves the /p/N target's content under
+    # the requested URL, with final_url = the target
+    r_url = synth.url(0, 3).replace("/p/", "/r/")
+    page = W.page_for_url(r_url, synth)
+    target = W.page_for_url(synth.url(0, 3), synth)
+    assert page["url"] == r_url
+    assert page["final_url"] == synth.url(0, 3)
+    assert page["bytes"] == target["bytes"]
+    assert page["caption"] == target["caption"]
+
+    c = Crawler(spark, cfg, synth, str(tmp_path / "s1"))
+    c.bootstrap(seeds)
+    c.run()
+    assert c.visit_sequence() == g.visits
+    assert c.url_seen_set() == g.stored_urls
+
+    # lineage redirected counts match per round
+    lin = {(r["round"], r["metric"]): r["value"]
+           for r in c.lineage().groupBy("round", "metric")
+           .sum("value").withColumnRenamed("sum(value)", "value")
+           .collect()}
+    for gr in g.lineage:
+        assert lin.get((gr["round"], "redirected"), 0) == \
+            gr.get("redirected", 0)
+
+    # the pages surface exposes final_url for redirect-served rows
+    fu = {r["url"]: r["final_url"] for r in
+          c.pages().select("url", "final_url").collect()}
+    red = {u: f for u, f in fu.items() if f is not None}
+    for u, f in red.items():
+        assert "/r/" in u and f == u.replace("/r/", "/p/")

@@ -107,15 +107,34 @@ def test_parse_robots_directives_crawl_delay():
         parse_robots_directives,
     )
 
-    rules, delay = parse_robots_directives(
+    rules, delay, sitemaps = parse_robots_directives(
         "User-agent: googlebot\nCrawl-delay: 99\n\n"
         "User-agent: *\nDisallow: /private\n"
         "Crawl-delay: 2.5  # seconds\nDisallow: /tmp\n")
     assert rules == ["/private", "/tmp"]
     assert delay == 2.5
-    rules, delay = parse_robots_directives(
+    assert sitemaps == []
+    rules, delay, sitemaps = parse_robots_directives(
         "User-agent: *\nCrawl-delay: bogus\nCrawl-delay: -3\n")
-    assert rules == [] and delay is None
+    assert rules == [] and delay is None and sitemaps == []
+
+
+def test_parse_robots_directives_sitemaps():
+    """Sitemap: is a non-group record (RFC 9309 §2.3): collected from any
+    section, case-insensitive, absolute http(s) only, duplicates dropped
+    first-seen — matching operators/sitemap.robots_sitemap_urls."""
+    from distributed_web_crawler_spark.crawl.httpfetch import (
+        parse_robots_directives,
+    )
+
+    rules, delay, sitemaps = parse_robots_directives(
+        "Sitemap: http://a.com/s1.xml\n"
+        "User-agent: googlebot\nSITEMAP: https://a.com/s2.xml\n"
+        "User-agent: *\nDisallow: /x\n"
+        "sitemap : http://a.com/s1.xml\n"     # duplicate, dropped
+        "Sitemap: /relative.xml\n")           # relative, invalid
+    assert rules == ["/x"]
+    assert sitemaps == ["http://a.com/s1.xml", "https://a.com/s2.xml"]
 
 
 class _CountingHandler(BaseHTTPRequestHandler):
@@ -361,5 +380,82 @@ def test_engine_revalidation_over_real_http(spark, tmp_path):
         assert changed["refreshed"] and changed["reval_epoch"] == 2
         assert b"v2" in bytes(changed["bytes"])
         assert sum(1 for r in rp.values() if r["refreshed"]) == 1
+    finally:
+        srv.shutdown()
+
+
+def test_http_sitemap_discovery_end_to_end(spark, tmp_path):
+    """The discovery tier over real sockets on the DEFAULT port (robots
+    state is keyed by hostname, so the production robots/sitemap
+    fetchers need port-80 URLs): a loopback site serves robots.txt with
+    a Disallow rule and a Sitemap: declaration; the engine — production
+    HTTP page fetcher, production robots fetcher, production sitemap
+    fetcher, no synthetic web anywhere — must honor the rule and fetch
+    an orphan page reachable only through the sitemap."""
+    import socket
+
+    site_pages = {
+        "/p/0": '<html><a href="/p/1">one</a> '
+                '<a href="/private/x">blocked</a></html>',
+        "/p/1": "<html><body>leaf</body></html>",
+        "/p/7": "<html><body>orphan - only the sitemap knows</body></html>",
+        "/private/x": "<html><body>disallowed</body></html>",
+    }
+    robots = ("User-agent: *\nDisallow: /private\n"
+              "Sitemap: http://127.0.0.1/sitemap.xml\n")
+    sitemap = ("<?xml version=\"1.0\"?><urlset>"
+               "<url><loc>http://127.0.0.1/p/7</loc></url>"
+               "<url><loc>http://elsewhere.org/p/0</loc></url>"
+               "</urlset>")
+
+    class _H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/robots.txt":
+                body, ctype = robots.encode(), "text/plain"
+            elif self.path == "/sitemap.xml":
+                body, ctype = sitemap.encode(), "application/xml"
+            elif self.path in site_pages:
+                body, ctype = site_pages[self.path].encode(), "text/html"
+            else:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    try:
+        srv = ThreadingHTTPServer(("127.0.0.1", 80), _H)
+    except (OSError, socket.error) as e:
+        pytest.skip(f"cannot bind port 80: {e}")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cfg = CrawlConfig(max_depth=3, host_budget_per_round=10,
+                          max_rounds=4, url_seen_shards=2,
+                          bloom_bits_per_shard=1 << 12,
+                          sitemap_discovery=True)
+        fetcher = make_http_fetcher(HttpFetcherConfig(timeout_sec=5.0,
+                                                      concurrency=4))
+        c = Crawler(spark, cfg, None, str(tmp_path), fetcher=fetcher)
+        c.bootstrap(["http://127.0.0.1/p/0"])
+        c.run()
+        urls = c.url_seen_set()
+        assert "http://127.0.0.1/p/7" in urls, \
+            "sitemap-only orphan was never fetched"
+        assert "http://127.0.0.1/p/0" in urls
+        assert "http://127.0.0.1/private/x" not in urls, \
+            "robots Disallow ignored on the real-HTTP path"
+        # cross-host sitemap entry dropped by the same-host spec rule
+        assert not any("elsewhere.org" in u for u in urls)
+        fr = c.store.read(spark, "frontier")
+        sm = fr.where(fr.parent_url == "http://127.0.0.1/sitemap.xml") \
+               .collect()
+        assert {r["url"] for r in sm} == {"http://127.0.0.1/p/7"}
+        assert all(r["depth"] == 0 and r["priority"] == 1 for r in sm)
     finally:
         srv.shutdown()

@@ -58,6 +58,12 @@ def main() -> None:
                          "round under (priority, host, url); 0 = off")
     ap.add_argument("--robots-ttl", type=int, default=0,
                     help="robots cache TTL in rounds (0 = cache forever)")
+    ap.add_argument("--sitemap-discovery", action="store_true",
+                    help="fetch+parse robots-declared sitemaps and enqueue "
+                         "their entries as depth-0 frontier candidates")
+    ap.add_argument("--sitemap-every", type=int, default=4,
+                    help="synthetic web: every k-th host publishes a "
+                         "sitemap (used with --sitemap-discovery)")
     ap.add_argument("--expire-state", action="store_true",
                     help="after the crawl, delete compaction-absorbed "
                          "state dirs (Crawler.expire_state)")
@@ -81,14 +87,17 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("dwcs_crawl").getOrCreate()
     synth = SynthWebConfig(n_hosts=args.hosts,
-                           base_pages_per_host=args.pages_per_host)
+                           base_pages_per_host=args.pages_per_host,
+                           sitemap_every=(args.sitemap_every
+                                          if args.sitemap_discovery else 0))
     cfg = CrawlConfig(max_depth=args.max_depth,
                       host_budget_per_round=args.budget,
                       max_rounds=args.rounds,
                       url_seen_shards=args.shards,
                       priority_mode=args.priority_mode,
                       frontier_cap=args.frontier_cap,
-                      robots_ttl_rounds=args.robots_ttl)
+                      robots_ttl_rounds=args.robots_ttl,
+                      sitemap_discovery=args.sitemap_discovery)
     crawler = Crawler(spark, cfg, synth, args.store)
     if crawler.store.last_round() is None:
         crawler.bootstrap(seed_urls(synth, args.seeds))
