@@ -185,6 +185,14 @@ class SynthWebConfig:
     # duplicate <loc>, and a <loc> past the host's page range that
     # 404s at fetch time).
     sitemap_every: int = 0
+    # every k-th sitemap-PUBLISHING host serves a two-level layout
+    # instead (0 ⇒ all sitemaps are flat): robots declares
+    # /sitemap_index.xml, a <sitemapindex> (with spec-rule negatives:
+    # loc-less entry, cross-host child, duplicate child) pointing at
+    # /sitemap_a.xml + /sitemap_b.xml which split the same loc list —
+    # the protocol's 50k-URL/50MB split. Such hosts do NOT serve
+    # /sitemap.xml, so discovery must traverse the index level.
+    sitemap_index_every: int = 0
     # every k-th same-host link is emitted in redirect form (/r/N, a 301
     # to /p/N on the same host; 0 ⇒ no redirects). Exercises the
     # fetcher's redirect following AND the engine's final-URL resolution

@@ -338,6 +338,7 @@ def make_http_sitemap_fetcher(cfg: HttpFetcherConfig | None = None):
     def fetch_one(url: str) -> str | None:
         import urllib.error
         import urllib.request
+        import zlib
 
         req = urllib.request.Request(
             url, headers={"User-Agent": cfg.user_agent})
@@ -345,9 +346,23 @@ def make_http_sitemap_fetcher(cfg: HttpFetcherConfig | None = None):
             with urllib.request.urlopen(req, timeout=10.0) as resp:
                 if resp.status >= 300:
                     return None
-                return resp.read(1 << 20).decode("utf-8", errors="replace")
+                raw = resp.read(1 << 20)
         except (urllib.error.URLError, TimeoutError, OSError, ValueError):
             return None
+        if raw[:2] == b"\x1f\x8b":
+            # gzipped sitemap (spec: sitemap files may be .gz) — sniffed
+            # by magic, not extension, so Content-Encoding mislabels
+            # don't matter; decompression capped at 8 MiB (zip-bomb
+            # defense: max_length stops mid-stream, no partial garbage
+            # reaches the parser because we then reject oversize)
+            try:
+                d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                raw = d.decompress(raw, 8 << 20)
+                if not d.eof and d.unconsumed_tail:
+                    return None  # truncated by the cap: oversize
+            except zlib.error:
+                return None
+        return raw.decode("utf-8", errors="replace")
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor

@@ -272,16 +272,31 @@ def robots_crawl_delay_for_host(host: str,
     return None
 
 
+def _publishes_sitemap(host_idx: int, cfg: SynthWebConfig) -> bool:
+    return cfg.sitemap_every > 0 and host_idx % cfg.sitemap_every == 0
+
+
+def _is_index_host(host_idx: int, cfg: SynthWebConfig) -> bool:
+    """Every cfg.sitemap_index_every-th sitemap-PUBLISHING host serves a
+    two-level layout: robots declares /sitemap_index.xml, whose children
+    /sitemap_a.xml + /sitemap_b.xml split the loc list between them."""
+    return (_publishes_sitemap(host_idx, cfg)
+            and cfg.sitemap_index_every > 0
+            and (host_idx // cfg.sitemap_every)
+            % cfg.sitemap_index_every == 0)
+
+
 def sitemap_urls_for_host(host: str, cfg: SynthWebConfig) -> list[str]:
     """`Sitemap:` directives the host's robots.txt advertises (sitemaps.org
     discovery; RFC 9309 §2.3 non-group records). Every cfg.sitemap_every-th
-    host publishes one sitemap at /sitemap.xml."""
+    host publishes one sitemap at /sitemap.xml — or, for index hosts
+    (cfg.sitemap_index_every), one INDEX at /sitemap_index.xml."""
     host_idx = _host_idx_of(host)
-    if host_idx is None or cfg.sitemap_every <= 0:
+    if host_idx is None or not _publishes_sitemap(host_idx, cfg):
         return []
-    if host_idx % cfg.sitemap_every == 0:
-        return [f"http://{host}/sitemap.xml"]
-    return []
+    if _is_index_host(host_idx, cfg):
+        return [f"http://{host}/sitemap_index.xml"]
+    return [f"http://{host}/sitemap.xml"]
 
 
 def _sitemap_locs(host_idx: int, cfg: SynthWebConfig) -> list[str]:
@@ -300,25 +315,67 @@ def _sitemap_locs(host_idx: int, cfg: SynthWebConfig) -> list[str]:
     return locs
 
 
-def sitemap_xml_for_url(url: str, cfg: SynthWebConfig) -> str | None:
-    """Serve a sitemap document (pure function of the URL, like pages).
-    None ⇔ not a sitemap URL this web publishes (fetch failure)."""
-    if cfg.sitemap_every <= 0 or not url.endswith("/sitemap.xml"):
-        return None
-    prefix = "http://"
-    if not url.startswith(prefix):
-        return None
-    host = url[len(prefix):].split("/", 1)[0]
-    host_idx = _host_idx_of(host)
-    if (host_idx is None or not (0 <= host_idx < cfg.n_hosts)
-            or host_idx % cfg.sitemap_every != 0):
-        return None
-    entries = ["<url><lastmod>not-a-date</lastmod></url>"]  # no <loc>: dropped
-    for loc in _sitemap_locs(host_idx, cfg):
-        entries.append(f"<url><loc>{loc}</loc>"
+def _xml_escape(s: str) -> str:
+    """Entity-escape as the spec requires for loc values (& FIRST so the
+    escape never double-encodes the entities it just wrote). A no-op for
+    this web's URLs — written anyway so the served XML is conformant and
+    the engine's unescape is exercised on every fetch."""
+    for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                    ('"', "&quot;"), ("'", "&apos;")):
+        s = s.replace(ch, ent)
+    return s
+
+
+def _urlset_xml(locs: list[str], with_negatives: bool = True) -> str:
+    entries = (["<url><lastmod>not-a-date</lastmod></url>"]  # no <loc>
+               if with_negatives else [])
+    for loc in locs:
+        entries.append(f"<url><loc>{_xml_escape(loc)}</loc>"
                        f"<priority>0.5</priority></url>")
     return ("<?xml version=\"1.0\"?><urlset>"
             + "".join(entries) + "</urlset>")
+
+
+def sitemap_xml_for_url(url: str, cfg: SynthWebConfig) -> str | None:
+    """Serve a sitemap document (pure function of the URL, like pages).
+    None ⇔ not a sitemap URL this web publishes (fetch failure). Plain
+    sitemap hosts serve /sitemap.xml; index hosts serve /sitemap_index.xml
+    (a <sitemapindex> with spec-rule negatives: a loc-less entry, a
+    cross-host child, a duplicate) whose children /sitemap_a.xml and
+    /sitemap_b.xml split the loc list by position — and do NOT serve
+    /sitemap.xml, so discovery genuinely traverses the index level."""
+    prefix = "http://"
+    if cfg.sitemap_every <= 0 or not url.startswith(prefix):
+        return None
+    host, _, path = url[len(prefix):].partition("/")
+    host_idx = _host_idx_of(host)
+    if (host_idx is None or not (0 <= host_idx < cfg.n_hosts)
+            or not _publishes_sitemap(host_idx, cfg)):
+        return None
+    indexed = _is_index_host(host_idx, cfg)
+    if path == "sitemap.xml" and not indexed:
+        return _urlset_xml(_sitemap_locs(host_idx, cfg))
+    if not indexed:
+        return None
+    if path == "sitemap_index.xml":
+        a = f"{prefix}{host}/sitemap_a.xml"
+        b = f"{prefix}{host}/sitemap_b.xml"
+        other = f"{prefix}{cfg.host_name((host_idx + 1) % cfg.n_hosts)}" \
+                "/sitemap_x.xml"
+        entries = [f"<sitemap><loc>{_xml_escape(a)}</loc>"
+                   "<lastmod>2024-01-01</lastmod></sitemap>",
+                   f"<sitemap><loc>{_xml_escape(b)}</loc></sitemap>",
+                   "<sitemap><lastmod>2024-02-02</lastmod></sitemap>",
+                   f"<sitemap><loc>{_xml_escape(other)}</loc></sitemap>",
+                   f"<sitemap><loc>{_xml_escape(a)}</loc></sitemap>"]
+        return ("<?xml version=\"1.0\"?><sitemapindex>"
+                + "".join(entries) + "</sitemapindex>")
+    if path in ("sitemap_a.xml", "sitemap_b.xml"):
+        locs = _sitemap_locs(host_idx, cfg)
+        keep = 0 if path == "sitemap_a.xml" else 1
+        part = [loc for i, loc in enumerate(locs) if i % 2 == keep]
+        return _urlset_xml(part, with_negatives=(keep == 0))
+    return None
 
 
 def sitemap_entries_py(host: str, cfg: SynthWebConfig) -> list[str]:

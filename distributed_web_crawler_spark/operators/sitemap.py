@@ -22,6 +22,20 @@ from pyspark.sql import functions as F
 
 _ENTRY_RE = "<url>(.*?)</url>"
 
+# the five predefined XML entities, &amp; LAST so a double-escaped
+# '&amp;lt;' decodes one level (to '&lt;'), never to '<' — the spec
+# REQUIRES loc URLs to be entity-escaped (sitemaps.org "Sitemap file
+# location"), so a conformant sitemap's '?a=1&b=2' arrives as
+# '?a=1&amp;b=2' and must decode before the URL joins the frontier
+_XML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&apos;", "'"), ("&amp;", "&"))
+
+
+def _xml_unescape(col):
+    for ent, ch in _XML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
 
 def _field(block, tag: str):
     return F.regexp_extract(block, f"<{tag}>(.*?)</{tag}>", 1)
@@ -44,7 +58,7 @@ def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
     exploded = (sitemaps
                 .select(host.alias("host"),
                         F.posexplode(entries).alias("entry_idx", "block")))
-    loc = _field(F.col("block"), "loc")
+    loc = _xml_unescape(_field(F.col("block"), "loc"))
     same_host = (loc.startswith(F.concat(F.lit("http://"), F.col("host"),
                                          F.lit("/"))) |
                  loc.startswith(F.concat(F.lit("https://"), F.col("host"),
@@ -145,11 +159,18 @@ def sitemap_frontier_candidates(robots_new: DataFrame, cfg,
     extract_children) → depth-0 frontier candidate rows (parent = the
     sitemap URL, priority 1 like a seed).
 
+    A declared document may be a sitemap INDEX (<sitemapindex> — the
+    protocol's 50k-URL/50MB split): its child-sitemap pointers parse
+    under the same spec rules (parse_sitemap_index) and fetch in one
+    more host-grain pass; children that are themselves indexes are
+    dropped (the protocol allows exactly one nesting level).
+
     Scale shape: everything here is HOST-grain — robots_new is ≤ the
     round's new hosts, sitemap documents fetch once per host per robots
     generation (the TTL refetch path re-reads them), and the parse's only
     exchange is parse_sitemaps' (host, url) first-wins aggregate over
-    entry rows. Nothing frontier-scale is touched; the candidates join
+    entry rows (plus parse_sitemap_index's pointer-grain twin for index
+    hosts). Nothing frontier-scale is touched; the candidates join
     the frontier through the same D4 seen-check as link children."""
     from ..functions.urls import (
         combined_allow_pattern,
@@ -163,13 +184,29 @@ def sitemap_frontier_candidates(robots_new: DataFrame, cfg,
             .dropDuplicates(["host", "sitemap_url"])
             .mapInPandas(fetcher, SITEMAP_DOC_SCHEMA)
             .where(F.col("xml").isNotNull()))
-    # persisted: the doc table feeds BOTH the entry parse and the
-    # parentage lookup below — uncached, a NON-PURE fetcher (real HTTP)
-    # would execute twice and could disagree with itself
+    # persisted: the doc table feeds the entry parse, the index
+    # expansion, AND the parentage lookup below — uncached, a NON-PURE
+    # fetcher (real HTTP) would execute several times and could
+    # disagree with itself
     docs = docs.persist()
     if cached is not None:
         cached.append(docs)
-    cands = parse_sitemaps(docs, host_col="host", xml_col="xml")
+    is_index = F.col("xml").contains("<sitemapindex")
+    # level 2: fetch the index hosts' child sitemaps (skipping any child
+    # that was itself robots-declared — already fetched above); a child
+    # that turns out to be ANOTHER index is out of protocol and dropped
+    child_docs = (parse_sitemap_index(docs.where(is_index))
+                  .select("host", "sitemap_url")
+                  .join(docs.select("host", "sitemap_url"),
+                        ["host", "sitemap_url"], "left_anti")
+                  .mapInPandas(fetcher, SITEMAP_DOC_SCHEMA)
+                  .where(F.col("xml").isNotNull() &
+                         ~F.col("xml").contains("<sitemapindex"))
+                  .persist())
+    if cached is not None:
+        cached.append(child_docs)
+    flat = docs.where(~is_index).unionByName(child_docs)
+    cands = parse_sitemaps(flat, host_col="host", xml_col="xml")
     # parse_sitemaps collapses to (host, url); parentage rejoins per host
     # — a url's host equals its sitemap's host (same-host rule), and the
     # min() keeps parentage deterministic when a host ships several
@@ -219,7 +256,7 @@ def parse_sitemap_index(indexes: DataFrame, host_col: str = "host",
     exploded = (indexes
                 .select(host.alias("host"),
                         F.posexplode(entries).alias("entry_idx", "block")))
-    loc = _field(F.col("block"), "loc")
+    loc = _xml_unescape(_field(F.col("block"), "loc"))
     same_host = (loc.startswith(F.concat(F.lit("http://"), F.col("host"),
                                          F.lit("/"))) |
                  loc.startswith(F.concat(F.lit("https://"), F.col("host"),

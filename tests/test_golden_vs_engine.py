@@ -659,3 +659,56 @@ def test_redirect_final_url_golden_parity(spark, tmp_path):
     red = {u: f for u, f in fu.items() if f is not None}
     for u, f in red.items():
         assert "/r/" in u and f == u.replace("/r/", "/p/")
+
+
+def test_sitemap_index_discovery_golden_parity(spark, tmp_path):
+    """Two-level sitemap layout inside the crawl loop
+    (synth.sitemap_index_every): index hosts declare /sitemap_index.xml
+    whose children split the loc list; the engine expands the index in
+    one extra host-grain fetch pass, candidates carry the INDEX URL as
+    parent, discovery reaches orphans, and engine/golden visit parity
+    holds — golden needs no index awareness at all because the child
+    union equals the flat loc list by construction."""
+    synth = SynthWebConfig(n_hosts=10, base_pages_per_host=24,
+                           sitemap_every=2, sitemap_index_every=2,
+                           robots_every=3, max_out_links=3)
+    cfg = CrawlConfig(max_depth=4, host_budget_per_round=3, max_rounds=8,
+                      allowed_domains=(r".*\.example\.com",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12,
+                      sitemap_discovery=True)
+    seeds = W.seed_urls(synth, 3)
+
+    # the fixture really is two-level: host 0 serves an index, no flat
+    # /sitemap.xml, and children that union to the flat entry list
+    h0 = synth.host_name(0)
+    assert W.sitemap_urls_for_host(h0, synth) == \
+        [f"http://{h0}/sitemap_index.xml"]
+    assert W.sitemap_xml_for_url(f"http://{h0}/sitemap.xml", synth) is None
+    idx_xml = W.sitemap_xml_for_url(f"http://{h0}/sitemap_index.xml", synth)
+    assert "<sitemapindex>" in idx_xml and "sitemap_a.xml" in idx_xml
+    # ...and at least one sitemap host stays flat (index_every=2 splits)
+    h2 = synth.host_name(2)
+    assert W.sitemap_urls_for_host(h2, synth) == \
+        [f"http://{h2}/sitemap.xml"]
+
+    g = golden_crawl(seeds, cfg, synth)
+    from dataclasses import replace as dc_replace
+    g_off = golden_crawl(seeds, dc_replace(cfg, sitemap_discovery=False),
+                         synth)
+    assert g.stored_urls - g_off.stored_urls, "no orphan reached - no power"
+
+    c = Crawler(spark, cfg, synth, str(tmp_path / "s1"))
+    c.bootstrap(seeds)
+    c.run()
+    assert c.visit_sequence() == g.visits
+    assert c.url_seen_set() == g.stored_urls
+
+    # candidates from index hosts are parented by the INDEX url (the
+    # robots-declared document), depth 0, priority 1
+    fr = c.store.read(spark, "frontier")
+    idx_rows = fr.where(
+        fr.parent_url.endswith("/sitemap_index.xml")).collect()
+    assert idx_rows, "no candidate traversed the index level"
+    assert all(r["depth"] == 0 and r["priority"] == 1 for r in idx_rows)
+    assert all(r["host"] == r["parent_url"].split("/")[2]
+               for r in idx_rows)

@@ -459,3 +459,87 @@ def test_http_sitemap_discovery_end_to_end(spark, tmp_path):
         assert all(r["depth"] == 0 and r["priority"] == 1 for r in sm)
     finally:
         srv.shutdown()
+
+
+def test_http_gzipped_sitemap_index_end_to_end(spark, tmp_path):
+    """Two-level + gzip over real sockets: robots declares a GZIPPED
+    sitemap index (magic-sniffed, not extension-matched); the engine
+    gunzips it, fetches the child sitemap it points at, and reaches the
+    orphan page only that child lists. Also pins the one-level nesting
+    rule: a child that is itself an index contributes nothing."""
+    import gzip
+    import socket
+
+    site_pages = {
+        "/p/0": '<html><a href="/p/1">one</a></html>',
+        "/p/1": "<html><body>leaf</body></html>",
+        "/p/9": "<html><body>orphan via gz index</body></html>",
+    }
+    robots = ("User-agent: *\n"
+              "Sitemap: http://127.0.0.1/sitemap_index.xml.gz\n")
+    index = ("<?xml version=\"1.0\"?><sitemapindex>"
+             "<sitemap><loc>http://127.0.0.1/sm_child.xml</loc></sitemap>"
+             "<sitemap><loc>http://127.0.0.1/sm_nested_index.xml</loc>"
+             "</sitemap></sitemapindex>")
+    child = ("<?xml version=\"1.0\"?><urlset>"
+             "<url><loc>http://127.0.0.1/p/9</loc></url></urlset>")
+    nested = ("<?xml version=\"1.0\"?><sitemapindex>"
+              "<sitemap><loc>http://127.0.0.1/sm_child2.xml</loc>"
+              "</sitemap></sitemapindex>")
+    child2 = ("<?xml version=\"1.0\"?><urlset>"
+              "<url><loc>http://127.0.0.1/p/13</loc></url></urlset>")
+
+    class _H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/robots.txt":
+                body, ctype = robots.encode(), "text/plain"
+            elif self.path == "/sitemap_index.xml.gz":
+                body, ctype = (gzip.compress(index.encode()),
+                               "application/gzip")
+            elif self.path == "/sm_child.xml":
+                body, ctype = child.encode(), "application/xml"
+            elif self.path == "/sm_nested_index.xml":
+                body, ctype = nested.encode(), "application/xml"
+            elif self.path == "/sm_child2.xml":
+                body, ctype = child2.encode(), "application/xml"
+            elif self.path in site_pages:
+                body, ctype = site_pages[self.path].encode(), "text/html"
+            else:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    try:
+        srv = ThreadingHTTPServer(("127.0.0.1", 80), _H)
+    except (OSError, socket.error) as e:
+        pytest.skip(f"cannot bind port 80: {e}")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cfg = CrawlConfig(max_depth=3, host_budget_per_round=10,
+                          max_rounds=4, url_seen_shards=2,
+                          bloom_bits_per_shard=1 << 12,
+                          sitemap_discovery=True)
+        fetcher = make_http_fetcher(HttpFetcherConfig(timeout_sec=5.0,
+                                                      concurrency=4))
+        c = Crawler(spark, cfg, None, str(tmp_path), fetcher=fetcher)
+        c.bootstrap(["http://127.0.0.1/p/0"])
+        c.run()
+        urls = c.url_seen_set()
+        assert "http://127.0.0.1/p/9" in urls, \
+            "gzipped-index orphan never fetched"
+        # nested (level-2) index dropped: its child's URL never enqueued
+        assert "http://127.0.0.1/p/13" not in urls
+        fr = c.store.read(spark, "frontier")
+        sm = fr.where(fr.parent_url ==
+                      "http://127.0.0.1/sitemap_index.xml.gz").collect()
+        assert {r["url"] for r in sm} == {"http://127.0.0.1/p/9"}
+    finally:
+        srv.shutdown()

@@ -64,6 +64,10 @@ def main() -> None:
     ap.add_argument("--sitemap-every", type=int, default=4,
                     help="synthetic web: every k-th host publishes a "
                          "sitemap (used with --sitemap-discovery)")
+    ap.add_argument("--sitemap-index-every", type=int, default=0,
+                    help="synthetic web: every k-th sitemap host serves "
+                         "a two-level /sitemap_index.xml layout instead "
+                         "(0 = all flat)")
     ap.add_argument("--expire-state", action="store_true",
                     help="after the crawl, delete compaction-absorbed "
                          "state dirs (Crawler.expire_state)")
@@ -89,7 +93,10 @@ def main() -> None:
     synth = SynthWebConfig(n_hosts=args.hosts,
                            base_pages_per_host=args.pages_per_host,
                            sitemap_every=(args.sitemap_every
-                                          if args.sitemap_discovery else 0))
+                                          if args.sitemap_discovery else 0),
+                           sitemap_index_every=(args.sitemap_index_every
+                                                if args.sitemap_discovery
+                                                else 0))
     cfg = CrawlConfig(max_depth=args.max_depth,
                       host_budget_per_round=args.budget,
                       max_rounds=args.rounds,
