@@ -193,6 +193,13 @@ class SynthWebConfig:
     # the protocol's 50k-URL/50MB split. Such hosts do NOT serve
     # /sitemap.xml, so discovery must traverse the index level.
     sitemap_index_every: int = 0
+    # sitemap entry <lastmod> values (0 ⇒ entries carry none): every
+    # k-th page (by page index) gets a FAR-FUTURE lastmod (9999-01-01,
+    # provably after any round-clock fetch date ⇒ recrawl verdict
+    # 'modified' once stored), every other page a PAST one (2023-01-01,
+    # before the epoch_ms clock ⇒ 'fresh'). Pure function of the loc, so
+    # flat and index layouts agree and tests can recompute expectations.
+    sitemap_lastmod_every: int = 0
     # every k-th same-host link is emitted in redirect form (/r/N, a 301
     # to /p/N on the same host; 0 ⇒ no redirects). Exercises the
     # fetcher's redirect following AND the engine's final-URL resolution

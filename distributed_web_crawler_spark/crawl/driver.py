@@ -550,7 +550,18 @@ class Crawler:
                 # feeds both the lineage table and the round counts
                 f3 = ex.submit(_timed, "lineage",
                                lambda: res.lineage.collect())
+                # parsed sitemap entries (host-grain metadata for
+                # lastmod recrawl planning) — derives from the persisted
+                # doc tables, so this is a cache-only job like the rest
+                f5 = (ex.submit(_timed, "sitemap", lambda: self.store
+                                .stage_write("sitemap",
+                                             plan.sitemap_entries
+                                             .withColumn("fetched_round",
+                                                         F.lit(r)), r))
+                      if plan.sitemap_entries is not None else None)
                 f1.result(), f2.result(), f4.result()
+                if f5 is not None:
+                    f5.result()
                 lineage_rows = f3.result()
             self.store.stage_write(
                 "lineage",
@@ -724,7 +735,8 @@ class Crawler:
     def register_views(self, prefix: str = "crawl_") -> list[str]:
         """Expose every committed result surface as Spark SQL temp views
         (`<prefix>pages`, `<prefix>stored`, `<prefix>lineage`, and when
-        epochs exist `<prefix>revalidations` / `<prefix>refreshed_pages`)
+        committed `<prefix>revalidations` / `<prefix>refreshed_pages` /
+        `<prefix>sitemap`)
         so `spark.sql(...)` works directly over the store — the engine's
         query-API analog of the reference's REST read endpoints
         (controller/CrawlerController.java). Views are lazy plans over
@@ -736,6 +748,9 @@ class Crawler:
             "revalidations": self.revalidations(),
             "refreshed_pages": (self.refreshed_pages()
                                 if self.pages() is not None else None),
+            # committed sitemap entries (discovery tier) — present only
+            # when cfg.sitemap_discovery ever ran against this store
+            "sitemap": self.store.read(self.spark, "sitemap"),
         }
         names = []
         for name, df in surfaces.items():
@@ -872,6 +887,49 @@ class Crawler:
                        F.concat(F.lit('"'),
                                 F.substring("content_hash", 1, 16),
                                 F.lit('"'))).alias("etag"))
+
+    def sitemap_recrawl_picks(self) -> DataFrame | None:
+        """sitemaps.org recrawl planning over the engine's OWN store: the
+        latest committed sitemap generation per URL (the `sitemap` table
+        the discovery tier persists each round) joined against the stored
+        pages' last fetch date, verdicts per
+        pipeline.recrawl.sitemap_recrawl_candidates — 'new' (listed,
+        never stored), 'modified' (lastmod after last fetch), 'fresh'.
+        Feed ``.where("fetch_needed")`` into ``revalidate(urls=...)``:
+        its semi-join against the stored corpus keeps the 'modified'
+        rows and drops 'new' ones (those are frontier candidates, not
+        revalidation targets). None ⇔ no sitemap table committed
+        (cfg.sitemap_discovery was never on).
+
+        Scale shape: the sitemap table accumulates one generation per
+        (host robots-generation) — host-grain cadence, entry-grain rows;
+        the latest-wins collapse is one (url)-keyed max-struct aggregate
+        and last_fetch one aggregate over the slim stored table, then
+        sitemap_recrawl_candidates' single url-keyed join. last_fetch
+        derives from the deterministic round clock (round → date), so no
+        payload column is touched."""
+        from ..pipeline.recrawl import sitemap_recrawl_candidates
+
+        sm = self.store.read(self.spark, "sitemap")
+        if sm is None:
+            return None
+        stored = self.stored_slim()
+        if stored is None:
+            raise RuntimeError("nothing stored yet — run() first")
+        latest = (sm.groupBy("url")
+                  .agg(F.max(F.struct("fetched_round", "host", "lastmod",
+                                      "sitemap_priority")).alias("_l"))
+                  .select("url", F.col("_l.host").alias("host"),
+                          F.col("_l.lastmod").alias("lastmod"),
+                          F.col("_l.sitemap_priority").alias("priority")))
+        step = self.cfg.round_seconds * 1000
+        last_fetch = (stored.groupBy("url")
+                      .agg(F.max("round").alias("_r"))
+                      .select("url", F.to_date(F.timestamp_millis(
+                          F.lit(self.cfg.epoch_ms)
+                          + F.col("_r").cast("long") * F.lit(step)))
+                          .alias("last_fetch")))
+        return sitemap_recrawl_candidates(latest, last_fetch)
 
     def revalidate(self, changed=None, version: int = 1,
                    fetcher=None, urls=None) -> dict:

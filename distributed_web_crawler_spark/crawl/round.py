@@ -78,6 +78,10 @@ class FetchPlan:
     # depth-0 rows parsed from the round's newly fetched hosts' sitemaps,
     # merged with link children in finish_round (sitemap identity wins)
     sitemap_cands: DataFrame | None = None
+    # the same parse with its per-URL metadata kept (lastmod,
+    # sitemap_priority, sitemap_url) — persisted by the driver as the
+    # `sitemap` table for lastmod-driven recrawl planning
+    sitemap_entries: DataFrame | None = None
 
 
 @dataclass
@@ -174,12 +178,15 @@ def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
                                  "sitemap_fetcher when no synthetic web "
                                  "is configured")
             sitemap_fetcher = make_synth_sitemap_fetcher(synth_cfg)
-        sitemap_cands = sitemap_frontier_candidates(
+        sitemap_cands, sitemap_entries = sitemap_frontier_candidates(
             robots_new, cfg, sitemap_fetcher, ts, cached=robots_cached)
+    else:
+        sitemap_entries = None
     return FetchPlan(fetched=fetched, deferred=deferred,
                      robots_new=robots_new, decided=decided,
                      cached=[decided, gated_rob, *robots_cached],
-                     sitemap_cands=sitemap_cands)
+                     sitemap_cands=sitemap_cands,
+                     sitemap_entries=sitemap_entries)
 
 
 PAGES_PER_LINK_TASK = 512

@@ -326,11 +326,30 @@ def _xml_escape(s: str) -> str:
     return s
 
 
-def _urlset_xml(locs: list[str], with_negatives: bool = True) -> str:
+def sitemap_lastmod_py(loc: str, cfg: SynthWebConfig) -> str | None:
+    """The <lastmod> a sitemap entry for ``loc`` carries (None = none):
+    a pure function of the loc's page index (cfg.sitemap_lastmod_every),
+    so flat and index layouts emit identical values and the engine-side
+    recrawl tests can recompute expected verdicts independently."""
+    if cfg.sitemap_lastmod_every <= 0:
+        return None
+    parsed = parse_synth_url(loc, cfg)
+    if parsed is None:
+        return None
+    _, page_idx = parsed
+    if page_idx % cfg.sitemap_lastmod_every == 0:
+        return "9999-01-01"   # after any round-clock date ⇒ 'modified'
+    return "2023-01-01"       # before epoch_ms (2023-11-14) ⇒ 'fresh'
+
+
+def _urlset_xml(locs: list[str], cfg: SynthWebConfig,
+                with_negatives: bool = True) -> str:
     entries = (["<url><lastmod>not-a-date</lastmod></url>"]  # no <loc>
                if with_negatives else [])
     for loc in locs:
-        entries.append(f"<url><loc>{_xml_escape(loc)}</loc>"
+        lm = sitemap_lastmod_py(loc, cfg)
+        lm_tag = f"<lastmod>{lm}</lastmod>" if lm else ""
+        entries.append(f"<url><loc>{_xml_escape(loc)}</loc>{lm_tag}"
                        f"<priority>0.5</priority></url>")
     return ("<?xml version=\"1.0\"?><urlset>"
             + "".join(entries) + "</urlset>")
@@ -354,7 +373,7 @@ def sitemap_xml_for_url(url: str, cfg: SynthWebConfig) -> str | None:
         return None
     indexed = _is_index_host(host_idx, cfg)
     if path == "sitemap.xml" and not indexed:
-        return _urlset_xml(_sitemap_locs(host_idx, cfg))
+        return _urlset_xml(_sitemap_locs(host_idx, cfg), cfg)
     if not indexed:
         return None
     if path == "sitemap_index.xml":
@@ -374,7 +393,7 @@ def sitemap_xml_for_url(url: str, cfg: SynthWebConfig) -> str | None:
         locs = _sitemap_locs(host_idx, cfg)
         keep = 0 if path == "sitemap_a.xml" else 1
         part = [loc for i, loc in enumerate(locs) if i % 2 == keep]
-        return _urlset_xml(part, with_negatives=(keep == 0))
+        return _urlset_xml(part, cfg, with_negatives=(keep == 0))
     return None
 
 

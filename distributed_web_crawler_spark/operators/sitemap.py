@@ -148,9 +148,9 @@ def make_synth_sitemap_fetcher(synth_cfg):
     return fetch
 
 
-def sitemap_frontier_candidates(robots_new: DataFrame, cfg,
-                                fetcher, round_ts_ms: int,
-                                cached: list | None = None) -> DataFrame:
+def sitemap_frontier_candidates(
+        robots_new: DataFrame, cfg, fetcher, round_ts_ms: int,
+        cached: list | None = None) -> tuple[DataFrame, DataFrame]:
     """The discovery tier executed inside the crawl round: newly fetched
     robots rows → their `Sitemap:` declarations → one document fetch per
     distinct (host, sitemap_url) → spec-rule parse (parse_sitemaps:
@@ -158,6 +158,13 @@ def sitemap_frontier_candidates(robots_new: DataFrame, cfg,
     allow / F4 exclude — the same predicates discovered links pass in
     extract_children) → depth-0 frontier candidate rows (parent = the
     sitemap URL, priority 1 like a seed).
+
+    Returns ``(candidates, entries)``: candidates are the frontier-shaped
+    rows finish_round merges with link children; entries keep the parsed
+    per-URL sitemap metadata (host, url, lastmod, priority, sitemap_url)
+    the frontier schema drops — the driver persists them as the `sitemap`
+    table, feeding lastmod-driven recrawl planning
+    (Crawler.sitemap_recrawl_picks → revalidate).
 
     A declared document may be a sitemap INDEX (<sitemapindex> — the
     protocol's 50k-URL/50MB split): its child-sitemap pointers parse
@@ -220,7 +227,7 @@ def sitemap_frontier_candidates(robots_new: DataFrame, cfg,
         out = out.where(F.col("host").rlike(allow_re))       # F3 on entries
     if excl_re is not None:
         out = out.where(~F.col("url").rlike(excl_re))        # F4 on entries
-    return out.select(
+    candidates = out.select(
         "url", "host",
         F.lit(0).alias("depth"),           # host-declared, like a seed
         "parent_url",
@@ -229,6 +236,10 @@ def sitemap_frontier_candidates(robots_new: DataFrame, cfg,
         F.lit(0).alias("retry_count"),
         F.lit(None).cast("long").alias("scheduled_for_ms"),
     )
+    entries = out.select("host", "url", "lastmod",
+                         F.col("priority").alias("sitemap_priority"),
+                         F.col("parent_url").alias("sitemap_url"))
+    return candidates, entries
 
 
 _INDEX_ENTRY_RE = "<sitemap>(.*?)</sitemap>"

@@ -205,3 +205,67 @@ def test_epoch_compaction_preserves_state_and_history_stats(spark,
     # sees everything unchanged
     r4 = c2.revalidate(changed=_pred)
     assert r4.get("unchanged", 0) == len(stored)
+
+
+def test_sitemap_recrawl_picks_close_the_discovery_loop(spark, tmp_path):
+    """The sitemap table persisted by the discovery tier drives recrawl
+    planning on the engine's own store: sitemap_recrawl_picks verdicts
+    match a from-first-principles recomputation (lastmod is a pure
+    function of the loc in the synthetic web), and feeding the
+    fetch_needed picks into revalidate() runs a partial epoch over
+    exactly the stored 'modified' rows ('new' rows drop at the
+    semi-join). A fresh driver over the same store computes identical
+    picks (the table is committed state, not session state)."""
+    from distributed_web_crawler_spark.crawl import synthweb as W
+
+    synth = SynthWebConfig(n_hosts=10, base_pages_per_host=24,
+                           sitemap_every=2, sitemap_index_every=2,
+                           sitemap_lastmod_every=3, robots_every=3,
+                           max_out_links=3)
+    cfg = CrawlConfig(max_depth=4, host_budget_per_round=3, max_rounds=6,
+                      allowed_domains=(r".*\.example\.com",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12,
+                      sitemap_discovery=True)
+    c = Crawler(spark, cfg, synth, str(tmp_path))
+    c.bootstrap(W.seed_urls(synth, 3))
+    c.run()
+
+    picks = c.sitemap_recrawl_picks()
+    rows = {r["url"]: r for r in picks.collect()}
+    stored = c.url_seen_set()
+
+    expect = {}
+    for i in range(synth.n_hosts):
+        for u in W.sitemap_entries_py(synth.host_name(i), synth):
+            lm = W.sitemap_lastmod_py(u, synth)
+            expect[u] = ("new" if u not in stored
+                         else "modified" if lm == "9999-01-01"
+                         else "fresh")
+    assert {u: r["verdict"] for u, r in rows.items()} == expect
+    # all three verdicts genuinely occur, or the test has no power
+    assert {"new", "modified", "fresh"} <= set(expect.values())
+    assert all(r["fetch_needed"] == (r["verdict"] in ("new", "modified"))
+               for r in rows.values())
+    # entries carry their sitemap metadata through the store
+    assert all(r["priority"] == 0.5 for r in rows.values())
+
+    # partial epoch over the picks: exactly the stored 'modified' rows
+    n_mod = sum(1 for v in expect.values() if v == "modified")
+    assert n_mod > 0
+    r1 = c.revalidate(urls=picks.where("fetch_needed"))
+    assert r1 == {"epoch": 0, "unchanged": n_mod}  # static web: all 304
+
+    # fresh driver, same store → identical picks
+    c2 = Crawler(spark, cfg, synth, str(tmp_path))
+    rows2 = {r["url"]: r["verdict"]
+             for r in c2.sitemap_recrawl_picks().collect()}
+    assert rows2 == {u: r["verdict"] for u, r in rows.items()}
+
+    # a store that never ran discovery has no sitemap table
+    synth0 = SynthWebConfig(n_hosts=6, base_pages_per_host=12)
+    cfg0 = CrawlConfig(max_depth=2, host_budget_per_round=3, max_rounds=2,
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12)
+    c0 = Crawler(spark, cfg0, synth0, str(tmp_path) + "_nosm")
+    c0.bootstrap(W.seed_urls(synth0, 2))
+    c0.run()
+    assert c0.sitemap_recrawl_picks() is None
