@@ -5942,3 +5942,412 @@ def mime_sniff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("fmt"))
     return multimodal.mime_sniff(
         imgs.withColumn("fmt", declared))
+
+
+# ---------------------------------------------------------------------------
+# Link-level HTML semantics (operators/html_links.py): REP rel hints,
+# meta-refresh redirects, hreflang clusters, feed autodiscovery + Atom
+# parse, charset sniffing — the standards-correct tier next to the
+# reference's bare a[href] collection (kept bug-for-bug on the crawl
+# path). Fixtures synthesize canonical HTML from `documents` on BOTH
+# sides; all parsing is shared-regex Catalyst vs DuckDB RE2.
+# ---------------------------------------------------------------------------
+
+_LINKS_URL_SQL = "'http://x.example.com/d/' || CAST(doc_id AS VARCHAR)"
+
+
+def _links_url_col():
+    return F.concat(F.lit("http://x.example.com/d/"),
+                    F.col("doc_id").cast("string"))
+
+
+_REL_HTML_SQL = f"""
+    SELECT {_LINKS_URL_SQL} AS url,
+           '<html><body>'
+           || '<a href="/p/' || CAST(doc_id AS VARCHAR) || '">in</a>'
+           || '<a href="http://x.example.com/f/' || CAST(doc_id AS VARCHAR)
+           || '" rel="' || CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'nofollow'
+                WHEN 1 THEN 'ugc sponsored'
+                WHEN 2 THEN 'noopener nofollow'
+                ELSE 'author external' END
+           || '">out</a>'
+           || '<a name="top">anchor</a>'
+           || '</body></html>' AS html
+    FROM documents"""
+
+
+def _rel_html_col():
+    d = F.col("doc_id").cast("string")
+    rel = (F.when(F.col("doc_id") % 4 == 0, F.lit("nofollow"))
+           .when(F.col("doc_id") % 4 == 1, F.lit("ugc sponsored"))
+           .when(F.col("doc_id") % 4 == 2, F.lit("noopener nofollow"))
+           .otherwise(F.lit("author external")))
+    return F.concat(
+        F.lit('<html><body><a href="/p/'), d, F.lit('">in</a>'),
+        F.lit('<a href="http://x.example.com/f/'), d, F.lit('" rel="'),
+        rel, F.lit('">out</a>'),
+        F.lit('<a name="top">anchor</a></body></html>'))
+
+
+@q("link_rel_policy", f"""
+  WITH pages AS ({_REL_HTML_SQL}),
+  blocks AS (
+    SELECT url, CAST(i AS INTEGER) AS anchor_idx,
+           list_extract(regexp_extract_all(html, '<a ([^>]*)>', 1),
+                        CAST(i + 1 AS INTEGER)) AS attrs
+    FROM pages, range(0, 3) AS r(i)),
+  parsed AS (
+    SELECT url, anchor_idx,
+           regexp_extract(attrs, 'href="([^"]*)"', 1) AS href,
+           regexp_extract(attrs, 'rel="([^"]*)"', 1) AS rel
+    FROM blocks WHERE attrs IS NOT NULL),
+  flagged AS (
+    SELECT url, anchor_idx, href, rel,
+           list_contains(string_split_regex(lower(rel), ' +'),
+                         'nofollow') AS nofollow,
+           list_contains(string_split_regex(lower(rel), ' +'),
+                         'sponsored') AS sponsored,
+           list_contains(string_split_regex(lower(rel), ' +'),
+                         'ugc') AS ugc
+    FROM parsed WHERE length(href) > 0)
+  SELECT url, anchor_idx, href, rel, nofollow, sponsored, ugc,
+         NOT nofollow AS followable
+  FROM flagged
+""")
+def link_rel_policy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REP link-hint parsing (rel=nofollow/sponsored/ugc as token
+    membership over the rel list) over three-anchor synthetic pages: a
+    bare internal link, an outlink cycling through rel variants, and an
+    href-less name anchor (dropped). `followable` keys on nofollow
+    alone; `noopener`/`author` must not confuse the token match."""
+    from .operators.html_links import anchor_rel_links
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(_links_url_col().alias("url"),
+                        _rel_html_col().alias("html"))
+    return anchor_rel_links(pages)
+
+
+@q("meta_refresh", f"""
+  WITH pages AS (
+    SELECT {_LINKS_URL_SQL} AS url, doc_id,
+           '<html><head>'
+           || CASE
+                WHEN doc_id % 12 = 0 THEN
+                  '<meta http-equiv="refresh" content="'
+                  || CAST(doc_id % 30 AS VARCHAR)
+                  || ';URL=http://x.example.com/r/'
+                  || CAST(doc_id + 1 AS VARCHAR) || '">'
+                WHEN doc_id % 6 = 0 THEN
+                  '<meta http-equiv="refresh" content="'
+                  || CAST(doc_id % 30 AS VARCHAR)
+                  || ';url=http://x.example.com/r/'
+                  || CAST(doc_id + 1 AS VARCHAR) || '">'
+                WHEN doc_id % 6 = 3 THEN
+                  '<meta http-equiv="refresh" content="'
+                  || CAST(doc_id % 30 AS VARCHAR) || '">'
+                ELSE '' END
+           || '</head></html>' AS html
+    FROM documents),
+  parsed AS (
+    SELECT url,
+           regexp_extract(html,
+             '<meta http-equiv="refresh" content="([^"]*)"', 1) AS content
+    FROM pages)
+  SELECT url,
+         TRY_CAST(regexp_extract(content, '^([0-9]+)', 1) AS INTEGER)
+           AS delay_sec,
+         regexp_extract(content, '(?i);\\s*url=(.*)$', 1) AS refresh_url
+  FROM parsed
+  WHERE length(regexp_extract(content, '(?i);\\s*url=(.*)$', 1)) > 0
+""")
+def meta_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-refresh redirect edges: delay;url=target pairs extracted
+    case-insensitively (URL= vs url= variants planted), target-less
+    pure reloads dropped — the document-level redirect source that
+    composes with resolve_redirects like HTTP 3xx edges."""
+    from .operators.html_links import meta_refresh_targets
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    delay = (d % 30).cast("string")
+    tgt = F.concat(F.lit("http://x.example.com/r/"),
+                   (d + 1).cast("string"))
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 12 == 0,
+               F.concat(F.lit('<meta http-equiv="refresh" content="'),
+                        delay, F.lit(";URL="), tgt, F.lit('">')))
+        .when(d % 6 == 0,
+              F.concat(F.lit('<meta http-equiv="refresh" content="'),
+                       delay, F.lit(";url="), tgt, F.lit('">')))
+        .when(d % 6 == 3,
+              F.concat(F.lit('<meta http-equiv="refresh" content="'),
+                       delay, F.lit('">')))
+        .otherwise(F.lit("")),
+        F.lit("</head></html>"))
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(_links_url_col().alias("url"), html.alias("html"))
+    return meta_refresh_targets(pages)
+
+
+_HREFLANG_HTML_SQL = f"""
+    SELECT {_LINKS_URL_SQL} AS url,
+           '<html><head>'
+           || '<link rel="alternate" hreflang="' || lang || '" href="'
+           || {_LINKS_URL_SQL} || '">'
+           || CASE WHEN doc_id % 9 = 0 THEN
+                '<link rel="alternate" hreflang="dup" href="'
+                || {_LINKS_URL_SQL} || '">' ELSE '' END
+           || '<link rel="alternate" hreflang="x-default" href="'
+           || 'http://x.example.com/d/'
+           || CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id + 1
+                        ELSE doc_id - 1 END AS VARCHAR) || '">'
+           || '</head></html>' AS html
+    FROM documents"""
+
+
+def _hreflang_html_col():
+    d = F.col("doc_id")
+    own = _links_url_col()
+    partner = F.concat(
+        F.lit("http://x.example.com/d/"),
+        F.when(d % 2 == 0, d + 1).otherwise(d - 1).cast("string"))
+    return F.concat(
+        F.lit('<html><head><link rel="alternate" hreflang="'),
+        F.col("lang"), F.lit('" href="'), own, F.lit('">'),
+        F.when(d % 9 == 0,
+               F.concat(F.lit('<link rel="alternate" hreflang="dup" href="'),
+                        own, F.lit('">'))).otherwise(F.lit("")),
+        F.lit('<link rel="alternate" hreflang="x-default" href="'),
+        partner, F.lit('"></head></html>'))
+
+
+@q("hreflang_reciprocal", f"""
+  WITH pages AS ({_HREFLANG_HTML_SQL}),
+  blocks AS (
+    SELECT url, CAST(i AS INTEGER) AS tag_idx,
+           list_extract(regexp_extract_all(html,
+             '<link rel="alternate" hreflang="[^"]*" href="[^"]*"', 0),
+             CAST(i + 1 AS INTEGER)) AS tag
+    FROM pages, range(0, 3) AS r(i)),
+  parsed AS (
+    SELECT url, tag_idx,
+           regexp_extract(tag, 'hreflang="([^"]*)"', 1) AS hreflang,
+           regexp_extract(tag, 'href="([^"]*)"', 1) AS href
+    FROM blocks WHERE tag IS NOT NULL AND
+         length(regexp_extract(tag, 'href="([^"]*)"', 1)) > 0),
+  alt AS (
+    SELECT url, hreflang, href FROM parsed
+    QUALIFY row_number() OVER (PARTITION BY url, href
+                               ORDER BY tag_idx) = 1)
+  SELECT a.url, a.href, a.hreflang
+  FROM alt a
+  WHERE a.url < a.href
+    AND EXISTS (SELECT 1 FROM alt b
+                WHERE b.url = a.href AND b.href = a.url)
+""")
+def hreflang_reciprocal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang cluster validation: each page lists itself (own lang, a
+    planted duplicate losing first-wins on doc_id%9) and its even/odd
+    partner (x-default); reciprocity keeps exactly the partner pairs
+    (self-edges die on url<href) reported once from the lower url."""
+    from .operators.html_links import (
+        hreflang_alternates,
+        hreflang_reciprocal,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(_links_url_col().alias("url"),
+                        _hreflang_html_col().alias("html"))
+    return hreflang_reciprocal(hreflang_alternates(pages))
+
+
+@q("feed_discovery", f"""
+  WITH pages AS (
+    SELECT {_LINKS_URL_SQL} AS url, doc_id,
+           '<html><head>'
+           || CASE
+                WHEN doc_id % 3 = 0 THEN
+                  '<link rel="alternate" type="application/rss+xml" href="'
+                  || 'http://x.example.com/feed/' || CAST(doc_id AS VARCHAR)
+                  || '.rss">'
+                WHEN doc_id % 3 = 1 THEN
+                  repeat('<link rel="alternate" type="application/atom+xml"'
+                         || ' href="http://x.example.com/feed/'
+                         || CAST(doc_id AS VARCHAR) || '.atom">',
+                         CASE WHEN doc_id % 15 = 1 THEN 2 ELSE 1 END)
+                ELSE
+                  '<link rel="alternate" type="text/html" href="'
+                  || 'http://x.example.com/m/' || CAST(doc_id AS VARCHAR)
+                  || '">' END
+           || '</head></html>' AS html
+    FROM documents),
+  blocks AS (
+    SELECT url, CAST(i AS INTEGER) AS tag_idx,
+           list_extract(regexp_extract_all(html,
+             '<link rel="alternate" type="application/(rss|atom)\\+xml"'
+             || ' href="[^"]*"', 0),
+             CAST(i + 1 AS INTEGER)) AS tag
+    FROM pages, range(0, 2) AS r(i)),
+  parsed AS (
+    SELECT url, tag_idx,
+           regexp_extract(tag,
+             'type="application/(rss|atom)\\+xml"', 1) AS feed_type,
+           regexp_extract(tag, 'href="([^"]*)"', 1) AS feed_url
+    FROM blocks WHERE tag IS NOT NULL AND
+         length(regexp_extract(tag, 'href="([^"]*)"', 1)) > 0)
+  SELECT url, feed_type, feed_url FROM parsed
+  QUALIFY row_number() OVER (PARTITION BY url, feed_url
+                             ORDER BY tag_idx) = 1
+""")
+def feed_discovery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom autodiscovery: rss vs atom link types by doc_id%3, a
+    text/html alternate that must NOT match, and a doubled atom tag
+    (doc_id%15=1) collapsing first-wins."""
+    from .operators.html_links import feed_links
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    rss = F.concat(
+        F.lit('<link rel="alternate" type="application/rss+xml" '
+              'href="http://x.example.com/feed/'), ds, F.lit('.rss">'))
+    atom = F.concat(
+        F.lit('<link rel="alternate" type="application/atom+xml" '
+              'href="http://x.example.com/feed/'), ds, F.lit('.atom">'))
+    other = F.concat(
+        F.lit('<link rel="alternate" type="text/html" '
+              'href="http://x.example.com/m/'), ds, F.lit('">'))
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 3 == 0, rss)
+        .when(d % 3 == 1,
+              F.when(d % 15 == 1, F.concat(atom, atom)).otherwise(atom))
+        .otherwise(other),
+        F.lit("</head></html>"))
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(_links_url_col().alias("url"), html.alias("html"))
+    return feed_links(pages)
+
+
+@q("atom_feed_parse", """
+  WITH feeds AS (
+    SELECT 'http://x.example.com/feed/' || CAST(doc_id AS VARCHAR)
+             || '.atom' AS feed_url, doc_id,
+           '<feed>'
+           || repeat('<entry><id>tag:e' || CAST(doc_id AS VARCHAR)
+              || 'a</id><link href="http://x.example.com/d/'
+              || CAST(doc_id AS VARCHAR) || '"/>'
+              || '<updated>2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR),
+                                          2, '0')
+              || '-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+              || 'T03:04:05Z</updated>'
+              || '<title>Doc ' || CAST(doc_id AS VARCHAR)
+              || '</title></entry>',
+              CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END)
+           || CASE WHEN doc_id % 4 <> 0 THEN
+                '<entry><id>tag:e' || CAST(doc_id AS VARCHAR)
+                || 'b</id><link href="http://x.example.com/d/'
+                || CAST(doc_id AS VARCHAR) || 'b"/></entry>' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN
+                '<entry><link href="http://x.example.com/noid"/></entry>'
+                ELSE '' END
+           || '</feed>' AS xml
+    FROM documents),
+  blocks AS (
+    SELECT feed_url, CAST(i AS INTEGER) AS entry_idx,
+           list_extract(regexp_extract_all(xml, '<entry>(.*?)</entry>', 1),
+                        CAST(i + 1 AS INTEGER)) AS block
+    FROM feeds, range(0, 4) AS r(i)),
+  parsed AS (
+    SELECT feed_url, entry_idx,
+           regexp_extract(block, '<id>(.*?)</id>', 1) AS entry_id,
+           regexp_extract(block, '<link href="([^"]*)"', 1) AS link,
+           TRY_CAST(substring(regexp_extract(block,
+             '<updated>(.*?)</updated>', 1), 1, 10) AS DATE)
+             AS updated_date,
+           nullif(regexp_extract(block, '<title>(.*?)</title>', 1), '')
+             AS title
+    FROM blocks WHERE block IS NOT NULL),
+  kept AS (SELECT * FROM parsed WHERE length(entry_id) > 0)
+  SELECT feed_url, entry_id, link,
+         strftime(updated_date, '%Y-%m-%d') AS updated_date, title
+  FROM kept
+  QUALIFY row_number() OVER (PARTITION BY feed_url, entry_id
+                             ORDER BY entry_idx) = 1
+""")
+def atom_feed_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atom entry parse: a full entry (id/link/updated/title), a
+    duplicated id (doc_id%7=0, first wins), a minimal entry with null
+    updated/title, and an id-less entry that RFC 4287 drops. The
+    recrawl-grade date is the ISO prefix cast — no locale parse."""
+    from .operators.html_links import parse_atom_feeds
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    mm = F.lpad((d % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((d % 27 + 1).cast("string"), 2, "0")
+    entry_a = F.concat(
+        F.lit("<entry><id>tag:e"), ds,
+        F.lit('a</id><link href="http://x.example.com/d/'), ds,
+        F.lit('"/><updated>2024-'), mm, F.lit("-"), dd,
+        F.lit("T03:04:05Z</updated><title>Doc "), ds,
+        F.lit("</title></entry>"))
+    entry_b = F.concat(
+        F.lit("<entry><id>tag:e"), ds,
+        F.lit('b</id><link href="http://x.example.com/d/'), ds,
+        F.lit('b"/></entry>'))
+    xml = F.concat(
+        F.lit("<feed>"),
+        F.when(d % 7 == 0, F.concat(entry_a, entry_a)).otherwise(entry_a),
+        F.when(d % 4 != 0, entry_b).otherwise(F.lit("")),
+        F.when(d % 5 == 0,
+               F.lit('<entry><link href="http://x.example.com/noid"/>'
+                     "</entry>")).otherwise(F.lit("")),
+        F.lit("</feed>"))
+    feed_url = F.concat(F.lit("http://x.example.com/feed/"), ds,
+                        F.lit(".atom"))
+    docs = _t(spark, sf_dir, "documents")
+    feeds = docs.select(feed_url.alias("feed_url"), xml.alias("xml"))
+    out = parse_atom_feeds(feeds)
+    return out.withColumn("updated_date",
+                          F.date_format("updated_date", "yyyy-MM-dd"))
+
+
+@q("charset_sniff", f"""
+  SELECT {_LINKS_URL_SQL} AS url,
+         CASE CAST(doc_id % 5 AS INTEGER)
+           WHEN 0 THEN 'text/html; charset=UTF-8'
+           WHEN 1 THEN 'text/html; charset=iso-8859-1'
+           ELSE 'text/html' END AS content_type,
+         CASE
+           WHEN doc_id % 5 = 0 THEN 'utf-8'
+           WHEN doc_id % 5 = 1 THEN 'iso-8859-1'
+           WHEN doc_id % 7 = 0 THEN 'utf-8'
+           WHEN doc_id % 7 = 1 THEN 'utf-16le'
+           WHEN doc_id % 7 = 2 THEN 'utf-16be'
+           WHEN doc_id % 3 = 0 THEN 'koi8-r'
+           ELSE 'windows-1252' END AS charset
+  FROM documents
+""")
+def charset_sniff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing precedence — Content-Type param > BOM (UTF-8 /
+    UTF-16LE / UTF-16BE planted by doc_id%7) > <meta charset> (koi8-r
+    on doc_id%3) > the windows-1252 legacy default — over REAL binary
+    payloads built in-plan (BOM bytes unhexed onto UTF-8-encoded HTML).
+    The oracle restates the precedence arithmetically from doc_id: an
+    independent derivation of the same truth, not a re-parse."""
+    from .operators.html_links import sniff_charset
+    d = F.col("doc_id")
+    ct = (F.when(d % 5 == 0, F.lit("text/html; charset=UTF-8"))
+          .when(d % 5 == 1, F.lit("text/html; charset=iso-8859-1"))
+          .otherwise(F.lit("text/html")))
+    bom = (F.when(d % 7 == 0, F.unhex(F.lit("EFBBBF")))
+           .when(d % 7 == 1, F.unhex(F.lit("FFFE")))
+           .when(d % 7 == 2, F.unhex(F.lit("FEFF")))
+           .otherwise(F.unhex(F.lit(""))))
+    meta = (F.when(d % 3 == 0, F.lit('<meta charset="KOI8-R">'))
+            .otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><head>"), meta,
+                    F.lit("</head><body>ok</body></html>"))
+    body = F.concat(bom, F.encode(html, "UTF-8"))
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(_links_url_col().alias("url"), ct.alias("content_type"),
+                        body.alias("body"))
+    return sniff_charset(pages).select("url", "content_type", "charset")
