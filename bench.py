@@ -168,6 +168,14 @@ EXTRAS = [
     "image_training_mix",    # curation→dedup→variant→batches flagship
     "incremental_image_dedup",  # new image batch vs history two-tier
     "image_mix_report",      # per-rung dataset-card counts
+    "link_rel_policy",       # REP rel-hint token parse, map-only
+    "meta_refresh",          # document-level redirect edges
+    "hreflang_reciprocal",   # alternate reciprocity semi-join
+    "feed_discovery",        # RSS/Atom autodiscovery scan
+    "atom_feed_parse",       # RFC 4287 entry parse, ISO dates
+    "charset_sniff",         # header>BOM>meta>default precedence
+    "rss_feed_parse",        # RFC-822 date fold, locale-free
+    "feed_recrawl",          # feed dates through the recrawl verdicts
 ]
 
 

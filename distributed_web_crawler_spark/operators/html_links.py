@@ -191,6 +191,65 @@ def parse_atom_feeds(feeds: DataFrame, feed_col: str = "feed_url",
                     F.col("_w.title").alias("title")))
 
 
+_RFC822_MONTHS = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                  "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+
+def parse_rss_feeds(feeds: DataFrame, feed_col: str = "feed_url",
+                    xml_col: str = "xml") -> DataFrame:
+    """RSS 2.0 feed documents → one row per ``<item>``: (feed_url,
+    item_key, link, pub_date, title). RSS items have no required id —
+    the de-facto key is ``<guid>`` falling back to ``<link>``; items
+    with neither are unkeyable and dropped. ``<pubDate>`` is RFC 822
+    ("Mon, 05 Mar 2024 01:02:03 GMT"), whose month is an ENGLISH NAME —
+    parsed locale-free by extracting day/month-name/year with one regex
+    and folding the twelve fixed tokens through a when-chain into
+    an ISO string try_cast (a SimpleDateFormat-style EEE/MMM parse
+    would follow the JVM locale and break oracle parity; make_date
+    raises under ANSI for impossible combos like 31 Feb where try_cast
+    nulls). Malformed dates null out (advisory, like sitemap lastmod).
+    Duplicate keys collapse first-in-document-order, the Atom/sitemap
+    rule."""
+    entries = F.regexp_extract_all(F.col(xml_col),
+                                   F.lit("<item>(.*?)</item>"), F.lit(1))
+    block = F.col("_block")
+
+    def field(tag):
+        return F.regexp_extract(block, f"<{tag}>(.*?)</{tag}>", 1)
+
+    months = "|".join(_RFC822_MONTHS)
+    date_re = f"<pubDate>[^<]*?([0-9]{{1,2}}) ({months}) ([0-9]{{4}})"
+    day = F.regexp_extract(block, date_re, 1).try_cast("int")
+    mon_name = F.regexp_extract(block, date_re, 2)
+    year = F.regexp_extract(block, date_re, 3).try_cast("int")
+    mon = F.lit(None).cast("int")
+    for i, name in enumerate(_RFC822_MONTHS):
+        mon = F.when(mon_name == name, F.lit(i + 1)).otherwise(mon)
+    # concat null-propagates (unmatched regex ⇒ null components ⇒ null
+    # date) and try_cast nulls impossible combos (31 Feb)
+    pub_date = F.concat(
+        year.cast("string"), F.lit("-"),
+        F.lpad(mon.cast("string"), 2, "0"), F.lit("-"),
+        F.lpad(day.cast("string"), 2, "0")).try_cast("date")
+    key = F.coalesce(F.nullif(field("guid"), F.lit("")),
+                     F.nullif(F.col("_link"), F.lit("")))
+    return (feeds
+            .select(F.col(feed_col).alias("feed_url"),
+                    F.posexplode(entries).alias("entry_idx", "_block"))
+            .withColumn("_link", field("link"))
+            .select("feed_url", "entry_idx", key.alias("item_key"),
+                    F.col("_link").alias("link"),
+                    pub_date.alias("pub_date"),
+                    F.nullif(field("title"), F.lit("")).alias("title"))
+            .where(F.col("item_key").isNotNull())
+            .groupBy("feed_url", "item_key")
+            .agg(F.min(F.struct("entry_idx", "link", "pub_date",
+                                "title")).alias("_w"))
+            .select("feed_url", "item_key", F.col("_w.link").alias("link"),
+                    F.col("_w.pub_date").alias("pub_date"),
+                    F.col("_w.title").alias("title")))
+
+
 # byte-order marks, hex of the payload prefix → charset
 _BOMS = (("EFBBBF", "utf-8"), ("FFFE", "utf-16le"), ("FEFF", "utf-16be"))
 

@@ -6351,3 +6351,209 @@ def charset_sniff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = docs.select(_links_url_col().alias("url"), ct.alias("content_type"),
                         body.alias("body"))
     return sniff_charset(pages).select("url", "content_type", "charset")
+
+
+_RSS_MONTHS = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+               "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+_RSS_MONTH_LIST_SQL = "['" + "', '".join(_RSS_MONTHS) + "']"
+_RSS_MONTH_CASE_SQL = "CASE mon_name " + " ".join(
+    f"WHEN '{m}' THEN {i + 1}" for i, m in enumerate(_RSS_MONTHS)) + " END"
+
+
+@q("rss_feed_parse", f"""
+  WITH feeds AS (
+    SELECT 'http://x.example.com/feed/' || CAST(doc_id AS VARCHAR)
+             || '.rss' AS feed_url, doc_id,
+           '<rss><channel>'
+           || repeat('<item><guid>tag:r' || CAST(doc_id AS VARCHAR)
+              || 'a</guid><link>http://x.example.com/d/'
+              || CAST(doc_id AS VARCHAR) || '</link>'
+              || '<pubDate>Mon, ' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR),
+                                          2, '0')
+              || ' ' || list_extract({_RSS_MONTH_LIST_SQL},
+                                     CAST(doc_id % 12 + 1 AS INTEGER))
+              || ' 2024 01:02:03 GMT</pubDate>'
+              || '<title>Doc ' || CAST(doc_id AS VARCHAR)
+              || '</title></item>',
+              CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END)
+           || CASE WHEN doc_id % 4 <> 0 THEN
+                '<item><link>http://x.example.com/d/'
+                || CAST(doc_id AS VARCHAR) || 'b</link></item>' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN
+                '<item><guid>tag:r' || CAST(doc_id AS VARCHAR)
+                || 'c</guid><pubDate>31 Feb 2024</pubDate></item>'
+                ELSE '' END
+           || CASE WHEN doc_id % 6 = 0 THEN
+                '<item><title>unkeyable</title></item>' ELSE '' END
+           || '</channel></rss>' AS xml
+    FROM documents),
+  blocks AS (
+    SELECT feed_url, CAST(i AS INTEGER) AS entry_idx,
+           list_extract(regexp_extract_all(xml, '<item>(.*?)</item>', 1),
+                        CAST(i + 1 AS INTEGER)) AS block
+    FROM feeds, range(0, 5) AS r(i)),
+  fields AS (
+    SELECT feed_url, entry_idx,
+           regexp_extract(block, '<guid>(.*?)</guid>', 1) AS guid,
+           regexp_extract(block, '<link>(.*?)</link>', 1) AS link,
+           regexp_extract(block,
+             '<pubDate>[^<]*?([0-9]{{1,2}}) ({"|".join(_RSS_MONTHS)})'
+             || ' ([0-9]{{4}})', 1) AS day_s,
+           regexp_extract(block,
+             '<pubDate>[^<]*?([0-9]{{1,2}}) ({"|".join(_RSS_MONTHS)})'
+             || ' ([0-9]{{4}})', 2) AS mon_name,
+           regexp_extract(block,
+             '<pubDate>[^<]*?([0-9]{{1,2}}) ({"|".join(_RSS_MONTHS)})'
+             || ' ([0-9]{{4}})', 3) AS year_s,
+           nullif(regexp_extract(block, '<title>(.*?)</title>', 1), '')
+             AS title
+    FROM blocks WHERE block IS NOT NULL),
+  parsed AS (
+    SELECT feed_url, entry_idx,
+           coalesce(nullif(guid, ''), nullif(link, '')) AS item_key,
+           link,
+           TRY_CAST(TRY_CAST(year_s AS INTEGER) || '-'
+                    || lpad(CAST({_RSS_MONTH_CASE_SQL} AS VARCHAR), 2, '0')
+                    || '-' || lpad(day_s, 2, '0') AS DATE) AS pub_date,
+           title
+    FROM fields),
+  kept AS (SELECT * FROM parsed WHERE item_key IS NOT NULL)
+  SELECT feed_url, item_key, link,
+         strftime(pub_date, '%Y-%m-%d') AS pub_date, title
+  FROM kept
+  QUALIFY row_number() OVER (PARTITION BY feed_url, item_key
+                             ORDER BY entry_idx) = 1
+""")
+def rss_feed_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS 2.0 item parse with the locale-free RFC-822 date fold: a
+    guid'd item (doubled on doc_id%7, first wins), a guid-less item
+    keyed by its link, an impossible '31 Feb' date that must null (not
+    raise, despite ANSI), and an unkeyable title-only item (dropped)."""
+    from .operators.html_links import parse_rss_feeds
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    dd = F.lpad((d % 27 + 1).cast("string"), 2, "0")
+    mon = F.element_at(F.array(*[F.lit(m) for m in _RSS_MONTHS]),
+                       (d % 12 + 1).cast("int"))
+    item_a = F.concat(
+        F.lit("<item><guid>tag:r"), ds,
+        F.lit("a</guid><link>http://x.example.com/d/"), ds,
+        F.lit("</link><pubDate>Mon, "), dd, F.lit(" "), mon,
+        F.lit(" 2024 01:02:03 GMT</pubDate><title>Doc "), ds,
+        F.lit("</title></item>"))
+    item_b = F.concat(
+        F.lit("<item><link>http://x.example.com/d/"), ds,
+        F.lit("b</link></item>"))
+    item_c = F.concat(
+        F.lit("<item><guid>tag:r"), ds,
+        F.lit("c</guid><pubDate>31 Feb 2024</pubDate></item>"))
+    xml = F.concat(
+        F.lit("<rss><channel>"),
+        F.when(d % 7 == 0, F.concat(item_a, item_a)).otherwise(item_a),
+        F.when(d % 4 != 0, item_b).otherwise(F.lit("")),
+        F.when(d % 5 == 0, item_c).otherwise(F.lit("")),
+        F.when(d % 6 == 0,
+               F.lit("<item><title>unkeyable</title></item>"))
+        .otherwise(F.lit("")),
+        F.lit("</channel></rss>"))
+    feed_url = F.concat(F.lit("http://x.example.com/feed/"), ds,
+                        F.lit(".rss"))
+    docs = _t(spark, sf_dir, "documents")
+    feeds = docs.select(feed_url.alias("feed_url"), xml.alias("xml"))
+    out = parse_rss_feeds(feeds)
+    return out.withColumn("pub_date", F.date_format("pub_date",
+                                                    "yyyy-MM-dd"))
+
+
+@q("feed_recrawl", """
+  WITH feeds AS (
+    SELECT 'http://x.example.com/feed/' || CAST(doc_id AS VARCHAR)
+             || '.atom' AS feed_url, doc_id,
+           '<feed>'
+           || '<entry><id>tag:e' || CAST(doc_id AS VARCHAR)
+              || 'a</id><link href="http://x.example.com/d/'
+              || CAST(doc_id AS VARCHAR) || '"/>'
+              || '<updated>2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR),
+                                          2, '0')
+              || '-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+              || 'T03:04:05Z</updated></entry>'
+           || CASE WHEN doc_id % 4 <> 0 THEN
+                '<entry><id>tag:e' || CAST(doc_id AS VARCHAR)
+                || 'b</id><link href="http://x.example.com/d/'
+                || CAST(doc_id AS VARCHAR) || 'b"/></entry>' ELSE '' END
+           || '</feed>' AS xml
+    FROM documents),
+  blocks AS (
+    SELECT feed_url, CAST(i AS INTEGER) AS entry_idx,
+           list_extract(regexp_extract_all(xml, '<entry>(.*?)</entry>', 1),
+                        CAST(i + 1 AS INTEGER)) AS block
+    FROM feeds, range(0, 2) AS r(i)),
+  entries AS (
+    SELECT regexp_extract(block, '<link href="([^"]*)"', 1) AS url,
+           TRY_CAST(substring(regexp_extract(block,
+             '<updated>(.*?)</updated>', 1), 1, 10) AS DATE) AS lastmod
+    FROM blocks WHERE block IS NOT NULL
+      AND length(regexp_extract(block, '<id>(.*?)</id>', 1)) > 0),
+  stored AS (
+    SELECT 'http://x.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+           TRY_CAST('2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR),
+                                    2, '0') || '-15' AS DATE) AS last_fetch
+    FROM documents WHERE doc_id % 3 <> 1),
+  joined AS (
+    SELECT regexp_extract(e.url, '^https?://([^/]+)/', 1) AS host,
+           e.url, e.lastmod, s.last_fetch,
+           CASE WHEN s.last_fetch IS NULL THEN 'new'
+                WHEN e.lastmod IS NOT NULL AND e.lastmod > s.last_fetch
+                  THEN 'modified'
+                ELSE 'fresh' END AS verdict
+    FROM entries e LEFT JOIN stored s USING (url))
+  SELECT host, url, strftime(lastmod, '%Y-%m-%d') AS lastmod,
+         CAST(NULL AS DOUBLE) AS priority,
+         strftime(last_fetch, '%Y-%m-%d') AS last_fetch, verdict,
+         verdict IN ('new', 'modified') AS fetch_needed
+  FROM joined
+""")
+def feed_recrawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-driven recrawl planning: Atom entry dates play the sitemap
+    lastmod role through the SAME verdict operator
+    (pipeline.recrawl.sitemap_recrawl_candidates) — 'new' for URLs the
+    store has never fetched (all B entries), 'modified'/'fresh' by
+    updated-vs-last-fetch comparison. Discovery sources are
+    interchangeable upstream of the recrawl loop by construction."""
+    from .functions.urls import host_of
+    from .operators.html_links import parse_atom_feeds
+    from .pipeline.recrawl import sitemap_recrawl_candidates
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    mm = F.lpad((d % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((d % 27 + 1).cast("string"), 2, "0")
+    entry_a = F.concat(
+        F.lit("<entry><id>tag:e"), ds,
+        F.lit('a</id><link href="http://x.example.com/d/'), ds,
+        F.lit('"/><updated>2024-'), mm, F.lit("-"), dd,
+        F.lit("T03:04:05Z</updated></entry>"))
+    entry_b = F.concat(
+        F.lit("<entry><id>tag:e"), ds,
+        F.lit('b</id><link href="http://x.example.com/d/'), ds,
+        F.lit('b"/></entry>'))
+    xml = F.concat(F.lit("<feed>"), entry_a,
+                   F.when(d % 4 != 0, entry_b).otherwise(F.lit("")),
+                   F.lit("</feed>"))
+    feed_url = F.concat(F.lit("http://x.example.com/feed/"), ds,
+                        F.lit(".atom"))
+    docs = _t(spark, sf_dir, "documents")
+    feeds = docs.select(feed_url.alias("feed_url"), xml.alias("xml"))
+    entries = (parse_atom_feeds(feeds)
+               .select(F.col("link").alias("url"),
+                       F.col("updated_date").alias("lastmod"))
+               .withColumn("host", host_of(F.col("url")))
+               .withColumn("priority", F.lit(None).cast("double")))
+    stored = docs.where(d % 3 != 1).select(
+        _links_url_col().alias("url"),
+        F.concat(F.lit("2024-"), mm, F.lit("-15")).try_cast("date")
+        .alias("last_fetch"))
+    out = sitemap_recrawl_candidates(entries, stored)
+    return (out
+            .withColumn("lastmod", F.date_format("lastmod", "yyyy-MM-dd"))
+            .withColumn("last_fetch",
+                        F.date_format("last_fetch", "yyyy-MM-dd")))

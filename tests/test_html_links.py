@@ -118,3 +118,26 @@ def test_charset_precedence(spark):
     out = {r["url"]: r["charset"] for r in sniff_charset(df).collect()}
     assert out == {"h": "utf-8", "b8": "utf-8", "b16": "utf-16le",
                    "m": "koi8-r", "d": "windows-1252"}
+
+
+def test_rss_parse_key_fallback_and_locale_free_date(spark):
+    from distributed_web_crawler_spark.operators.html_links import (
+        parse_rss_feeds,
+    )
+    xml = ("<rss><channel>"
+           "<item><guid>g1</guid><link>l1</link>"
+           "<pubDate>Tue, 05 Mar 2024 01:02:03 GMT</pubDate>"
+           "<title>T1</title></item>"
+           "<item><link>l2</link>"
+           "<pubDate>9 Dec 2023 00:00:00 +0000</pubDate></item>"
+           "<item><guid>g3</guid><pubDate>31 Feb 2024</pubDate></item>"
+           "<item><guid>g1</guid><link>dup</link></item>"
+           "<item><title>unkeyable</title></item>"
+           "</channel></rss>")
+    feeds = spark.createDataFrame([("f1", xml)], "feed_url string, xml string")
+    out = {r["item_key"]: r for r in parse_rss_feeds(feeds).collect()}
+    assert set(out) == {"g1", "l2", "g3"}          # keyless item dropped
+    assert out["g1"]["link"] == "l1"               # dup guid: first wins
+    assert str(out["g1"]["pub_date"]) == "2024-03-05"
+    assert str(out["l2"]["pub_date"]) == "2023-12-09"  # day-name-less form
+    assert out["g3"]["pub_date"] is None           # 31 Feb nulls, no raise
