@@ -111,6 +111,19 @@ class CrawlConfig:
     # parity). Mirrored by the golden model.
     sitemap_discovery: bool = False
 
+    # feed discovery tier (default off, reference parity): fetched
+    # pages' autodiscovered Atom feeds (FETCH_SCHEMA `feeds`) are
+    # fetched once per crawl per distinct feed URL, their RFC 4287
+    # entries parsed and gated like discovered links (http validity +
+    # F3/F4 — NO same-host rule, unlike sitemaps: cross-host feeds and
+    # entries are legal), and the survivors enqueue as depth-0
+    # candidates (parent = the feed URL, priority 1). A same-round
+    # collision with a sitemap candidate resolves to the sitemap
+    # identity; with a link child, the feed identity wins (depth 0).
+    # Mirrored by the golden model; page-grain discovery — a feed only
+    # surfaces once a page declaring it is fetched.
+    feed_discovery: bool = False
+
     # robots cache TTL in rounds (0 = cache forever, reference parity:
     # the reference's in-memory robotsCache never expires,
     # core/WebCrawler.java:34,458-473 — though its crawl_state table
@@ -207,6 +220,17 @@ class SynthWebConfig:
     # location (Document.location()), so a relative href on a /r/N page
     # must resolve under /p/, not /r/.
     redirect_every: int = 0
+    # every k-th host (0 ⇒ none) publishes SECTION Atom feeds: page
+    # /p/N autodiscovers /feed_{N % feed_sections}.atom — a PAGE-grain
+    # discovery source (the feed URL only surfaces once a page
+    # declaring it is actually fetched), unlike sitemaps which ride the
+    # host-grain robots fetch. Each feed lists the host's pages of its
+    # section plus spec-rule negatives (an id-less entry, a duplicate
+    # id, an out-of-range entry that 404s) and ONE cross-host entry —
+    # legal for feeds (no same-host rule, unlike sitemaps), gated only
+    # by F3/F4.
+    feed_every: int = 0
+    feed_sections: int = 2
     # image payloads
     min_dim: int = 8
     max_dim: int = 24

@@ -178,7 +178,8 @@ def pages_view(pages: DataFrame) -> DataFrame:
 class Crawler:
     def __init__(self, spark: SparkSession, cfg: CrawlConfig,
                  synth_cfg: SynthWebConfig, root: str, fetcher=None,
-                 robots_fetcher=None, store=None, sitemap_fetcher=None):
+                 robots_fetcher=None, store=None, sitemap_fetcher=None,
+                 feed_fetcher=None):
         self.spark = spark
         self.cfg = cfg
         self.synth_cfg = synth_cfg
@@ -212,6 +213,16 @@ class Crawler:
             from .httpfetch import make_http_sitemap_fetcher
             sitemap_fetcher = make_http_sitemap_fetcher()
         self.sitemap_fetcher = sitemap_fetcher
+        # feed-document fetcher (cfg.feed_discovery): synthetic web ⇒ the
+        # pure synthetic fetcher, real web ⇒ real HTTP — the sitemap rule
+        if cfg.feed_discovery and feed_fetcher is None:
+            if synth_cfg is not None:
+                from ..operators.feeds import make_synth_feed_fetcher
+                feed_fetcher = make_synth_feed_fetcher(synth_cfg)
+            else:
+                from .httpfetch import make_http_feed_fetcher
+                feed_fetcher = make_http_feed_fetcher()
+        self.feed_fetcher = feed_fetcher
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -325,6 +336,9 @@ class Crawler:
             seen_urls=seen_urls.select("url"),
             blooms=self.store.read(self.spark, "bloom", [r]),
             hash_blooms=self.store.read(self.spark, "hash_bloom", [r]),
+            # feeds ever attempted (feed-grain — no compaction needed;
+            # round k's dir holds the feeds first declared in round k)
+            feeds=self.store.read(self.spark, "feeds", list(range(r))),
         )
 
     def _compact_state(self, r: int, state: RoundState) -> None:
@@ -512,7 +526,8 @@ class Crawler:
             raw = self.spark.read.parquet(pages_root)
             res = finish_round(self.spark, raw, plan, state, self.cfg, r,
                                fetched_hint=sum(row["n_fetched"]
-                                                for row in receipts))
+                                                for row in receipts),
+                               feed_fetcher=self.feed_fetcher)
             # Sinks are ordered so every persisted intermediate (stored
             # winners, probed new_urls) materializes exactly once — inside
             # the frontier-write job, the round's one big phase-B action —
@@ -559,9 +574,22 @@ class Crawler:
                                              .withColumn("fetched_round",
                                                          F.lit(r)), r))
                       if plan.sitemap_entries is not None else None)
+                # feed tier state (cfg.feed_discovery): the attempted-
+                # feed delta + parsed entry metadata — cache-only jobs
+                # off the persisted feed docs, same crash rule as sitemap
+                f6 = (ex.submit(_timed, "feeds", lambda: (
+                    self.store.stage_write(
+                        "feeds", res.feeds_new
+                        .withColumn("fetched_round", F.lit(r)), r),
+                    self.store.stage_write(
+                        "feed_entries", res.feed_entries
+                        .withColumn("fetched_round", F.lit(r)), r)))
+                      if res.feeds_new is not None else None)
                 f1.result(), f2.result(), f4.result()
                 if f5 is not None:
                     f5.result()
+                if f6 is not None:
+                    f6.result()
                 lineage_rows = f3.result()
             self.store.stage_write(
                 "lineage",
@@ -751,6 +779,9 @@ class Crawler:
             # committed sitemap entries (discovery tier) — present only
             # when cfg.sitemap_discovery ever ran against this store
             "sitemap": self.store.read(self.spark, "sitemap"),
+            # committed feed entries (feed discovery tier) — present only
+            # when cfg.feed_discovery ever ran against this store
+            "feed_entries": self.store.read(self.spark, "feed_entries"),
         }
         names = []
         for name, df in surfaces.items():

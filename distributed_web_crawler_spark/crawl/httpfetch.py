@@ -43,30 +43,60 @@ class HttpFetcherConfig:
     max_body_bytes: int = 8 << 20      # drop pathological bodies
 
 
+_FEED_TYPES = ("application/rss+xml", "application/atom+xml")
+
+
 class _LinkCollector(HTMLParser):
     """Every <a href> value, raw (the reference collects
     select("a[href]"), core/WebCrawler.java:339-345; dedup and
-    resolution happen downstream: D3 array_distinct, X3 resolver)."""
+    resolution happen downstream: D3 array_distinct, X3 resolver) —
+    plus autodiscovered feed declarations (<link rel="alternate"
+    type="application/rss+xml|atom+xml" href>), collected separately
+    for the feed discovery tier (rel is token-matched per the HTML
+    microsyntax, type parameter-stripped per MIME)."""
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.links: list[str] = []
+        self.feeds: list[str] = []
 
     def handle_starttag(self, tag, attrs):
         if tag == "a":
             for k, v in attrs:
                 if k == "href" and v:
                     self.links.append(v)
+        elif tag == "link":
+            d = {k: v for k, v in attrs if v}
+            rel = (d.get("rel") or "").lower().split()
+            mime = (d.get("type") or "").split(";")[0].strip().lower()
+            if "alternate" in rel and mime in _FEED_TYPES and d.get("href"):
+                self.feeds.append(d["href"])
 
 
-def extract_links_html(body: bytes, encoding: str = "utf-8") -> list[str]:
+def _collect_html(body: bytes, encoding: str = "utf-8") -> _LinkCollector:
     p = _LinkCollector()
     try:
         p.feed(body.decode(encoding, errors="replace"))
         p.close()  # flush links buffered in incomplete trailing markup
     except Exception:
         pass
-    return p.links
+    return p
+
+
+def extract_links_html(body: bytes, encoding: str = "utf-8") -> list[str]:
+    return _collect_html(body, encoding).links
+
+
+def extract_feeds_html(body: bytes, base_url: str,
+                       encoding: str = "utf-8") -> list[str]:
+    """Feed declarations resolved ABSOLUTE against the (post-redirect)
+    document location — feed URLs skip the frontier's X3 resolver (they
+    are fetched directly, not enqueued), so relative hrefs must resolve
+    here, in-worker, where the base is at hand."""
+    from urllib.parse import urljoin
+
+    return [urljoin(base_url, h)
+            for h in _collect_html(body, encoding).feeds]
 
 
 class _ConnPool:
@@ -179,7 +209,7 @@ def _fetch_one(url: str, cfg: HttpFetcherConfig, pool: _ConnPool,
                 "image_id": None, "bytes": None, "w": None, "h": None,
                 "fmt": None, "caption": None, "phash": None, "links": [],
                 "http_status": 304, "content_type": None,
-                "final_url": None,
+                "final_url": None, "feeds": [],
                 "not_modified": True,
                 "etag": resp.getheader("ETag"),
                 "last_modified": resp.getheader("Last-Modified"),
@@ -207,6 +237,7 @@ def _fetch_one(url: str, cfg: HttpFetcherConfig, pool: _ConnPool,
         "caption": None,
         "phash": None,
         "links": extract_links_html(body) if is_html else [],
+        "feeds": extract_feeds_html(body, url) if is_html else [],
         "http_status": int(status),
         "content_type": ctype.split(";")[0] or None,
         "final_url": url if url != requested else None,
@@ -335,35 +366,6 @@ def make_http_sitemap_fetcher(cfg: HttpFetcherConfig | None = None):
 
     cfg = cfg or HttpFetcherConfig()
 
-    def fetch_one(url: str) -> str | None:
-        import urllib.error
-        import urllib.request
-        import zlib
-
-        req = urllib.request.Request(
-            url, headers={"User-Agent": cfg.user_agent})
-        try:
-            with urllib.request.urlopen(req, timeout=10.0) as resp:
-                if resp.status >= 300:
-                    return None
-                raw = resp.read(1 << 20)
-        except (urllib.error.URLError, TimeoutError, OSError, ValueError):
-            return None
-        if raw[:2] == b"\x1f\x8b":
-            # gzipped sitemap (spec: sitemap files may be .gz) — sniffed
-            # by magic, not extension, so Content-Encoding mislabels
-            # don't matter; decompression capped at 8 MiB (zip-bomb
-            # defense: max_length stops mid-stream, no partial garbage
-            # reaches the parser because we then reject oversize)
-            try:
-                d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-                raw = d.decompress(raw, 8 << 20)
-                if not d.eof and d.unconsumed_tail:
-                    return None  # truncated by the cap: oversize
-            except zlib.error:
-                return None
-        return raw.decode("utf-8", errors="replace")
-
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -373,7 +375,64 @@ def make_http_sitemap_fetcher(cfg: HttpFetcherConfig | None = None):
                     "host": pdf["host"],
                     "sitemap_url": pdf["sitemap_url"],
                     "xml": pd.Series(
-                        list(pool.map(fetch_one, pdf["sitemap_url"])),
+                        list(pool.map(lambda u: _fetch_xml_doc(u, cfg),
+                                      pdf["sitemap_url"])),
+                        dtype="object"),
+                })
+
+    return fetch
+
+
+def _fetch_xml_doc(url: str, cfg: HttpFetcherConfig) -> str | None:
+    """One XML document GET (sitemaps, feeds): 10 s timeout, 1 MiB wire
+    cap, gzip sniffed by magic (not extension, so Content-Encoding
+    mislabels don't matter) with decompression capped at 8 MiB — the
+    zip-bomb defense; max_length stops mid-stream, and no partial
+    garbage reaches the parser because oversize is then rejected."""
+    import urllib.error
+    import urllib.request
+    import zlib
+
+    req = urllib.request.Request(
+        url, headers={"User-Agent": cfg.user_agent})
+    try:
+        with urllib.request.urlopen(req, timeout=10.0) as resp:
+            if resp.status >= 300:
+                return None
+            raw = resp.read(1 << 20)
+    except (urllib.error.URLError, TimeoutError, OSError, ValueError):
+        return None
+    if raw[:2] == b"\x1f\x8b":
+        try:
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            raw = d.decompress(raw, 8 << 20)
+            if not d.eof and d.unconsumed_tail:
+                return None  # truncated by the cap: oversize
+        except zlib.error:
+            return None
+    return raw.decode("utf-8", errors="replace")
+
+
+def make_http_feed_fetcher(cfg: HttpFetcherConfig | None = None):
+    """Feed-document fetcher over real HTTP: input batches carry
+    (feed_url); one GET each via _fetch_xml_doc (timeout/cap/gzip rules
+    shared with sitemap documents). Failure ⇒ null xml — discovery
+    degrades to link-following, never fails the round. Same contract as
+    operators/feeds.make_synth_feed_fetcher."""
+    import pandas as pd
+
+    cfg = cfg or HttpFetcherConfig()
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=cfg.concurrency) as pool:
+            for pdf in batches:
+                yield pd.DataFrame({
+                    "feed_url": pdf["feed_url"],
+                    "xml": pd.Series(
+                        list(pool.map(lambda u: _fetch_xml_doc(u, cfg),
+                                      pdf["feed_url"])),
                         dtype="object"),
                 })
 
@@ -440,7 +499,8 @@ def make_http_fetcher(cfg: HttpFetcherConfig | None = None):
     int_cols = {"w": "Int32", "h": "Int32", "phash": "Int64",
                 "http_status": "Int32"}
     page_cols = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-                 "links", "http_status", "content_type", "final_url")
+                 "links", "http_status", "content_type", "final_url",
+                 "feeds")
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor

@@ -65,6 +65,7 @@ class RoundState:
     seen_urls: DataFrame | None    # (url,) — every URL ever enqueued
     blooms: DataFrame | None       # URL-seen shards (shard, filter_bytes, …)
     hash_blooms: DataFrame | None = None  # content-hash shards (D1 front)
+    feeds: DataFrame | None = None  # (feed_url,) feeds ever attempted
 
 
 @dataclass
@@ -93,6 +94,11 @@ class RoundResult:
                               # already inserted when first enqueued
     lineage: DataFrame        # (round, host_shard, metric, value)
     cached: list              # persisted DataFrames to release post-commit
+    # feed discovery tier (cfg.feed_discovery): parsed entry metadata
+    # (feed_url, url, host, updated) persisted as `feed_entries`, and
+    # the round's attempted-feed delta appended to `feeds` state
+    feed_entries: DataFrame | None = None
+    feeds_new: DataFrame | None = None
 
 
 def _host_shard() -> F.Column:
@@ -194,7 +200,8 @@ PAGES_PER_LINK_TASK = 512
 
 def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
                  state: RoundState, cfg: CrawlConfig,
-                 round_no: int, fetched_hint: int | None = None) -> RoundResult:
+                 round_no: int, fetched_hint: int | None = None,
+                 feed_fetcher=None) -> RoundResult:
     """Phase B over the written `pages` rows. Every read of `raw` projects
     slim columns, so parquet column pruning skips the payload entirely
     (verify: `.explain` shows ReadSchema without `bytes`).
@@ -229,6 +236,31 @@ def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
             min(max_parts, -(-fetched_hint // PAGES_PER_LINK_TASK)))
     child_src = links.join(stored.select("url"), "url", "left_semi")
     children = extract_children(child_src, cfg, ts)                 # E1/E2/F8
+    # feed-declared candidates (cfg.feed_discovery) merge FIRST: the
+    # round's fetched pages (ALL fetched rows — a D1-duplicate page
+    # still declares its feeds, exactly like the golden mirror) expose
+    # their autodiscovered feed URLs; new feeds fetch once per crawl and
+    # their entries enqueue depth-0 like sitemap candidates. Applied
+    # before the sitemap override so a sitemap∩feed same-round collision
+    # resolves to the SITEMAP identity (deterministic total order of the
+    # discovery tiers).
+    feed_cands = feed_entries = feeds_new = None
+    if cfg.feed_discovery:
+        from ..operators.feeds import feed_frontier_candidates
+        if feed_fetcher is None:
+            raise ValueError("feed_discovery needs a feed_fetcher")
+        declared = (raw.where(F.col("fetched"))
+                    .select(F.explode("feeds").alias("feed_url"))
+                    .where(F.col("feed_url").isNotNull()))
+        feed_cands, feed_entries, feeds_new = feed_frontier_candidates(
+            declared, state.feeds, cfg, feed_fetcher, ts,
+            cached=extra_cached)
+        feed_cands = feed_cands.persist()
+        extra_cached.append(feed_cands)
+        children = (children
+                    .join(F.broadcast(feed_cands.select("url")),
+                          "url", "left_anti")
+                    .unionByName(feed_cands))
     # sitemap-declared candidates (cfg.sitemap_discovery) merge here: a
     # URL both sitemap-listed and link-discovered this round enqueues
     # ONCE with the sitemap's identity (depth 0, parent=sitemap,
@@ -284,6 +316,9 @@ def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
         # rides the same single lineage shuffle
         tagged = tagged.unionByName(
             _tagged(sitemap_cands, "sitemap_candidates"))
+    if feed_cands is not None:
+        tagged = tagged.unionByName(
+            _tagged(feed_cands, "feed_candidates"))
     lineage = (tagged.groupBy("host_shard", "metric")
                .agg(F.count("*").alias("value"))
                .select(F.lit(round_no).alias("round"), "host_shard",
@@ -293,4 +328,5 @@ def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
 
     return RoundResult(stored=stored, next_frontier=next_frontier,
                        new_urls=new_urls, lineage=lineage,
-                       cached=[stored, new_urls, *extra_cached])
+                       cached=[stored, new_urls, *extra_cached],
+                       feed_entries=feed_entries, feeds_new=feeds_new)

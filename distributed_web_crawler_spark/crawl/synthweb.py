@@ -25,6 +25,7 @@ UDF, PSNR check — is real; only the codec bytes are synthetic.
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 import zlib
 
@@ -415,6 +416,128 @@ def sitemap_entries_py(host: str, cfg: SynthWebConfig) -> list[str]:
 
 
 # --------------------------------------------------------------------------
+# section Atom feeds (cfg.feed_every) — the PAGE-grain discovery source:
+# a feed URL surfaces only when a page declaring it is actually fetched,
+# unlike sitemaps which ride the host-grain robots fetch.
+# --------------------------------------------------------------------------
+
+
+def _publishes_feeds(host_idx: int, cfg: SynthWebConfig) -> bool:
+    return cfg.feed_every > 0 and host_idx % cfg.feed_every == 0
+
+
+def _feeds_for_page(host_idx: int, page_idx: int,
+                    cfg: SynthWebConfig) -> list[str]:
+    if not _publishes_feeds(host_idx, cfg):
+        return []
+    s = page_idx % max(1, cfg.feed_sections)
+    return [f"http://{cfg.host_name(host_idx)}/feed_{s}.atom"]
+
+
+def feed_urls_for_page(url: str, cfg: SynthWebConfig) -> list[str]:
+    """Feed URLs the page at ``url`` autodiscovers (its <link
+    rel="alternate" type="application/atom+xml"> tags). Content
+    attribute ⇒ post-redirect, like every other page property."""
+    final = follow_redirect(url, cfg)
+    if final is not None:
+        url = final
+    loc = parse_synth_url(url, cfg)
+    if loc is None:
+        return []
+    return _feeds_for_page(*loc, cfg)
+
+
+def _parse_feed_url(feed_url: str,
+                    cfg: SynthWebConfig) -> tuple[int, int] | None:
+    prefix = "http://"
+    if cfg.feed_every <= 0 or not feed_url.startswith(prefix):
+        return None
+    host, _, path = feed_url[len(prefix):].partition("/")
+    host_idx = _host_idx_of(host)
+    if (host_idx is None or not (0 <= host_idx < cfg.n_hosts)
+            or not _publishes_feeds(host_idx, cfg)):
+        return None
+    m = re.fullmatch(r"feed_(\d+)\.atom", path)
+    if m is None:
+        return None
+    s = int(m.group(1))
+    if not (0 <= s < max(1, cfg.feed_sections)):
+        return None
+    return host_idx, s
+
+
+def feed_updated_py(loc: str, cfg: SynthWebConfig) -> str:
+    """The <updated> an entry for ``loc`` carries — Atom REQUIRES it
+    (RFC 4287 §4.1.2), so unlike sitemap lastmod it is always present:
+    far-future for every 3rd page index (⇒ recrawl verdict 'modified'
+    once stored), past otherwise (⇒ 'fresh'). Pure function of the loc
+    so tests recompute expectations independently."""
+    parsed = parse_synth_url(loc, cfg)
+    if parsed is not None and parsed[1] % 3 == 0:
+        return "9999-01-01T00:00:00Z"
+    return "2023-01-01T00:00:00Z"
+
+
+def _feed_entry_locs(host_idx: int, section: int,
+                     cfg: SynthWebConfig) -> list[str]:
+    """Ground-truth entry list in document order BEFORE spec filtering:
+    the host's pages of this section, one out-of-range page (valid URL
+    shape, 404s at fetch), a duplicate of the first entry (same id —
+    collapsed first-wins by the parser), and one CROSS-HOST page —
+    legal for feeds (no same-host rule, unlike sitemaps; only F3/F4
+    gate it)."""
+    n = cfg.n_pages(host_idx)
+    step = max(1, cfg.feed_sections)
+    locs = [cfg.url(host_idx, p) for p in range(section, n, step)]
+    locs.append(cfg.url(host_idx, n + 2))                   # 404s
+    if locs:
+        locs.append(locs[0])                                # duplicate id
+    other = (host_idx + 1) % cfg.n_hosts
+    if other != host_idx:
+        locs.append(cfg.url(other, 0))                      # cross-host
+    return locs
+
+
+def feed_xml_for_url(feed_url: str, cfg: SynthWebConfig) -> str | None:
+    """Serve a feed document (pure function of the URL, like pages and
+    sitemaps). None ⇔ not a feed this web publishes (fetch failure).
+    Entries use the loc as the Atom <id> and <link href>; a leading
+    id-less entry is the RFC 4287 negative the parser must drop."""
+    parsed = _parse_feed_url(feed_url, cfg)
+    if parsed is None:
+        return None
+    host_idx, s = parsed
+    entries = ["<entry><title>no id</title></entry>"]
+    for loc in _feed_entry_locs(host_idx, s, cfg):
+        esc = _xml_escape(loc)
+        entries.append(
+            f'<entry><id>{esc}</id><link href="{esc}"/>'
+            f"<updated>{feed_updated_py(loc, cfg)}</updated></entry>")
+    return ('<?xml version="1.0"?><feed>' + "".join(entries) + "</feed>")
+
+
+def feed_entries_py(feed_url: str,
+                    cfg: SynthWebConfig) -> list[tuple[str, str]]:
+    """Golden mirror of operators/html_links.parse_atom_feeds over this
+    web's feed XML: (link, updated) per entry with a non-empty <id>,
+    duplicate ids collapsed first-in-document-order. Pure function —
+    the parity test proves the engine's regexp parse against this
+    independently-derived list."""
+    parsed = _parse_feed_url(feed_url, cfg)
+    if parsed is None:
+        return []
+    host_idx, s = parsed
+    seen: set[str] = set()
+    out: list[tuple[str, str]] = []
+    for loc in _feed_entry_locs(host_idx, s, cfg):
+        if loc in seen:
+            continue
+        seen.add(loc)
+        out.append((loc, feed_updated_py(loc, cfg)))
+    return out
+
+
+# --------------------------------------------------------------------------
 # page content
 # --------------------------------------------------------------------------
 
@@ -526,6 +649,9 @@ def page_for_url(url: str, cfg: SynthWebConfig,
         "http_status": 200,
         "content_type": f"image/{fmt}",
         "final_url": None,
+        # autodiscovered section feeds (cfg.feed_every) — page-grain
+        # discovery; keyed on the page location, not the content version
+        "feeds": _feeds_for_page(host_idx, page_idx, cfg),
     }
 
 

@@ -32,6 +32,7 @@ from .crawl.synthweb import (
     robots_crawl_delay_for_host,
     robots_disallow_for_host,
     robots_version_at_round,
+    feed_entries_py,
     sitemap_entries_py,
     sitemap_urls_for_host,
 )
@@ -100,6 +101,10 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
     # golden analog of the engine's robots_new rows; drives the sitemap
     # discovery tier (cfg.sitemap_discovery). Cleared each round.
     robots_fetched_now: set[str] = set()
+    # feeds ever attempted (cfg.feed_discovery) — the golden analog of
+    # the engine's accumulated `feeds` state (fetch-once semantics:
+    # failures are remembered too)
+    feed_seen: set[str] = set()
 
     def _robots_rules(host: str, rnd: int) -> list[str]:
         ent = robots_cache.get(host)
@@ -139,7 +144,8 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
         counts = {"polled": len(frontier), "rejected": 0, "deferred": 0,
                   "fetched": 0, "fetch_failed": 0, "stored": 0,
                   "discovered": 0, "injected": n_injected,
-                  "sitemap_candidates": 0, "redirected": 0}
+                  "sitemap_candidates": 0, "redirected": 0,
+                  "feed_candidates": 0}
         robots_fetched_now.clear()
         passed: list[Req] = []
         deferred: list[Req] = []
@@ -219,6 +225,7 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
         # --- fetch + D1/D2 dedup + store, canonical order -------------------
         children_cand: dict[str, tuple[int, str]] = {}
         children_edges: dict[str, int] = {}   # per-round discovered inlinks
+        feeds_declared_now: set[str] = set()  # feeds on this round's pages
         round_stats: dict[str, list[int]] = {}
         for q in sorted(selected, key=lambda q: (q.priority, q.host, q.url)):
             stat = round_stats.setdefault(q.host, [0, 0])
@@ -231,6 +238,11 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
             counts["fetched"] += 1
             if page["final_url"] is not None:
                 counts["redirected"] += 1
+            # feed declarations come from EVERY fetched page — a D1
+            # duplicate below still declares its feeds (engine: raw
+            # .where(fetched), before dedup)
+            if cfg.feed_discovery:
+                feeds_declared_now.update(page["feeds"])
             chash = content_hash_py(page["bytes"], page["caption"])
             if chash in seen_hashes:
                 continue                                   # D1 duplicate
@@ -264,6 +276,39 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
                 # inlink-priority mirror: one (page, distinct href) edge,
                 # exactly the engine's post-filter count(*) grain
                 children_edges[link] = children_edges.get(link, 0) + 1
+
+        # --- feed discovery tier (cfg.feed_discovery) -------------------------
+        # mirror of operators/feeds.feed_frontier_candidates + the
+        # finish_round merge: feeds first declared this round (never
+        # attempted before) fetch once; their entries (spec rules inside
+        # feed_entries_py: id required, dup ids first-wins) pass http
+        # validity + F3/F4 — NO same-host rule — and override link
+        # children (depth 0, parent = min(feed_url) listing the URL,
+        # priority 1). Applied BEFORE the sitemap tier, whose candidates
+        # override these in a same-round collision (the engine's merge
+        # order).
+        feed_won: set[str] = set()
+        if cfg.feed_discovery:
+            feed_parent: dict[str, str] = {}
+            for fu in sorted(feeds_declared_now - feed_seen):
+                feed_seen.add(fu)
+                for link, _upd in feed_entries_py(fu, synth):
+                    if not re.match(r"^https?://", link):
+                        continue
+                    lhost = host_of(link)
+                    if not lhost:
+                        continue
+                    if allow_re and not re.search(allow_re, lhost):
+                        continue
+                    if excl_re and re.search(excl_re, link):
+                        continue
+                    prev = feed_parent.get(link)
+                    if prev is None or fu < prev:
+                        feed_parent[link] = fu
+            counts["feed_candidates"] = len(feed_parent)
+            for link, fu in feed_parent.items():
+                children_cand[link] = (0, fu)
+                feed_won.add(link)
 
         # --- sitemap discovery tier (cfg.sitemap_discovery) ------------------
         # mirror of operators/sitemap.sitemap_frontier_candidates + the
@@ -303,8 +348,8 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
             # cfg.priority_mode="inlink": Cho/Garcia-Molina/Page backlink
             # ordering — max(1, cap - discovered inlinks this round);
             # "constant" keeps the reference's hard-coded 1
-            if url in sitemap_won:
-                return 1   # sitemap identity wins (engine: literal 1)
+            if url in sitemap_won or url in feed_won:
+                return 1   # discovery-tier identity wins (engine: literal 1)
             if cfg.priority_mode == "inlink":
                 return max(1, cfg.priority_inlink_cap - children_edges[url])
             return 1

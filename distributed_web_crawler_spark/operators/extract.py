@@ -56,6 +56,12 @@ FETCH_SCHEMA = T.StructType([
     # redirects, while the page stays keyed by the request URL
     # (core/WebCrawler.java:324-341)
     T.StructField("final_url", T.StringType()),
+    # autodiscovered feed URLs (<link rel="alternate"
+    # type="application/rss+xml|atom+xml">) — consumed by the feed
+    # discovery tier (cfg.feed_discovery); stores written before this
+    # column read it as null (allowMissingColumns, same migration
+    # posture as final_url/fetch_date)
+    T.StructField("feeds", T.ArrayType(T.StringType())),
 ])
 
 
@@ -69,7 +75,8 @@ def make_synth_fetcher(synth_cfg):
     from ..crawl.synthweb import page_for_url
 
     page_cols = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-                 "links", "http_status", "content_type", "final_url")
+                 "links", "http_status", "content_type", "final_url",
+                 "feeds")
     # nullable integer columns must be built as pandas extension arrays —
     # a rows-of-dicts DataFrame with mixed None/int coerces to float64 and
     # silently corrupts 64-bit values (phash) through Arrow

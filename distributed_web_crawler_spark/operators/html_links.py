@@ -165,6 +165,8 @@ def parse_atom_feeds(feeds: DataFrame, feed_col: str = "feed_url",
     routes through its own parser if one is ever needed). Entries
     without an ``<id>`` are dropped (required by RFC 4287); duplicate
     ids collapse first-in-document-order, the sitemap/alternates rule."""
+    from .sitemap import _xml_unescape
+
     entries = F.regexp_extract_all(F.col(xml_col),
                                    F.lit("<entry>(.*?)</entry>"), F.lit(1))
     block = F.col("_block")
@@ -172,12 +174,14 @@ def parse_atom_feeds(feeds: DataFrame, feed_col: str = "feed_url",
     def field(tag):
         return F.regexp_extract(block, f"<{tag}>(.*?)</{tag}>", 1)
 
-    link = F.regexp_extract(block, '<link href="([^"]*)"', 1)
+    # id and link are URLs and MUST decode XML entities (Atom is XML;
+    # same rule as sitemap <loc>) — identity for entity-free documents
+    link = _xml_unescape(F.regexp_extract(block, '<link href="([^"]*)"', 1))
     return (feeds
             .select(F.col(feed_col).alias("feed_url"),
                     F.posexplode(entries).alias("entry_idx", "_block"))
             .select("feed_url", "entry_idx",
-                    field("id").alias("entry_id"),
+                    _xml_unescape(field("id")).alias("entry_id"),
                     link.alias("link"),
                     F.substring(field("updated"), 1, 10).try_cast("date")
                     .alias("updated_date"),

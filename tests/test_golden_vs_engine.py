@@ -712,3 +712,108 @@ def test_sitemap_index_discovery_golden_parity(spark, tmp_path):
     assert all(r["depth"] == 0 and r["priority"] == 1 for r in idx_rows)
     assert all(r["host"] == r["parent_url"].split("/")[2]
                for r in idx_rows)
+
+
+def test_feed_discovery_golden_parity_and_tier_order(spark, tmp_path):
+    """Feed discovery tier (cfg.feed_discovery): fetched pages'
+    autodiscovered section Atom feeds fetch once per crawl, their
+    RFC 4287 entries enqueue as depth-0 candidates (parent = feed URL),
+    and — unlike sitemaps — cross-host entries are legal. The tier has
+    power (reaches URLs the link graph never fetched), engine/golden
+    visit parity holds including across a fresh-process resume and with
+    BOTH discovery tiers on (pinning the merge order: sitemap identity
+    wins a same-round collision), and lineage reports the candidate
+    volume."""
+    from dataclasses import replace as dc_replace
+
+    synth = SynthWebConfig(n_hosts=8, base_pages_per_host=20,
+                           feed_every=2, robots_every=3, max_out_links=3)
+    cfg = CrawlConfig(max_depth=4, host_budget_per_round=3, max_rounds=8,
+                      allowed_domains=(r".*\.example\.com",),
+                      exclude_patterns=(r".*/p/5",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12,
+                      feed_discovery=True)
+    seeds = W.seed_urls(synth, 3)
+    g_on = golden_crawl(seeds, cfg, synth)
+    g_off = golden_crawl(seeds, dc_replace(cfg, feed_discovery=False),
+                         synth)
+    orphans = g_on.stored_urls - g_off.stored_urls
+    assert orphans, "feeds discovered nothing new - test has no power"
+    assert not any(u.endswith("/p/5") for u in g_on.stored_urls)  # F4 held
+
+    c = Crawler(spark, cfg, synth, str(tmp_path / "f1"))
+    c.bootstrap(seeds)
+    c.run()
+    assert c.visit_sequence() == g_on.visits
+    assert c.url_seen_set() == g_on.stored_urls
+
+    # feed-won identity: frontier rows parented by a feed have depth 0
+    # and priority 1
+    fr = c.store.read(spark, "frontier")
+    feed_rows = fr.where(fr.parent_url.rlike(r"/feed_\d+\.atom$")).collect()
+    assert feed_rows
+    assert all(r["depth"] == 0 and r["priority"] == 1 for r in feed_rows)
+
+    # the feed_entries table persists per-URL recrawl metadata, and the
+    # synthetic far-future/past updated split is visible in it
+    ent = c.store.read(spark, "feed_entries")
+    upds = {str(r["updated"]) for r in ent.select("updated").collect()}
+    assert "9999-01-01" in upds and "2023-01-01" in upds
+
+    # lineage mirrors the candidate volume per round
+    lin = {(r["round"], r["metric"]): r["value"]
+           for r in c.lineage().groupBy("round", "metric")
+           .sum("value").withColumnRenamed("sum(value)", "value")
+           .collect()}
+    for g in g_on.lineage:
+        want = g.get("feed_candidates", 0)
+        got = lin.get((g["round"], "feed_candidates"), 0)
+        assert got == want, (g["round"], got, want)
+
+    # fresh-process resume replays feed decisions identically (the
+    # accumulated `feeds` state carries fetch-once across processes)
+    c2 = Crawler(spark, cfg, synth, str(tmp_path / "f2"))
+    c2.bootstrap(seeds)
+    c2.run(max_rounds=2)
+    c2b = Crawler(spark, cfg, synth, str(tmp_path / "f2"))
+    c2b.run()
+    assert c2b.visit_sequence() == g_on.visits
+    assert c2b.url_seen_set() == g_on.stored_urls
+
+    # BOTH tiers on: golden implements feed-then-sitemap override, so
+    # engine parity pins the engine's merge order too
+    synth2 = dc_replace(synth, sitemap_every=2)
+    cfg2 = dc_replace(cfg, sitemap_discovery=True)
+    g_both = golden_crawl(seeds, cfg2, synth2)
+    c3 = Crawler(spark, cfg2, synth2, str(tmp_path / "f3"))
+    c3.bootstrap(seeds)
+    c3.run()
+    assert c3.visit_sequence() == g_both.visits
+    assert c3.url_seen_set() == g_both.stored_urls
+
+
+def test_feed_synthweb_spec_rules():
+    """The synthetic feed functions themselves: entry list spec rules
+    (duplicate id collapsed, cross-host entry KEPT — feeds have no
+    same-host rule), page-grain declarations, and the engine parser
+    agreeing with the golden mirror's independently-derived list."""
+    synth = SynthWebConfig(n_hosts=6, base_pages_per_host=12,
+                           feed_every=2, feed_sections=2)
+    host = synth.host_name(2)
+    fu = f"http://{host}/feed_1.atom"
+    entries = W.feed_entries_py(fu, synth)
+    urls = [u for u, _ in entries]
+    assert len(urls) == len(set(urls))             # dup id collapsed
+    n = synth.n_pages(2)
+    assert all(f"/p/{p}" in u for u, p in
+               zip(urls[:len(range(1, n, 2))], range(1, n, 2)))
+    cross = [u for u in urls if synth.host_name(3) in u]
+    assert cross == [synth.url(3, 0)]              # cross-host entry kept
+    # page-grain declaration: only pages of section s declare feed_s
+    assert W.feed_urls_for_page(synth.url(2, 1), synth) == [fu]
+    assert W.feed_urls_for_page(synth.url(2, 2), synth) == \
+        [f"http://{host}/feed_0.atom"]
+    assert W.feed_urls_for_page(synth.url(3, 0), synth) == []  # non-pub host
+    # unknown feed URL 404s; non-feed path 404s
+    assert W.feed_xml_for_url(f"http://{host}/feed_7.atom", synth) is None
+    assert W.feed_xml_for_url(f"http://{host}/other.atom", synth) is None

@@ -64,6 +64,12 @@ def main() -> None:
     ap.add_argument("--sitemap-every", type=int, default=4,
                     help="synthetic web: every k-th host publishes a "
                          "sitemap (used with --sitemap-discovery)")
+    ap.add_argument("--feed-discovery", action="store_true",
+                    help="fetch+parse page-autodiscovered Atom feeds and "
+                         "enqueue their entries as depth-0 candidates")
+    ap.add_argument("--feed-every", type=int, default=4,
+                    help="synthetic web: every k-th host publishes "
+                         "section feeds (used with --feed-discovery)")
     ap.add_argument("--sitemap-index-every", type=int, default=0,
                     help="synthetic web: every k-th sitemap host serves "
                          "a two-level /sitemap_index.xml layout instead "
@@ -94,6 +100,8 @@ def main() -> None:
                            base_pages_per_host=args.pages_per_host,
                            sitemap_every=(args.sitemap_every
                                           if args.sitemap_discovery else 0),
+                           feed_every=(args.feed_every
+                                       if args.feed_discovery else 0),
                            sitemap_index_every=(args.sitemap_index_every
                                                 if args.sitemap_discovery
                                                 else 0))
@@ -104,7 +112,8 @@ def main() -> None:
                       priority_mode=args.priority_mode,
                       frontier_cap=args.frontier_cap,
                       robots_ttl_rounds=args.robots_ttl,
-                      sitemap_discovery=args.sitemap_discovery)
+                      sitemap_discovery=args.sitemap_discovery,
+                      feed_discovery=args.feed_discovery)
     crawler = Crawler(spark, cfg, synth, args.store)
     if crawler.store.last_round() is None:
         crawler.bootstrap(seed_urls(synth, args.seeds))
