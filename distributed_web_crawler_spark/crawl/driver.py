@@ -962,6 +962,44 @@ class Crawler:
                           .alias("last_fetch")))
         return sitemap_recrawl_candidates(latest, last_fetch)
 
+    def feed_recrawl_picks(self) -> DataFrame | None:
+        """Feed-driven recrawl planning over the engine's OWN store —
+        the feed analog of sitemap_recrawl_picks, through the SAME
+        verdict operator: the latest committed feed_entries generation
+        per URL (max struct over (fetched_round, updated, feed_url) —
+        deterministic when several feeds list one URL) joined against
+        the stored pages' round-clock fetch dates; entry `updated`
+        plays the lastmod role. Feed `.where("fetch_needed")` into
+        ``revalidate(urls=...)`` exactly like the sitemap picks. None ⇔
+        no feed_entries table committed (cfg.feed_discovery never on).
+
+        Scale shape: feed_entries accumulates one generation per
+        (feed, first-declaring round) at entry grain; ONE url-keyed
+        max-struct collapse + one aggregate on the slim stored table +
+        the single url-keyed verdict join."""
+        from ..pipeline.recrawl import sitemap_recrawl_candidates
+
+        fe = self.store.read(self.spark, "feed_entries")
+        if fe is None:
+            return None
+        stored = self.stored_slim()
+        if stored is None:
+            raise RuntimeError("nothing stored yet — run() first")
+        latest = (fe.groupBy("url")
+                  .agg(F.max(F.struct("fetched_round", "updated", "feed_url",
+                                      "host")).alias("_l"))
+                  .select("url", F.col("_l.host").alias("host"),
+                          F.col("_l.updated").alias("lastmod"),
+                          F.lit(None).cast("double").alias("priority")))
+        step = self.cfg.round_seconds * 1000
+        last_fetch = (stored.groupBy("url")
+                      .agg(F.max("round").alias("_r"))
+                      .select("url", F.to_date(F.timestamp_millis(
+                          F.lit(self.cfg.epoch_ms)
+                          + F.col("_r").cast("long") * F.lit(step)))
+                          .alias("last_fetch")))
+        return sitemap_recrawl_candidates(latest, last_fetch)
+
     def revalidate(self, changed=None, version: int = 1,
                    fetcher=None, urls=None) -> dict:
         """One conditional-refetch epoch over everything stored: the

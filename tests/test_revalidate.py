@@ -269,3 +269,65 @@ def test_sitemap_recrawl_picks_close_the_discovery_loop(spark, tmp_path):
     c0.bootstrap(W.seed_urls(synth0, 2))
     c0.run()
     assert c0.sitemap_recrawl_picks() is None
+
+
+def test_feed_recrawl_picks_close_the_discovery_loop(spark, tmp_path):
+    """The feed_entries table persisted by the feed discovery tier
+    drives recrawl planning exactly like sitemap lastmod:
+    feed_recrawl_picks verdicts match a from-first-principles
+    recomputation (entry `updated` is a pure function of the loc), the
+    fetch_needed picks run a partial epoch over exactly the stored
+    'modified' rows, and a fresh driver over the same store computes
+    identical picks."""
+    from distributed_web_crawler_spark.crawl import synthweb as W
+
+    synth = SynthWebConfig(n_hosts=8, base_pages_per_host=20,
+                           feed_every=2, robots_every=3, max_out_links=3)
+    cfg = CrawlConfig(max_depth=4, host_budget_per_round=3, max_rounds=8,
+                      allowed_domains=(r".*\.example\.com",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12,
+                      feed_discovery=True)
+    c = Crawler(spark, cfg, synth, str(tmp_path))
+    c.bootstrap(W.seed_urls(synth, 3))
+    c.run()
+
+    picks = c.feed_recrawl_picks()
+    rows = {r["url"]: r for r in picks.collect()}
+    stored = c.url_seen_set()
+
+    # expected: every entry of every feed the engine actually attempted
+    # (the committed `feeds` state — its correctness is pinned by the
+    # golden-parity test), verdict from the loc-pure updated value
+    attempted = [r["feed_url"] for r in
+                 c.store.read(spark, "feeds").collect()]
+    expect = {}
+    for fu in attempted:
+        for u, upd in W.feed_entries_py(fu, synth):
+            expect[u] = ("new" if u not in stored
+                         else "modified" if upd.startswith("9999")
+                         else "fresh")
+    assert {u: r["verdict"] for u, r in rows.items()} == expect
+    assert {"new", "modified", "fresh"} <= set(expect.values())
+    assert all(r["fetch_needed"] == (r["verdict"] in ("new", "modified"))
+               for r in rows.values())
+
+    # partial epoch over the picks: exactly the stored 'modified' rows
+    n_mod = sum(1 for v in expect.values() if v == "modified")
+    assert n_mod > 0
+    r1 = c.revalidate(urls=picks.where("fetch_needed"))
+    assert r1 == {"epoch": 0, "unchanged": n_mod}  # static web: all 304
+
+    # fresh driver, same store → identical picks
+    c2 = Crawler(spark, cfg, synth, str(tmp_path))
+    rows2 = {r["url"]: r["verdict"]
+             for r in c2.feed_recrawl_picks().collect()}
+    assert rows2 == {u: r["verdict"] for u, r in rows.items()}
+
+    # a store that never ran feed discovery has no feed_entries table
+    synth0 = SynthWebConfig(n_hosts=6, base_pages_per_host=12)
+    cfg0 = CrawlConfig(max_depth=2, host_budget_per_round=3, max_rounds=2,
+                       url_seen_shards=2, bloom_bits_per_shard=1 << 12)
+    c0 = Crawler(spark, cfg0, synth0, str(tmp_path) + "_nofeed")
+    c0.bootstrap(W.seed_urls(synth0, 2))
+    c0.run()
+    assert c0.feed_recrawl_picks() is None
