@@ -124,6 +124,16 @@ class CrawlConfig:
     # surfaces once a page declaring it is fetched.
     feed_discovery: bool = False
 
+    # feed re-poll TTL in rounds (0 = fetch once per crawl): with
+    # ttl=K, a feed's fetch expires K rounds after its last attempt and
+    # the feed re-fetches the next time a fetched page declares it —
+    # the live-web analog of the robots cache TTL, discovering entries
+    # published mid-crawl. Refetch generations accumulate in the
+    # `feeds`/`feed_entries` round dirs; latest-generation-wins at the
+    # consumers (freshness filter here, max-struct in
+    # feed_recrawl_picks).
+    feed_ttl_rounds: int = 0
+
     # robots cache TTL in rounds (0 = cache forever, reference parity:
     # the reference's in-memory robotsCache never expires,
     # core/WebCrawler.java:34,458-473 — though its crawl_state table
@@ -231,6 +241,11 @@ class SynthWebConfig:
     # by F3/F4.
     feed_every: int = 0
     feed_sections: int = 2
+    # feed drift: from this round on, feeds serve version 1 — each
+    # section feed gains its previously-withheld last entry (0 = feeds
+    # never change). Exercises CrawlConfig.feed_ttl_rounds re-polling:
+    # a live feed publishes new entries mid-crawl.
+    feed_drift_round: int = 0
     # image payloads
     min_dim: int = 8
     max_dim: int = 24

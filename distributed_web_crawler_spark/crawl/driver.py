@@ -213,15 +213,14 @@ class Crawler:
             from .httpfetch import make_http_sitemap_fetcher
             sitemap_fetcher = make_http_sitemap_fetcher()
         self.sitemap_fetcher = sitemap_fetcher
-        # feed-document fetcher (cfg.feed_discovery): synthetic web ⇒ the
-        # pure synthetic fetcher, real web ⇒ real HTTP — the sitemap rule
-        if cfg.feed_discovery and feed_fetcher is None:
-            if synth_cfg is not None:
-                from ..operators.feeds import make_synth_feed_fetcher
-                feed_fetcher = make_synth_feed_fetcher(synth_cfg)
-            else:
-                from .httpfetch import make_http_feed_fetcher
-                feed_fetcher = make_http_feed_fetcher()
+        # feed-document fetcher (cfg.feed_discovery): real web ⇒ real
+        # HTTP (the sitemap rule); a synthetic web builds its fetcher
+        # PER ROUND (_feed_fetcher_for) so feed drift serves the right
+        # content version at each round
+        if (cfg.feed_discovery and feed_fetcher is None
+                and synth_cfg is None):
+            from .httpfetch import make_http_feed_fetcher
+            feed_fetcher = make_http_feed_fetcher()
         self.feed_fetcher = feed_fetcher
 
     # -- lifecycle -----------------------------------------------------------
@@ -283,6 +282,20 @@ class Crawler:
             if c <= r and self.store.exists(name, c):
                 return c
         return None
+
+    def _feed_fetcher_for(self, r: int):
+        """The round's feed-document fetcher: an injected/HTTP fetcher
+        verbatim, else the synthetic fetcher at the round's drift
+        version (synthweb.feed_version_at_round — the robots-drift
+        pattern)."""
+        if not self.cfg.feed_discovery:
+            return None
+        if self.feed_fetcher is not None:
+            return self.feed_fetcher
+        from ..operators.feeds import make_synth_feed_fetcher
+        from .synthweb import feed_version_at_round
+        return make_synth_feed_fetcher(
+            self.synth_cfg, feed_version_at_round(self.synth_cfg, r))
 
     def _state_for(self, r: int) -> RoundState:
         """Accumulated state for round r. Each history table reads its
@@ -527,7 +540,7 @@ class Crawler:
             res = finish_round(self.spark, raw, plan, state, self.cfg, r,
                                fetched_hint=sum(row["n_fetched"]
                                                 for row in receipts),
-                               feed_fetcher=self.feed_fetcher)
+                               feed_fetcher=self._feed_fetcher_for(r))
             # Sinks are ordered so every persisted intermediate (stored
             # winners, probed new_urls) materializes exactly once — inside
             # the frontier-write job, the round's one big phase-B action —

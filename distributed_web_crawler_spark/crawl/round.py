@@ -254,7 +254,7 @@ def finish_round(spark: SparkSession, raw: DataFrame, plan: FetchPlan,
                     .where(F.col("feed_url").isNotNull()))
         feed_cands, feed_entries, feeds_new = feed_frontier_candidates(
             declared, state.feeds, cfg, feed_fetcher, ts,
-            cached=extra_cached)
+            cached=extra_cached, round_no=round_no)
         feed_cands = feed_cands.persist()
         extra_cached.append(feed_cands)
         children = (children

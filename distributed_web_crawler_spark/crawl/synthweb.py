@@ -466,6 +466,15 @@ def _parse_feed_url(feed_url: str,
     return host_idx, s
 
 
+def feed_version_at_round(cfg: SynthWebConfig, round_no: int) -> int:
+    """Which feed content the synthetic web serves during ``round_no``
+    (the feed twin of robots_version_at_round): version 1 from
+    cfg.feed_drift_round on — each section feed gains its withheld last
+    entry, modelling a live feed publishing mid-crawl."""
+    return 1 if (cfg.feed_drift_round > 0
+                 and round_no >= cfg.feed_drift_round) else 0
+
+
 def feed_updated_py(loc: str, cfg: SynthWebConfig) -> str:
     """The <updated> an entry for ``loc`` carries — Atom REQUIRES it
     (RFC 4287 §4.1.2), so unlike sitemap lastmod it is always present:
@@ -479,7 +488,7 @@ def feed_updated_py(loc: str, cfg: SynthWebConfig) -> str:
 
 
 def _feed_entry_locs(host_idx: int, section: int,
-                     cfg: SynthWebConfig) -> list[str]:
+                     cfg: SynthWebConfig, version: int = 0) -> list[str]:
     """Ground-truth entry list in document order BEFORE spec filtering:
     the host's pages of this section, one out-of-range page (valid URL
     shape, 404s at fetch), a duplicate of the first entry (same id —
@@ -489,6 +498,11 @@ def _feed_entry_locs(host_idx: int, section: int,
     n = cfg.n_pages(host_idx)
     step = max(1, cfg.feed_sections)
     locs = [cfg.url(host_idx, p) for p in range(section, n, step)]
+    # version 0 withholds the last section entry when drift is
+    # configured — version 1 (from cfg.feed_drift_round) publishes it,
+    # so a TTL re-poll genuinely discovers a NEW page
+    if cfg.feed_drift_round > 0 and version == 0 and len(locs) >= 2:
+        locs = locs[:-1]
     locs.append(cfg.url(host_idx, n + 2))                   # 404s
     if locs:
         locs.append(locs[0])                                # duplicate id
@@ -498,7 +512,8 @@ def _feed_entry_locs(host_idx: int, section: int,
     return locs
 
 
-def feed_xml_for_url(feed_url: str, cfg: SynthWebConfig) -> str | None:
+def feed_xml_for_url(feed_url: str, cfg: SynthWebConfig,
+                     version: int = 0) -> str | None:
     """Serve a feed document (pure function of the URL, like pages and
     sitemaps). None ⇔ not a feed this web publishes (fetch failure).
     Entries use the loc as the Atom <id> and <link href>; a leading
@@ -508,7 +523,7 @@ def feed_xml_for_url(feed_url: str, cfg: SynthWebConfig) -> str | None:
         return None
     host_idx, s = parsed
     entries = ["<entry><title>no id</title></entry>"]
-    for loc in _feed_entry_locs(host_idx, s, cfg):
+    for loc in _feed_entry_locs(host_idx, s, cfg, version):
         esc = _xml_escape(loc)
         entries.append(
             f'<entry><id>{esc}</id><link href="{esc}"/>'
@@ -516,8 +531,8 @@ def feed_xml_for_url(feed_url: str, cfg: SynthWebConfig) -> str | None:
     return ('<?xml version="1.0"?><feed>' + "".join(entries) + "</feed>")
 
 
-def feed_entries_py(feed_url: str,
-                    cfg: SynthWebConfig) -> list[tuple[str, str]]:
+def feed_entries_py(feed_url: str, cfg: SynthWebConfig,
+                    version: int = 0) -> list[tuple[str, str]]:
     """Golden mirror of operators/html_links.parse_atom_feeds over this
     web's feed XML: (link, updated) per entry with a non-empty <id>,
     duplicate ids collapsed first-in-document-order. Pure function —
@@ -529,7 +544,7 @@ def feed_entries_py(feed_url: str,
     host_idx, s = parsed
     seen: set[str] = set()
     out: list[tuple[str, str]] = []
-    for loc in _feed_entry_locs(host_idx, s, cfg):
+    for loc in _feed_entry_locs(host_idx, s, cfg, version):
         if loc in seen:
             continue
         seen.add(loc)

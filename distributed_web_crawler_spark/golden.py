@@ -33,6 +33,7 @@ from .crawl.synthweb import (
     robots_disallow_for_host,
     robots_version_at_round,
     feed_entries_py,
+    feed_version_at_round,
     sitemap_entries_py,
     sitemap_urls_for_host,
 )
@@ -101,10 +102,11 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
     # golden analog of the engine's robots_new rows; drives the sitemap
     # discovery tier (cfg.sitemap_discovery). Cleared each round.
     robots_fetched_now: set[str] = set()
-    # feeds ever attempted (cfg.feed_discovery) — the golden analog of
-    # the engine's accumulated `feeds` state (fetch-once semantics:
-    # failures are remembered too)
-    feed_seen: set[str] = set()
+    # feed_url → last attempted round (cfg.feed_discovery) — the golden
+    # analog of the engine's accumulated `feeds` state (fetch-once
+    # semantics, failures remembered; cfg.feed_ttl_rounds expires an
+    # attempt K rounds later, the robots-TTL posture)
+    feed_seen: dict[str, int] = {}
 
     def _robots_rules(host: str, rnd: int) -> list[str]:
         ent = robots_cache.get(host)
@@ -289,10 +291,15 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
         # order).
         feed_won: set[str] = set()
         if cfg.feed_discovery:
+            fv = feed_version_at_round(synth, r)
+            ttl = cfg.feed_ttl_rounds
+            due = [fu for fu in sorted(feeds_declared_now)
+                   if fu not in feed_seen
+                   or (ttl > 0 and feed_seen[fu] <= r - ttl)]
             feed_parent: dict[str, str] = {}
-            for fu in sorted(feeds_declared_now - feed_seen):
-                feed_seen.add(fu)
-                for link, _upd in feed_entries_py(fu, synth):
+            for fu in due:
+                feed_seen[fu] = r
+                for link, _upd in feed_entries_py(fu, synth, fv):
                     if not re.match(r"^https?://", link):
                         continue
                     lhost = host_of(link)

@@ -29,11 +29,12 @@ from pyspark.sql import functions as F
 FEED_DOC_SCHEMA = "feed_url string, xml string"
 
 
-def make_synth_feed_fetcher(synth_cfg):
+def make_synth_feed_fetcher(synth_cfg, version: int = 0):
     """Feed-document fetcher over the synthetic web: (feed_url) →
     (feed_url, xml), xml null on failure. Pure function of the URL,
-    like every synthetic fetcher. Real-HTTP twin:
-    crawl/httpfetch.make_http_feed_fetcher."""
+    like every synthetic fetcher; ``version`` selects which feed
+    content the web is serving (drift — synthweb.feed_version_at_round).
+    Real-HTTP twin: crawl/httpfetch.make_http_feed_fetcher."""
     import pandas as pd
 
     from ..crawl.synthweb import feed_xml_for_url
@@ -43,7 +44,7 @@ def make_synth_feed_fetcher(synth_cfg):
             yield pd.DataFrame({
                 "feed_url": pdf["feed_url"],
                 "xml": pd.Series(
-                    [feed_xml_for_url(u, synth_cfg)
+                    [feed_xml_for_url(u, synth_cfg, version)
                      for u in pdf["feed_url"]], dtype="object"),
             })
 
@@ -53,8 +54,9 @@ def make_synth_feed_fetcher(synth_cfg):
 def feed_frontier_candidates(
         declared: DataFrame, known: DataFrame | None, cfg, fetcher,
         round_ts_ms: int,
-        cached: list | None = None) -> tuple[DataFrame, DataFrame,
-                                             DataFrame]:
+        cached: list | None = None,
+        round_no: int = 0) -> tuple[DataFrame, DataFrame,
+                                    DataFrame]:
     """The discovery tier executed inside the crawl round: the round's
     fetched pages' feed declarations → one document fetch per distinct
     NEW feed URL (never attempted in any prior round — fetch-once
@@ -82,7 +84,20 @@ def feed_frontier_candidates(
 
     new = declared.dropDuplicates(["feed_url"])
     if known is not None:
-        new = new.join(F.broadcast(known.select("feed_url").distinct()),
+        fresh = known
+        if cfg.feed_ttl_rounds > 0:
+            # TTL re-poll (cfg.feed_ttl_rounds): only attempts within
+            # the TTL suppress a refetch — latest attempt per feed wins
+            # (one feed-grain agg on the broadcast-sized state side);
+            # rows with unknown age (pre-TTL stores) count as expired
+            fresh = (known
+                     .groupBy("feed_url")
+                     .agg(F.max(F.coalesce(F.col("fetched_round"),
+                                           F.lit(-(1 << 30))))
+                          .alias("_last"))
+                     .where(F.col("_last")
+                            > F.lit(round_no - cfg.feed_ttl_rounds)))
+        new = new.join(F.broadcast(fresh.select("feed_url").distinct()),
                        "feed_url", "left_anti")
     new = new.persist()
     if cached is not None:

@@ -817,3 +817,60 @@ def test_feed_synthweb_spec_rules():
     # unknown feed URL 404s; non-feed path 404s
     assert W.feed_xml_for_url(f"http://{host}/feed_7.atom", synth) is None
     assert W.feed_xml_for_url(f"http://{host}/other.atom", synth) is None
+
+
+def test_feed_ttl_repoll_discovers_drifted_entries(spark, tmp_path):
+    """Feed re-polling (cfg.feed_ttl_rounds) against a DRIFTING feed
+    (synth.feed_drift_round): version 0 withholds each section feed's
+    last entry, version 1 publishes it. Without a TTL the feed is
+    fetched once (pre-drift) and the withheld entry is never found;
+    with ttl=2 the feed re-fetches when a later fetched page declares
+    it, and the new entry enqueues. Engine/golden parity holds in both
+    configurations, including across a fresh-process resume."""
+    from dataclasses import replace as dc_replace
+
+    synth = SynthWebConfig(n_hosts=8, base_pages_per_host=48,
+                           feed_every=2, feed_drift_round=2,
+                           robots_every=3, max_out_links=2)
+    cfg = CrawlConfig(max_depth=5, host_budget_per_round=3, max_rounds=10,
+                      allowed_domains=(r".*\.example\.com",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12,
+                      feed_discovery=True, feed_ttl_rounds=2)
+    seeds = W.seed_urls(synth, 3)
+    g_ttl = golden_crawl(seeds, cfg, synth)
+    g_once = golden_crawl(seeds, dc_replace(cfg, feed_ttl_rounds=0), synth)
+    gained = g_ttl.stored_urls - g_once.stored_urls
+    assert gained, "TTL re-poll discovered nothing - test has no power"
+    # the gained URLs are exactly drift-withheld entries: present at v1,
+    # absent at v0, for some published feed
+    v0_all, v1_all = set(), set()
+    for i in range(0, synth.n_hosts, synth.feed_every):
+        for sec in range(synth.feed_sections):
+            fu = f"http://{synth.host_name(i)}/feed_{sec}.atom"
+            v0_all.update(u for u, _ in W.feed_entries_py(fu, synth, 0))
+            v1_all.update(u for u, _ in W.feed_entries_py(fu, synth, 1))
+    assert gained <= (v1_all - v0_all)
+
+    c = Crawler(spark, cfg, synth, str(tmp_path / "t1"))
+    c.bootstrap(seeds)
+    c.run()
+    assert c.visit_sequence() == g_ttl.visits
+    assert c.url_seen_set() == g_ttl.stored_urls
+
+    # refetch generations accumulated: some feed has >1 state row, and
+    # feed_recrawl_picks still resolves one verdict per URL (latest wins)
+    feeds_rows = c.store.read(spark, "feeds").collect()
+    by_feed: dict = {}
+    for r in feeds_rows:
+        by_feed.setdefault(r["feed_url"], []).append(r["fetched_round"])
+    assert any(len(v) > 1 for v in by_feed.values())
+    picks = c.feed_recrawl_picks()
+    assert picks.groupBy("url").count().where("count > 1").count() == 0
+
+    # fresh-process resume replays TTL decisions identically
+    c2 = Crawler(spark, cfg, synth, str(tmp_path / "t2"))
+    c2.bootstrap(seeds)
+    c2.run(max_rounds=4)
+    c2b = Crawler(spark, cfg, synth, str(tmp_path / "t2"))
+    c2b.run()
+    assert c2b.visit_sequence() == g_ttl.visits

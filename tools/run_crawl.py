@@ -70,6 +70,9 @@ def main() -> None:
     ap.add_argument("--feed-every", type=int, default=4,
                     help="synthetic web: every k-th host publishes "
                          "section feeds (used with --feed-discovery)")
+    ap.add_argument("--feed-ttl", type=int, default=0,
+                    help="feed re-poll TTL in rounds (0 = fetch once "
+                         "per crawl)")
     ap.add_argument("--sitemap-index-every", type=int, default=0,
                     help="synthetic web: every k-th sitemap host serves "
                          "a two-level /sitemap_index.xml layout instead "
@@ -113,7 +116,8 @@ def main() -> None:
                       frontier_cap=args.frontier_cap,
                       robots_ttl_rounds=args.robots_ttl,
                       sitemap_discovery=args.sitemap_discovery,
-                      feed_discovery=args.feed_discovery)
+                      feed_discovery=args.feed_discovery,
+                      feed_ttl_rounds=args.feed_ttl)
     crawler = Crawler(spark, cfg, synth, args.store)
     if crawler.store.last_round() is None:
         crawler.bootstrap(seed_urls(synth, args.seeds))
