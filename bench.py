@@ -176,6 +176,8 @@ EXTRAS = [
     "charset_sniff",         # header>BOM>meta>default precedence
     "rss_feed_parse",        # RFC-822 date fold, locale-free
     "feed_recrawl",          # feed dates through the recrawl verdicts
+    "robots_group_select",   # RFC 9309 UA-group parse, Catalyst fold
+    "robots_rfc9309_decide", # group parse -> wildcard decisions e2e
 ]
 
 

@@ -203,3 +203,88 @@ def wildcard_rule_decisions(requests: DataFrame, path_col: str = "path",
             .withColumn("allowed", F.coalesce(best["allow"], F.lit(True)))
             .withColumn("rule_len",
                         F.coalesce(best["l"], F.lit(0)).cast("int")))
+
+
+def robots_group_rules(txt, user_agent: str):
+    """RFC 9309 §2.1-2.2 group parser, pure Catalyst: robots.txt TEXT →
+    ``array<struct<allow:boolean, pattern:string>>`` — the rules column
+    `wildcard_rule_decisions` consumes, derived from the real document
+    instead of a pre-parsed table.
+
+    Spec semantics implemented:
+    - groups start at ``User-agent:`` lines; consecutive UA lines share
+      one group, a UA line after rules starts a NEW group (§2.1);
+    - our group = every group whose best-matching UA is the MOST
+      specific match for ``user_agent`` (exact product-token match,
+      case-insensitive, beats ``*``); multiple matching groups'
+      rules are COMBINED (§2.2.1);
+    - ``Allow:`` / ``Disallow:`` case-insensitive; an empty pattern is
+      no rule (§2.2.2); rules before any UA line are ignored;
+    - ``#`` comments stripped; non-group records (Sitemap:) neither
+      join nor terminate a group.
+
+    Scale shape: two folds over the split-lines array (one array_max
+    for the best specificity, one stateful `aggregate` walk) — map-only
+    expressions riding the host-grain robots scan; no explode, no
+    shuffle, no UDF."""
+    ua = user_agent.lower()
+    # split tolerates CRLF (a \r left on the line would poison UA-token
+    # equality and rule patterns — trim only strips spaces)
+    lines = F.transform(
+        F.split(txt, "\r?\n"),
+        lambda l: F.trim(F.regexp_replace(l, "#.*$", "")))
+
+    def ua_of(l):
+        return F.lower(F.trim(
+            F.regexp_extract(l, r"(?i)^user-agent\s*:\s*(.*)$", 1)))
+
+    def is_ua(l):
+        return l.rlike(r"(?i)^user-agent\s*:")
+
+    # specificity: exact token match = its length, '*' = 0, no match = -1
+    def spec(l):
+        v = ua_of(l)
+        return (F.when(v == ua, F.length(v))
+                .when(v == "*", F.lit(0))
+                .otherwise(F.lit(-1)))
+
+    best = F.array_max(F.filter(
+        F.transform(lines, lambda l: F.when(is_ua(l), spec(l))),
+        lambda s: s.isNotNull()))
+
+    def rule_of(l):
+        # struct(allow, pattern) for rule lines, null otherwise
+        allow_pat = F.regexp_extract(l, r"(?i)^allow\s*:\s*(\S*)", 1)
+        dis_pat = F.regexp_extract(l, r"(?i)^disallow\s*:\s*(\S*)", 1)
+        return (F.when(l.rlike(r"(?i)^allow\s*:"),
+                       F.struct(F.lit(True).alias("allow"),
+                                allow_pat.alias("pattern")))
+                .when(l.rlike(r"(?i)^disallow\s*:"),
+                      F.struct(F.lit(False).alias("allow"),
+                               dis_pat.alias("pattern"))))
+
+    empty_rules = F.expr(
+        "cast(array() as array<struct<allow:boolean,pattern:string>>)")
+    init = F.struct(F.lit(-1).alias("cur"), F.lit(True).alias("prev_rule"),
+                    empty_rules.alias("rules"))
+
+    def step(acc, l):
+        s, r = spec(l), rule_of(l)
+        new_cur = F.when(
+            is_ua(l),
+            # UA after rules starts a fresh group; consecutive UA lines
+            # extend the current one (best of their specificities)
+            F.when(acc.prev_rule, s).otherwise(F.greatest(acc.cur, s))
+        ).otherwise(acc.cur)
+        took = (r.isNotNull() & (acc.cur == best)
+                & (F.length(r.pattern) > 0))
+        return F.struct(
+            new_cur.alias("cur"),
+            F.when(is_ua(l), F.lit(False))
+            .when(r.isNotNull(), F.lit(True))
+            .otherwise(acc.prev_rule).alias("prev_rule"),
+            F.when(took, F.concat(acc.rules, F.array(r)))
+            .otherwise(acc.rules).alias("rules"))
+
+    return F.when(best.isNull(), empty_rules).otherwise(
+        F.aggregate(lines, init, step, lambda acc: acc.rules))

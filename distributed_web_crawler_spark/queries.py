@@ -6557,3 +6557,108 @@ def feed_recrawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("lastmod", F.date_format("lastmod", "yyyy-MM-dd"))
             .withColumn("last_fetch",
                         F.date_format("last_fetch", "yyyy-MM-dd")))
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 robots.txt GROUP parsing (operators/robots.robots_group_rules):
+# the real-document front of the wildcard-matching tier — UA group
+# selection (exact-token beats *, matching groups COMBINE), Allow/
+# Disallow extraction, comment stripping — as a pure-Catalyst fold.
+# Fixture robots.txt synthesized from documents; oracles restate the
+# expected groups/decisions arithmetically from doc_id (an independent
+# derivation, charset_sniff-style — DuckDB has no stateful array fold).
+# ---------------------------------------------------------------------------
+
+def _robots_group_txt_col():
+    d = F.col("doc_id")
+    g2 = F.when(d % 3 == 0, F.lit(
+        "User-agent: SparkCrawler\nAllow: /p/$\nDisallow: /p/*\n\n"))\
+        .otherwise(F.lit(""))
+    g3 = F.when(d % 4 == 0, F.lit(
+        "User-agent: foo\nUser-agent: sparkcrawler\n"
+        "Disallow: /shared\n\n")).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("# policy\nUser-Agent: *\nDisallow: /all\nAllow:\n\n"),
+        g2, g3,
+        F.lit("User-agent: other\nDisallow: /x\n"
+              "Sitemap: http://x.example.com/sm.xml\n"))
+
+
+@q("robots_group_select", f"""
+  WITH d AS (SELECT doc_id, {_LINKS_URL_SQL} AS url FROM documents),
+  r AS (
+    SELECT doc_id, url, 0 AS rule_idx, TRUE AS allow,
+           '/p/$' AS pattern FROM d WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, url, 1, FALSE, '/p/*' FROM d WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, url,
+           CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END, FALSE, '/shared'
+    FROM d WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id, url, 0, FALSE, '/all'
+    FROM d WHERE doc_id % 3 <> 0 AND doc_id % 4 <> 0)
+  SELECT url, rule_idx, allow, pattern FROM r
+""")
+def robots_group_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 group selection over real robots.txt text: a * group, a
+    SparkCrawler group (doc_id%3), a two-UA group whose second token
+    matches case-insensitively (doc_id%4 — groups COMBINE when both
+    match), a non-matching group, comments, an empty Allow (no rule),
+    and a Sitemap line that must not terminate anything. The oracle
+    enumerates the expected combined rule lists arithmetically."""
+    from .operators.robots import robots_group_rules
+    docs = _t(spark, sf_dir, "documents")
+    rules = robots_group_rules(_robots_group_txt_col(), "SparkCrawler")
+    return (docs
+            .select(_links_url_col().alias("url"),
+                    F.posexplode(rules).alias("rule_idx", "_r"))
+            .select("url", "rule_idx", F.col("_r.allow").alias("allow"),
+                    F.col("_r.pattern").alias("pattern")))
+
+
+@q("robots_rfc9309_decide", f"""
+  WITH d AS (
+    SELECT doc_id, {_LINKS_URL_SQL} AS url,
+           CASE WHEN doc_id % 5 = 0 THEN '/shared/' || CAST(doc_id AS VARCHAR)
+                WHEN doc_id % 7 = 0 THEN '/all/' || CAST(doc_id AS VARCHAR)
+                ELSE '/p/' || CAST(doc_id % 10 AS VARCHAR) END AS path
+    FROM documents),
+  v AS (
+    SELECT url, path,
+           CASE
+             WHEN doc_id % 3 = 0 AND starts_with(path, '/p/')
+               THEN 4
+             WHEN doc_id % 4 = 0 AND starts_with(path, '/shared')
+               THEN 7
+             WHEN doc_id % 3 <> 0 AND doc_id % 4 <> 0
+                  AND starts_with(path, '/all') THEN 4
+             ELSE 0 END AS rule_len
+    FROM d)
+  SELECT url, path, rule_len = 0 AS allowed,
+         CAST(rule_len AS INTEGER) AS rule_len
+  FROM v
+""")
+def robots_rfc9309_decide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full RFC 9309 chain on real text: group parse
+    (robots_group_rules) → wildcard decisions (longest-match, allow
+    wins ties) over per-doc paths hitting each group's rule space. The
+    oracle derives the expected verdicts arithmetically: /p/* blocks
+    SparkCrawler-group docs, /shared blocks combined-group docs, /all
+    blocks star-group docs, everything else is allowed."""
+    from .operators.robots import (
+        robots_group_rules,
+        wildcard_rule_decisions,
+    )
+    d = F.col("doc_id")
+    path = (F.when(d % 5 == 0,
+                   F.concat(F.lit("/shared/"), d.cast("string")))
+            .when(d % 7 == 0, F.concat(F.lit("/all/"), d.cast("string")))
+            .otherwise(F.concat(F.lit("/p/"), (d % 10).cast("string"))))
+    docs = _t(spark, sf_dir, "documents")
+    reqs = docs.select(
+        _links_url_col().alias("url"), path.alias("path"),
+        robots_group_rules(_robots_group_txt_col(), "SparkCrawler")
+        .alias("rules"))
+    return (wildcard_rule_decisions(reqs)
+            .select("url", "path", "allowed", "rule_len"))

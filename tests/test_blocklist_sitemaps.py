@@ -108,3 +108,42 @@ def test_blocklist_empty_rules_blocks_nothing(spark):
     df = spark.createDataFrame([("http://x.example.com/a",)], "url string")
     got = df.select(blocklist_category(F.col("url"), ()).alias("c"))
     assert got.collect()[0]["c"] is None
+
+
+def test_robots_group_rules_rfc9309_edges(spark):
+    """RFC 9309 group parser on hostile documents: CRLF endings, rules
+    before any group (ignored), case-insensitive directives and UA
+    tokens, comment stripping, consecutive-UA group sharing vs
+    rule-then-UA group splitting, and combine-on-equal-specificity."""
+    from distributed_web_crawler_spark.operators.robots import (
+        robots_group_rules,
+    )
+
+    def rules(txt, ua="MyBot"):
+        df = spark.createDataFrame([(txt,)], "t string")
+        row = df.select(robots_group_rules(F.col("t"), ua).alias("r")) \
+            .collect()[0]
+        return [(r["allow"], r["pattern"]) for r in row["r"]]
+
+    # CRLF + case + comments; star group loses to the exact token
+    txt = ("Disallow: /orphan\r\n"           # pre-group rule: ignored
+           "USER-AGENT: *\r\n"
+           "DISALLOW: /a # trailing comment\r\n"
+           "user-agent: mybot\r\n"
+           "allow: /b\r\n"
+           "Disallow:\r\n")                  # empty pattern: no rule
+    assert rules(txt) == [(True, "/b")]
+    # star fallback for a UA nothing matches exactly
+    assert rules(txt, "OtherBot") == [(False, "/a")]
+    # consecutive UA lines share a group; a UA AFTER rules starts a new
+    # one — 'mybot' in the second group must not inherit '/x'
+    txt2 = ("User-agent: a\nUser-agent: b\nDisallow: /x\n"
+            "User-agent: mybot\nDisallow: /y\n")
+    assert rules(txt2) == [(False, "/y")]
+    # two equally-specific matching groups combine in document order
+    txt3 = ("User-agent: mybot\nDisallow: /1\n\n"
+            "User-agent: mybot\nAllow: /2\n")
+    assert rules(txt3) == [(False, "/1"), (True, "/2")]
+    # no UA line at all -> no group -> empty rules
+    assert rules("Disallow: /z\n") == []
+    assert rules("") == []
