@@ -349,9 +349,9 @@ class Crawler:
             seen_urls=seen_urls.select("url"),
             blooms=self.store.read(self.spark, "bloom", [r]),
             hash_blooms=self.store.read(self.spark, "hash_bloom", [r]),
-            # feeds ever attempted (feed-grain — no compaction needed;
-            # round k's dir holds the feeds first declared in round k)
-            feeds=self.store.read(self.spark, "feeds", list(range(r))),
+            # feeds_compact@c covers feeds rounds 0..c-1 → tail = c..r-1
+            feeds=hist("feeds_compact", ["feed_url", "fetched_round"],
+                       "feeds", lambda c: c, r),
         )
 
     def _compact_state(self, r: int, state: RoundState) -> None:
@@ -409,7 +409,26 @@ class Crawler:
                                         if c != "host"]))
             fr = ex.submit(self.store.stage_write, "robots_compact",
                            robots, nxt)
+            # feeds state (cfg.feed_discovery): latest attempt per feed
+            # — the only fact the TTL freshness check consumes; covers
+            # feeds rounds 0..r (incl. this round's staged delta)
+            feeds = state.feeds
+            f_now = self.store.read(self.spark, "feeds", [r])
+            if f_now is not None:
+                cols = ["feed_url", "fetched_round"]
+                f_now = f_now.select(*cols)
+                feeds = (f_now if feeds is None
+                         else feeds.select(*cols).unionByName(f_now))
+            ff = None
+            if feeds is not None:
+                feeds = (feeds.groupBy("feed_url")
+                         .agg(F.max("fetched_round")
+                              .alias("fetched_round")))
+                ff = ex.submit(self.store.stage_write, "feeds_compact",
+                               feeds, nxt)
             fu.result(), fh.result(), fr.result()
+            if ff is not None:
+                ff.result()
 
     def _hash_bloom_next(self, res, state: RoundState) -> DataFrame:
         """hash_bloom @ r+1 = hash_bloom @ r extended by round r's stored
@@ -668,7 +687,8 @@ class Crawler:
             if n:
                 counts[name] = n
 
-        for name in ("url_seen", "hash_seen", "robots_compact"):
+        for name in ("url_seen", "hash_seen", "robots_compact",
+                     "feeds_compact"):
             gens = [g for g in self.store.rounds_present(name) if g <= h]
             if len(gens) > 1:
                 drop(name, gens[:-1])
@@ -685,6 +705,11 @@ class Crawler:
             drop("robots",
                  [r for r in self.store.rounds_present("robots")
                   if r < c])
+        cf = self._latest_compact("feeds_compact", h)
+        if cf is not None:
+            # feeds_compact@cf covers feeds rounds 0..cf-1
+            drop("feeds", [r for r in self.store.rounds_present("feeds")
+                           if r < cf])
         return counts
 
     def _evict_frontier(self, nf: DataFrame) -> tuple[DataFrame, int]:

@@ -874,3 +874,51 @@ def test_feed_ttl_repoll_discovers_drifted_entries(spark, tmp_path):
     c2b = Crawler(spark, cfg, synth, str(tmp_path / "t2"))
     c2b.run()
     assert c2b.visit_sequence() == g_ttl.visits
+
+
+def test_feed_state_compaction_and_expiry(spark, tmp_path):
+    """feeds-state compaction (feeds_compact joins the every-K-rounds
+    snapshot wave): invisible to semantics — identical visits with
+    compaction on, including a fresh-driver resume across a compaction
+    boundary — while expire_state deletes the absorbed feeds round
+    dirs and the TTL freshness read keeps working off the snapshot."""
+    import dataclasses
+
+    synth = SynthWebConfig(n_hosts=8, base_pages_per_host=48,
+                           feed_every=2, feed_drift_round=2,
+                           robots_every=3, max_out_links=2)
+    cfg = CrawlConfig(max_depth=5, host_budget_per_round=3, max_rounds=10,
+                      allowed_domains=(r".*\.example\.com",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12,
+                      feed_discovery=True, feed_ttl_rounds=2,
+                      compact_every_rounds=2)
+    seeds = W.seed_urls(synth, 3)
+    g = golden_crawl(seeds, cfg, synth)
+
+    root = str(tmp_path / "fc")
+    c1 = Crawler(spark, cfg, synth, root)
+    c1.bootstrap(seeds)
+    c1.run(max_rounds=5)              # crosses compaction boundaries
+    c2 = Crawler(spark, cfg, synth, root)
+    c2.run()
+    assert c2.visit_sequence() == g.visits
+    assert c2.url_seen_set() == g.stored_urls
+    assert c2.store.rounds_present("feeds_compact")
+
+    # expiry drops absorbed feeds dirs; reads + picks survive
+    before = set(c2.store.rounds_present("feeds"))
+    dropped = c2.expire_state()
+    cf = max(c2.store.rounds_present("feeds_compact"))
+    absorbed = {r for r in before if r < cf}
+    if absorbed:
+        assert dropped.get("feeds", 0) == len(absorbed)
+    c3 = Crawler(spark, cfg, synth, root)
+    assert c3.visit_sequence() == g.visits
+    picks = c3.feed_recrawl_picks()
+    assert picks is not None and picks.count() > 0
+    # uncompacted run (control): identical semantics
+    cfg0 = dataclasses.replace(cfg, compact_every_rounds=0)
+    c4 = Crawler(spark, cfg0, synth, str(tmp_path / "fu"))
+    c4.bootstrap(seeds)
+    c4.run()
+    assert c4.visit_sequence() == g.visits
