@@ -134,6 +134,16 @@ class CrawlConfig:
     # feed_recrawl_picks).
     feed_ttl_rounds: int = 0
 
+    # robots matching semantics: "substring" is the reference's
+    # bug-for-bug predicate (ANY disallow path substring-contained in
+    # the full URL blocks, core/WebCrawler.java:530-532 — '*'/'$' are
+    # literal characters); "rfc9309" is the standards-correct tier
+    # applied IN the crawl loop: patterns match against path+query with
+    # '*' wildcards and '$' end-anchors, the longest matching pattern
+    # wins, Allow wins exact-length ties, no match ⇒ allowed. Mirrored
+    # by the golden model; per-store choice like every gate config.
+    robots_matching: str = "substring"
+
     # robots cache TTL in rounds (0 = cache forever, reference parity:
     # the reference's in-memory robotsCache never expires,
     # core/WebCrawler.java:34,458-473 — though its crawl_state table
@@ -191,6 +201,12 @@ class SynthWebConfig:
     # robots_ttl_rounds)
     robots_drift_round: int = 0
     robots_disallow_drifted: tuple[str, ...] = ("/private", "/p/1")
+    # Allow patterns rule-bearing hosts additionally serve (empty by
+    # default: the reference's parser has no Allow concept). Consumed
+    # by the rfc9309 matching tier, where Allow wins ties; the
+    # substring tier ignores them like the reference ignores Allow
+    # lines.
+    robots_allow: tuple[str, ...] = ()
     # fraction of links that are intentionally broken/invalid (exercises F8)
     invalid_link_every: int = 17
     # every k-th host additionally advertises "Crawl-delay: N" in robots

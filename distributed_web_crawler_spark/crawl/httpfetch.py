@@ -248,9 +248,9 @@ def _fetch_one(url: str, cfg: HttpFetcherConfig, pool: _ConnPool,
 
 
 def parse_robots_directives(
-        text: str) -> tuple[list[str], float | None, list[str]]:
-    """(disallow paths, crawl-delay, sitemap URLs) — disallow/crawl-delay
-    for user-agent:* with reference semantics
+        text: str) -> tuple[list[str], float | None, list[str], list[str]]:
+    """(disallow paths, crawl-delay, sitemap URLs, allow patterns) —
+    disallow/allow/crawl-delay for user-agent:* with reference semantics
     (core/WebCrawler.java:509-528): only the ``*`` section's rules apply,
     Disallow matched later as URL substrings (bug-for-bug, F6).
     Crawl-delay (seconds, float; last * directive wins) feeds the per-host
@@ -258,8 +258,12 @@ def parse_robots_directives(
     intent (schema.cql:19-24). `Sitemap:` lines are non-group records
     (RFC 9309 §2.3): collected regardless of user-agent section,
     case-insensitive, absolute http(s) URLs only, first-seen order with
-    duplicates dropped — matching operators/sitemap.robots_sitemap_urls."""
+    duplicates dropped — matching operators/sitemap.robots_sitemap_urls.
+    Allow patterns feed the rfc9309 matching tier
+    (CrawlConfig.robots_matching); the substring tier ignores them like
+    the reference ignores Allow lines."""
     rules: list[str] = []
+    allows: list[str] = []
     delay: float | None = None
     sitemaps: list[str] = []
     in_star = False
@@ -279,6 +283,10 @@ def parse_robots_directives(
             path = line.split(":", 1)[1].strip()
             if path:
                 rules.append(path)
+        elif low.startswith("allow:") and in_star:
+            path = line.split(":", 1)[1].strip()
+            if path:
+                allows.append(path)
         elif low.startswith("crawl-delay:") and in_star:
             try:
                 d = float(line.split(":", 1)[1].strip())
@@ -286,7 +294,7 @@ def parse_robots_directives(
                 continue
             if d > 0:
                 delay = d
-    return rules, delay, sitemaps
+    return rules, delay, sitemaps, allows
 
 
 def parse_robots_txt(text: str) -> list[str]:
@@ -311,12 +319,14 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
 
     cfg = cfg or HttpFetcherConfig()
 
-    def fetch_rules(host: str) -> tuple[list[str], float | None, list[str]]:
+    def fetch_rules(
+            host: str) -> tuple[list[str], float | None, list[str],
+                                list[str]]:
         import urllib.error
         import urllib.request
 
         if not host:
-            return [], None, []
+            return [], None, [], []
         # https first: an https-only site's robots.txt must not be taken
         # from whatever a middlebox/CDN happens to serve on cleartext port
         # 80 — only if https fails (refused OR timed out: a firewall that
@@ -336,7 +346,7 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
                         resp.read(1 << 20).decode("utf-8", errors="replace"))
             except (urllib.error.URLError, TimeoutError, OSError, ValueError):
                 continue
-        return [], None, []
+        return [], None, [], []
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor
@@ -346,10 +356,11 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
                 fetched = list(pool.map(fetch_rules, pdf["host"]))
                 yield pd.DataFrame({
                     "host": pdf["host"],
-                    "robots_disallow": [rules for rules, _, _ in fetched],
-                    "crawl_delay": pd.array([d for _, d, _ in fetched],
+                    "robots_disallow": [r for r, _, _, _ in fetched],
+                    "robots_allow": [a for _, _, _, a in fetched],
+                    "crawl_delay": pd.array([d for _, d, _, _ in fetched],
                                             dtype="Float64"),
-                    "sitemaps": [sm for _, _, sm in fetched],
+                    "sitemaps": [sm for _, _, sm, _ in fetched],
                 })
 
     return fetch

@@ -144,7 +144,8 @@ def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
     # persist the pre-politeness frame: the salted partial top-K inside
     # apply_politeness unions four branches of it, and without the cache
     # each branch would re-scan the frontier + redo the robots join
-    gated_rob = filter_robots(gated, robots_full).persist()
+    gated_rob = filter_robots(gated, robots_full,
+                              mode=cfg.robots_matching).persist()
     decided = apply_domain_cap(
         apply_politeness(gated_rob, cfg, robots=robots_full,
                          overrides=overrides), cfg)

@@ -250,6 +250,21 @@ def robots_disallow_for_host(host: str, cfg: SynthWebConfig,
     return []
 
 
+def robots_allow_for_host(host: str, cfg: SynthWebConfig,
+                          version: int = 0) -> list[str]:
+    """Allow patterns for user-agent:* — served by the same rule-bearing
+    hosts as the disallows (cfg.robots_allow; empty by default). Only
+    the rfc9309 matching tier consumes them; version is accepted for
+    fetcher symmetry (allows don't drift)."""
+    host_idx = _host_idx_of(host)
+    if host_idx is None:
+        return []
+    if (cfg.robots_every > 0 and host_idx % cfg.robots_every == 0
+            and host_idx > 0):
+        return list(cfg.robots_allow)
+    return []
+
+
 def robots_version_at_round(cfg: SynthWebConfig, round_no: int) -> int:
     """The robots.txt the synthetic web serves at round r:
     version 1 from cfg.robots_drift_round on (0 ⇒ robots never change)."""

@@ -23,12 +23,13 @@ from __future__ import annotations
 import math
 import re
 from dataclasses import dataclass, field, replace
-from urllib.parse import urlparse
+from urllib.parse import urlparse, urlsplit
 
 from .config import CrawlConfig, SynthWebConfig
 from .crawl.synthweb import (
     content_hash_py,
     page_for_url,
+    robots_allow_for_host,
     robots_crawl_delay_for_host,
     robots_disallow_for_host,
     robots_version_at_round,
@@ -37,6 +38,7 @@ from .crawl.synthweb import (
     sitemap_entries_py,
     sitemap_urls_for_host,
 )
+from .operators.robots import rep_allowed_py
 from .functions.urls import (
     combined_allow_pattern,
     combined_exclude_pattern,
@@ -92,12 +94,13 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
     seen_urls = {r.url for r in frontier}     # D4: every URL ever enqueued
     persisted = {r.url for r in frontier}     # urls in any written snapshot
     seen_hashes: set[str] = set()
-    # host → (disallow rules, crawl delay, fetched_round): one cache
-    # entry per robots fetch, rules+delay refreshed TOGETHER — exactly
-    # the engine's per-host robots row. cfg.robots_ttl_rounds expires an
-    # entry K rounds after fetch; the refetch sees whichever robots.txt
-    # the synthetic web serves at that round (drift mirror).
-    robots_cache: dict[str, tuple[list[str], float | None, int]] = {}
+    # host → (disallow rules, allow rules, crawl delay, fetched_round):
+    # one cache entry per robots fetch, all fields refreshed TOGETHER —
+    # exactly the engine's per-host robots row. cfg.robots_ttl_rounds
+    # expires an entry K rounds after fetch; the refetch sees whichever
+    # robots.txt the synthetic web serves at that round (drift mirror).
+    robots_cache: dict[
+        str, tuple[list[str], list[str], float | None, int]] = {}
     # hosts whose robots were (re)fetched in the CURRENT round — the
     # golden analog of the engine's robots_new rows; drives the sitemap
     # discovery tier (cfg.sitemap_discovery). Cleared each round.
@@ -108,18 +111,20 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
     # attempt K rounds later, the robots-TTL posture)
     feed_seen: dict[str, int] = {}
 
-    def _robots_rules(host: str, rnd: int) -> list[str]:
+    def _robots_rules(host: str,
+                      rnd: int) -> tuple[list[str], list[str]]:
         ent = robots_cache.get(host)
         ttl = cfg.robots_ttl_rounds
-        if ent is not None and (ttl == 0 or ent[2] > rnd - ttl):
-            return ent[0]
-        rules = robots_disallow_for_host(
-            host, synth, robots_version_at_round(synth, rnd))
-        robots_cache[host] = (rules,
+        if ent is not None and (ttl == 0 or ent[3] > rnd - ttl):
+            return ent[0], ent[1]
+        v = robots_version_at_round(synth, rnd)
+        rules = robots_disallow_for_host(host, synth, v)
+        allows = robots_allow_for_host(host, synth, v)
+        robots_cache[host] = (rules, allows,
                               robots_crawl_delay_for_host(host, synth),
                               rnd)
         robots_fetched_now.add(host)
-        return rules
+        return rules, allows
     # AIMD mirror (cfg.adaptive_budget): previous round's per-host
     # (attempts, failures) — the engine derives the same signal from the
     # committed round-(r-1) pages table (driver._adaptive_overrides)
@@ -168,8 +173,14 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
             if excl_re and re.search(excl_re, q.url):      # F4
                 counts["rejected"] += 1
                 continue
-            rules = _robots_rules(q.host, r)
-            if any(p in q.url for p in rules):             # F6 substring
+            rules, allows = _robots_rules(q.host, r)
+            if cfg.robots_matching == "rfc9309":           # F6 RFC tier
+                sp = urlsplit(q.url)
+                path = sp.path + (f"?{sp.query}" if sp.query else "")
+                if not rep_allowed_py(path, rules, allows):
+                    counts["rejected"] += 1
+                    continue
+            elif any(p in q.url for p in rules):           # F6 substring
                 counts["rejected"] += 1
                 continue
             passed.append(q)
@@ -182,7 +193,7 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
         for host, qs in by_host.items():
             # per-host budget override from robots Crawl-delay:
             # min(configured, ceil(round_seconds / delay))
-            delay = robots_cache[host][1]  # refreshed with the rules
+            delay = robots_cache[host][2]  # refreshed with the rules
             budget = cfg.host_budget_per_round
             if delay is not None and delay > 0:
                 budget = min(budget,

@@ -25,6 +25,9 @@ from pyspark.sql import types as T
 ROBOTS_SCHEMA = T.StructType([
     T.StructField("host", T.StringType()),
     T.StructField("robots_disallow", T.ArrayType(T.StringType())),
+    # Allow patterns (rfc9309 matching tier; the reference's substring
+    # predicate has no Allow concept and ignores the column)
+    T.StructField("robots_allow", T.ArrayType(T.StringType())),
     T.StructField("crawl_delay", T.DoubleType()),
     # `Sitemap:` directives found in the host's robots.txt (sitemaps.org
     # discovery; consumed when CrawlConfig.sitemap_discovery is on)
@@ -44,6 +47,9 @@ def with_robots_cols(df: DataFrame) -> DataFrame:
     same migration posture as the pre-hash-bloom / flat-pages resume
     support."""
     out = df
+    if "robots_allow" not in df.columns:
+        out = out.withColumn("robots_allow",
+                             F.lit(None).cast("array<string>"))
     if "crawl_delay" not in df.columns:
         out = out.withColumn("crawl_delay", F.lit(None).cast("double"))
     if "sitemaps" not in df.columns:
@@ -61,6 +67,7 @@ def make_robots_fetcher(synth_cfg, version: int = 0):
     synthetic web is serving (drift, synthweb.robots_version_at_round).
     Fetch failure ⇒ allow-all (reference: core/WebCrawler.java:470-473)."""
     from ..crawl.synthweb import (
+        robots_allow_for_host,
         robots_crawl_delay_for_host,
         robots_disallow_for_host,
         sitemap_urls_for_host,
@@ -72,6 +79,10 @@ def make_robots_fetcher(synth_cfg, version: int = 0):
                 "host": pdf["host"],
                 "robots_disallow": [
                     robots_disallow_for_host(h, synth_cfg, version)
+                    for h in pdf["host"]
+                ],
+                "robots_allow": [
+                    robots_allow_for_host(h, synth_cfg, version)
                     for h in pdf["host"]
                 ],
                 "crawl_delay": pd.array(
@@ -145,22 +156,68 @@ def resolve_robots(spark: SparkSession, frontier: DataFrame,
     return full, fetched
 
 
-def filter_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
-    """Tag rows REJECT_ROBOTS when any disallow path is a substring of the
-    URL. Broadcast left join (hosts ≪ frontier) + higher-order exists."""
+def filter_robots(frontier: DataFrame, robots: DataFrame,
+                  mode: str = "substring") -> DataFrame:
+    """Tag rows REJECT_ROBOTS per the configured matching semantics
+    (CrawlConfig.robots_matching). Broadcast left join (hosts ≪
+    frontier) either way; the predicate is a higher-order fold riding
+    the join — no explode, no extra exchange.
+
+    - "substring": the reference's bug-for-bug predicate — any disallow
+      path substring-contained in the FULL URL blocks
+      (core/WebCrawler.java:530-532); Allow rules ignored.
+    - "rfc9309": patterns match path+query via `_rep_regex` ('*'
+      wildcards, '$' end-anchor), longest match wins, Allow wins
+      exact-length ties, no match ⇒ allowed — the in-loop application
+      of `wildcard_rule_decisions`. Golden mirror: `rep_allowed_py`."""
+    cols = ["host", "robots_disallow"]
+    if mode == "rfc9309":
+        cols.append("robots_allow")
+        robots = with_robots_cols(robots).select(*cols)
     joined = frontier.join(
-        F.broadcast(robots.select("host", "robots_disallow")), "host", "left")
-    blocked = (
-        (F.col("decision") == "PASS")  # earlier gate reasons win (R1 order)
-        & F.col("robots_disallow").isNotNull()
-        & F.exists("robots_disallow",
-                   lambda p: F.col("url").contains(p))
-    )
+        F.broadcast(robots.select(*cols)), "host", "left")
+    if mode == "rfc9309":
+        from ..functions.urls import path_of
+
+        empty = F.expr(
+            "cast(array() as array<struct<allow:boolean,pattern:string>>)")
+        rules = F.concat(
+            F.coalesce(F.transform(
+                "robots_disallow",
+                lambda p: F.struct(F.lit(False).alias("allow"),
+                                   p.alias("pattern"))), empty),
+            F.coalesce(F.transform(
+                "robots_allow",
+                lambda p: F.struct(F.lit(True).alias("allow"),
+                                   p.alias("pattern"))), empty))
+        query = F.coalesce(
+            F.try_parse_url(F.col("url"), F.lit("QUERY")), F.lit(""))
+        path = F.concat(
+            F.coalesce(path_of(F.col("url")), F.lit("")),
+            F.when(query != "", F.concat(F.lit("?"), query))
+            .otherwise(F.lit("")))
+        matched = F.filter(rules,
+                           lambda r: F.rlike(path, _rep_regex(r.pattern)))
+        best = F.array_max(F.transform(
+            matched,
+            lambda r: F.struct(F.length(r.pattern).alias("l"),
+                               r.allow.alias("allow"))))
+        blocked = ((F.col("decision") == "PASS")
+                   & ~F.coalesce(best["allow"], F.lit(True)))
+        drop = ["robots_disallow", "robots_allow"]
+    else:
+        blocked = (
+            (F.col("decision") == "PASS")  # earlier gate reasons win (R1)
+            & F.col("robots_disallow").isNotNull()
+            & F.exists("robots_disallow",
+                       lambda p: F.col("url").contains(p))
+        )
+        drop = ["robots_disallow"]
     return (
         joined.withColumn(
             "decision",
             F.when(blocked, F.lit("REJECT_ROBOTS")).otherwise(F.col("decision")),
-        ).drop("robots_disallow")
+        ).drop(*drop)
     )
 
 
@@ -288,3 +345,37 @@ def robots_group_rules(txt, user_agent: str):
 
     return F.when(best.isNull(), empty_rules).otherwise(
         F.aggregate(lines, init, step, lambda acc: acc.rules))
+
+
+# -- golden-model mirrors of the RFC matcher ---------------------------------
+
+_REP_SPECIALS_PY = r"([.\\+?\[\]()^{}|])"
+
+
+def rep_regex_py(pattern: str) -> str:
+    """Python twin of `_rep_regex` — same escape set (note: '$' mid-
+    pattern deliberately stays regex-special, matching the Catalyst
+    expression quirk-for-quirk), '*' → '.*', trailing '$' anchors."""
+    import re as _re
+
+    had = pattern.endswith("$")
+    core = pattern[:-1] if had else pattern
+    esc = _re.sub(_REP_SPECIALS_PY, r"\\\1", core)
+    return "^" + esc.replace("*", ".*") + ("$" if had else "")
+
+
+def rep_allowed_py(path: str, disallows, allows) -> bool:
+    """RFC 9309 decision over (path+query): longest matching pattern
+    wins, Allow wins exact-length ties, no match ⇒ allowed. Must stay
+    bit-equal to the filter_robots rfc9309 branch (struct max over
+    (length, allow))."""
+    import re as _re
+
+    best = None
+    for allow, pats in ((False, disallows or ()), (True, allows or ())):
+        for p in pats:
+            if p and _re.search(rep_regex_py(p), path):
+                key = (len(p), allow)
+                if best is None or key > best:
+                    best = key
+    return True if best is None else best[1]

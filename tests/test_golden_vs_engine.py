@@ -922,3 +922,52 @@ def test_feed_state_compaction_and_expiry(spark, tmp_path):
     c4.bootstrap(seeds)
     c4.run()
     assert c4.visit_sequence() == g.visits
+
+
+def test_rfc9309_robots_mode_golden_parity(spark, tmp_path):
+    """cfg.robots_matching="rfc9309": the standards tier applied IN the
+    crawl loop. Wildcard disallows with an Allow override ('/p/*'
+    blocked except '/p/1*') actually bite — under the reference's
+    substring predicate the literal '*' never matches, so the two modes
+    provably diverge — and engine/golden visit parity holds in RFC
+    mode, including a fresh-process resume."""
+    from dataclasses import replace as dc_replace
+
+    synth = SynthWebConfig(n_hosts=10, base_pages_per_host=24,
+                           robots_every=2,
+                           robots_disallow=("/p/*",),
+                           robots_allow=("/p/1*",))
+    cfg = CrawlConfig(max_depth=4, host_budget_per_round=3, max_rounds=8,
+                      allowed_domains=(r".*\.example\.com",),
+                      url_seen_shards=2, bloom_bits_per_shard=1 << 12,
+                      robots_matching="rfc9309")
+    seeds = W.seed_urls(synth, 4)
+    g_rfc = golden_crawl(seeds, cfg, synth)
+    g_sub = golden_crawl(seeds, dc_replace(cfg,
+                                           robots_matching="substring"),
+                         synth)
+    # divergence has power: substring mode stores rule-host pages the
+    # RFC tier blocks ('/p/*' is literal under substring, wildcard here)
+    blocked_extra = g_sub.stored_urls - g_rfc.stored_urls
+    assert blocked_extra, "modes agree - test has no power"
+    # RFC semantics held in the golden: no stored rule-host page outside
+    # the /p/1* carve-out
+    for u in g_rfc.stored_urls:
+        sp = u.split(".example.com")[0]
+        hidx = int(sp.split("http://h")[1])
+        if synth.robots_every and hidx % synth.robots_every == 0 and hidx:
+            assert "/p/1" in u, u
+
+    c = Crawler(spark, cfg, synth, str(tmp_path / "r1"))
+    c.bootstrap(seeds)
+    c.run()
+    assert c.visit_sequence() == g_rfc.visits
+    assert c.url_seen_set() == g_rfc.stored_urls
+
+    # fresh-process resume replays RFC decisions identically
+    c2 = Crawler(spark, cfg, synth, str(tmp_path / "r2"))
+    c2.bootstrap(seeds)
+    c2.run(max_rounds=3)
+    c2b = Crawler(spark, cfg, synth, str(tmp_path / "r2"))
+    c2b.run()
+    assert c2b.visit_sequence() == g_rfc.visits

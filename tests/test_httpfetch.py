@@ -107,14 +107,14 @@ def test_parse_robots_directives_crawl_delay():
         parse_robots_directives,
     )
 
-    rules, delay, sitemaps = parse_robots_directives(
+    rules, delay, sitemaps, _allows = parse_robots_directives(
         "User-agent: googlebot\nCrawl-delay: 99\n\n"
         "User-agent: *\nDisallow: /private\n"
         "Crawl-delay: 2.5  # seconds\nDisallow: /tmp\n")
     assert rules == ["/private", "/tmp"]
     assert delay == 2.5
     assert sitemaps == []
-    rules, delay, sitemaps = parse_robots_directives(
+    rules, delay, sitemaps, _allows = parse_robots_directives(
         "User-agent: *\nCrawl-delay: bogus\nCrawl-delay: -3\n")
     assert rules == [] and delay is None and sitemaps == []
 
@@ -127,7 +127,7 @@ def test_parse_robots_directives_sitemaps():
         parse_robots_directives,
     )
 
-    rules, delay, sitemaps = parse_robots_directives(
+    rules, delay, sitemaps, _allows = parse_robots_directives(
         "Sitemap: http://a.com/s1.xml\n"
         "User-agent: googlebot\nSITEMAP: https://a.com/s2.xml\n"
         "User-agent: *\nDisallow: /x\n"

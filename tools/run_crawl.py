@@ -56,6 +56,11 @@ def main() -> None:
     ap.add_argument("--frontier-cap", type=int, default=0,
                     help="frontier eviction: keep at most N rows per "
                          "round under (priority, host, url); 0 = off")
+    ap.add_argument("--robots-matching", default="substring",
+                    choices=("substring", "rfc9309"),
+                    help="robots semantics: reference-parity substring "
+                         "containment, or RFC 9309 wildcard matching "
+                         "(longest match, allow wins ties)")
     ap.add_argument("--robots-ttl", type=int, default=0,
                     help="robots cache TTL in rounds (0 = cache forever)")
     ap.add_argument("--sitemap-discovery", action="store_true",
@@ -115,6 +120,7 @@ def main() -> None:
                       priority_mode=args.priority_mode,
                       frontier_cap=args.frontier_cap,
                       robots_ttl_rounds=args.robots_ttl,
+                      robots_matching=args.robots_matching,
                       sitemap_discovery=args.sitemap_discovery,
                       feed_discovery=args.feed_discovery,
                       feed_ttl_rounds=args.feed_ttl)
