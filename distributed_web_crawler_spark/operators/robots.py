@@ -196,8 +196,11 @@ def filter_robots(frontier: DataFrame, robots: DataFrame,
             F.coalesce(path_of(F.col("url")), F.lit("")),
             F.when(query != "", F.concat(F.lit("?"), query))
             .otherwise(F.lit("")))
+        # empty patterns are no rule (RFC 9309 §2.2.2 — and the golden
+        # mirror skips them; '^' alone would otherwise match everything)
         matched = F.filter(rules,
-                           lambda r: F.rlike(path, _rep_regex(r.pattern)))
+                           lambda r: (F.length(r.pattern) > 0)
+                           & F.rlike(path, _rep_regex(r.pattern)))
         best = F.array_max(F.transform(
             matched,
             lambda r: F.struct(F.length(r.pattern).alias("l"),
