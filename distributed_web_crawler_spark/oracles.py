@@ -43,7 +43,7 @@ def _docs(sf_dir: str) -> list[tuple[int, str]]:
 # -- text mirrors (tokenize/shingle exactly as pipeline/dedup.py) -----------
 
 def _tokens(text: str) -> list[str]:
-    """split(trim(lower(text)), '\\s+') — trim strips spaces only, like
+    """split(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+') — trim strips spaces only, like
     Spark's trim; split keeps interior empty-token semantics. The split
     class is Java regex \\s ([ \\t\\n\\x0b\\f\\r], ASCII-only) spelled
     out: Python's \\s is Unicode-aware and would split on NBSP etc. where
@@ -1437,7 +1437,7 @@ def caption_phash_dedup_sql(n: int = 128, dup_mod: int = 96,
   WITH {_image_caption_ctes(n, dup_mod, caption_dup_mod)},
   base AS (
     SELECT image_id,
-           sha256(regexp_replace(lower(trim(caption)), '\s+', ' ', 'g'))
+           sha256(regexp_replace(lower(trim(caption)), '[ \t\n\r\f\x0B]+', ' ', 'g'))
              AS caption_fp,
            phash
     FROM imgs),
@@ -1471,7 +1471,7 @@ def image_curation_sql(n: int = 128, dup_mod: int = 96,
   sized AS (
     SELECT image_id, w, h, fmt,
            least(w, h) AS short, greatest(w, h) AS lng,
-           len(string_split_regex(trim(caption), '\s+')) AS cap_toks
+           len(string_split_regex(trim(caption), '[ \t\n\r\f\x0B]+')) AS cap_toks
     FROM imgs),
   decided AS (
     SELECT image_id, w, h, fmt,
@@ -1824,7 +1824,7 @@ def hll_distinct_sql(sf_dir: str = ORACLE_SF_DIR, n: int = 3, p: int = 8,
                       ELSE e_raw END, 6) AS hll_estimate
     FROM est0),
   toks AS (
-    SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS t
+    SELECT source, string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+') AS t
     FROM documents),
   g0 AS (
     SELECT source, array_to_string(t[i:i+{n - 1}], ' ') AS gram
@@ -1861,7 +1861,7 @@ def cms_heavy_hitters_sql(sf_dir: str = ORACLE_SF_DIR, d: int = 4,
     return f"""
   WITH th(token, {cols}) AS (VALUES {vals}),
   tok0 AS (
-    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    SELECT unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+')) AS token
     FROM documents),
   tf AS (
     SELECT token, count(*) AS exact_count
@@ -1930,7 +1930,7 @@ def hashed_classifier_sql(sf_dir: str = ORACLE_SF_DIR,
   tb(token, bucket) AS (VALUES {tvals}),
   tok0 AS (
     SELECT doc_id,
-           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+           unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+')) AS token
     FROM documents),
   scored AS (
     SELECT t.doc_id, count(*) AS n_toks,
@@ -2425,7 +2425,7 @@ def span_corruption_sql(span_len: int = 3, block: int = 16,
         vals = "(NULL, NULL, NULL)"
     return f"""
   WITH starts(doc_id, blk, s) AS (VALUES {vals}),
-  dt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  dt AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS t
          FROM documents),
   tok AS (SELECT doc_id, i AS tpos, t[i] AS tok, len(t) AS n
           FROM dt, UNNEST(range(1, len(t) + 1)) AS u(i)),
@@ -2476,7 +2476,7 @@ def fim_transform_sql(rate_denom: int = 2,
     return f"""
   WITH cuts(doc_id, applied, lo, hi) AS (VALUES {vals}),
   dt AS (SELECT doc_id, text,
-                string_split_regex(trim(text), '\\s+') AS t
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS t
          FROM documents)
   SELECT d.doc_id, c.applied AS fim_applied,
     CASE WHEN c.applied THEN

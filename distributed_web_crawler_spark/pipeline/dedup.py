@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .text import WS_PLUS
+
 
 # --------------------------------------------------------------------------
 # exact
@@ -61,7 +63,7 @@ def shingles(documents: DataFrame, n: int = 3,
     raw exploded stream WITH duplicates — for consumers that dedup on a
     cheaper derived key (the 128-bit fingerprint paths dedup on fixed
     16-byte hashes instead of shuffling variable-length shingle text)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), WS_PLUS)
     df = documents.select(
         "doc_id",
         F.explode(
@@ -259,7 +261,7 @@ def simhash_signatures(documents: DataFrame,
     disjoint bit terms (bit 63 is the two's-complement sign term)."""
     toks = (documents
             .select("doc_id", F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"))
+                F.split(F.trim(F.lower(F.col(text_col))), WS_PLUS)).alias("tok"))
             .withColumn("th", F.xxhash64("tok")))
     votes = [
         F.sum(F.when(F.shiftrightunsigned("th", i).bitwiseAND(F.lit(1)) == 1,
@@ -532,7 +534,7 @@ def assign_clusters(documents: DataFrame, pairs: DataFrame,
 
 def _norm_fp(c):
     """Normalized-text sha256 fingerprint (the exact-dedup key)."""
-    return F.sha2(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), 256)
+    return F.sha2(F.regexp_replace(F.lower(F.trim(c)), WS_PLUS, " "), 256)
 
 
 def history_index(old_docs: DataFrame, n: int = 3, max_df: int = 100,
@@ -644,7 +646,7 @@ def _window_fps(documents: DataFrame, w: int,
     128-bit xxhash64 fingerprint — fixed 16-byte keys; the window text
     never leaves the map stage. Documents with < w tokens produce no
     rows. Shared by duplicate_span_stats and decontaminate_flags."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), WS_PLUS)
     staged = (documents.select("doc_id", toks.alias("_t"))
               .where(F.size(F.col("_t")) >= w))
     win = staged.select(
@@ -936,7 +938,7 @@ def duplicate_span_scrub(documents: DataFrame, w: int = 8,
     """
     from pyspark.sql import Window
 
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), WS_PLUS)
     base = documents.select("doc_id", toks.alias("_t"))
     win = (base.where(F.size("_t") >= w)
            .select("doc_id", "_t",

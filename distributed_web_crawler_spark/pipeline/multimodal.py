@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .text import WS_PLUS
 from pyspark.sql import types as T
 
 from ..crawl.synthweb import average_phash, decode_image, psnr
@@ -882,7 +884,7 @@ def caption_phash_dedup(images: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     fp = F.sha2(F.regexp_replace(F.lower(F.trim(F.col("caption"))),
-                                 r"\s+", " "), 256)
+                                 WS_PLUS, " "), 256)
     base = images.select("image_id", fp.alias("caption_fp"), "phash")
     w_cap = Window.partitionBy("caption_fp")
     w_var = Window.partitionBy("caption_fp", "phash")
@@ -915,7 +917,7 @@ def image_curation(images: DataFrame) -> DataFrame:
     Map-only: no shuffle, no UDF, payload bytes pruned from the scan."""
     short = F.least(F.col("w"), F.col("h"))
     long_ = F.greatest(F.col("w"), F.col("h"))
-    cap_toks = F.size(F.split(F.trim(F.col("caption")), r"\s+"))
+    cap_toks = F.size(F.split(F.trim(F.col("caption")), WS_PLUS))
     reason = (
         F.when(short < CURATION_MIN_SIDE, F.lit("too_small"))
         .when(long_ > CURATION_MAX_ASPECT_NUM * short, F.lit("bad_aspect"))

@@ -24,6 +24,16 @@ LANG_MARKERS = {
 }
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
+# Whitespace pinned to an EXPLICIT character class so the engine (Java
+# regex) and every DuckDB oracle (RE2) tokenize byte-identically: Java's
+# \s is [ \t\n\x0B\f\r] while RE2's \s omits \x0B — one vertical tab in
+# a document silently flips token counts (and every downstream cum-sum)
+# between the two engines. Both regex dialects parse this class the same
+# way. Keep WS/WS_PLUS in lock-step with the SQL literal used in every
+# string_split_regex oracle (queries.py / oracles.py).
+WS = r"[ \t\n\r\f\x0B]"
+WS_PLUS = WS + "+"
+
 
 # Every word the scoring heuristics look for, folded into ONE alternation:
 # a single regexp_extract_all pass per document replaces the ~24 per-word
@@ -53,7 +63,7 @@ def _hits_in(hits: Column, words) -> Column:
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of already-trimmed text."""
-    return F.split(F.trim(text), r"\s+")
+    return F.split(F.trim(text), WS_PLUS)
 
 
 def token_count(text: Column) -> Column:
@@ -64,7 +74,7 @@ def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word token estimate: alnum runs + punctuation marks each count
     (a cheap stand-in for a BPE vocabulary; deterministic + SQL-mirrorable)."""
     alnum_runs = F.size(F.split(F.trim(text), r"[^A-Za-z0-9]+"))
-    puncts = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    puncts = F.length(F.regexp_replace(text, r"[A-Za-z0-9 \t\n\r\f\x0B]", ""))
     return alnum_runs + puncts
 
 
@@ -77,7 +87,7 @@ def quality_score(text: Column, hits: Column | None = None) -> Column:
         hits = word_hits(text)
     n = F.length(text)
     words = token_count(text).cast("double")
-    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9 \t\n\r\f\x0B]", "")).cast("double")
     stop_hits = _hits_in(hits, STOPWORDS).cast("double")
     len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
     punct_penalty = F.least(punct / F.greatest(words, F.lit(1.0)), F.lit(1.0))
@@ -103,7 +113,7 @@ def lang_id(text: Column, hits: Column | None = None) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: sha256 over case/whitespace-normalized text."""
-    return F.sha2(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), 256)
+    return F.sha2(F.regexp_replace(F.lower(F.trim(text)), WS_PLUS, " "), 256)
 
 
 def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -283,7 +293,7 @@ def repetition_signals(documents: DataFrame,
     # Catalyst's CollapseProject from inlining, so every array below is
     # computed exactly once per row.
     t = F.col(text_col)
-    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    toks = F.split(F.trim(F.lower(t)), WS_PLUS)
     s1 = documents.select(
         "doc_id",
         F.filter(F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
@@ -1221,7 +1231,7 @@ def span_corruption(documents: DataFrame, span_len: int = 3,
     whole construction is one map-side projection plus ONE doc-keyed
     aggregation building both sequences via null-skipping collect_list;
     order is pinned by array_sort on (tpos, piece)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), WS_PLUS)
     base = documents.select("doc_id", toks.alias("_t"))
     rows = (base.select("doc_id", F.size("_t").alias("_n"),
                         F.posexplode("_t").alias("_p", "tok"))
@@ -1282,7 +1292,7 @@ def fim_transform(documents: DataFrame, rate_denom: int = 2,
     slice/array_join over the token array, zero explode, zero
     aggregation, zero shuffle. The cheapest possible plan shape: at
     100 TB this is scan bandwidth."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), WS_PLUS)
     n = F.size(toks)
     applied = F.pmod(F.xxhash64(F.col("doc_id")),
                      F.lit(rate_denom)) == 0
@@ -1373,7 +1383,7 @@ def main_content_block(documents: DataFrame, min_words: int = 5,
                       F.posexplode(F.split("_t", "\n")).alias("pos", "raw"))
              .select("doc_id", "pos", F.trim("raw").alias("line"))
              .withColumn("words", F.size(F.split(
-                 F.col("line"), r"\s+")) *
+                 F.col("line"), WS_PLUS)) *
                  (F.length("line") > 0).cast("int")))
     qual = lines.where(F.col("words") >= min_words)
     rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))

@@ -427,7 +427,7 @@ def content_sha2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("token_explode_df", r"""
   WITH toks AS (
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+    SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS token
     FROM documents),
   dedup AS (SELECT DISTINCT doc_id, token FROM toks
             WHERE regexp_matches(token, '^[a-z]+$'))
@@ -438,7 +438,7 @@ def token_explode_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(
-            F.split(F.trim("text"), r"\s+"))).alias("token"))
+            F.split(F.trim("text"), ptext.WS_PLUS))).alias("token"))
     return (toks.where(F.col("token").rlike("^[a-z]+$"))
             .groupBy("token").agg(F.count("*").alias("df")))
 
@@ -449,7 +449,7 @@ def token_explode_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLE_SQL = r"""
     SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS token
-    FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM (SELECT string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS t
           FROM documents WHERE lang {op} 'en') s,
          UNNEST(range(1, len(t) - 1)) AS u(i)
     WHERE len(t) >= 3
@@ -708,9 +708,9 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("text_token_count", r"""
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS n_tokens,
          len(string_split_regex(trim(text), '[^A-Za-z0-9]+'))
-           + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           + length(regexp_replace(text, '[A-Za-z0-9 \t\n\r\f\x0B]', '', 'g'))
            AS n_subtokens
   FROM documents
 """)
@@ -725,7 +725,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("text_fingerprint", r"""
   SELECT doc_id,
-         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+         sha256(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g'))
            AS fingerprint
   FROM documents
 """)
@@ -752,8 +752,8 @@ def _lang_quality_ctes(src: str) -> str:
     return rf"""scored0 AS (
     SELECT doc_id, text,
       CAST(length(text) AS DOUBLE) AS n_len,
-      CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS words,
-      CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+      CAST(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS DOUBLE) AS words,
+      CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\r\f\x0B]', '', 'g'))
            AS DOUBLE) AS punct,
       CAST({_STOP_HITS_SQL} AS DOUBLE) AS stop_hits,
       {_LANG_SCORE_SQL['en']} AS s_en, {_LANG_SCORE_SQL['es']} AS s_es,
@@ -794,7 +794,7 @@ def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
   WITH {_lang_quality_ctes('documents')},
   toks AS (
     SELECT s.doc_id, s.lang_pred, s.quality,
-           len(string_split_regex(trim(d.text), '\\s+')) AS n_tokens
+           len(string_split_regex(trim(d.text), '[ \\t\\n\\r\\f\\x0B]+')) AS n_tokens
     FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
   SELECT lang_pred, count(*) AS n_docs,
          round(avg(quality), 6) AS avg_quality,
@@ -858,7 +858,7 @@ def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("vocab_topk", r"""
   WITH tok0 AS (
     SELECT doc_id,
-           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS token
     FROM documents),
   agg AS (
     SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
@@ -874,7 +874,7 @@ def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("zipf_fit", r"""
   WITH tok0 AS (
     SELECT source,
-           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS token
     FROM documents),
   tf AS (
     SELECT source, token, count(*) AS freq
@@ -940,7 +940,7 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("inverted_index", r"""
   WITH tok0 AS (
     SELECT doc_id,
-           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS token
     FROM documents),
   tf AS (
     SELECT token, doc_id, count(*) AS tf
@@ -960,7 +960,7 @@ def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("tfidf_topterms", r"""
   WITH tok0 AS (
     SELECT doc_id,
-           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS token
     FROM documents),
   tfreq AS (
     SELECT doc_id, token, count(*) AS tf
@@ -990,8 +990,8 @@ def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("bm25_search", r"""
   WITH tok AS (
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\s+')) AS doclen,
-           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS doclen,
+           unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS token
     FROM documents),
   tf AS (
     SELECT doc_id, token, doclen, count(*) AS tf
@@ -999,7 +999,7 @@ def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id, token, doclen),
   stats AS (
     SELECT count(*) AS n_docs,
-           avg(len(string_split_regex(trim(text), '\s+'))) AS avgdl
+           avg(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'))) AS avgdl
     FROM documents),
   dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
   scored AS (
@@ -1076,7 +1076,7 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("bigram_lm_counts", r"""
   WITH toks AS (
-    SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+    SELECT string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS t
     FROM documents),
   bg AS (
     SELECT t[i] AS w1, t[i + 1] AS w2
@@ -1113,7 +1113,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("lm_perplexity", r"""
   WITH mt AS (
-    SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+    SELECT string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS t
     FROM documents WHERE doc_id % 2 = 0),
   mbg AS (
     SELECT t[i] AS w1, t[i + 1] AS w2
@@ -1124,7 +1124,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM big GROUP BY w1),
   v AS (SELECT CAST(count(*) AS DOUBLE) AS vsz FROM ctx),
   dt AS (
-    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS t
     FROM documents),
   dbg AS (
     SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
@@ -1160,20 +1160,20 @@ def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("sequence_packing", r"""
   WITH staged AS (
     SELECT doc_id, doc_id % 8 AS shard,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           CAST(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS BIGINT)
              AS n_tokens
     FROM documents),
   packed AS (
     SELECT doc_id, shard, n_tokens,
-           coalesce(sum(n_tokens) OVER (
+           CAST(coalesce(sum(n_tokens) OVER (
              PARTITION BY shard ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             0) AS cum_before
+             0) AS BIGINT) AS cum_before
     FROM staged)
   SELECT doc_id, shard, n_tokens,
-         cum_before % 256 AS offset_in_chunk,
-         cum_before // 256 AS chunk_start,
-         (cum_before + n_tokens - 1) // 256 AS chunk_end
+         CAST(cum_before % 256 AS BIGINT) AS offset_in_chunk,
+         CAST(cum_before // 256 AS BIGINT) AS chunk_start,
+         CAST((cum_before + n_tokens - 1) // 256 AS BIGINT) AS chunk_end
   FROM packed
 """)
 def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1186,7 +1186,7 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("chunk_manifest", r"""
   WITH staged AS (
     SELECT doc_id, doc_id % 8 AS shard,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           CAST(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS BIGINT)
              AS n_tokens
     FROM documents),
   packed AS (
@@ -1303,13 +1303,13 @@ def _training_mix_sql() -> str:
             QUALIFY row_number() OVER (PARTITION BY md5(text)
                                        ORDER BY doc_id) = 1),
   train AS (SELECT * FROM dedup WHERE doc_id % 5 <> 0),
-  etok AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+  etok AS (SELECT string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS t
            FROM documents WHERE doc_id % 5 = 0),
   ew AS (SELECT DISTINCT array_to_string(t[i:i + 7], ' ') AS key
          FROM etok, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
          WHERE len(t) >= 8),
   dtok AS (SELECT doc_id,
-                  string_split_regex(trim(lower(text)), '\s+') AS t
+                  string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS t
            FROM train),
   cw AS (SELECT doc_id, array_to_string(t[i:i + 7], ' ') AS key
          FROM dtok, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
@@ -1324,20 +1324,20 @@ def _training_mix_sql() -> str:
                                        ORDER BY h.hk, c.doc_id) <= 10),
   staged AS (
     SELECT doc_id, doc_id % 8 AS shard,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           CAST(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS BIGINT)
              AS n_tokens
     FROM quota),
   packed AS (
     SELECT doc_id, shard, n_tokens,
-           coalesce(sum(n_tokens) OVER (
+           CAST(coalesce(sum(n_tokens) OVER (
              PARTITION BY shard ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             0) AS cum_before
+             0) AS BIGINT) AS cum_before
     FROM staged)
   SELECT doc_id, shard, n_tokens,
-         cum_before % 256 AS offset_in_chunk,
-         cum_before // 256 AS chunk_start,
-         (cum_before + n_tokens - 1) // 256 AS chunk_end
+         CAST(cum_before % 256 AS BIGINT) AS offset_in_chunk,
+         CAST(cum_before // 256 AS BIGINT) AS chunk_start,
+         CAST((cum_before + n_tokens - 1) // 256 AS BIGINT) AS chunk_end
   FROM packed
 """
 
@@ -1535,7 +1535,7 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       list_filter(list_transform(string_split(text, chr(10)),
                                  x -> trim(x)),
                   x -> length(x) > 0) AS lines,
-      string_split_regex(trim(lower(text)), '\\s+') AS toks
+      string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+') AS toks
     FROM mdocs),
   g AS (
     SELECT doc_id, lines, list_distinct(lines) AS dlines,
@@ -1624,7 +1624,7 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # njp(doc_a, doc_b, jaccard) — the ONE SQL restatement, shared by the
 # ngram_jaccard oracle and the neardup_clusters recursive-CTE oracle
 _NGRAM_PAIRS_CTES = r"""toks AS (
-    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS t
     FROM documents),
   sh AS (
     SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
@@ -1652,7 +1652,7 @@ _NGRAM_PAIRS_CTES = r"""toks AS (
 
 @q("dup_span_stats", r"""
   WITH dt AS (
-    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS t
     FROM documents),
   win AS (
     SELECT doc_id, i AS pos, array_to_string(t[i:i + 7], ' ') AS key
@@ -1688,7 +1688,7 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("decontaminate", r"""
   WITH dt AS (
-    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS t
     FROM documents),
   ew AS (
     SELECT DISTINCT array_to_string(t[i:i + 7], ' ') AS key
@@ -1732,20 +1732,20 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
   old AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
   nfp AS (
     SELECT doc_id,
-           sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           sha256(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS fp
     FROM newd),
   ofp AS (
     SELECT doc_id AS old_id,
-           sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           sha256(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS fp
     FROM old),
   exact AS (
     SELECT n.doc_id, min(o.old_id) AS matched_old
     FROM nfp n JOIN ofp o USING (fp) GROUP BY n.doc_id),
   survt AS (SELECT doc_id, text FROM newd
             WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
-  ntoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+  ntoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+')
               AS t FROM survt),
-  otoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+  otoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+')
               AS t FROM old),
   nsh AS (
     SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
@@ -1909,8 +1909,8 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("hybrid_rrf", r"""
   WITH tok AS (
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\s+')) AS doclen,
-           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS doclen,
+           unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS token
     FROM documents),
   tf AS (
     SELECT doc_id, token, doclen, count(*) AS tf
@@ -1918,7 +1918,7 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id, token, doclen),
   stats AS (
     SELECT count(*) AS n_docs,
-           avg(len(string_split_regex(trim(text), '\s+'))) AS avgdl
+           avg(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'))) AS avgdl
     FROM documents),
   dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
   bm25 AS (
@@ -2400,7 +2400,7 @@ def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("oov_rate", r"""
   WITH tok0 AS (
     SELECT source,
-           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS token
     FROM documents),
   c AS (SELECT source, token, count(*) AS cnt
         FROM tok0 WHERE token <> '' GROUP BY 1, 2),
@@ -2903,9 +2903,9 @@ def content_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("link_count_stats", r"""
   SELECT source, count(*) AS n_docs,
-         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         CAST(sum(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'))) AS BIGINT)
              AS total_tokens,
-         CAST(max(len(string_split_regex(trim(text), '\s+'))) AS INTEGER)
+         CAST(max(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'))) AS INTEGER)
              AS max_tokens
   FROM documents GROUP BY 1
 """)
@@ -3313,7 +3313,7 @@ def reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("cross_doc_spans", r"""
   WITH toks AS (
-    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS t
     FROM documents),
   g0 AS (
     SELECT doc_id, array_to_string(t[i:i+5], ' ') AS gram
@@ -3870,7 +3870,7 @@ def frontier_scoring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("containment_pairs", r"""
   WITH toks AS (
-    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS t
     FROM documents),
   g0 AS (
     SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
@@ -3960,7 +3960,7 @@ def budget_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("pmi_collocations", r"""
   WITH toks AS (
-    SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+    SELECT string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS t
     FROM documents),
   bg AS (
     SELECT t[i] AS w1, t[i + 1] AS w2
@@ -3990,8 +3990,8 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("chunk_texts", r"""
   WITH staged AS (
     SELECT doc_id, doc_id % 8 AS shard,
-           string_split_regex(trim(text), '\s+') AS t,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           string_split_regex(trim(text), '[ \t\n\r\f\x0B]+') AS t,
+           CAST(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS BIGINT)
              AS n_tokens
     FROM documents),
   packed AS (
@@ -4209,7 +4209,7 @@ def degree_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("packing_efficiency", r"""
   WITH t AS (
-    SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+    SELECT CAST(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS BIGINT)
              AS n_tokens
     FROM documents),
   b AS (
@@ -4504,9 +4504,9 @@ def caption_align_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("tokenizer_fertility", r"""
   WITH per AS (
     SELECT source, lang,
-           len(string_split_regex(trim(text), '\s+')) AS w,
+           len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS w,
            len(string_split_regex(trim(text), '[^A-Za-z0-9]+'))
-             + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS s,
+             + length(regexp_replace(text, '[A-Za-z0-9 \t\n\r\f\x0B]', '', 'g')) AS s,
            length(text) AS c
     FROM documents),
   g AS (SELECT source, lang,
@@ -5043,14 +5043,14 @@ _SPAN_DOCS_SQL = """sdocs AS (
                    || ' iota kappa lambda mu' ELSE '' END
       || CASE WHEN doc_id % 10 = 7
               THEN ' ' || array_to_string(
-                     string_split_regex(trim(text), '\\s+')[1:10], ' ')
+                     string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[1:10], ' ')
               ELSE '' END AS text
     FROM documents)"""
 
 
 def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), ptext.WS_PLUS)
     d = F.col("doc_id")
     return docs.select(
         "doc_id",
@@ -5068,7 +5068,7 @@ def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("dup_span_scrub", f"""
   WITH {_SPAN_DOCS_SQL},
   dt AS (
-    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM sdocs),
+    SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS t FROM sdocs),
   win AS (
     SELECT doc_id, i AS pos, array_to_string(t[i:i + 7], ' ') AS key
     FROM dt, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
@@ -5400,7 +5400,7 @@ def html_to_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM totalsl t LEFT JOIN rebuiltl r
       ON r.host = t.host AND r.doc_id = t.doc_id),
   dt AS (
-    SELECT doc_id, string_split_regex(trim(clean1), '\s+') AS t FROM bp),
+    SELECT doc_id, string_split_regex(trim(clean1), '[ \t\n\r\f\x0B]+') AS t FROM bp),
   win AS (
     SELECT doc_id, i AS pos, array_to_string(t[i:i + 7], ' ') AS key
     FROM dt, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
@@ -5750,7 +5750,7 @@ def epoch_expansion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SIBLING_DOCS_SQL = """sibsrc AS (
-    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS t
     FROM documents WHERE doc_id % 10 = 3),
   sibs AS (
     SELECT doc_id + 10000 AS doc_id,
@@ -5807,7 +5807,7 @@ def _sibling_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     70% of tokens shared, unique filler after — the band-sensitivity
     regime for the LSH eval (mirror: oracles.sibling_docs)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), ptext.WS_PLUS)
     n = F.size(toks)
     k = F.ceil(n * 0.7).cast("long")
     filler = F.when(
@@ -5883,7 +5883,7 @@ def dedup_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
   lines AS (
     SELECT doc_id, i AS pos, trim(l[i]) AS line,
            CASE WHEN length(trim(l[i])) > 0
-                THEN len(string_split_regex(trim(l[i]), '\\s+'))
+                THEN len(string_split_regex(trim(l[i]), '[ \\t\\n\\r\\f\\x0B]+'))
                 ELSE 0 END AS words
     FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM cdocs),
          UNNEST(range(1, len(l) + 1)) AS u(i)),
