@@ -168,15 +168,19 @@ def parse_atom_feeds(feeds: DataFrame, feed_col: str = "feed_url",
     from .sitemap import _xml_unescape
 
     entries = F.regexp_extract_all(F.col(xml_col),
-                                   F.lit("<entry>(.*?)</entry>"), F.lit(1))
+                                   F.lit("(?s)<entry>(.*?)</entry>"), F.lit(1))
     block = F.col("_block")
 
     def field(tag):
-        return F.regexp_extract(block, f"<{tag}>(.*?)</{tag}>", 1)
+        return F.regexp_extract(block, f"(?s)<{tag}>(.*?)</{tag}>", 1)
 
     # id and link are URLs and MUST decode XML entities (Atom is XML;
     # same rule as sitemap <loc>) — identity for entity-free documents
-    link = _xml_unescape(F.regexp_extract(block, '<link href="([^"]*)"', 1))
+    # attribute-order-insensitive: real feeds emit <link rel="alternate"
+    # type="text/html" href=...> — match href anywhere inside the first
+    # <link ...> tag, not only as its first attribute
+    link = _xml_unescape(F.regexp_extract(
+        block, '(?s)<link\\b[^>]*?href="([^"]*)"', 1))
     return (feeds
             .select(F.col(feed_col).alias("feed_url"),
                     F.posexplode(entries).alias("entry_idx", "_block"))
@@ -215,11 +219,11 @@ def parse_rss_feeds(feeds: DataFrame, feed_col: str = "feed_url",
     Duplicate keys collapse first-in-document-order, the Atom/sitemap
     rule."""
     entries = F.regexp_extract_all(F.col(xml_col),
-                                   F.lit("<item>(.*?)</item>"), F.lit(1))
+                                   F.lit("(?s)<item>(.*?)</item>"), F.lit(1))
     block = F.col("_block")
 
     def field(tag):
-        return F.regexp_extract(block, f"<{tag}>(.*?)</{tag}>", 1)
+        return F.regexp_extract(block, f"(?s)<{tag}>(.*?)</{tag}>", 1)
 
     months = "|".join(_RFC822_MONTHS)
     date_re = f"<pubDate>[^<]*?([0-9]{{1,2}}) ({months}) ([0-9]{{4}})"

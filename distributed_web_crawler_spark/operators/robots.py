@@ -233,7 +233,11 @@ def filter_robots(frontier: DataFrame, robots: DataFrame,
 # array rides WITH the request row, so matching is a map-only
 # filter/transform/array_max fold — no explode, no shuffle, no UDF.
 
-_REGEX_SPECIALS = r"([.\\+?\[\]()^{}|])"
+# '$' is in the escape set: RFC 9309 gives '$' meaning ONLY at end-of-
+# pattern, and the trailing anchor is stripped before this runs — a
+# literal mid-pattern '$' (e.g. '/cart$id=*') must match itself, not
+# compile to an unmatchable end-anchor mid-regex.
+_REGEX_SPECIALS = r"([.\\+?\[\]()^{}|$])"
 
 
 def _rep_regex(pattern):
@@ -346,19 +350,23 @@ def robots_group_rules(txt, user_agent: str):
             F.when(took, F.concat(acc.rules, F.array(r)))
             .otherwise(acc.rules).alias("rules"))
 
-    return F.when(best.isNull(), empty_rules).otherwise(
+    # best < 0 means no group's UA line matched this agent at all (every
+    # spec is -1): RFC 9309 §2.2.1 then applies NO rules. Guarding only
+    # on null would let cur(-1) == best(-1) admit foreign-agent groups
+    # AND pre-group orphan rules via the init state.
+    return F.when(best.isNull() | (best < F.lit(0)), empty_rules).otherwise(
         F.aggregate(lines, init, step, lambda acc: acc.rules))
 
 
 # -- golden-model mirrors of the RFC matcher ---------------------------------
 
-_REP_SPECIALS_PY = r"([.\\+?\[\]()^{}|])"
+_REP_SPECIALS_PY = r"([.\\+?\[\]()^{}|$])"
 
 
 def rep_regex_py(pattern: str) -> str:
-    """Python twin of `_rep_regex` — same escape set (note: '$' mid-
-    pattern deliberately stays regex-special, matching the Catalyst
-    expression quirk-for-quirk), '*' → '.*', trailing '$' anchors."""
+    """Python twin of `_rep_regex` — same escape set (a literal mid-
+    pattern '$' is escaped on both sides — RFC 9309 treats '$' as
+    special only at end-of-pattern), '*' → '.*', trailing '$' anchors."""
     import re as _re
 
     had = pattern.endswith("$")

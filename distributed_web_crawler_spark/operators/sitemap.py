@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_ENTRY_RE = "<url>(.*?)</url>"
+_ENTRY_RE = "(?s)<url>(.*?)</url>"
 
 # the five predefined XML entities, &amp; LAST so a double-escaped
 # '&amp;lt;' decodes one level (to '&lt;'), never to '<' — the spec
@@ -38,7 +38,7 @@ def _xml_unescape(col):
 
 
 def _field(block, tag: str):
-    return F.regexp_extract(block, f"<{tag}>(.*?)</{tag}>", 1)
+    return F.regexp_extract(block, f"(?s)<{tag}>(.*?)</{tag}>", 1)
 
 
 def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
@@ -242,7 +242,7 @@ def sitemap_frontier_candidates(
     return candidates, entries
 
 
-_INDEX_ENTRY_RE = "<sitemap>(.*?)</sitemap>"
+_INDEX_ENTRY_RE = "(?s)<sitemap>(.*?)</sitemap>"
 
 
 def parse_sitemap_index(indexes: DataFrame, host_col: str = "host",

@@ -147,3 +147,10 @@ def test_robots_group_rules_rfc9309_edges(spark):
     # no UA line at all -> no group -> empty rules
     assert rules("Disallow: /z\n") == []
     assert rules("") == []
+    # ONLY foreign-agent groups (no '*', no token match): RFC 9309
+    # §2.2.1 applies NO rules — neither the foreign group's nor the
+    # pre-group orphan rule may leak through the cur(-1)==best(-1) path
+    txt4 = ("Disallow: /pre\n"
+            "User-agent: googlebot\nDisallow: /secret\n")
+    assert rules(txt4) == []
+    assert rules("User-agent: googlebot\nDisallow: /secret\n") == []

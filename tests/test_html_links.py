@@ -141,3 +141,66 @@ def test_rss_parse_key_fallback_and_locale_free_date(spark):
     assert str(out["g1"]["pub_date"]) == "2024-03-05"
     assert str(out["l2"]["pub_date"]) == "2023-12-09"  # day-name-less form
     assert out["g3"]["pub_date"] is None           # 31 Feb nulls, no raise
+
+
+def test_atom_parse_pretty_printed_real_world_form(spark):
+    """Real feeds are pretty-printed (entries span newlines) and emit
+    href AFTER rel/type — both silently parsed zero entries before the
+    (?s) + attr-order-insensitive fix (HTTP feed discovery degraded to
+    a no-op)."""
+    xml = (
+        "<feed>\n"
+        "  <entry>\n"
+        "    <id>e1</id>\n"
+        '    <link rel="alternate" type="text/html" href="l1"/>\n'
+        "    <updated>2024-03-05T01:02:03Z</updated>\n"
+        "    <title>T1</title>\n"
+        "  </entry>\n"
+        "  <entry>\n"
+        "    <id>e2</id>\n"
+        '    <link href="l2"/>\n'
+        "  </entry>\n"
+        "</feed>\n")
+    feeds = spark.createDataFrame([("f1", xml)],
+                                  "feed_url string, xml string")
+    out = {r["entry_id"]: r for r in parse_atom_feeds(feeds).collect()}
+    assert set(out) == {"e1", "e2"}
+    assert out["e1"]["link"] == "l1"
+    assert str(out["e1"]["updated_date"]) == "2024-03-05"
+    assert out["e1"]["title"] == "T1"
+    assert out["e2"]["link"] == "l2"
+
+
+def test_rss_parse_pretty_printed(spark):
+    from distributed_web_crawler_spark.operators.html_links import (
+        parse_rss_feeds,
+    )
+    xml = ("<rss><channel>\n"
+           "  <item>\n"
+           "    <guid>g1</guid>\n"
+           "    <link>l1</link>\n"
+           "    <pubDate>Tue, 05 Mar 2024 01:02:03 GMT</pubDate>\n"
+           "  </item>\n"
+           "</channel></rss>\n")
+    feeds = spark.createDataFrame([("f1", xml)],
+                                  "feed_url string, xml string")
+    out = {r["item_key"]: r for r in parse_rss_feeds(feeds).collect()}
+    assert set(out) == {"g1"}
+    assert out["g1"]["link"] == "l1"
+    assert str(out["g1"]["pub_date"]) == "2024-03-05"
+
+
+def test_sitemap_parse_pretty_printed(spark):
+    from distributed_web_crawler_spark.operators.sitemap import (
+        parse_sitemaps,
+    )
+    xml = ("<urlset>\n"
+           "  <url>\n"
+           "    <loc>http://h1.example.com/a</loc>\n"
+           "    <lastmod>2024-01-02</lastmod>\n"
+           "  </url>\n"
+           "</urlset>\n")
+    sm = spark.createDataFrame(
+        [("h1.example.com", xml)], "host string, xml string")
+    rows = parse_sitemaps(sm).collect()
+    assert [r["url"] for r in rows] == ["http://h1.example.com/a"]
