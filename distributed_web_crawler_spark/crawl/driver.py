@@ -30,6 +30,7 @@ parquet stand-in for Iceberg table maintenance + bucket-transform layout
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -173,6 +174,102 @@ def pages_view(pages: DataFrame) -> DataFrame:
         .withColumn("metadata", F.create_map(
             F.lit("depth"), F.col("depth").cast("string")))
     )
+
+
+# -- lifecycle control ------------------------------------------------------
+# The reference exposes POST /api/crawler/start|stop and GET /status on a
+# live crawler (controller/CrawlerController.java:30-80). The Spark analog
+# is file-based so it works across processes with no server: a STOP file
+# requests a graceful stop (the loop finishes the in-flight round, commits
+# it, and exits), and status is derived purely from the commit markers +
+# a per-round heartbeat — readable while another process crawls, no
+# SparkSession needed.
+
+def _control_dir(root: str, create: bool = False) -> str:
+    path = os.path.join(root, "_control")
+    if create:
+        os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _stop_path(root: str) -> str:
+    return os.path.join(_control_dir(root), "STOP")
+
+
+def request_stop(root: str) -> str:
+    """Ask a (possibly remote-process) crawl on this store to stop at its
+    next round barrier. Atomic write; idempotent. Returns the path."""
+    d = _control_dir(root, create=True)
+    tmp = os.path.join(d, ".STOP.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"requested_at": time.time(), "pid": os.getpid()}, fh)
+    final = _stop_path(root)
+    os.replace(tmp, final)
+    return final
+
+
+def stop_requested(root: str) -> bool:
+    return os.path.exists(_stop_path(root))
+
+
+def clear_stop(root: str) -> bool:
+    """Remove a pending stop request (also done automatically when a
+    running loop honors it — stop is one-shot, so a later run() resumes)."""
+    try:
+        os.remove(_stop_path(root))
+        return True
+    except FileNotFoundError:
+        return False
+
+
+def _write_heartbeat(root: str, round_no: int) -> None:
+    d = _control_dir(root, create=True)
+    tmp = os.path.join(d, ".heartbeat.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"pid": os.getpid(), "round": round_no,
+                   "ts": time.time()}, fh)
+    os.replace(tmp, os.path.join(d, "heartbeat.json"))
+
+
+def crawl_status(root: str) -> dict:
+    """Live status of a crawl store — the GET /status analog. Pure
+    filesystem reads (commit markers + heartbeat), so it is safe and
+    cheap to call from another process while a crawl runs.
+
+    Returns: last committed marker, per-metric totals summed over all
+    committed rounds, the last round's counts/stage timings, heartbeat
+    (pid/round/age of the in-flight process, if any), and whether a stop
+    has been requested."""
+    store = SnapshotStore(root)
+    rounds = store.committed_rounds()
+    totals: dict[str, int] = {}
+    last_meta: dict | None = None
+    for m in rounds:
+        meta = store.round_meta(m) or {}
+        for k, v in (meta.get("counts") or {}).items():
+            totals[k] = totals.get(k, 0) + v
+        if meta.get("counts") is not None:
+            last_meta = meta
+    hb = None
+    hb_path = os.path.join(_control_dir(root), "heartbeat.json")
+    if os.path.exists(hb_path):
+        with open(hb_path) as fh:
+            hb = json.load(fh)
+        hb["age_sec"] = round(time.time() - hb["ts"], 1)
+    return {
+        "store": root,
+        "last_committed_marker": rounds[-1] if rounds else None,
+        "rounds_processed": max(0, len(rounds) - 1),
+        "totals": totals,
+        "last_round": None if last_meta is None else {
+            "round": last_meta.get("round_processed"),
+            "counts": last_meta.get("counts"),
+            "stage_sec": last_meta.get("stage_sec"),
+            "sec": last_meta.get("sec"),
+        },
+        "heartbeat": hb,
+        "stop_requested": stop_requested(root),
+    }
 
 
 class Crawler:
@@ -477,7 +574,21 @@ class Crawler:
         t0 = time.time()
         totals = {"fetched": 0, "stored": 0, "rounds": 0}
         per_round = []
+        stopped = False
+        root = getattr(self.store, "root", None)
         while r < max_rounds:
+            # graceful stop (request_stop / tools/run_crawl.py --stop): the
+            # check sits AT the round barrier, so a stop requested while
+            # round r-1 was in flight lets it finish and commit — the store
+            # is then byte-identical to an uninterrupted run's prefix and
+            # a later run() resumes seamlessly. The request is consumed
+            # (one-shot), mirroring the reference's stop→start toggle.
+            if root is not None and stop_requested(root):
+                clear_stop(root)
+                stopped = True
+                break
+            if root is not None:
+                _write_heartbeat(root, r)
             frontier = self.store.read(self.spark, "frontier", [r])
             if frontier is None:
                 if not self.store.exists("inject", r):
@@ -652,7 +763,23 @@ class Crawler:
         wall = time.time() - t0
         return {**totals, "wall_sec": wall,
                 "urls_per_sec": totals["fetched"] / wall if wall > 0 else 0.0,
+                "stopped": stopped,
                 "per_round": per_round}
+
+    def status(self) -> dict:
+        """GET /status analog over this crawler's store (crawl_status)."""
+        root = getattr(self.store, "root", None)
+        if root is None:
+            raise ValueError("status() needs a filesystem-rooted store")
+        return crawl_status(root)
+
+    def request_stop(self) -> str:
+        """Ask the loop (this or another process) to stop at the next
+        round barrier."""
+        root = getattr(self.store, "root", None)
+        if root is None:
+            raise ValueError("request_stop() needs a filesystem-rooted store")
+        return request_stop(root)
 
     def expire_state(self) -> dict[str, int]:
         """Iceberg ExpireSnapshots EXECUTED for the engine's derived

@@ -85,6 +85,16 @@ def main() -> None:
     ap.add_argument("--expire-state", action="store_true",
                     help="after the crawl, delete compaction-absorbed "
                          "state dirs (Crawler.expire_state)")
+    ap.add_argument("--status", action="store_true",
+                    help="print the store's live status JSON (commit "
+                         "markers + heartbeat; the reference's GET "
+                         "/status) and exit — no SparkSession, safe "
+                         "while another process crawls")
+    ap.add_argument("--stop", action="store_true",
+                    help="request a graceful stop of the crawl running "
+                         "on this store (the reference's POST stop): the "
+                         "loop finishes its in-flight round, commits it, "
+                         "and exits; prints status JSON and exits")
     ap.add_argument("--export-wds", default=None, metavar="DIR",
                     help="after the crawl, export the training-manifest "
                          "survivors as WebDataset tar shards + member "
@@ -92,6 +102,19 @@ def main() -> None:
     ap.add_argument("--wds-shards", type=int, default=4,
                     help="--export-wds tar shard count")
     args = ap.parse_args()
+
+    if args.status or args.stop:
+        # Spark-free control path: operates purely on the store's
+        # filesystem (markers / control files), from any process
+        from distributed_web_crawler_spark.crawl.driver import (
+            crawl_status,
+            request_stop,
+        )
+
+        if args.stop:
+            request_stop(args.store)
+        print(json.dumps(crawl_status(args.store)))
+        return
 
     # imports resolve from --py-files (or PYTHONPATH when run directly)
     from pyspark.sql import SparkSession
