@@ -1532,15 +1532,21 @@ def _bpe_apply_py(syms: list, a: str, b: str) -> list:
     return out
 
 
-def _bpe_merges_py(n_merges: int) -> list:
+def _bpe_merges_py(n_merges: int, pairs_per_pass: int = 1) -> list:
     """Train-and-cache the golden BPE merge table [(rank, a, b, cnt)]:
     pure-Python Sennrich BPE over the oracle corpus — ASCII-whitespace
     tokenization (mirroring Java \\s), greedy left-to-right merge
-    application, ties to the lexicographically smallest pair."""
+    application, ties to the lexicographically smallest pair.
+    ``pairs_per_pass=M>1`` mirrors pipeline.text.bpe_train's batched
+    variant VERBATIM: per pass, the top 4M pairs by (cnt desc, pair) are
+    the candidate window, select_compatible_merges accepts up to M, all
+    accepted merges apply before the next recount."""
     import re
     from collections import Counter
 
-    key = ("bpe", ORACLE_SF_DIR, n_merges)
+    from .pipeline.text import select_compatible_merges
+
+    key = ("bpe", ORACLE_SF_DIR, n_merges, pairs_per_pass)
     if key not in _cache:
         freq: Counter = Counter()
         for _, text in _docs(ORACLE_SF_DIR):
@@ -1549,29 +1555,36 @@ def _bpe_merges_py(n_merges: int) -> list:
                     freq[w] += 1
         words = [(list(w), c) for w, c in freq.items()]
         merges = []
-        for rank in range(1, n_merges + 1):
+        m = max(1, pairs_per_pass)
+        while len(merges) < n_merges:
+            want = min(m, n_merges - len(merges))
             pc: Counter = Counter()
             for syms, c in words:
                 for i in range(len(syms) - 1):
                     pc[(syms[i], syms[i + 1])] += c
             if not pc:
                 break
-            (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-            merges.append((rank, a, b, cnt))
-            for idx, (syms, c) in enumerate(words):
-                words[idx] = (_bpe_apply_py(syms, a, b), c)
+            window = sorted(pc.items(),
+                            key=lambda kv: (-kv[1], kv[0]))[:4 * m]
+            accepted = select_compatible_merges(
+                [(a, b, cnt) for (a, b), cnt in window], want)
+            for a, b, cnt in accepted:
+                merges.append((len(merges) + 1, a, b, cnt))
+                for idx, (syms, c) in enumerate(words):
+                    words[idx] = (_bpe_apply_py(syms, a, b), c)
         _cache[key] = merges
     return _cache[key]
 
 
-def bpe_merges_sql(n_merges: int = 10) -> str:
+def bpe_merges_sql(n_merges: int = 10, pairs_per_pass: int = 1) -> str:
     """Golden-model oracle for pipeline.text.bpe_train, emitted as
     VALUES."""
     def sq(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
 
     vals = ", ".join(f"({r}, {sq(a)}, {sq(b)}, {c})"
-                     for r, a, b, c in _bpe_merges_py(n_merges))
+                     for r, a, b, c in _bpe_merges_py(n_merges,
+                                                      pairs_per_pass))
     return f"""
   SELECT CAST(rank AS INTEGER) AS rank, "left", "right",
          CAST(freq AS BIGINT) AS freq

@@ -142,7 +142,8 @@ PSNR_VERIFY_SCHEMA = T.StructType([
 
 
 def psnr_verified_neardup(images: DataFrame, max_hamming: int = 10,
-                          min_psnr: float = 40.0) -> DataFrame:
+                          min_psnr: float = 40.0,
+                          prefilter: str | None = None) -> DataFrame:
     """Two-tier image near-dup: phash banding PROPOSES, decoded pixels
     VERIFY — the BASELINE.json input_hint per-row invariant ("decoded-pixel
     allclose, PSNR>=40dB for lossy") as a distributed operator. A light
@@ -159,8 +160,19 @@ def psnr_verified_neardup(images: DataFrame, max_hamming: int = 10,
     round()). MSE==0 → exact_pixels (psnr_db NULL); shape mismatch →
     unverifiable (never a dup). Reference analog: the crawler stores raw
     payload bytes keyed by content hash (core/WebCrawler.java:442-456) —
-    exact-only; this tier is the lossy-aware extension."""
+    exact-only; this tier is the lossy-aware extension.
+
+    ``prefilter="thumb"`` inserts the thumbnail screen between banding
+    and the byte join (see the screen-tier comment): candidate pairs the
+    thumbnail PROVES cannot reach min_psnr (and shape-mismatched pairs)
+    are dropped before any payload byte moves, so the verified edge set
+    is unchanged but the output no longer carries a verdict row for
+    every banded candidate — use the default for candidate-level
+    accounting (phash_band_eval), the screen for edge consumers
+    (variant dedup / clustering / the training mixes)."""
     pairs = phash_hamming_neardup(images, max_hamming)
+    if prefilter == "thumb":
+        pairs = thumb_screened_pairs(images, pairs, min_psnr)
     payload = images.select("image_id", "bytes")
     cand = (
         pairs
@@ -211,13 +223,132 @@ def _psnr_verify_map(cand: DataFrame, min_psnr: float) -> DataFrame:
     return cand.mapInPandas(verify, PSNR_VERIFY_SCHEMA)
 
 
+# -- thumbnail screen tier ---------------------------------------------------
+# The PSNR verify tier's cost at scale is BANDWIDTH: full payload bytes
+# (15-35 KB) join at candidate volume — on one box this is memory-bandwidth
+# bound and measured 0.53 N→4N (BENCH_scaling_mix_session8). The screen
+# inserts a middle rung: a t×t block-mean thumbnail (float32, ~1 KB —
+# 15-35× lighter than payloads) computed ONCE per image, joined at
+# candidate volume instead of the bytes, rejecting pairs that provably
+# cannot reach min_psnr. Soundness (no false negatives): with both images
+# reduced by the SAME block partition, Jensen gives pixel-weighted
+# MSE_thumb = Σ n_b·(mean_b(a-b))² / Σ n_b  ≤  Σ n_b·mean_b((a-b)²) / Σ n_b
+# = MSE_full, hence PSNR_thumb ≥ PSNR_full: thumb-PSNR < min_psnr ⇒ the
+# full verify fails too. Shape-mismatched pairs (never verified) drop on
+# the slim w/h columns without decoding anything.
+
+THUMB_T = 16  # grid side; ≥ the phash grid so the screen out-resolves it
+
+THUMB_SIG_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("thumb", T.BinaryType()),  # float32[ty*tx] block means
+])
+
+
+def _thumb_grid(h: int, w: int, t: int = THUMB_T):
+    ty, tx = min(t, h), min(t, w)
+    ys = np.linspace(0, h, ty + 1).astype(np.int64)
+    xs = np.linspace(0, w, tx + 1).astype(np.int64)
+    return ys, xs
+
+
+def thumb_block_means(px: np.ndarray, t: int = THUMB_T) -> np.ndarray:
+    """Pixel-exact t×t (clamped to the image) block means, float64."""
+    ys, xs = _thumb_grid(px.shape[0], px.shape[1], t)
+    sums = np.add.reduceat(
+        np.add.reduceat(px.astype(np.float64), ys[:-1], axis=0),
+        xs[:-1], axis=1)
+    cnts = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
+    return sums / cnts
+
+
+def image_thumb_sigs(images: DataFrame, t: int = THUMB_T) -> DataFrame:
+    """One decode per image → (image_id, w, h, float32 thumbnail): the
+    screen tier's signature table. At 10^10 this is MATERIALIZED next to
+    the phash index (both are per-image signatures) so re-screens never
+    re-decode the corpus."""
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, thumbs = [], [], [], []
+            for iid, buf in zip(pdf["image_id"], pdf["bytes"]):
+                px, _ = decode_image(bytes(buf))
+                ids.append(iid)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                thumbs.append(
+                    thumb_block_means(px, t).astype(np.float32).tobytes())
+            yield pd.DataFrame({
+                "image_id": ids,
+                "w": pd.array(ws, dtype="Int32"),
+                "h": pd.array(hs, dtype="Int32"),
+                "thumb": thumbs})
+
+    return images.select("image_id", "bytes").mapInPandas(
+        sigs, THUMB_SIG_SCHEMA)
+
+
+def thumb_screened_pairs(images: DataFrame, pairs: DataFrame,
+                         min_psnr: float, t: int = THUMB_T) -> DataFrame:
+    """Prune candidate pairs to the thumbnail-plausible subset: keep a
+    pair iff shapes match AND its thumbnail PSNR (an upper bound on the
+    full PSNR — see tier comment) clears min_psnr. Dropped pairs are
+    PROVABLY not verifiable, so `where(verified)` consumers see identical
+    results. ~1 KB sigs join at candidate volume; full payloads join only
+    for survivors. The 1e-3 dB slack covers float32 sig storage (the
+    bound itself is exact in float64)."""
+    sigs = image_thumb_sigs(images, t)
+    cand = (
+        pairs
+        .join(sigs.select(F.col("image_id").alias("img_a"),
+                          F.col("w").alias("w_a"), F.col("h").alias("h_a"),
+                          F.col("thumb").alias("thumb_a")), "img_a")
+        .join(sigs.select(F.col("image_id").alias("img_b"),
+                          F.col("w").alias("w_b"), F.col("h").alias("h_b"),
+                          F.col("thumb").alias("thumb_b")), "img_b")
+        # shape mismatch ⇒ never verified: drop on slim columns
+        .where((F.col("w_a") == F.col("w_b"))
+               & (F.col("h_a") == F.col("h_b"))))
+
+    bar = min_psnr - 1e-3
+
+    def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = np.zeros(len(pdf), dtype=bool)
+            for i, (ta, tb, w, h) in enumerate(zip(
+                    pdf["thumb_a"], pdf["thumb_b"],
+                    pdf["w_a"], pdf["h_a"])):
+                ma = np.frombuffer(ta, dtype=np.float32).astype(np.float64)
+                mb = np.frombuffer(tb, dtype=np.float32).astype(np.float64)
+                ys, xs = _thumb_grid(int(h), int(w), t)
+                cnts = np.outer(np.diff(ys), np.diff(xs)).ravel()
+                d = ma - mb
+                mse = float((cnts * d * d).sum() / cnts.sum())
+                keep[i] = (mse == 0.0 or
+                           20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+                           >= bar)
+            out = pdf.loc[keep, ["img_a", "img_b", "hamming"]]
+            yield pd.DataFrame({
+                "img_a": out["img_a"], "img_b": out["img_b"],
+                "hamming": out["hamming"].astype("int32")})
+
+    return cand.mapInPandas(
+        screen,
+        T.StructType([T.StructField("img_a", T.StringType()),
+                      T.StructField("img_b", T.StringType()),
+                      T.StructField("hamming", T.IntegerType())]))
+
+
 # encoding preference when one pixel group survives dedup: keep the
 # lossless copy; among lossy copies, the lighter quantizer
 VARIANT_FMT_RANK = ("png", "jpeg", "jpeg16")
 
 
 def image_variant_dedup(images: DataFrame, max_hamming: int = 10,
-                        min_psnr: float = 40.0) -> DataFrame:
+                        min_psnr: float = 40.0,
+                        prefilter: str | None = "thumb") -> DataFrame:
     """Variant-aware image dedup end-to-end: psnr_verified_neardup edges
     (phash banding proposes, decoded pixels confirm ≥ min_psnr) →
     connected components → ONE survivor per pixel group, preferring the
@@ -235,7 +366,8 @@ def image_variant_dedup(images: DataFrame, max_hamming: int = 10,
     (broadcast when clusters ≪ corpus; both sides id-keyed otherwise)."""
     from .dedup import assign_clusters
 
-    verified = (psnr_verified_neardup(images, max_hamming, min_psnr)
+    verified = (psnr_verified_neardup(images, max_hamming, min_psnr,
+                                      prefilter=prefilter)
                 .where(F.col("verified"))
                 .select("img_a", "img_b"))
     clustered = assign_clusters(

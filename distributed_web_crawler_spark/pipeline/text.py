@@ -683,14 +683,16 @@ def stratified_split(df: DataFrame, key_col: str = "doc_id",
                      split.alias("split"))
 
 
-def _apply_merge(a: str, b: str) -> Column:
+def _apply_merge(a: str, b: str, col: Column | None = None) -> Column:
     """One BPE merge applied to a `syms` array column: greedy
     left-to-right fold replacing each adjacent (a, b) with a+b. Correct
     without an overlap flag because a merged symbol's text can never
-    equal its own left half (b is non-empty)."""
+    equal its own left half (b is non-empty). ``col`` lets a batched
+    pass chain several merges in ONE projection (fold of folds)."""
     merged = a + b
     return F.aggregate(
-        F.col("syms"), F.array().cast("array<string>"),
+        F.col("syms") if col is None else col,
+        F.array().cast("array<string>"),
         lambda acc, sym: F.when(
             (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a))
             & (sym == F.lit(b)),
@@ -699,8 +701,27 @@ def _apply_merge(a: str, b: str) -> Column:
         .otherwise(F.concat(acc, F.array(sym))))
 
 
+def select_compatible_merges(cands: list, m: int) -> list:
+    """Deterministic driver-side selection for one batched-BPE pass:
+    walk candidates in (cnt desc, a, b) order, accept a pair iff it
+    shares NO symbol with any already-accepted pair (so the accepted
+    merges commute — none consumes or produces the other's operands
+    within this pass), stop at ``m``. Pure function of the candidate
+    list — the Python oracle mirror replicates it verbatim."""
+    accepted, used = [], set()
+    for a, b, cnt in cands:
+        if a in used or b in used:
+            continue
+        accepted.append((a, b, cnt))
+        used.update((a, b, a + b))
+        if len(accepted) >= m:
+            break
+    return accepted
+
+
 def bpe_train(documents: DataFrame, n_merges: int = 10,
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              pairs_per_pass: int = 1) -> DataFrame:
     """Distributed BPE vocabulary training (the tokenizer-prep step): from
     character symbols, repeatedly merge the corpus-wide most frequent
     adjacent symbol pair (ties → lexicographically smallest pair), the
@@ -718,7 +739,22 @@ def bpe_train(documents: DataFrame, n_merges: int = 10,
     an overlap flag: a merged symbol's text can never equal its own left
     half). Each iteration localCheckpoints the (small) vocab frame —
     without it the fold-in-fold lambda nesting grows the plan
-    exponentially."""
+    exponentially.
+
+    Driver-loop bound: ``pairs_per_pass=1`` (default) is EXACT Sennrich —
+    one count job + one apply per merge, so a 32k-merge vocabulary is
+    32k serialized jobs; fine for small rule tables, not for production
+    training. ``pairs_per_pass=M>1`` is the documented batched variant
+    (the parallel-BPE approximation): each pass counts once, collects the
+    top 4M candidate pairs, accepts up to M mutually-compatible ones
+    (select_compatible_merges — no shared/produced symbol, so counts
+    taken from this pass's table are exact for every accepted pair), and
+    applies them in ONE chained-fold projection. Job count is
+    O(n_merges / M) — sublinear in merges — at the cost of deviating
+    from strict merge-at-a-time ordering exactly where classic BPE would
+    have re-counted between accepted pairs; the deviation is pinned by
+    the Python golden mirror (oracles._bpe_merges_py), which replicates
+    the batched selection verbatim."""
     vocab = (documents
              .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
              .where(F.length("w") > 0)
@@ -741,14 +777,20 @@ def bpe_train(documents: DataFrame, n_merges: int = 10,
                 .agg(F.sum("freq").alias("cnt")))
 
     merges = []
-    for rank in range(1, n_merges + 1):
-        best = (pair_counts(vocab)
-                .orderBy(F.desc("cnt"), "a", "b").limit(1).collect())
-        if not best:
+    m = max(1, pairs_per_pass)
+    while len(merges) < n_merges:
+        want = min(m, n_merges - len(merges))
+        cand = (pair_counts(vocab)
+                .orderBy(F.desc("cnt"), "a", "b").limit(4 * m).collect())
+        if not cand:
             break
-        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
-        merges.append((rank, a, b, cnt))
-        vocab = (vocab.select("freq", _apply_merge(a, b).alias("syms"))
+        accepted = select_compatible_merges(
+            [(r["a"], r["b"], r["cnt"]) for r in cand], want)
+        col = F.col("syms")
+        for a, b, cnt in accepted:
+            merges.append((len(merges) + 1, a, b, cnt))
+            col = _apply_merge(a, b, col)
+        vocab = (vocab.select("freq", col.alias("syms"))
                  .localCheckpoint(eager=True))
     spark = documents.sparkSession
     return spark.createDataFrame(

@@ -1367,3 +1367,62 @@ def test_image_mix_report_counts_are_internally_consistent(spark):
     manifest = multimodal.image_training_mix(
         imgs, max_hamming=10, min_psnr=40.0, batch_size=1, n_shards=1)
     assert manifest.count() == stages[4] == stages[3]  # batch_size=1
+
+
+def test_thumb_screen_soundness_and_edge_equality(spark):
+    """The thumbnail screen tier (psnr_verified_neardup prefilter=
+    'thumb') must be a pure prune: (a) thumbnail PSNR upper-bounds the
+    full PSNR (the Jensen bound the screen relies on), so (b) the
+    verified edge set with the screen on equals the unscreened one,
+    over a corpus containing exact dups, light re-encodes (~51 dB,
+    must survive the screen), heavy requantizes (~29 dB, screened or
+    verify-rejected), and shape mismatches."""
+    import numpy as np
+
+    from distributed_web_crawler_spark.config import SynthWebConfig
+    from distributed_web_crawler_spark.crawl.synthweb import (
+        SYNTH_IMAGE_SCHEMA, decode_image, images_for_keys, psnr)
+    ids = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
+    imgs = ids.mapInPandas(
+        images_for_keys(SynthWebConfig(), dup_mod=8,
+                        variant_fmts=("png", "jpeg", "jpeg16")),
+        SYNTH_IMAGE_SCHEMA).cache()
+
+    # (a) the bound, checked directly on decoded pixel pairs
+    px = {r["image_id"]: decode_image(bytes(r["bytes"]))[0]
+          for r in imgs.collect()}
+    checked = 0
+    for a in px:
+        for b in px:
+            if a >= b or px[a].shape != px[b].shape:
+                continue
+            full = psnr(px[a], px[b])
+            ta = multimodal.thumb_block_means(px[a])
+            tb = multimodal.thumb_block_means(px[b])
+            ys, xs = multimodal._thumb_grid(*px[a].shape)
+            cnts = np.outer(np.diff(ys), np.diff(xs)).ravel()
+            d = (ta - tb).ravel()
+            mse = float((cnts * d * d).sum() / cnts.sum())
+            tp = float("inf") if mse == 0.0 else \
+                20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+            assert tp >= full - 1e-9, (a, b, tp, full)
+            checked += 1
+    assert checked > 20
+
+    # (b) identical verified edges, screened vs not
+    def edges(prefilter):
+        return {(r["img_a"], r["img_b"]) for r in
+                multimodal.psnr_verified_neardup(
+                    imgs, max_hamming=10, min_psnr=40.0,
+                    prefilter=prefilter)
+                .where("verified").collect()}
+
+    assert edges("thumb") == edges(None)
+
+    # and the screen genuinely prunes: strictly fewer candidate rows
+    # reach the byte tier than banding proposed (jpeg16 pairs die early)
+    n_banded = multimodal.phash_hamming_neardup(imgs, 10).count()
+    n_screened = multimodal.thumb_screened_pairs(
+        imgs, multimodal.phash_hamming_neardup(imgs, 10), 40.0).count()
+    assert n_screened < n_banded
+    imgs.unpersist()

@@ -411,3 +411,43 @@ def test_arrow_batches_are_payload_bounded(spark):
     cores vs 15s @ 2 on the PSNR verify tier until bounded)."""
     assert spark.conf.get(
         "spark.sql.execution.arrow.maxRecordsPerBatch") == "1024"
+
+
+def test_bpe_batched_job_count_sublinear(spark):
+    """bpe_train(pairs_per_pass=M) must run O(n_merges/M) Spark jobs,
+    not one count-job per merge: 32 merges at M=8 is <= ~5 passes, each
+    pass costing a bounded few jobs (count+collect, checkpoint) plus the
+    vocab build — well under the ~2-per-merge the sequential path pays."""
+    from distributed_web_crawler_spark.pipeline import text as ptext
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sc = spark.sparkContext
+    n_merges, m = 32, 8
+
+    sc.setJobGroup("bpe_batched", "job-count probe")
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup("bpe_batched") or [])
+    out = ptext.bpe_train(docs, n_merges=n_merges, pairs_per_pass=m)
+    n_rows = out.count()
+    jobs = len(tracker.getJobIdsForGroup("bpe_batched") or []) - before
+    sc.setJobGroup(None, None)
+
+    assert n_rows == n_merges
+    # sequential = ~2 jobs/merge (64+ for 32 merges); batched: a
+    # bounded few jobs per PASS, and compatibility skips can stretch
+    # passes past ceil(32/8) — but never anywhere near per-merge cost
+    assert jobs <= 24, jobs
+
+
+def test_bpe_batched_prefix_matches_sequential_when_compatible(spark):
+    """With pairs_per_pass=1 the new loop must be byte-identical to the
+    old exact-Sennrich path (same argmax, same tie order)."""
+    from distributed_web_crawler_spark.pipeline import text as ptext
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    seq = [(r["rank"], r["left"], r["right"], r["freq"])
+           for r in ptext.bpe_train(docs, n_merges=6).collect()]
+    again = [(r["rank"], r["left"], r["right"], r["freq"])
+             for r in ptext.bpe_train(docs, n_merges=6,
+                                      pairs_per_pass=1).collect()]
+    assert seq == again and len(seq) == 6
