@@ -144,6 +144,18 @@ class CrawlConfig:
     # by the golden model; per-store choice like every gate config.
     robots_matching: str = "substring"
 
+    # UA-specific robots group selection (RFC 9309 §2.2.1), opt-in on
+    # top of the rfc9309 matching tier: the robots fetch parses the
+    # document with exact-product-token group selection (the token
+    # below beats '*'; equally-specific matching groups combine;
+    # group-scoped Crawl-delay rides along), so a host publishing a
+    # group for THIS crawler is honored instead of its '*' rules.
+    # Off = parity with the reference's *-only parser
+    # (core/WebCrawler.java:509-528). Mirrored by the golden model and
+    # pinned equivalent to operators/robots.robots_group_rules.
+    robots_ua_groups: bool = False
+    robots_user_agent: str = "sparkcrawler"
+
     # robots cache TTL in rounds (0 = cache forever, reference parity:
     # the reference's in-memory robotsCache never expires,
     # core/WebCrawler.java:34,458-473 — though its crawl_state table
@@ -216,6 +228,16 @@ class SynthWebConfig:
     # schema-only intent there: no Java reads it).
     crawl_delay_every: int = 0
     crawl_delay_secs: float = 45.0
+    # every k-th RULE-BEARING host's robots.txt carries an ADDITIONAL
+    # UA-specific group for `robots_ua_token` with its own rules
+    # (0 = no host does). Only a crawl running the rfc9309 tier with
+    # CrawlConfig.robots_ua_groups selects it (exact token beats '*');
+    # every other crawl sees just the '*' group — the divergence the
+    # UA-tier tests rely on having power.
+    robots_ua_every: int = 0
+    robots_ua_token: str = "sparkcrawler"
+    robots_ua_disallow: tuple[str, ...] = ("/p/*",)
+    robots_ua_allow: tuple[str, ...] = ("/p/2*",)
     # every k-th host (including host 0) publishes /sitemap.xml and
     # advertises it with a `Sitemap:` line in robots.txt (0 ⇒ no host
     # has one). The sitemap lists the host's even-indexed pages — a

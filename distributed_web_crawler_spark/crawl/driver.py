@@ -300,7 +300,9 @@ class Crawler:
         # synthetic web must inject robots_fetcher explicitly.
         if robots_fetcher is None and fetcher is not None and synth_cfg is None:
             from .httpfetch import make_http_robots_fetcher
-            robots_fetcher = make_http_robots_fetcher()
+            robots_fetcher = make_http_robots_fetcher(
+                user_agent=(cfg.robots_user_agent if cfg.robots_ua_groups
+                            else None))
         self.robots_fetcher = robots_fetcher
         # same pairing rule for the sitemap-document fetcher: a real-web
         # crawl (no synth_cfg) defaults to real HTTP; a synthetic web

@@ -248,7 +248,9 @@ def _fetch_one(url: str, cfg: HttpFetcherConfig, pool: _ConnPool,
 
 
 def parse_robots_directives(
-        text: str) -> tuple[list[str], float | None, list[str], list[str]]:
+        text: str,
+        user_agent: str | None = None,
+) -> tuple[list[str], float | None, list[str], list[str]]:
     """(disallow paths, crawl-delay, sitemap URLs, allow patterns) —
     disallow/allow/crawl-delay for user-agent:* with reference semantics
     (core/WebCrawler.java:509-528): only the ``*`` section's rules apply,
@@ -262,6 +264,16 @@ def parse_robots_directives(
     Allow patterns feed the rfc9309 matching tier
     (CrawlConfig.robots_matching); the substring tier ignores them like
     the reference ignores Allow lines."""
+    if user_agent is not None:
+        # RFC 9309 group selection (CrawlConfig.robots_ua_groups): the
+        # exact product token beats '*'; shared mirror of the Catalyst
+        # robots_group_rules fold
+        from ..operators.robots import parse_group_directives_py
+
+        grules, gdelay, gsitemaps = parse_group_directives_py(
+            text, user_agent)
+        return ([p for ok, p in grules if not ok], gdelay, gsitemaps,
+                [p for ok, p in grules if ok])
     rules: list[str] = []
     allows: list[str] = []
     delay: float | None = None
@@ -302,7 +314,8 @@ def parse_robots_txt(text: str) -> list[str]:
     return parse_robots_directives(text)[0]
 
 
-def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
+def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None,
+                             user_agent: str | None = None):
     """S7 over real HTTP: GET {scheme}://{host}/robots.txt per distinct
     host (10 s timeout like the reference, core/WebCrawler.java:465); any
     failure ⇒ allow-all (core/WebCrawler.java:470-473). Same contract as
@@ -343,7 +356,9 @@ def make_http_robots_fetcher(cfg: HttpFetcherConfig | None = None):
                     if resp.status >= 300:
                         continue
                     return parse_robots_directives(
-                        resp.read(1 << 20).decode("utf-8", errors="replace"))
+                        resp.read(1 << 20).decode("utf-8",
+                                                  errors="replace"),
+                        user_agent=user_agent)
             except (urllib.error.URLError, TimeoutError, OSError, ValueError):
                 continue
         return [], None, [], []

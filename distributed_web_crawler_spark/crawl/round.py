@@ -140,7 +140,9 @@ def build_fetch(spark: SparkSession, frontier: DataFrame, state: RoundState,
     robots_full, robots_new = resolve_robots(
         spark, gated.where(F.col("decision") == "PASS"), state.robots,
         synth_cfg, robots_fetcher, cached=robots_cached,
-        round_no=round_no, ttl_rounds=cfg.robots_ttl_rounds)
+        round_no=round_no, ttl_rounds=cfg.robots_ttl_rounds,
+        user_agent=(cfg.robots_user_agent if cfg.robots_ua_groups
+                    else None))
     # persist the pre-politeness frame: the salted partial top-K inside
     # apply_politeness unions four branches of it, and without the cache
     # each branch would re-scan the frontier + redo the robots join

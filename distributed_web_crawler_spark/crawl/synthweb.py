@@ -265,6 +265,42 @@ def robots_allow_for_host(host: str, cfg: SynthWebConfig,
     return []
 
 
+def robots_txt_for_host(host: str, cfg: SynthWebConfig,
+                        version: int = 0) -> str:
+    """The robots.txt DOCUMENT the synthetic host serves — the textual
+    form of the per-host rule model (disallow/allow/crawl-delay/sitemap
+    functions above render into it verbatim, so parsing the text with
+    '*' selection reproduces those functions exactly). Rule-bearing
+    hosts on the cfg.robots_ua_every grid additionally publish a
+    UA-specific group (cfg.robots_ua_token) with its own rules — the
+    RFC 9309 §2.2.1 exact-token-beats-star case the
+    CrawlConfig.robots_ua_groups tier selects. Empty string ⇔ the host
+    serves no robots.txt (fetch failure ⇒ allow-all)."""
+    host_idx = _host_idx_of(host)
+    if host_idx is None:
+        return ""
+    lines: list[str] = []
+    dis = robots_disallow_for_host(host, cfg, version)
+    alw = robots_allow_for_host(host, cfg, version)
+    delay = robots_crawl_delay_for_host(host, cfg)
+    if dis or alw or delay is not None:
+        lines.append("User-agent: *")
+        lines.extend(f"Disallow: {p}" for p in dis)
+        lines.extend(f"Allow: {p}" for p in alw)
+        if delay is not None:
+            lines.append(f"Crawl-delay: {delay:g}")
+        lines.append("")
+        if (cfg.robots_ua_every > 0
+                and host_idx % cfg.robots_ua_every == 0):
+            lines.append(f"User-agent: {cfg.robots_ua_token}")
+            lines.extend(f"Disallow: {p}" for p in cfg.robots_ua_disallow)
+            lines.extend(f"Allow: {p}" for p in cfg.robots_ua_allow)
+            lines.append("")
+    for sm in sitemap_urls_for_host(host, cfg):
+        lines.append(f"Sitemap: {sm}")
+    return "\n".join(lines)
+
+
 def robots_version_at_round(cfg: SynthWebConfig, round_no: int) -> int:
     """The robots.txt the synthetic web serves at round r:
     version 1 from cfg.robots_drift_round on (0 ⇒ robots never change)."""

@@ -31,6 +31,7 @@ from .crawl.synthweb import (
     page_for_url,
     robots_allow_for_host,
     robots_crawl_delay_for_host,
+    robots_txt_for_host,
     robots_disallow_for_host,
     robots_version_at_round,
     feed_entries_py,
@@ -38,7 +39,8 @@ from .crawl.synthweb import (
     sitemap_entries_py,
     sitemap_urls_for_host,
 )
-from .operators.robots import rep_allowed_py
+from .operators.robots import (parse_group_directives_py,
+                               rep_allowed_py)
 from .functions.urls import (
     combined_allow_pattern,
     combined_exclude_pattern,
@@ -118,11 +120,20 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
         if ent is not None and (ttl == 0 or ent[3] > rnd - ttl):
             return ent[0], ent[1]
         v = robots_version_at_round(synth, rnd)
-        rules = robots_disallow_for_host(host, synth, v)
-        allows = robots_allow_for_host(host, synth, v)
-        robots_cache[host] = (rules, allows,
-                              robots_crawl_delay_for_host(host, synth),
-                              rnd)
+        if cfg.robots_ua_groups:
+            # UA-group tier: same parse the engine's fetcher runs
+            # (exact-token group selection over the served document)
+            grules, gdelay, _ = parse_group_directives_py(
+                robots_txt_for_host(host, synth, v),
+                cfg.robots_user_agent)
+            rules = [p for ok, p in grules if not ok]
+            allows = [p for ok, p in grules if ok]
+            delay = gdelay
+        else:
+            rules = robots_disallow_for_host(host, synth, v)
+            allows = robots_allow_for_host(host, synth, v)
+            delay = robots_crawl_delay_for_host(host, synth)
+        robots_cache[host] = (rules, allows, delay, rnd)
         robots_fetched_now.add(host)
         return rules, allows
     # AIMD mirror (cfg.adaptive_budget): previous round's per-host

@@ -60,36 +60,50 @@ def with_robots_cols(df: DataFrame) -> DataFrame:
     return out.select(*ROBOTS_COLS)
 
 
-def make_robots_fetcher(synth_cfg, version: int = 0):
+def make_robots_fetcher(synth_cfg, version: int = 0,
+                        user_agent: str | None = None):
     """Vectorized robots fetch over a batch of distinct hosts (S7). In
     production this is an async-HTTP batch; in tests it is the pure
     synthetic rule function — ``version`` selects which robots.txt the
     synthetic web is serving (drift, synthweb.robots_version_at_round).
-    Fetch failure ⇒ allow-all (reference: core/WebCrawler.java:470-473)."""
+    Fetch failure ⇒ allow-all (reference: core/WebCrawler.java:470-473).
+
+    ``user_agent`` (CrawlConfig.robots_ua_groups) switches to the
+    RFC 9309 group-selection path: the host's robots.txt DOCUMENT
+    (synthweb.robots_txt_for_host) is parsed with exact-token group
+    selection (parse_group_directives_py), so a UA-specific group
+    replaces the '*' rules — including its group-scoped Crawl-delay.
+    Default None keeps the '*'-only arrays (reference parity)."""
     from ..crawl.synthweb import (
         robots_allow_for_host,
         robots_crawl_delay_for_host,
         robots_disallow_for_host,
+        robots_txt_for_host,
         sitemap_urls_for_host,
     )
 
+    def rules_of(h: str) -> tuple[list[str], list[str], float | None,
+                                  list[str]]:
+        if user_agent is None:
+            return (robots_disallow_for_host(h, synth_cfg, version),
+                    robots_allow_for_host(h, synth_cfg, version),
+                    robots_crawl_delay_for_host(h, synth_cfg),
+                    sitemap_urls_for_host(h, synth_cfg))
+        rules, delay, sitemaps = parse_group_directives_py(
+            robots_txt_for_host(h, synth_cfg, version), user_agent)
+        return ([p for ok, p in rules if not ok],
+                [p for ok, p in rules if ok], delay, sitemaps)
+
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            fetched = [rules_of(h) for h in pdf["host"]]
             yield pd.DataFrame({
                 "host": pdf["host"],
-                "robots_disallow": [
-                    robots_disallow_for_host(h, synth_cfg, version)
-                    for h in pdf["host"]
-                ],
-                "robots_allow": [
-                    robots_allow_for_host(h, synth_cfg, version)
-                    for h in pdf["host"]
-                ],
-                "crawl_delay": pd.array(
-                    [robots_crawl_delay_for_host(h, synth_cfg)
-                     for h in pdf["host"]], dtype="Float64"),
-                "sitemaps": [sitemap_urls_for_host(h, synth_cfg)
-                             for h in pdf["host"]],
+                "robots_disallow": [d for d, _, _, _ in fetched],
+                "robots_allow": [a for _, a, _, _ in fetched],
+                "crawl_delay": pd.array([dl for _, _, dl, _ in fetched],
+                                        dtype="Float64"),
+                "sitemaps": [sm for _, _, _, sm in fetched],
             })
 
     return fetch
@@ -100,7 +114,9 @@ def resolve_robots(spark: SparkSession, frontier: DataFrame,
                    robots_fetcher=None,
                    cached: list | None = None,
                    round_no: int = 0,
-                   ttl_rounds: int = 0) -> tuple[DataFrame, DataFrame]:
+                   ttl_rounds: int = 0,
+                   user_agent: str | None = None) -> tuple[DataFrame,
+                                                           DataFrame]:
     """Return (full robots table for this round's hosts, newly fetched rows).
 
     ``known`` is accumulated host state from prior rounds; only hosts not
@@ -146,7 +162,8 @@ def resolve_robots(spark: SparkSession, frontier: DataFrame,
             raise ValueError("resolve_robots needs a robots_fetcher when "
                              "no synthetic web is configured")
         robots_fetcher = make_robots_fetcher(
-            synth_cfg, robots_version_at_round(synth_cfg, round_no))
+            synth_cfg, robots_version_at_round(synth_cfg, round_no),
+            user_agent=user_agent)
     fetched = new_hosts.mapInPandas(robots_fetcher, ROBOTS_SCHEMA) \
         .withColumn("fetched_round", F.lit(round_no).cast("int"))
     if cached is not None:
@@ -390,3 +407,75 @@ def rep_allowed_py(path: str, disallows, allows) -> bool:
                 if best is None or key > best:
                     best = key
     return True if best is None else best[1]
+
+
+def parse_group_directives_py(
+        text: str,
+        user_agent: str) -> tuple[list[tuple[bool, str]], float | None,
+                                  list[str]]:
+    """Python twin of `robots_group_rules` PLUS the group-scoped
+    directives the Catalyst operator does not model: returns
+    (rules [(allow, pattern) in document order], crawl_delay, sitemaps).
+
+    Group-selection semantics are kept BIT-EQUAL to the fold in
+    robots_group_rules (pinned by tests/test_ua_groups.py): consecutive
+    UA lines share a group, a UA line after rules starts a new one,
+    comments strip, exact-token match (case-insensitive) beats '*',
+    equally-specific matching groups COMBINE, no matching group ⇒ no
+    rules, empty patterns are no rule, pre-group rules are ignored.
+    Extensions beyond the operator: a group-scoped ``Crawl-delay``
+    (selected groups' last positive value wins; a delay line is a
+    non-rule record — it neither terminates nor splits a group, like
+    Sitemap) and RFC 9309 §2.3 non-group ``Sitemap:`` collection
+    (absolute http(s) URLs, first-seen order, the
+    parse_robots_directives contract)."""
+    import re as _re
+
+    ua = user_agent.lower()
+    lines = [_re.sub(r"#.*$", "", ln).strip()
+             for ln in _re.split(r"\r?\n", text or "")]
+
+    def ua_of(ln: str) -> str | None:
+        m = _re.match(r"(?i)^user-agent\s*:\s*(.*)$", ln)
+        return m.group(1).strip().lower() if m is not None else None
+
+    def spec(v: str) -> int:
+        return len(v) if v == ua else (0 if v == "*" else -1)
+
+    sitemaps: list[str] = []
+    for ln in lines:
+        if _re.match(r"(?i)^sitemap\s*:", ln):
+            u = ln.split(":", 1)[1].strip()
+            if u.startswith(("http://", "https://")) and u not in sitemaps:
+                sitemaps.append(u)
+
+    specs = [spec(v) for ln in lines if (v := ua_of(ln)) is not None]
+    best = max(specs, default=None)
+    if best is None or best < 0:
+        return [], None, sitemaps
+
+    rules: list[tuple[bool, str]] = []
+    delay: float | None = None
+    cur, prev_rule = -1, True
+    for ln in lines:
+        v = ua_of(ln)
+        if v is not None:
+            s = spec(v)
+            cur = s if prev_rule else max(cur, s)
+            prev_rule = False
+            continue
+        m = _re.match(r"(?i)^(allow|disallow)\s*:\s*(\S*)", ln)
+        if m is not None:
+            if cur == best and m.group(2):
+                rules.append((m.group(1).lower() == "allow", m.group(2)))
+            prev_rule = True
+            continue
+        md = _re.match(r"(?i)^crawl-delay\s*:\s*(\S+)", ln)
+        if md is not None and cur == best:
+            try:
+                d = float(md.group(1))
+            except ValueError:
+                continue
+            if d > 0:
+                delay = d
+    return rules, delay, sitemaps

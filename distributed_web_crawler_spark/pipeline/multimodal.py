@@ -130,6 +130,64 @@ def phash_hamming_neardup(pages: DataFrame, max_hamming: int = 6) -> DataFrame:
                                 max_hamming)
 
 
+def gather_pair_payloads(pairs: DataFrame, a_col: str, b_col: str,
+                         side_a: DataFrame, side_b: DataFrame,
+                         id_col: str, val, out_a: str, out_b: str,
+                         carry: tuple = ("hamming",)) -> DataFrame:
+    """Assemble per-pair payload columns WITHOUT moving the payload table
+    at corpus volume. The naive shape — pairs ⋈ payload ⋈ payload — makes
+    the byte-laden corpus a join input twice; Spark then either
+    broadcasts it (every executor receives ALL bytes — the measured
+    0.53 N→4N bandwidth wall) or shuffles it at corpus volume, twice.
+    Here each side of the pair list (ids + carry only, candidate volume)
+    joins the payload table separately: the SMALL leg list becomes the
+    hash side (AQE broadcast when it fits; a candidate-volume shuffle
+    otherwise), so payload rows STREAM through map-side and only the
+    GATHERED values — candidate volume, not corpus volume — cross the one
+    pair-keyed exchange of the final roll-up.
+
+    ``val`` is a Column over the payload table (e.g. F.col("bytes") or a
+    struct of several columns); ``side_a``/``side_b`` may be the same or
+    different tables (self-join vs new-vs-history probe).
+
+    The leg list is explicitly ``broadcast()``: the static planner sizes
+    a mapInPandas payload source from its (tiny) upstream, so left to
+    itself it plans BuildRight over the BYTES — and a statically planned
+    BroadcastExchange is not demoted by AQE when the runtime bytes turn
+    out huge. Candidate lists that outgrow broadcast (≳10^8 pairs)
+    belong on the lakehouse path instead: materialize the pairs and
+    storage-partition both sides on the id (Iceberg bucket transform),
+    the same regime note as the compaction tables."""
+    key_cols = [a_col, b_col, *carry]
+    legs = (pairs.select(
+        *key_cols,
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("_role"),
+                     F.col(a_col).alias("_gid")),
+            F.struct(F.lit(1).alias("_role"),
+                     F.col(b_col).alias("_gid")))).alias("_leg"))
+        .select(*key_cols, F.col("_leg._role").alias("_role"),
+                F.col("_leg._gid").alias("_gid")))
+    if side_a is side_b:
+        payload = side_a.select(F.col(id_col).alias("_gid"),
+                                val.alias("_val"))
+        joined = payload.join(F.broadcast(legs), "_gid")
+    else:
+        payload = (side_a.select(F.lit(0).alias("_role"),
+                                 F.col(id_col).alias("_gid"),
+                                 val.alias("_val"))
+                   .unionByName(side_b.select(
+                       F.lit(1).alias("_role"),
+                       F.col(id_col).alias("_gid"),
+                       val.alias("_val"))))
+        joined = payload.join(F.broadcast(legs), ["_gid", "_role"])
+    return (joined.groupBy(*key_cols)
+            .agg(F.max(F.when(F.col("_role") == 0, F.col("_val")))
+                 .alias(out_a),
+                 F.max(F.when(F.col("_role") == 1, F.col("_val")))
+                 .alias(out_b)))
+
+
 PSNR_VERIFY_SCHEMA = T.StructType([
     T.StructField("img_a", T.StringType()),
     T.StructField("img_b", T.StringType()),
@@ -174,13 +232,9 @@ def psnr_verified_neardup(images: DataFrame, max_hamming: int = 10,
     if prefilter == "thumb":
         pairs = thumb_screened_pairs(images, pairs, min_psnr)
     payload = images.select("image_id", "bytes")
-    cand = (
-        pairs
-        .join(payload.select(F.col("image_id").alias("img_a"),
-                             F.col("bytes").alias("bytes_a")), "img_a")
-        .join(payload.select(F.col("image_id").alias("img_b"),
-                             F.col("bytes").alias("bytes_b")), "img_b")
-        .select("img_a", "img_b", "hamming", "bytes_a", "bytes_b"))
+    cand = gather_pair_payloads(pairs, "img_a", "img_b", payload, payload,
+                                "image_id", F.col("bytes"),
+                                "bytes_a", "bytes_b")
     return _psnr_verify_map(cand, min_psnr)
 
 
@@ -301,13 +355,14 @@ def thumb_screened_pairs(images: DataFrame, pairs: DataFrame,
     bound itself is exact in float64)."""
     sigs = image_thumb_sigs(images, t)
     cand = (
-        pairs
-        .join(sigs.select(F.col("image_id").alias("img_a"),
-                          F.col("w").alias("w_a"), F.col("h").alias("h_a"),
-                          F.col("thumb").alias("thumb_a")), "img_a")
-        .join(sigs.select(F.col("image_id").alias("img_b"),
-                          F.col("w").alias("w_b"), F.col("h").alias("h_b"),
-                          F.col("thumb").alias("thumb_b")), "img_b")
+        gather_pair_payloads(pairs, "img_a", "img_b", sigs, sigs,
+                             "image_id", F.struct("w", "h", "thumb"),
+                             "_sa", "_sb")
+        .select("img_a", "img_b", "hamming",
+                F.col("_sa.w").alias("w_a"), F.col("_sa.h").alias("h_a"),
+                F.col("_sa.thumb").alias("thumb_a"),
+                F.col("_sb.w").alias("w_b"), F.col("_sb.h").alias("h_b"),
+                F.col("_sb.thumb").alias("thumb_b"))
         # shape mismatch ⇒ never verified: drop on slim columns
         .where((F.col("w_a") == F.col("w_b"))
                & (F.col("h_a") == F.col("h_b"))))
@@ -730,12 +785,9 @@ def _verified_pairs(items: DataFrame, id_col: str, a_col: str,
     pairs = banded_hamming_pairs(sigs, id_col, sig_col, a_col, b_col,
                                  max_hamming)
     payload = items.select(id_col, "bytes")
-    cand = (pairs
-            .join(payload.select(F.col(id_col).alias(a_col),
-                                 F.col("bytes").alias("bytes_a")), a_col)
-            .join(payload.select(F.col(id_col).alias(b_col),
-                                 F.col("bytes").alias("bytes_b")), b_col)
-            .select(a_col, b_col, "hamming", "bytes_a", "bytes_b"))
+    cand = gather_pair_payloads(pairs, a_col, b_col, payload, payload,
+                                id_col, F.col("bytes"),
+                                "bytes_a", "bytes_b")
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1365,14 +1417,14 @@ def incremental_image_dedup(new_images: DataFrame,
              .groupBy("image_id")
              .agg(F.min("old_id").alias("exact_old")))
     survivors = new_images.join(exact, "image_id", "left_anti")
-    cand = (banded_hamming_probe(
-        survivors.select("image_id", "phash"), index["phash"],
-        "image_id", "old_id", "phash", "img_a", "img_b", max_hamming)
-        .join(survivors.select(F.col("image_id").alias("img_a"),
-                               F.col("bytes").alias("bytes_a")), "img_a")
-        .join(old_images.select(F.col("image_id").alias("img_b"),
-                                F.col("bytes").alias("bytes_b")), "img_b")
-        .select("img_a", "img_b", "hamming", "bytes_a", "bytes_b"))
+    cand = gather_pair_payloads(
+        banded_hamming_probe(
+            survivors.select("image_id", "phash"), index["phash"],
+            "image_id", "old_id", "phash", "img_a", "img_b", max_hamming),
+        "img_a", "img_b",
+        survivors.select("image_id", "bytes"),
+        old_images.select("image_id", "bytes"),
+        "image_id", F.col("bytes"), "bytes_a", "bytes_b")
     verified = _psnr_verify_map(cand, min_psnr).where(F.col("verified"))
     win = Window.partitionBy("img_a").orderBy(
         F.col("exact_pixels").desc(),

@@ -6668,3 +6668,105 @@ def robots_rfc9309_decide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rules"))
     return (wildcard_rule_decisions(reqs)
             .select("url", "path", "allowed", "rule_len"))
+
+
+# ---------------------------------------------------------------------------
+# Kafka frontier bridge (sources/kafka_bridge): the reference's
+# CrawlRequest wire format (queue/KafkaUrlQueue.java:47-56,
+# model/CrawlRequest.java:6-14) as to_json/from_json transforms, so an
+# external Kafka frontier can feed Crawler.inject and the next-frontier
+# table can publish back. No broker in this container — the round-trip
+# identity and the exact wire bytes are what the oracles pin.
+# ---------------------------------------------------------------------------
+
+_WIRE_FRONTIER_SQL = """
+  SELECT
+    'http://h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+        || '.example.com/p/' || CAST(o_orderkey AS VARCHAR)      AS url,
+    'h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+        || '.example.com'                                        AS host,
+    CAST(o_orderkey % 8 AS INTEGER)                              AS depth,
+    CASE WHEN o_orderkey % 3 <> 0
+         THEN 'http://h' || lpad(CAST(o_custkey % 20 AS VARCHAR), 4, '0')
+              || '.example.com/p/' || CAST(o_orderkey // 2 AS VARCHAR)
+         END                                                     AS parent_url,
+    CAST(1700000000000 + o_orderkey % 86400000 AS BIGINT)
+                                                     AS discovered_at_ms,
+    CAST(1 + o_orderkey % 3 AS INTEGER)                          AS priority,
+    CAST(o_orderkey % 5 AS INTEGER)                              AS retry_count,
+    CASE WHEN o_orderkey % 7 = 0
+         THEN CAST(1700000000000 + (o_orderkey % 1000) * 61003 AS BIGINT)
+         END                                         AS scheduled_for_ms,
+    CAST(0 AS INTEGER)                                           AS round
+  FROM orders
+"""
+
+
+def _wire_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlRequest rows exercising every wire case: null AND non-null
+    parentUrl/scheduledFor, ms-grain timestamps (the %g digits)."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    hi = (F.col("o_custkey") % 20).cast("int")
+    host = F.concat(F.lit("h"), F.lpad(hi.cast("string"), 4, "0"),
+                    F.lit(".example.com"))
+    return orders.select(
+        F.concat(F.lit("http://"), host, F.lit("/p/"),
+                 k.cast("string")).alias("url"),
+        host.alias("host"),
+        (k % 8).cast("int").alias("depth"),
+        F.when(k % 3 != 0,
+               F.concat(F.lit("http://"), host, F.lit("/p/"),
+                        F.expr("o_orderkey DIV 2").cast("string")))
+        .alias("parent_url"),
+        (F.lit(1_700_000_000_000) + k % 86_400_000).cast("long")
+        .alias("discovered_at_ms"),
+        (F.lit(1) + k % 3).cast("int").alias("priority"),
+        (k % 5).cast("int").alias("retry_count"),
+        F.when(k % 7 == 0,
+               F.lit(1_700_000_000_000) + (k % 1000) * 61_003)
+        .cast("long").alias("scheduled_for_ms"),
+        F.lit(0).cast("int").alias("round"))
+
+
+@q("kafka_frontier_roundtrip", f"""
+  SELECT url, host, depth, parent_url, discovered_at_ms, priority,
+         retry_count, scheduled_for_ms, round
+  FROM ({_WIRE_FRONTIER_SQL})
+""")
+def kafka_frontier_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json ∘ to_json = identity over the CrawlRequest wire format,
+    including null parentUrl/scheduledFor and the host re-derivation —
+    the oracle is the frontier itself, so any field the bridge drops,
+    re-formats or mis-parses (ms truncation, timezone drift, null vs
+    absent) breaks equality."""
+    from .sources.kafka_bridge import frontier_from_json, frontier_to_json
+
+    f = _wire_frontier(spark, sf_dir)
+    return frontier_from_json(frontier_to_json(f), round_no=0)
+
+
+@q("kafka_wire_format", f"""
+  WITH f AS ({_WIRE_FRONTIER_SQL})
+  SELECT url AS key,
+         '{{"url":"' || url || '","depth":' || CAST(depth AS VARCHAR)
+         || coalesce(',"parentUrl":"' || parent_url || '"', '')
+         || ',"discoveredAt":"'
+         || strftime(epoch_ms(discovered_at_ms), '%Y-%m-%dT%H:%M:%S.%g')
+         || 'Z","priority":' || CAST(priority AS VARCHAR)
+         || ',"retryCount":' || CAST(retry_count AS VARCHAR)
+         || coalesce(',"scheduledFor":"'
+                     || strftime(epoch_ms(scheduled_for_ms),
+                                 '%Y-%m-%dT%H:%M:%S.%g') || 'Z"', '')
+         || '}}' AS value
+  FROM f
+""")
+def kafka_wire_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact producer bytes: (key = url, value = CrawlRequest JSON in
+    record field order, Instants as ms-precision ISO-8601 'Z', null
+    optionals omitted). The oracle rebuilds every byte with DuckDB
+    string/strftime ops — a drifted field name, reordered key, or a
+    second-precision timestamp all hash-mismatch."""
+    from .sources.kafka_bridge import frontier_to_json
+
+    return frontier_to_json(_wire_frontier(spark, sf_dir))
