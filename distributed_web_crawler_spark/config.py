@@ -181,6 +181,19 @@ class CrawlConfig:
     # model; "evicted" is reported in the round counts like "injected".
     frontier_cap: int = 0
 
+    # eviction order under the cap: "canonical" keeps the cap smallest
+    # (priority, host, url) rows — deterministic, but on a Zipf-skewed
+    # web one giant lexicographically-early host can fill the whole cap
+    # and starve every other host's politeness budget. "hostfair"
+    # waterfills a per-host quota instead: every pending host keeps its
+    # first min(size, R*) rows under the same (priority, url) order F5
+    # fetches in (R* = largest rank whose total coverage fits the cap;
+    # the remainder fills from the single boundary rank canonically),
+    # so no host is starved by cap order while the frontier stays
+    # exactly cap-bounded. Golden-mirrored; per-store frozen like every
+    # ordering choice.
+    frontier_cap_mode: str = "canonical"
+
     # deterministic clock: round r happens at epoch + r * round_seconds
     epoch_ms: int = 1_700_000_000_000
     round_seconds: int = 60

@@ -861,6 +861,8 @@ class Crawler:
         cap = self.cfg.frontier_cap
         if total <= cap:
             return nf, 0
+        if self.cfg.frontier_cap_mode == "hostfair":
+            return self._evict_hostfair(nf, total, cap)
         kept = 0
         for p_star, n in counts:
             if kept + n > cap:
@@ -873,6 +875,55 @@ class Crawler:
                 nf.where(F.col("priority") == p_star)
                 .orderBy("host", "url").limit(room))
         return keep, total - cap
+
+    def _evict_hostfair(self, nf: DataFrame, total: int,
+                        cap: int) -> tuple[DataFrame, int]:
+        """Host-fair eviction (frontier_cap_mode="hostfair"): waterfilled
+        per-host quota closing the F5 × eviction interaction — the
+        canonical (priority, host, url) order lets one Zipf-head host
+        fill the whole cap and starve every lexicographically-later
+        host's politeness budget; here every pending host keeps its
+        FIRST min(size_h, R*) rows under the same (priority, url) order
+        F5 fetches in, with R* = max rank whose coverage
+        Σ_h min(size_h, R) fits the cap, and the remainder fills from
+        the single boundary rank R*+1 in canonical order (coverage
+        strictly steps past the cap there, so one rank always
+        suffices). Survivors are exactly the rows politeness would fetch
+        soonest per host; global priority yields to host fairness
+        ACROSS hosts by design (within a host it still orders).
+
+        Scale shape: the rank window is one exchange on host — the
+        partitioning politeness already uses; R* derives from a
+        host-size HISTOGRAM (groupBy(host).count() → groupBy(n).count(),
+        distinct sizes ≪ hosts) collected to the driver; only the
+        boundary rank runs a top-K. Golden-mirrored verbatim."""
+        from pyspark.sql import Window
+
+        hist = sorted(
+            (row["sz"], row["n_hosts"]) for row in
+            nf.groupBy("host").agg(F.count("*").alias("sz"))
+            .groupBy("sz").agg(F.count("*").alias("n_hosts")).collect())
+
+        def coverage(r: int) -> int:
+            return sum(min(sz, r) * n for sz, n in hist)
+
+        lo, hi = 0, max(sz for sz, _ in hist)
+        while lo < hi:  # largest R with coverage(R) <= cap
+            mid = (lo + hi + 1) // 2
+            if coverage(mid) <= cap:
+                lo = mid
+            else:
+                hi = mid - 1
+        r_star = lo
+        room = cap - coverage(r_star)
+        w = Window.partitionBy("host").orderBy("priority", "url")
+        ranked = nf.withColumn("_rk", F.row_number().over(w))
+        keep = ranked.where(F.col("_rk") <= r_star)
+        if room:
+            keep = keep.unionByName(
+                ranked.where(F.col("_rk") == r_star + 1)
+                .orderBy("priority", "host", "url").limit(room))
+        return keep.drop("_rk"), total - cap
 
     # -- results -------------------------------------------------------------
 

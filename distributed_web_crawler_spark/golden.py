@@ -404,12 +404,47 @@ def golden_crawl(seeds: list[str], cfg: CrawlConfig, synth: SynthWebConfig,
         # written to an earlier frontier dir and stays seen forever.
         # `persisted` mirrors exactly that on-disk enqueue history.
         if cfg.frontier_cap and len(frontier) > cfg.frontier_cap:
-            frontier.sort(key=lambda q: (q.priority, q.host, q.url))
-            counts["evicted"] = len(frontier) - cfg.frontier_cap
-            for q in frontier[cfg.frontier_cap:]:
+            cap = cfg.frontier_cap
+            if cfg.frontier_cap_mode == "hostfair":
+                # waterfilled per-host quota (driver._evict_hostfair):
+                # each host keeps its first min(size, R*) rows under
+                # (priority, url); the remainder fills from boundary
+                # rank R*+1 in canonical (priority, host, url) order
+                by_host: dict[str, list[Req]] = {}
+                for q in sorted(frontier,
+                                key=lambda q: (q.priority, q.url)):
+                    by_host.setdefault(q.host, []).append(q)
+                sizes = [len(qs) for qs in by_host.values()]
+
+                def coverage(r: int) -> int:
+                    return sum(min(s, r) for s in sizes)
+
+                lo, hi = 0, max(sizes)
+                while lo < hi:
+                    mid = (lo + hi + 1) // 2
+                    if coverage(mid) <= cap:
+                        lo = mid
+                    else:
+                        hi = mid - 1
+                r_star = lo
+                kept = [q for qs in by_host.values()
+                        for q in qs[:r_star]]
+                boundary = sorted(
+                    (qs[r_star] for qs in by_host.values()
+                     if len(qs) > r_star),
+                    key=lambda q: (q.priority, q.host, q.url))
+                kept += boundary[:cap - coverage(r_star)]
+                kept_ids = {id(q) for q in kept}
+                evicted = [q for q in frontier if id(q) not in kept_ids]
+                frontier = kept
+            else:
+                frontier.sort(key=lambda q: (q.priority, q.host, q.url))
+                evicted = frontier[cap:]
+                frontier = frontier[:cap]
+            counts["evicted"] = len(evicted)
+            for q in evicted:
                 if q.url not in persisted:
                     seen_urls.discard(q.url)
-            frontier = frontier[:cfg.frontier_cap]
         persisted.update(q.url for q in frontier)
         out.lineage.append({"round": r,
                             **{k: v for k, v in counts.items() if v > 0}})
