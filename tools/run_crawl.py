@@ -61,6 +61,23 @@ def main() -> None:
                     help="robots semantics: reference-parity substring "
                          "containment, or RFC 9309 wildcard matching "
                          "(longest match, allow wins ties)")
+    ap.add_argument("--robots-ua-groups", action="store_true",
+                    help="RFC 9309 UA-specific group selection: the "
+                         "robots fetch honors a group published for "
+                         "--robots-user-agent (exact token beats *); "
+                         "pair with --robots-matching rfc9309")
+    ap.add_argument("--robots-user-agent", default="sparkcrawler",
+                    help="product token for --robots-ua-groups")
+    ap.add_argument("--robots-ua-every", type=int, default=0,
+                    help="synthetic web: every k-th rule-bearing host "
+                         "publishes a UA-specific robots group (used "
+                         "with --robots-ua-groups; 0 = none)")
+    ap.add_argument("--frontier-cap-mode", default="canonical",
+                    choices=("canonical", "hostfair"),
+                    help="eviction order under --frontier-cap: canonical "
+                         "(priority, host, url) smallest, or hostfair "
+                         "waterfilled per-host quota (no host starved "
+                         "by cap order)")
     ap.add_argument("--robots-ttl", type=int, default=0,
                     help="robots cache TTL in rounds (0 = cache forever)")
     ap.add_argument("--sitemap-discovery", action="store_true",
@@ -129,6 +146,8 @@ def main() -> None:
     spark = SparkSession.builder.appName("dwcs_crawl").getOrCreate()
     synth = SynthWebConfig(n_hosts=args.hosts,
                            base_pages_per_host=args.pages_per_host,
+                           robots_ua_every=args.robots_ua_every,
+                           robots_ua_token=args.robots_user_agent,
                            sitemap_every=(args.sitemap_every
                                           if args.sitemap_discovery else 0),
                            feed_every=(args.feed_every
@@ -142,8 +161,11 @@ def main() -> None:
                       url_seen_shards=args.shards,
                       priority_mode=args.priority_mode,
                       frontier_cap=args.frontier_cap,
+                      frontier_cap_mode=args.frontier_cap_mode,
                       robots_ttl_rounds=args.robots_ttl,
                       robots_matching=args.robots_matching,
+                      robots_ua_groups=args.robots_ua_groups,
+                      robots_user_agent=args.robots_user_agent,
                       sitemap_discovery=args.sitemap_discovery,
                       feed_discovery=args.feed_discovery,
                       feed_ttl_rounds=args.feed_ttl)
