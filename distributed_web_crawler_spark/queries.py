@@ -6752,12 +6752,15 @@ def kafka_frontier_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
          '{{"url":"' || url || '","depth":' || CAST(depth AS VARCHAR)
          || coalesce(',"parentUrl":"' || parent_url || '"', '')
          || ',"discoveredAt":"'
-         || strftime(epoch_ms(discovered_at_ms), '%Y-%m-%dT%H:%M:%S.%g')
+         || strftime(epoch_ms(discovered_at_ms), '%Y-%m-%dT%H:%M:%S.')
+         || lpad(CAST(discovered_at_ms % 1000 AS VARCHAR), 3, '0')
          || 'Z","priority":' || CAST(priority AS VARCHAR)
          || ',"retryCount":' || CAST(retry_count AS VARCHAR)
          || coalesce(',"scheduledFor":"'
                      || strftime(epoch_ms(scheduled_for_ms),
-                                 '%Y-%m-%dT%H:%M:%S.%g') || 'Z"', '')
+                                 '%Y-%m-%dT%H:%M:%S.')
+                     || lpad(CAST(scheduled_for_ms % 1000 AS VARCHAR),
+                             3, '0') || 'Z"', '')
          || '}}' AS value
   FROM f
 """)
