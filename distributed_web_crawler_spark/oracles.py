@@ -1500,6 +1500,62 @@ def doc_hash_values(denom: int = 1_000_000) -> str:
                      for d, _ in _docs(ORACLE_SF_DIR))
 
 
+def sequence_packing_ffd_sql(ctx_len: int = 256, n_shards: int = 8) -> str:
+    """Golden-model oracle for pipeline.text.sequence_packing_ffd: the
+    SAME pure ffd_pack_py kernel the engine's per-shard applyInPandas
+    group runs, executed here over the oracle corpus and emitted as
+    VALUES — the distributed result is pinned to the sequential
+    first-fit-decreasing order bit-for-bit."""
+    from .pipeline.text import ffd_pack_py
+
+    shards: dict[int, list[tuple[int, int]]] = {}
+    n_of: dict[int, int] = {}
+    for doc_id, text in _docs(ORACLE_SF_DIR):
+        n = len(_tokens(text))
+        n_of[doc_id] = n
+        shards.setdefault(doc_id % n_shards, []).append((doc_id, n))
+    rows = []
+    for shard, items in shards.items():
+        for doc_id, packed, bin_id, off in ffd_pack_py(items, ctx_len):
+            rows.append((doc_id, shard, n_of[doc_id], packed, bin_id,
+                         off))
+    vals = ", ".join(f"({d}, {s}, {n}, {p}, {b}, {o})"
+                     for d, s, n, p, b, o in sorted(rows))
+    return f"""
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(shard AS BIGINT) AS shard,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(packed_tokens AS BIGINT) AS packed_tokens,
+         CAST(bin_id AS BIGINT) AS bin_id,
+         CAST(offset_in_bin AS BIGINT) AS offset_in_bin
+  FROM (VALUES {vals})
+       t(doc_id, shard, n_tokens, packed_tokens, bin_id, offset_in_bin)
+"""
+
+
+def epoch_shuffle_sql(epoch: int, n_shards: int = 8) -> str:
+    """Oracle for pipeline.text.epoch_shuffle: the permutation keys come
+    from the independent XXH64 mirror (chained doc_id, epoch longs —
+    seed 42, Spark's xxhash64 semantics); DuckDB independently re-derives
+    the shard assignment (pmod) and in-shard rank."""
+    from .functions.xxh64 import xxhash64
+
+    vals = ", ".join(
+        f"({d}, {xxhash64(int(d), int(epoch))})"
+        for d, _ in _docs(ORACLE_SF_DIR))
+    return f"""
+  WITH h(doc_id, k) AS (VALUES {vals}),
+  s AS (SELECT doc_id, k,
+               ((k % {n_shards}) + {n_shards}) % {n_shards} AS shard
+        FROM h)
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST({epoch} AS INTEGER) AS epoch,
+         CAST(shard AS INTEGER) AS shard,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+              AS BIGINT) AS position
+  FROM s
+"""
+
+
 def source_quota_sql(cap: int = 10, denom: int = 1_000_000) -> str:
     """Mirror of pipeline.text.source_quota_sample: the per-doc rank key
     pmod(xxhash64(doc_id), denom) is recomputed with the Python XXH64

@@ -1075,6 +1075,104 @@ def packing_efficiency(documents: DataFrame, ctx_len: int = 256,
                  .alias("waste_frac")))
 
 
+def ffd_pack_py(items: list[tuple[int, int]],
+                ctx_len: int) -> list[tuple[int, int, int, int]]:
+    """First-fit-decreasing bin packing of (doc_id, n_tokens) items into
+    ctx_len-capacity bins: items sorted by (n_tokens desc, doc_id),
+    each placed in the LOWEST-id open bin with room, else a new bin.
+    Oversize items truncate to ctx_len (fit-or-truncate). Returns
+    (doc_id, packed_tokens, bin_id, offset_in_bin) rows. Pure function —
+    the engine's per-shard kernel AND the oracle mirror both call it, so
+    the distributed result is pinned to this exact sequential order."""
+    out = []
+    fill: list[int] = []   # bin_id -> used tokens
+    for doc_id, n in sorted(items, key=lambda x: (-x[1], x[0])):
+        n = min(n, ctx_len)
+        for b, used in enumerate(fill):
+            if used + n <= ctx_len:
+                out.append((doc_id, n, b, used))
+                fill[b] = used + n
+                break
+        else:
+            out.append((doc_id, n, len(fill), 0))
+            fill.append(n)
+    return out
+
+
+def sequence_packing_ffd(documents: DataFrame, ctx_len: int = 256,
+                         n_shards: int = 8,
+                         text_col: str = "text") -> DataFrame:
+    """Bin-packed sequence packing — the NO-SPLIT alternative to
+    sequence_packing's concat-and-chunk: documents keep their boundaries
+    (each lands whole in exactly one ctx_len bin; attention never spans
+    a document break), packed first-fit-decreasing to minimize padding
+    waste (FFD guarantees ≤ 11/9·OPT + 6/9 bins, Dósa 2007 — the
+    fill-or-pad tradeoff packing_efficiency's audit table prices).
+    Returns (doc_id, shard, n_tokens, packed_tokens, bin_id,
+    offset_in_bin); packed_tokens < n_tokens ⇔ the document was
+    truncated to fit (n_tokens > ctx_len).
+
+    Scale shape: packing is inherently sequential WITHIN a bin stream,
+    so the corpus splits into independent shards (doc_id % n_shards,
+    sequence_packing's rule) and each shard packs in one
+    applyInPandas group — parallel across shards, Arrow-batched, the
+    per-shard item list is corpus/n_shards rows of two ints (a 10^10
+    corpus at n_shards=10^5 puts ~10^5 id+count pairs per task, far
+    under Arrow group limits; the token texts never enter the plan).
+    The kernel is the same pure function the oracle mirror runs, so
+    engine output is bit-pinned to the sequential FFD order."""
+    import pandas as pd
+
+    n_tok = token_count(F.col(text_col)).cast("long")
+    staged = documents.select(
+        "doc_id", (F.col("doc_id") % n_shards).alias("shard"),
+        n_tok.alias("n_tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = ffd_pack_py(
+            list(zip((int(x) for x in pdf["doc_id"]),
+                     (int(x) for x in pdf["n_tokens"]))), ctx_len)
+        by_id = {d: (p, b, o) for d, p, b, o in rows}
+        packed = [by_id[int(d)] for d in pdf["doc_id"]]
+        out = pdf[["doc_id", "shard", "n_tokens"]].copy()
+        out["packed_tokens"] = [p for p, _, _ in packed]
+        out["bin_id"] = [b for _, b, _ in packed]
+        out["offset_in_bin"] = [o for _, _, o in packed]
+        return out
+
+    schema = ("doc_id long, shard long, n_tokens long, "
+              "packed_tokens long, bin_id long, offset_in_bin long")
+    return staged.groupBy("shard").applyInPandas(pack, schema)
+
+
+def epoch_shuffle(documents: DataFrame, epoch: int,
+                  n_shards: int = 8) -> DataFrame:
+    """Deterministic per-epoch global training shuffle: order key =
+    xxhash64(doc_id, epoch) — a seeded permutation that CHANGES every
+    epoch but is identical across re-runs and resumes (the dataloader-
+    order analog of the crawl's (round, url)-derived determinism; no
+    RNG, no driver state, so a killed epoch resumes mid-order exactly).
+    Returns (doc_id, epoch, shard, position): shard = pmod(key,
+    n_shards) spreads the permutation across writers, position is the
+    document's rank within its shard's read order.
+
+    Scale shape: one hash exchange on shard + a per-shard sort — exactly
+    the shape of a shuffled-shard write; the sort is per-shard (never
+    global), and shard count scales with the cluster."""
+    from pyspark.sql import Window
+
+    key = F.xxhash64(F.col("doc_id"), F.lit(epoch).cast("long"))
+    w = Window.partitionBy("shard").orderBy("_k", "doc_id")
+    return (documents
+            .select("doc_id", key.alias("_k"))
+            .withColumn("shard",
+                        F.pmod(F.col("_k"), F.lit(n_shards)).cast("int"))
+            .withColumn("epoch", F.lit(epoch).cast("int"))
+            .withColumn("position",
+                        F.row_number().over(w).cast("long"))
+            .select("doc_id", "epoch", "shard", "position"))
+
+
 LANGS = ("de", "en", "es", "fr", "zh")
 
 

@@ -1189,6 +1189,28 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ctx_len=256, n_shards=8)
 
 
+@q("epoch_shuffle", lambda: _oracles.epoch_shuffle_sql(epoch=3, n_shards=8))
+def epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-3 training shuffle: xxhash64(doc_id, epoch)
+    permutation keys, pmod shard spread, in-shard read order — oracled
+    against the independent XXH64 mirror + a DuckDB re-derivation of
+    shard and rank."""
+    return ptext.epoch_shuffle(_t(spark, sf_dir, "documents"),
+                               epoch=3, n_shards=8)
+
+
+@q("sequence_packing_ffd",
+   lambda: _oracles.sequence_packing_ffd_sql(ctx_len=256, n_shards=8))
+def sequence_packing_ffd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-packed (no-split) sequence packing: documents keep their
+    boundaries, first-fit-decreasing into 256-token bins per shard —
+    the padding-minimizing alternative to concat-and-chunk when
+    attention must not span document breaks. Oracled against the same
+    pure FFD kernel run sequentially."""
+    return ptext.sequence_packing_ffd(_t(spark, sf_dir, "documents"),
+                                      ctx_len=256, n_shards=8)
+
+
 @q("chunk_manifest", r"""
   WITH staged AS (
     SELECT doc_id, doc_id % 8 AS shard,

@@ -168,3 +168,79 @@ def test_epoch_expansion_respects_repeat_factors(spark):
     # order keys are distinct across the whole stream (a usable shuffle)
     keys = [r["order_key"] for r in out]
     assert len(set(keys)) == len(keys)
+
+
+def test_ffd_packing_invariants(spark):
+    """sequence_packing_ffd: every bin respects capacity, offsets within
+    a bin are the prefix sums of its members in FFD placement order
+    (disjoint token spans), no document splits across bins, oversize
+    documents truncate to ctx_len, and the result is run-to-run
+    deterministic."""
+    from distributed_web_crawler_spark.pipeline import text as ptext
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ctx = 64
+    out = ptext.sequence_packing_ffd(docs, ctx_len=ctx, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_bin = {}
+    for r in rows:
+        assert 0 < r["packed_tokens"] <= ctx
+        assert r["packed_tokens"] == min(r["n_tokens"], ctx)
+        by_bin.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    for members in by_bin.values():
+        members.sort(key=lambda r: r["offset_in_bin"])
+        used = 0
+        for r in members:
+            assert r["offset_in_bin"] == used   # contiguous, disjoint
+            used += r["packed_tokens"]
+        assert used <= ctx
+    again = ptext.sequence_packing_ffd(docs, ctx_len=ctx,
+                                       n_shards=4).collect()
+    key = lambda r: (r["doc_id"],)  # noqa: E731
+    assert sorted(rows, key=key) == sorted(again, key=key)
+
+
+def test_ffd_beats_or_ties_naive_bin_count(spark):
+    """FFD must use no more bins than one-document-per-bin and no fewer
+    than the token-volume lower bound ceil(total/ctx) per shard."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from distributed_web_crawler_spark.pipeline import text as ptext
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ctx = 64
+    out = ptext.sequence_packing_ffd(docs, ctx_len=ctx, n_shards=4)
+    per_shard = (out.groupBy("shard")
+                 .agg((F.max("bin_id") + 1).alias("bins"),
+                      F.sum("packed_tokens").alias("toks"),
+                      F.count("*").alias("n")).collect())
+    for r in per_shard:
+        assert math.ceil(r["toks"] / ctx) <= r["bins"] <= r["n"]
+
+
+def test_epoch_shuffle_determinism_and_epoch_power(spark):
+    """epoch_shuffle: identical across re-runs, a bijection over the
+    corpus, positions are 1..|shard| per shard, and a DIFFERENT epoch
+    yields a genuinely different order (the permutation has power)."""
+    from distributed_web_crawler_spark.pipeline import text as ptext
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = ptext.epoch_shuffle(docs, epoch=1, n_shards=4).collect()
+    b = ptext.epoch_shuffle(docs, epoch=1, n_shards=4).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+    assert len({r["doc_id"] for r in a}) == len(a) == docs.count()
+    per_shard = {}
+    for r in a:
+        per_shard.setdefault(r["shard"], []).append(r["position"])
+    for ps in per_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    c = ptext.epoch_shuffle(docs, epoch=2, n_shards=4).collect()
+    order1 = [r["doc_id"] for r in sorted(a, key=lambda r:
+                                          (r["shard"], r["position"]))]
+    order2 = [r["doc_id"] for r in sorted(c, key=lambda r:
+                                          (r["shard"], r["position"]))]
+    assert order1 != order2
