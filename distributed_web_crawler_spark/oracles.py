@@ -1083,6 +1083,63 @@ def _media_combo_ctes(kind: str, n: int, dup_mod: int, max_hamming: int,
                                          'id_a', 'id_b', max_hamming)})"""
 
 
+def incremental_media_dedup_sql(kind: str, id_col: str, value_col: str,
+                                match_label: str, n: int = 288,
+                                n_old: int = 48, dup_mod: int = 96,
+                                max_hamming: int = 10,
+                                min_bar: float = 40.0) -> str:
+    """Mirror of pipeline.multimodal.incremental_audio/video_dedup over
+    the history/new split of the variant-requantized corpus (first n_old
+    ids = accepted history, the rest = incoming batch). Same derivation
+    strategy as incremental_image_dedup_sql: exact tier restated as
+    combo-id equality (injective deterministic codec — NOTE the fixture's
+    shifts are distinct, so this split has no exact matches and the tier
+    contributes empty; byte-exact coverage lives in the pytest), the
+    banded probe as the old×new restriction of the full banded join, and
+    the sample verdicts joined from the codec mirror's per-combo-pair
+    VALUES. History ids sort before new ids, so the pair's id_a endpoint
+    is always the old side (matching banded_hamming_probe's (new, old)
+    orientation after the swap)."""
+    return f"""
+  WITH {_media_combo_ctes(kind, n, dup_mod, max_hamming, min_bar)},
+  olds AS (SELECT item_id, cid FROM items ORDER BY item_id LIMIT {n_old}),
+  news AS (SELECT item_id, cid FROM items
+           WHERE item_id NOT IN (SELECT item_id FROM olds)),
+  exact_m AS (
+    SELECT nw.item_id, min(o.item_id) AS exact_old
+    FROM news nw JOIN olds o ON o.cid = nw.cid
+    GROUP BY nw.item_id),
+  cand AS (
+    SELECT nw.item_id, o.item_id AS old_id, p.hamming,
+           pv.exact0, CAST(pv.snr0 AS DOUBLE) AS val0
+    FROM pairs p
+    JOIN olds o ON o.item_id = p.id_a
+    JOIN news nw ON nw.item_id = p.id_b
+    JOIN pv ON pv.c_lo = least(o.cid, nw.cid)
+           AND pv.c_hi = greatest(o.cid, nw.cid)
+    WHERE pv.verified0
+      AND nw.item_id NOT IN (SELECT item_id FROM exact_m)),
+  best AS (
+    SELECT item_id, old_id, hamming, val0,
+           row_number() OVER (PARTITION BY item_id
+                              ORDER BY exact0 DESC,
+                                       val0 DESC NULLS LAST,
+                                       old_id ASC) AS rk
+    FROM cand)
+  SELECT nw.item_id AS {id_col},
+         (e.exact_old IS NULL AND b.old_id IS NULL) AS keep,
+         CASE WHEN e.exact_old IS NOT NULL THEN 'exact'
+              WHEN b.old_id IS NOT NULL THEN '{match_label}'
+              END AS match_kind,
+         coalesce(e.exact_old, b.old_id) AS matched_old,
+         CAST(b.hamming AS INTEGER) AS hamming,
+         b.val0 AS {value_col}
+  FROM news nw
+  LEFT JOIN exact_m e ON e.item_id = nw.item_id
+  LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.item_id = nw.item_id
+"""
+
+
 def audio_snr_neardup_sql(n: int = 288, dup_mod: int = 96,
                           max_hamming: int = 10,
                           min_snr_db: float = 40.0) -> str:

@@ -759,16 +759,9 @@ def banded_hamming_probe(new_sigs: DataFrame, old_sigs: DataFrame,
         .where(F.col("hamming") <= max_hamming))
 
 
-def _verified_pairs(items: DataFrame, id_col: str, a_col: str,
-                    b_col: str, sig_col: str, fingerprint_fn,
-                    decode_fn, psnr_fn, max_hamming: int,
-                    min_bar: float, out_schema: T.StructType,
-                    exact_col: str, value_col: str) -> DataFrame:
-    """The shared two-tier engine for opaque media: an Arrow fingerprint
-    pass → banded_hamming_pairs proposal → payload joins at CANDIDATE
-    volume → an Arrow decode-compare verify at the quality bar.
-    decode_fn returns (payload, meta); pairs with differing
-    (payload.shape, meta) are unverifiable; psnr_fn inf ⇔ exact."""
+def _media_fp_pass(items: DataFrame, id_col: str, sig_col: str,
+                   fingerprint_fn, decode_fn) -> DataFrame:
+    """One Arrow decode+fingerprint pass: (id, 64-bit signature)."""
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {id_col: [], sig_col: []}
@@ -780,15 +773,17 @@ def _verified_pairs(items: DataFrame, id_col: str, a_col: str,
                 id_col: out[id_col],
                 sig_col: pd.array(out[sig_col], dtype="Int64")})
 
-    sigs = items.select(id_col, "bytes").mapInPandas(
+    return items.select(id_col, "bytes").mapInPandas(
         fp, f"{id_col} string, {sig_col} long")
-    pairs = banded_hamming_pairs(sigs, id_col, sig_col, a_col, b_col,
-                                 max_hamming)
-    payload = items.select(id_col, "bytes")
-    cand = gather_pair_payloads(pairs, a_col, b_col, payload, payload,
-                                id_col, F.col("bytes"),
-                                "bytes_a", "bytes_b")
 
+
+def _make_media_verifier(decode_fn, psnr_fn, a_col: str, b_col: str,
+                         exact_col: str, value_col: str, min_bar: float):
+    """The decode-compare Arrow kernel shared by the self-join tiers and
+    the incremental new-vs-history probes. decode_fn returns
+    (payload, meta); differing (payload.shape, meta) ⇒ unverifiable;
+    psnr_fn inf ⇔ exact; values rounded 1e-6 (engine-exact vs the codec
+    mirror oracles)."""
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             same, exact, vals, ok = [], [], [], []
@@ -819,7 +814,149 @@ def _verified_pairs(items: DataFrame, id_col: str, a_col: str,
                 value_col: pd.array(vals, dtype="float64"),
                 "verified": ok})
 
-    return cand.mapInPandas(verify, out_schema)
+    return verify
+
+
+def _verified_pairs(items: DataFrame, id_col: str, a_col: str,
+                    b_col: str, sig_col: str, fingerprint_fn,
+                    decode_fn, psnr_fn, max_hamming: int,
+                    min_bar: float, out_schema: T.StructType,
+                    exact_col: str, value_col: str) -> DataFrame:
+    """The shared two-tier engine for opaque media: an Arrow fingerprint
+    pass → banded_hamming_pairs proposal → payload bytes gathered at
+    CANDIDATE volume (gather_pair_payloads — the corpus never
+    broadcasts or shuffles) → an Arrow decode-compare verify at the
+    quality bar."""
+    sigs = _media_fp_pass(items, id_col, sig_col, fingerprint_fn,
+                          decode_fn)
+    pairs = banded_hamming_pairs(sigs, id_col, sig_col, a_col, b_col,
+                                 max_hamming)
+    payload = items.select(id_col, "bytes")
+    cand = gather_pair_payloads(pairs, a_col, b_col, payload, payload,
+                                id_col, F.col("bytes"),
+                                "bytes_a", "bytes_b")
+    return cand.mapInPandas(
+        _make_media_verifier(decode_fn, psnr_fn, a_col, b_col,
+                             exact_col, value_col, min_bar), out_schema)
+
+
+def media_history_index(old_items: DataFrame, id_col: str,
+                        fingerprint_fn, decode_fn) -> dict[str, DataFrame]:
+    """The accepted media corpus's dedup index — exact payload
+    fingerprints + 64-bit perceptual signatures — that every incoming
+    batch probes (the audio/video analog of image_history_index; at
+    production scale both tables are MATERIALIZED and appended to, so
+    the history is never re-decoded per batch: fp hash-partitioned on
+    fp, sig bucketed on its 16-bit bands)."""
+    return {
+        "fp": old_items.select(F.col(id_col).alias("old_id"),
+                               F.sha2("bytes", 256).alias("fp")),
+        "sig": _media_fp_pass(old_items, id_col, "sig", fingerprint_fn,
+                              decode_fn)
+        .select(F.col(id_col).alias("old_id"), "sig"),
+    }
+
+
+def _incremental_media_dedup(new_items: DataFrame, old_items: DataFrame,
+                             id_col: str, fingerprint_fn, decode_fn,
+                             psnr_fn, max_hamming: int, min_bar: float,
+                             exact_col: str, value_col: str,
+                             match_label: str,
+                             index: dict[str, DataFrame] | None = None,
+                             ) -> DataFrame:
+    """Generic new-batch-vs-accepted-corpus media dedup — the
+    incremental_image_dedup shape for ANY opaque payload: exact sha2
+    probe of the history fp index first, then the survivors' signatures
+    probe the history sig index via banded_hamming_probe (new×old
+    candidates only; neither self-join side is ever formed), payload
+    bytes gathered at candidate volume (new + history tables
+    role-tagged, both stream), best verified match per new item wins.
+    Returns (id, keep, match_kind ∈ {exact, <match_label>, null},
+    matched_old, hamming, <value_col>)."""
+    from pyspark.sql import Window
+
+    if index is None:
+        index = media_history_index(old_items, id_col, fingerprint_fn,
+                                    decode_fn)
+    exact = (new_items
+             .select(id_col, F.sha2("bytes", 256).alias("fp"))
+             .join(index["fp"], "fp")
+             .groupBy(id_col)
+             .agg(F.min("old_id").alias("exact_old")))
+    survivors = new_items.join(exact, id_col, "left_anti")
+    new_sigs = _media_fp_pass(survivors, id_col, "sig", fingerprint_fn,
+                              decode_fn)
+    pairs = banded_hamming_probe(new_sigs, index["sig"], id_col,
+                                 "old_id", "sig", "med_a", "med_b",
+                                 max_hamming)
+    cand = gather_pair_payloads(
+        pairs, "med_a", "med_b",
+        survivors.select(id_col, "bytes"),
+        old_items.select(id_col, "bytes"),
+        id_col, F.col("bytes"), "bytes_a", "bytes_b")
+    schema = T.StructType([
+        T.StructField("med_a", T.StringType()),
+        T.StructField("med_b", T.StringType()),
+        T.StructField("hamming", T.IntegerType()),
+        T.StructField("same_shape", T.BooleanType()),
+        T.StructField(exact_col, T.BooleanType()),
+        T.StructField(value_col, T.DoubleType()),
+        T.StructField("verified", T.BooleanType()),
+    ])
+    verified = cand.mapInPandas(
+        _make_media_verifier(decode_fn, psnr_fn, "med_a", "med_b",
+                             exact_col, value_col, min_bar),
+        schema).where(F.col("verified"))
+    win = Window.partitionBy("med_a").orderBy(
+        F.col(exact_col).desc(),
+        F.col(value_col).desc_nulls_last(),
+        F.col("med_b").asc())
+    best = (verified
+            .withColumn("_rk", F.row_number().over(win))
+            .where(F.col("_rk") == 1)
+            .select(F.col("med_a").alias(id_col),
+                    F.col("med_b").alias("near_old"),
+                    "hamming", value_col))
+    return (new_items.select(id_col)
+            .join(exact, id_col, "left")
+            .join(best, id_col, "left")
+            .select(
+                id_col,
+                (F.col("exact_old").isNull()
+                 & F.col("near_old").isNull()).alias("keep"),
+                F.when(F.col("exact_old").isNotNull(), F.lit("exact"))
+                .when(F.col("near_old").isNotNull(), F.lit(match_label))
+                .alias("match_kind"),
+                F.coalesce("exact_old", "near_old").alias("matched_old"),
+                "hamming", value_col))
+
+
+def incremental_audio_dedup(new_audios: DataFrame, old_audios: DataFrame,
+                            max_hamming: int = 10,
+                            min_snr_db: float = 40.0,
+                            index: dict[str, DataFrame] | None = None,
+                            ) -> DataFrame:
+    """Dedup a NEW audio batch against the ACCEPTED corpus — the
+    incremental_image_dedup shape over PCM (exact sha2 tier, then
+    energy-hash banded probe + peak-SNR verify of survivors)."""
+    return _incremental_media_dedup(
+        new_audios, old_audios, "audio_id", audio_energy_hash,
+        decode_audio, audio_psnr, max_hamming, min_snr_db,
+        "exact_samples", "snr_db", "snr", index=index)
+
+
+def incremental_video_dedup(new_videos: DataFrame, old_videos: DataFrame,
+                            max_hamming: int = 10,
+                            min_psnr_db: float = 40.0,
+                            index: dict[str, DataFrame] | None = None,
+                            ) -> DataFrame:
+    """Dedup a NEW video batch against the ACCEPTED corpus — the same
+    incremental shape over frame stacks (temporal-hash banded probe +
+    frame-PSNR verify)."""
+    return _incremental_media_dedup(
+        new_videos, old_videos, "video_id", video_temporal_hash,
+        decode_video, video_psnr, max_hamming, min_psnr_db,
+        "exact_frames", "psnr_db", "psnr", index=index)
 
 
 def media_variant_dedup(items: DataFrame, verified_pairs: DataFrame,

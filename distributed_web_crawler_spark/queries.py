@@ -2370,6 +2370,43 @@ def video_psnr_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         videos, max_hamming=10, min_psnr=40.0)
 
 
+@q("incremental_audio_dedup",
+   lambda: _oracles.incremental_media_dedup_sql(
+       "aud", "audio_id", "snr_db", "snr", n=288, n_old=48, dup_mod=96,
+       max_hamming=10, min_bar=40.0))
+def incremental_audio_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New audio batch vs accepted history (the incremental_image_dedup
+    shape over PCM): the first 48 keys are the committed lossless
+    corpus; the incoming 240 carry ~71 dB light requantizes of history
+    groups (SNR-verified matches), ~23 dB heavies (proposed, REJECTED at
+    the bar) and novel groups (kept)."""
+    old_keys = _media_keys(spark, sf_dir, 48)
+    new_keys = _media_keys(spark, sf_dir, 288).join(
+        old_keys, "doc_id", "left_anti")
+    mk = multimodal.audios_for_keys(dup_mod=96, variant_shifts=(0, 4, 12))
+    return multimodal.incremental_audio_dedup(
+        new_keys.mapInPandas(mk, multimodal.SYNTH_AUDIO_SCHEMA),
+        old_keys.mapInPandas(mk, multimodal.SYNTH_AUDIO_SCHEMA),
+        max_hamming=10, min_snr_db=40.0)
+
+
+@q("incremental_video_dedup",
+   lambda: _oracles.incremental_media_dedup_sql(
+       "vid", "video_id", "psnr_db", "psnr", n=288, n_old=48, dup_mod=96,
+       max_hamming=10, min_bar=40.0))
+def incremental_video_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New video batch vs accepted history: temporal-hash banded probe +
+    frame-PSNR verify of survivors against the committed corpus."""
+    old_keys = _media_keys(spark, sf_dir, 48)
+    new_keys = _media_keys(spark, sf_dir, 288).join(
+        old_keys, "doc_id", "left_anti")
+    mk = multimodal.videos_for_keys(dup_mod=96, variant_shifts=(0, 1, 4))
+    return multimodal.incremental_video_dedup(
+        new_keys.mapInPandas(mk, multimodal.SYNTH_VIDEO_SCHEMA),
+        old_keys.mapInPandas(mk, multimodal.SYNTH_VIDEO_SCHEMA),
+        max_hamming=10, min_psnr_db=40.0)
+
+
 @q("audio_variant_dedup", lambda: _oracles.audio_variant_dedup_sql(
     n=288, dup_mod=96, max_hamming=10, min_snr_db=40.0))
 def audio_variant_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:

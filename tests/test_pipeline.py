@@ -1426,3 +1426,36 @@ def test_thumb_screen_soundness_and_edge_equality(spark):
         imgs, multimodal.phash_hamming_neardup(imgs, 10), 40.0).count()
     assert n_screened < n_banded
     imgs.unpersist()
+
+
+def test_incremental_audio_dedup_exact_and_near_tiers(spark):
+    """incremental_audio_dedup: byte-identical re-crawls hit the exact
+    sha2 tier (the fixture the oracle's distinct-shift corpus cannot
+    produce), light requantizes of history groups match via SNR, heavy
+    requantizes and novel groups are kept."""
+    old_ids = spark.createDataFrame([(i,) for i in range(4)],
+                                    "doc_id long")
+    new_ids = spark.createDataFrame([(i,) for i in range(2, 10)],
+                                    "doc_id long")
+    # groups of 2: ids g, g+2 (light shift-4), g+4... with dup_mod=2 and
+    # shifts (0, 4, 12): ids 0-1 pcm, 2-3 light, 4-5 heavy, 6+ wrap
+    mk = multimodal.audios_for_keys(dup_mod=2, variant_shifts=(0, 4, 12))
+    old = old_ids.mapInPandas(mk, multimodal.SYNTH_AUDIO_SCHEMA)
+    new = new_ids.mapInPandas(mk, multimodal.SYNTH_AUDIO_SCHEMA)
+    rows = {r["audio_id"]: r for r in
+            multimodal.incremental_audio_dedup(new, old).collect()}
+    assert len(rows) == 8
+    # ids 2,3 (light) exist in BOTH batches byte-identically -> exact
+    for i in (2, 3):
+        r = rows[f"aud-{i:08d}"]
+        assert not r["keep"] and r["match_kind"] == "exact"
+        assert r["matched_old"] == f"aud-{i:08d}"
+    # ids 4,5 are heavy requantizes of history pcm 0,1: proposed near
+    # the pcm but rejected at 40 dB -> kept
+    for i in (4, 5):
+        assert rows[f"aud-{i:08d}"]["keep"]
+    # ids 6,7 wrap to shift-0*... whatever their relation, the verdict
+    # must be consistent: kept XOR carries a match
+    for i in (6, 7, 8, 9):
+        r = rows[f"aud-{i:08d}"]
+        assert r["keep"] == (r["match_kind"] is None)
