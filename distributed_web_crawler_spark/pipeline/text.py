@@ -1145,6 +1145,69 @@ def sequence_packing_ffd(documents: DataFrame, ctx_len: int = 256,
     return staged.groupBy("shard").applyInPandas(pack, schema)
 
 
+def training_mix_stages(documents: DataFrame, quality_bar: float = 0.5,
+                        holdout_mod: int = 5, decontam_w: int = 8,
+                        quota_cap: int = 10) -> dict[str, DataFrame]:
+    """The text training-mix cost ladder as named stages (the text twin
+    of multimodal._mix_stages): lang/quality gate → exact dedup →
+    eval-split holdout → w-gram decontamination → per-source quota.
+    Shared by the training_mix flagship (which packs the final stage)
+    and training_mix_report (which counts every rung)."""
+    from .dedup import decontaminate_flags, exact_dedup
+
+    t = F.col("text")
+    h = word_hits(t)
+    scored = documents.select(
+        "doc_id", "source", "text",
+        lang_id(t, hits=h).alias("_lang"),
+        quality_score(t, hits=h).alias("_q"))
+    gated = (scored
+             .where((F.col("_lang") == "en") & (F.col("_q") >= quality_bar))
+             .select("doc_id", "source", "text"))
+    deduped = exact_dedup(gated)
+    train = deduped.where(F.col("doc_id") % holdout_mod != 0)
+    evald = documents.where(F.col("doc_id") % holdout_mod == 0)
+    contam = decontaminate_flags(train, evald, w=decontam_w) \
+        .select("doc_id")
+    clean = train.join(contam, "doc_id", "left_anti")
+    quota_ids = source_quota_sample(clean, cap=quota_cap) \
+        .select("doc_id")
+    final = clean.join(quota_ids, "doc_id")
+    return {"scored": scored, "gated": gated, "deduped": deduped,
+            "train": train, "clean": clean, "quota": final}
+
+
+def training_mix_report(documents: DataFrame) -> DataFrame:
+    """Dataset-card accounting for the TEXT training mix — the text twin
+    of multimodal.image_mix_report, the auditable "where did my corpus
+    go" table a 100 TB curation run publishes next to its packed
+    manifest. One row per pipeline rung (kind='stage': raw → gated →
+    deduped → train → clean → quota) plus the gate's rejection
+    breakdown (kind='reject': first-failing rule — non_en before
+    low_quality, the gate's own predicate order).
+
+    Scale shape: each rung's count is one partial agg over an id
+    projection of the shared stage ladder; the reject breakdown is a
+    map-only groupBy on the scored frame. Text crosses the plan once
+    per rung that needs it (the same stages the mix itself runs)."""
+    stages = training_mix_stages(documents)
+
+    def stage_count(df: DataFrame, key: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("rows")).select(
+            F.lit("stage").alias("kind"), F.lit(key).alias("key"), "rows")
+
+    out = stage_count(documents, "raw")
+    for key in ("gated", "deduped", "train", "clean", "quota"):
+        out = out.unionByName(stage_count(stages[key], key))
+    rejects = (stages["scored"]
+               .where(~((F.col("_lang") == "en") & (F.col("_q") >= 0.5)))
+               .select(F.when(F.col("_lang") != "en", F.lit("non_en"))
+                       .otherwise(F.lit("low_quality")).alias("key"))
+               .groupBy("key").agg(F.count(F.lit(1)).alias("rows"))
+               .select(F.lit("reject").alias("kind"), "key", "rows"))
+    return out.unionByName(rejects)
+
+
 def epoch_shuffle(documents: DataFrame, epoch: int,
                   n_shards: int = 8) -> DataFrame:
     """Deterministic per-epoch global training shuffle: order key =

@@ -1317,13 +1317,13 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptext.pii_scrub(_pii_docs(spark, sf_dir))
 
 
-def _training_mix_sql() -> str:
-    """The whole training-mix chain restated in SQL from the SHARED
-    per-stage mirrors: lang/quality gate (_lang_quality_ctes) → exact
-    dedup (QUALIFY min-id) → eval-split holdout + 8-gram decontamination
-    → per-source quota (XXH64-mirror rank VALUES) → sequence packing."""
-    return rf"""
-  WITH {_lang_quality_ctes('documents')},
+def _training_mix_ctes() -> str:
+    """The shared WITH-body of the training-mix chain: lang/quality gate
+    (_lang_quality_ctes) → exact dedup (QUALIFY min-id) → eval-split
+    holdout + 8-gram decontamination → per-source quota (XXH64-mirror
+    rank VALUES). Used by the training_mix oracle AND the
+    training_mix_report stage-count oracle."""
+    return rf"""{_lang_quality_ctes('documents')},
   kept AS (SELECT s.doc_id, d.source, s.text
            FROM scored s JOIN documents d USING (doc_id)
            WHERE s.lang_pred = 'en' AND s.quality >= 0.5),
@@ -1346,10 +1346,16 @@ def _training_mix_sql() -> str:
   clean AS (SELECT * FROM train
             WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
   h(doc_id, hk) AS (VALUES {_oracles.doc_hash_values()}),
-  quota AS (SELECT c.doc_id, c.text
+  quota AS (SELECT c.doc_id, c.source, c.text
             FROM clean c JOIN h USING (doc_id)
             QUALIFY row_number() OVER (PARTITION BY c.source
-                                       ORDER BY h.hk, c.doc_id) <= 10),
+                                       ORDER BY h.hk, c.doc_id) <= 10)"""
+
+
+def _training_mix_sql() -> str:
+    """training_mix = the shared chain + sequence packing."""
+    return rf"""
+  WITH {_training_mix_ctes()},
   staged AS (
     SELECT doc_id, doc_id % 8 AS shard,
            CAST(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS BIGINT)
@@ -1380,22 +1386,40 @@ def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     run; Catalyst stitches them — the gate fuses into the dedup scan,
     the decontamination probe is a broadcast join, the quota and packing
     windows are the only added exchanges."""
-    docs = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    h = ptext.word_hits(t)
-    gated = (docs.select("doc_id", "source", "text",
-                         ptext.lang_id(t, hits=h).alias("_lang"),
-                         ptext.quality_score(t, hits=h).alias("_q"))
-             .where((F.col("_lang") == "en") & (F.col("_q") >= 0.5))
-             .select("doc_id", "source", "text"))
-    deduped = pdedup.exact_dedup(gated)
-    train = deduped.where(F.col("doc_id") % 5 != 0)
-    evald = docs.where(F.col("doc_id") % 5 == 0)
-    contam = pdedup.decontaminate_flags(train, evald, w=8).select("doc_id")
-    clean = train.join(contam, "doc_id", "left_anti")
-    quota_ids = ptext.source_quota_sample(clean, cap=10).select("doc_id")
-    final = clean.join(quota_ids, "doc_id")
-    return ptext.sequence_packing(final, ctx_len=256, n_shards=8)
+    stages = ptext.training_mix_stages(_t(spark, sf_dir, "documents"))
+    return ptext.sequence_packing(stages["quota"], ctx_len=256,
+                                  n_shards=8)
+
+
+def _training_mix_report_sql() -> str:
+    """Stage/reject counts restated from the SAME shared CTE chain the
+    training_mix oracle uses — the two oracles cannot drift."""
+    return rf"""
+  WITH {_training_mix_ctes()}
+  SELECT 'stage' AS kind, 'raw' AS key,
+         CAST(count(*) AS BIGINT) AS rows FROM documents
+  UNION ALL SELECT 'stage', 'gated', CAST(count(*) AS BIGINT) FROM kept
+  UNION ALL SELECT 'stage', 'deduped', CAST(count(*) AS BIGINT) FROM dedup
+  UNION ALL SELECT 'stage', 'train', CAST(count(*) AS BIGINT) FROM train
+  UNION ALL SELECT 'stage', 'clean', CAST(count(*) AS BIGINT) FROM clean
+  UNION ALL SELECT 'stage', 'quota', CAST(count(*) AS BIGINT) FROM quota
+  UNION ALL
+  SELECT 'reject',
+         CASE WHEN lang_pred <> 'en' THEN 'non_en'
+              ELSE 'low_quality' END,
+         CAST(count(*) AS BIGINT)
+  FROM scored WHERE NOT (lang_pred = 'en' AND quality >= 0.5)
+  GROUP BY 2
+"""
+
+
+@q("training_mix_report", _training_mix_report_sql)
+def training_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card accounting for the text training mix: per-rung
+    surviving-row counts (raw -> gated -> deduped -> train -> clean ->
+    quota) plus the gate rejection breakdown, all counted from the SAME
+    stage ladder the flagship runs."""
+    return ptext.training_mix_report(_t(spark, sf_dir, "documents"))
 
 
 @q("corpus_drift", r"""
