@@ -739,6 +739,42 @@ def decontaminate_flags(documents: DataFrame, eval_documents: DataFrame,
                     .alias("hit_fraction")))
 
 
+def contamination_report(documents: DataFrame,
+                         eval_documents: DataFrame, w: int = 8,
+                         text_col: str = "text") -> DataFrame:
+    """The eval-side view of decontamination — per BENCHMARK document,
+    how badly it leaks into the training corpus: which eval docs a
+    benchmark owner must treat as compromised, and how much of each is
+    verbatim-recoverable. Returns one row per contaminated eval doc:
+    (eval_doc_id, n_train_docs, n_leaked_windows, n_windows,
+    leak_fraction) — n_train_docs = distinct training documents sharing
+    ≥1 verbatim w-gram, n_leaked_windows = the eval doc's own window
+    POSITIONS found anywhere in the corpus.
+
+    Scale shape: the eval windows (tiny) broadcast into a map-side join
+    over the corpus window stream — the corpus is scanned once with no
+    corpus-keyed shuffle; both aggregates run at matched-pair volume
+    (≪ corpus windows) keyed by eval doc. The window totals aggregate
+    the eval side alone."""
+    ev = (_window_fps(eval_documents, w, text_col)
+          .select(F.col("doc_id").alias("eval_doc_id"),
+                  F.col("pos").alias("eval_pos"), "h1", "h2"))
+    corpus = _window_fps(documents, w, text_col)
+    hits = corpus.join(F.broadcast(ev), ["h1", "h2"])
+    per_eval = (hits.groupBy("eval_doc_id")
+                .agg(F.countDistinct("doc_id").alias("n_train_docs"),
+                     F.countDistinct("eval_pos")
+                     .alias("n_leaked_windows")))
+    totals = (ev.groupBy("eval_doc_id")
+              .agg(F.count("*").alias("n_windows")))
+    return (per_eval.join(totals, "eval_doc_id")
+            .select("eval_doc_id", "n_train_docs", "n_leaked_windows",
+                    "n_windows",
+                    F.round(F.col("n_leaked_windows")
+                            / F.col("n_windows"), 6)
+                    .alias("leak_fraction")))
+
+
 def semantic_dedup(embeddings: DataFrame, n_lists: int = 16,
                    threshold: float = 0.9) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster

@@ -1738,6 +1738,44 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdedup.duplicate_span_stats(_t(spark, sf_dir, "documents"), w=8)
 
 
+@q("contamination_report", r"""
+  WITH dt AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS t
+    FROM documents),
+  ew AS (
+    SELECT doc_id AS eval_doc_id, i AS pos,
+           array_to_string(t[i:i + 7], ' ') AS key
+    FROM dt, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+    WHERE len(t) >= 8 AND doc_id % 5 = 0),
+  cw AS (
+    SELECT doc_id, array_to_string(t[i:i + 7], ' ') AS key
+    FROM dt, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+    WHERE len(t) >= 8 AND doc_id % 5 <> 0),
+  hits AS (
+    SELECT e.eval_doc_id, e.pos, c.doc_id
+    FROM cw c JOIN ew e USING (key)),
+  per AS (
+    SELECT eval_doc_id,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_train_docs,
+           CAST(count(DISTINCT pos) AS BIGINT) AS n_leaked_windows
+    FROM hits GROUP BY 1),
+  tot AS (SELECT eval_doc_id, CAST(count(*) AS BIGINT) AS n_windows
+          FROM ew GROUP BY 1)
+  SELECT p.eval_doc_id, p.n_train_docs, p.n_leaked_windows, t.n_windows,
+         round(CAST(p.n_leaked_windows AS DOUBLE) / t.n_windows, 6)
+           AS leak_fraction
+  FROM per p JOIN tot t USING (eval_doc_id)
+""")
+def contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side decontamination audit: per benchmark document, how many
+    train docs share a verbatim 8-gram with it and what fraction of its
+    own windows is verbatim-recoverable from the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return pdedup.contamination_report(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0), w=8)
+
+
 @q("decontaminate", r"""
   WITH dt AS (
     SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS t
