@@ -6,7 +6,7 @@ entry(spark)   — flagship 3-round BSP crawl over the deterministic
                  DataFrame (round, metric, value).
 queries()      — one callable per implemented operator from SURVEY.md §2 +
                  the training-data pipeline ops; (spark, sf_dir) → DataFrame.
-oracle_sql()   — matching DuckDB SQL for EVERY query (178/178, round 3).
+oracle_sql()   — matching DuckDB SQL for EVERY query (200/200, round 4).
                  Hash-seeded / Arrow-UDF / iterative ops that DuckDB cannot
                  evaluate directly get generated oracles: independent Python
                  mirrors (property-tested XXH64, the synthetic codec, the

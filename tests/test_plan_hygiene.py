@@ -54,6 +54,10 @@ SINGLE_PARTITION_OK = {
     "hybrid_rrf", "image_mix_report", "lm_perplexity", "mix_weights",
     "page_count",
     "pmi_collocations", "snapshot_expiry", "tfidf_topterms",
+    # dataset-card rollup: one row per pipeline rung — each rung's count
+    # partial-aggregates map-side and the single-partition exchange
+    # carries ~#partitions rows, the image_mix_report shape
+    "training_mix_report",
 }
 
 
