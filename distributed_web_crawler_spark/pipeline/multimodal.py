@@ -345,20 +345,27 @@ def image_thumb_sigs(images: DataFrame, t: int = THUMB_T) -> DataFrame:
 
 
 def thumb_screened_pairs(images: DataFrame, pairs: DataFrame,
-                         min_psnr: float, t: int = THUMB_T) -> DataFrame:
+                         min_psnr: float, t: int = THUMB_T,
+                         images_b: DataFrame | None = None,
+                         a_col: str = "img_a",
+                         b_col: str = "img_b") -> DataFrame:
     """Prune candidate pairs to the thumbnail-plausible subset: keep a
     pair iff shapes match AND its thumbnail PSNR (an upper bound on the
     full PSNR — see tier comment) clears min_psnr. Dropped pairs are
     PROVABLY not verifiable, so `where(verified)` consumers see identical
     results. ~1 KB sigs join at candidate volume; full payloads join only
     for survivors. The 1e-3 dB slack covers float32 sig storage (the
-    bound itself is exact in float64)."""
+    bound itself is exact in float64). ``images_b`` switches to the
+    cross-table probe shape (a-side ids from ``images``, b-side from
+    ``images_b`` — the incremental new-vs-history screen; at scale the
+    history side's sigs are the materialized index table)."""
     sigs = image_thumb_sigs(images, t)
+    sigs_b = sigs if images_b is None else image_thumb_sigs(images_b, t)
     cand = (
-        gather_pair_payloads(pairs, "img_a", "img_b", sigs, sigs,
+        gather_pair_payloads(pairs, a_col, b_col, sigs, sigs_b,
                              "image_id", F.struct("w", "h", "thumb"),
                              "_sa", "_sb")
-        .select("img_a", "img_b", "hamming",
+        .select(a_col, b_col, "hamming",
                 F.col("_sa.w").alias("w_a"), F.col("_sa.h").alias("h_a"),
                 F.col("_sa.thumb").alias("thumb_a"),
                 F.col("_sb.w").alias("w_b"), F.col("_sb.h").alias("h_b"),
@@ -384,15 +391,15 @@ def thumb_screened_pairs(images: DataFrame, pairs: DataFrame,
                 keep[i] = (mse == 0.0 or
                            20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
                            >= bar)
-            out = pdf.loc[keep, ["img_a", "img_b", "hamming"]]
+            out = pdf.loc[keep, [a_col, b_col, "hamming"]]
             yield pd.DataFrame({
-                "img_a": out["img_a"], "img_b": out["img_b"],
+                a_col: out[a_col], b_col: out[b_col],
                 "hamming": out["hamming"].astype("int32")})
 
     return cand.mapInPandas(
         screen,
-        T.StructType([T.StructField("img_a", T.StringType()),
-                      T.StructField("img_b", T.StringType()),
+        T.StructType([T.StructField(a_col, T.StringType()),
+                      T.StructField(b_col, T.StringType()),
                       T.StructField("hamming", T.IntegerType())]))
 
 
@@ -1517,7 +1524,8 @@ def image_history_index(old_images: DataFrame) -> dict[str, DataFrame]:
 def incremental_image_dedup(new_images: DataFrame,
                             old_images: DataFrame,
                             max_hamming: int = 10, min_psnr: float = 40.0,
-                            index: dict[str, DataFrame] | None = None
+                            index: dict[str, DataFrame] | None = None,
+                            prefilter: str | None = "thumb",
                             ) -> DataFrame:
     """Dedup a NEW image batch against the ACCEPTED corpus — the
     steady-state shape of a continuously-crawled text-image training
@@ -1554,11 +1562,17 @@ def incremental_image_dedup(new_images: DataFrame,
              .groupBy("image_id")
              .agg(F.min("old_id").alias("exact_old")))
     survivors = new_images.join(exact, "image_id", "left_anti")
+    probe_pairs = banded_hamming_probe(
+        survivors.select("image_id", "phash"), index["phash"],
+        "image_id", "old_id", "phash", "img_a", "img_b", max_hamming)
+    if prefilter == "thumb":
+        # cross-table thumbnail screen: provably non-verifiable
+        # candidates die on ~1 KB sigs before any payload byte moves
+        # (at scale the history side's sigs are a materialized index)
+        probe_pairs = thumb_screened_pairs(
+            survivors, probe_pairs, min_psnr, images_b=old_images)
     cand = gather_pair_payloads(
-        banded_hamming_probe(
-            survivors.select("image_id", "phash"), index["phash"],
-            "image_id", "old_id", "phash", "img_a", "img_b", max_hamming),
-        "img_a", "img_b",
+        probe_pairs, "img_a", "img_b",
         survivors.select("image_id", "bytes"),
         old_images.select("image_id", "bytes"),
         "image_id", F.col("bytes"), "bytes_a", "bytes_b")

@@ -1459,3 +1459,32 @@ def test_incremental_audio_dedup_exact_and_near_tiers(spark):
     for i in (6, 7, 8, 9):
         r = rows[f"aud-{i:08d}"]
         assert r["keep"] == (r["match_kind"] is None)
+
+
+def test_incremental_image_dedup_screen_equivalence(spark):
+    """The cross-table thumbnail screen in incremental_image_dedup must
+    be a pure prune: verdicts with the screen on equal the unscreened
+    run over a corpus with exact re-crawls, light re-encodes, heavy
+    requantizes and novel groups."""
+    from distributed_web_crawler_spark.config import SynthWebConfig
+    from distributed_web_crawler_spark.crawl.synthweb import (
+        SYNTH_IMAGE_SCHEMA, images_for_keys)
+    mk = images_for_keys(SynthWebConfig(), dup_mod=8,
+                         variant_fmts=("png", "jpeg", "jpeg16"))
+    old = spark.createDataFrame([(i,) for i in range(8)], "doc_id long") \
+        .mapInPandas(mk, SYNTH_IMAGE_SCHEMA)
+    new = spark.createDataFrame([(i,) for i in range(4, 24)],
+                                "doc_id long") \
+        .mapInPandas(mk, SYNTH_IMAGE_SCHEMA)
+
+    def verdicts(prefilter):
+        return sorted(
+            (r["image_id"], r["keep"], r["match_kind"], r["matched_old"])
+            for r in multimodal.incremental_image_dedup(
+                new, old, prefilter=prefilter).collect())
+
+    on, off = verdicts("thumb"), verdicts(None)
+    assert on == off and len(on) == 20
+    # the fixture has power: some matched, some kept
+    assert any(not k for _, k, _, _ in on)
+    assert any(k for _, k, _, _ in on)
