@@ -201,6 +201,21 @@ class CrawlConfig:
     def round_ts_ms(self, round_no: int) -> int:
         return self.epoch_ms + round_no * self.round_seconds * 1000
 
+    def __post_init__(self) -> None:
+        if self.robots_matching not in ("substring", "rfc9309"):
+            raise ValueError(
+                f"robots_matching={self.robots_matching!r}: expected "
+                "'substring' (reference parity) or 'rfc9309'")
+        if self.robots_ua_groups and self.robots_matching != "rfc9309":
+            # UA-group rules carry '*'/'$' pattern syntax; under the
+            # substring tier those characters are literals, so a
+            # selected group's patterns would silently mis-apply.
+            raise ValueError(
+                "robots_ua_groups=True requires robots_matching="
+                "'rfc9309': group-scoped patterns use wildcard/anchor "
+                "syntax the substring (reference-parity) tier treats "
+                "as literal characters")
+
 
 @dataclass(frozen=True)
 class SynthWebConfig:

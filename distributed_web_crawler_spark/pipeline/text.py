@@ -1177,7 +1177,9 @@ def training_mix_stages(documents: DataFrame, quality_bar: float = 0.5,
             "train": train, "clean": clean, "quota": final}
 
 
-def training_mix_report(documents: DataFrame) -> DataFrame:
+def training_mix_report(documents: DataFrame, quality_bar: float = 0.5,
+                        holdout_mod: int = 5, decontam_w: int = 8,
+                        quota_cap: int = 10) -> DataFrame:
     """Dataset-card accounting for the TEXT training mix — the text twin
     of multimodal.image_mix_report, the auditable "where did my corpus
     go" table a 100 TB curation run publishes next to its packed
@@ -1189,8 +1191,13 @@ def training_mix_report(documents: DataFrame) -> DataFrame:
     Scale shape: each rung's count is one partial agg over an id
     projection of the shared stage ladder; the reject breakdown is a
     map-only groupBy on the scored frame. Text crosses the plan once
-    per rung that needs it (the same stages the mix itself runs)."""
-    stages = training_mix_stages(documents)
+    per rung that needs it (the same stages the mix itself runs). Gate
+    params forward to training_mix_stages so the reject breakdown below
+    always uses the SAME quality bar as the stage counts."""
+    stages = training_mix_stages(documents, quality_bar=quality_bar,
+                                 holdout_mod=holdout_mod,
+                                 decontam_w=decontam_w,
+                                 quota_cap=quota_cap)
 
     def stage_count(df: DataFrame, key: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("rows")).select(
@@ -1200,7 +1207,8 @@ def training_mix_report(documents: DataFrame) -> DataFrame:
     for key in ("gated", "deduped", "train", "clean", "quota"):
         out = out.unionByName(stage_count(stages[key], key))
     rejects = (stages["scored"]
-               .where(~((F.col("_lang") == "en") & (F.col("_q") >= 0.5)))
+               .where(~((F.col("_lang") == "en")
+                        & (F.col("_q") >= quality_bar)))
                .select(F.when(F.col("_lang") != "en", F.lit("non_en"))
                        .otherwise(F.lit("low_quality")).alias("key"))
                .groupBy("key").agg(F.count(F.lit(1)).alias("rows"))

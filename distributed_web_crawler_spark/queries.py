@@ -6894,3 +6894,56 @@ def kafka_wire_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.kafka_bridge import frontier_to_json
 
     return frontier_to_json(_wire_frontier(spark, sf_dir))
+
+
+@q("kafka_instant_parse", """
+  WITH f AS (
+    SELECT o_orderkey AS k,
+           CAST(1700000000000 + o_orderkey % 86400000 AS BIGINT) AS base
+    FROM orders
+  )
+  SELECT
+    'http://h' || lpad(CAST(k % 20 AS VARCHAR), 4, '0')
+        || '.example.com/p/' || CAST(k AS VARCHAR)          AS url,
+    CAST(k % 4 AS INTEGER)                                  AS style,
+    CASE WHEN k % 4 = 0 THEN (base // 1000) * 1000
+         ELSE base END                                      AS discovered_at_ms
+  FROM f
+""")
+def kafka_instant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-precision Jackson ISO_INSTANT parsing: the reference's
+    ObjectMapper (JavaTimeModule, WRITE_DATES_AS_TIMESTAMPS off) writes
+    Instants with NO fraction for whole seconds and 6-9 digits for
+    Instant.now() — not the fixed 3 the bridge itself emits. This builds
+    CrawlRequest JSON with all four fraction styles (none / 3 / 6 / 9
+    digits) and pins that frontier_from_json recovers the ms-truncated
+    instant for every style (sub-ms digits truncate; whole-second style
+    floors to the second). Reference: queue/KafkaUrlQueue.java:47-56."""
+    from .sources.kafka_bridge import frontier_from_json
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = (F.lit(1_700_000_000_000) + k % 86_400_000).cast("long")
+    style = (k % 4).cast("int")
+    sec_str = F.date_format(F.timestamp_millis(base),
+                            "yyyy-MM-dd'T'HH:mm:ss")
+    mspart = F.lpad((base % 1000).cast("string"), 3, "0")
+    frac = (F.when(style == 0, F.lit(""))
+            .when(style == 1, F.concat(F.lit("."), mspart))
+            .when(style == 2, F.concat(F.lit("."), mspart, F.lit("456")))
+            .otherwise(F.concat(F.lit("."), mspart, F.lit("456789"))))
+    url = F.concat(F.lit("http://h"),
+                   F.lpad((k % 20).cast("string"), 4, "0"),
+                   F.lit(".example.com/p/"), k.cast("string"))
+    value = F.concat(
+        F.lit('{"url":"'), url,
+        F.lit('","depth":1,"discoveredAt":"'), sec_str, frac,
+        F.lit('Z","priority":1,"retryCount":0}'))
+    parsed = frontier_from_json(orders.select(value.alias("value")),
+                                round_no=0)
+    # style re-derives from the page id (from_json projects the frontier
+    # schema only, so it can't ride through the parse)
+    page_id = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    return parsed.select(
+        "url", (page_id % 4).cast("int").alias("style"),
+        "discovered_at_ms")

@@ -89,7 +89,13 @@ def frontier_from_json(values: DataFrame, round_no: int = 0,
     host = host_of(r["url"])  # X1, the engine's host extract
 
     def ms(s) -> Column:
-        return F.unix_millis(F.to_timestamp(s, _ISO_MS))
+        # Lenient on purpose: Jackson's ISO_INSTANT writes a VARIABLE
+        # fraction — none for whole seconds ('...:20Z'), 6-9 digits for
+        # Instant.now() — so a fixed .SSS pattern silently NULLs real
+        # reference-produced records. Spark's default parser accepts
+        # 0-9 fraction digits and 'Z'; unix_millis truncates to the
+        # bridge's ms grain.
+        return F.unix_millis(F.to_timestamp(s))
 
     return values.select(
         r["url"].alias("url"),
