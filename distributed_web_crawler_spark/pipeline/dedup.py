@@ -810,7 +810,8 @@ def semantic_dedup(embeddings: DataFrame, n_lists: int = 16,
                     F.col("_d").isNull().alias("keep")))
 
 
-def cross_doc_spans(documents: DataFrame, n: int = 6) -> DataFrame:
+def cross_doc_spans(documents: DataFrame, n: int = 6,
+                    key_mode: str = "fp") -> DataFrame:
     """Cross-document duplicate-span detection — the distributed analog
     of Lee et al. 2022's exact-substring dedup (suffix-array pass): for
     every document, how many of its n-token windows also appear verbatim
@@ -818,16 +819,27 @@ def cross_doc_spans(documents: DataFrame, n: int = 6) -> DataFrame:
     repetition): this is the cross-corpus boilerplate/mirror signal a
     training pipeline trims before near-dup passes even run.
 
-    Plan shape: one window explode → distinct(doc_id, gram) → a gram
+    Plan shape: one window explode → distinct(doc_id, key) → a key
     document-frequency agg → rejoin → per-doc rollup. Every stage is a
-    partial-aggregatable hash shuffle keyed on the gram; at 100 TB the
-    join key would be xxhash64(gram) (128-bit fingerprints shrink
-    shuffle bytes ~10×, collision odds ~n²/2^128 — the minhash_lsh
-    pattern), kept as the raw string here so the DuckDB oracle can
-    restate the whole operator relationally with zero mirrored values.
+    partial-aggregatable hash shuffle on the span key. key_mode picks
+    that key:
+
+    - "fp" (DEFAULT, the 100 TB path): the raw n-gram string is hashed
+      MAP-SIDE to a 128-bit fingerprint (two independent xxhash64, the
+      _shingle_fingerprints / minhash_lsh pattern) before any exchange,
+      so the distinct, the document-frequency agg and the rejoin all
+      shuffle fixed 16-byte keys instead of variable-length text
+      (~10× shuffle-byte shrink at n=6; double-collision odds
+      ~spans²/2^128 — the same accepted fingerprint argument as the
+      candidate joins).
+    - "gram": shuffles the raw strings; kept because the DuckDB oracle
+      restates THIS variant relationally with zero mirrored values, and
+      tests/test_sketches.py pins both variants result-equal.
 
     Returns (doc_id, total_spans, dup_spans, dup_frac) for documents
     with at least one duplicated span."""
+    if key_mode not in ("fp", "gram"):
+        raise ValueError(f"key_mode must be 'fp' or 'gram': {key_mode!r}")
     from .text import tokens as _tok
 
     t = _tok(F.lower(F.col("text")))
@@ -835,10 +847,17 @@ def cross_doc_spans(documents: DataFrame, n: int = 6) -> DataFrame:
         F.size(t) >= n,
         F.transform(F.sequence(F.lit(1), F.size(t) - n + 1),
                     lambda i: F.concat_ws(" ", F.slice(t, i, n))))
-    gd = (documents.select("doc_id", F.explode(grams).alias("gram"))
-          .distinct())
-    gdf = gd.groupBy("gram").agg(F.count(F.lit(1)).alias("ndocs"))
-    per = (gd.join(gdf, "gram")
+    raw = documents.select("doc_id", F.explode(grams).alias("gram"))
+    if key_mode == "fp":
+        keyed = raw.select("doc_id", F.xxhash64("gram").alias("k1"),
+                           F.xxhash64(F.lit(1), F.col("gram")).alias("k2"))
+        key_cols = ["k1", "k2"]
+    else:
+        keyed = raw.select("doc_id", F.col("gram").alias("k1"))
+        key_cols = ["k1"]
+    gd = keyed.distinct()
+    gdf = gd.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("ndocs"))
+    per = (gd.join(gdf, key_cols)
            .groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("total_spans"),
                 F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))

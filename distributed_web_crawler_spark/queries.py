@@ -3460,8 +3460,10 @@ def reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def cross_doc_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate 6-token spans (the Lee et al.
-    exact-substring dedup signal); fully-SQL oracle — the gram key
-    stays a raw string so DuckDB restates the whole operator."""
+    exact-substring dedup signal). Runs the SHIPPED fingerprint-keyed
+    path (key_mode='fp': 128-bit xxhash64 span keys on every exchange);
+    the DuckDB oracle restates the string-keyed semantics, which the
+    fp path matches exactly (tests/test_sketches.py pins equality)."""
     return pdedup.cross_doc_spans(_t(spark, sf_dir, "documents"), n=6)
 
 

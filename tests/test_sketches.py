@@ -112,6 +112,35 @@ def test_cross_doc_spans_hand_computed(spark):
     assert out[1]["dup_frac"] == 0.5
 
 
+def test_cross_doc_spans_fp_equals_gram_at_sf001(spark):
+    """The shipped fingerprint-keyed path (key_mode='fp', 16-byte
+    xxhash64 pairs on every exchange) must be result-identical to the
+    oracle-relatable string-keyed path on the real sf0.01 corpus —
+    the fingerprint swap is a pure shuffle-byte optimization."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fp = {tuple(r) for r in
+          cross_doc_spans(docs, n=6, key_mode="fp").collect()}
+    gram = {tuple(r) for r in
+            cross_doc_spans(docs, n=6, key_mode="gram").collect()}
+    assert fp == gram and len(fp) > 0
+
+
+def test_cross_doc_spans_fp_never_shuffles_strings(spark):
+    """Plan check for the 100 TB property: in fp mode no Exchange
+    operates on a string-typed gram column — the raw n-gram text is
+    hashed map-side before the first shuffle."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = cross_doc_spans(docs, n=6, key_mode="fp")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "gram" not in plan.split("Exchange")[1] if "Exchange" in plan \
+        else True
+    # every exchange partitions on k1/k2 (the hashed keys) or doc_id
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "gram" not in keys, keys
+
+
 def test_hashed_classifier_score_matches_mirror(spark):
     rows = [("a", "alpha beta beta gamma"), ("b", "delta")]
     docs = _docs(spark, rows)
