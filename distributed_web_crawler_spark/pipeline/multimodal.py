@@ -358,9 +358,32 @@ def thumb_screened_pairs(images: DataFrame, pairs: DataFrame,
     bound itself is exact in float64). ``images_b`` switches to the
     cross-table probe shape (a-side ids from ``images``, b-side from
     ``images_b`` — the incremental new-vs-history screen; at scale the
-    history side's sigs are the materialized index table)."""
-    sigs = image_thumb_sigs(images, t)
-    sigs_b = sigs if images_b is None else image_thumb_sigs(images_b, t)
+    history side's sigs are the materialized index table).
+
+    Sig computation is RESTRICTED to ids that actually appear in the
+    candidate pairs (a semi-join ahead of the decode mapInPandas) —
+    Catalyst cannot push a join below a Python map, so without this the
+    whole corpus on BOTH sides is decoded even when banding proposed a
+    handful of pairs; that was the round-4 incremental_image_dedup 1.6×
+    regression. Screen cost is therefore O(candidate ids + candidate
+    pairs), never O(corpus), which is what makes the screen safe to
+    leave on by default at any candidate volume. (At 10^10 the sig
+    table is materialized next to the phash index and the semi-join
+    prunes the index scan instead of the decode.)"""
+    if images_b is None:
+        ids = (pairs.select(F.col(a_col).alias("image_id"))
+               .union(pairs.select(F.col(b_col).alias("image_id")))
+               .distinct())
+        sigs = image_thumb_sigs(images.join(ids, "image_id", "left_semi"),
+                                t)
+        sigs_b = sigs
+    else:
+        ids_a = pairs.select(F.col(a_col).alias("image_id")).distinct()
+        ids_b = pairs.select(F.col(b_col).alias("image_id")).distinct()
+        sigs = image_thumb_sigs(
+            images.join(ids_a, "image_id", "left_semi"), t)
+        sigs_b = image_thumb_sigs(
+            images_b.join(ids_b, "image_id", "left_semi"), t)
     cand = (
         gather_pair_payloads(pairs, a_col, b_col, sigs, sigs_b,
                              "image_id", F.struct("w", "h", "thumb"),
@@ -1525,7 +1548,8 @@ def incremental_image_dedup(new_images: DataFrame,
                             old_images: DataFrame,
                             max_hamming: int = 10, min_psnr: float = 40.0,
                             index: dict[str, DataFrame] | None = None,
-                            prefilter: str | None = "thumb",
+                            prefilter: str | None = "auto",
+                            screen_min_pairs: int = 20_000,
                             ) -> DataFrame:
     """Dedup a NEW image batch against the ACCEPTED corpus — the
     steady-state shape of a continuously-crawled text-image training
@@ -1547,6 +1571,21 @@ def incremental_image_dedup(new_images: DataFrame,
     materialized tables) to skip re-hashing the history; old_images is
     still consulted for BYTES, but only at candidate volume.
 
+    ``prefilter`` controls the thumbnail screen rung between banding
+    and the payload gather: "thumb" always screens, None never does,
+    and "auto" (DEFAULT) counts the banded candidate pairs (the probe
+    frame is persisted, so the count is reused by the real pass — an
+    AQE-style runtime-stats decision) and engages the screen only at
+    ``screen_min_pairs`` or more. Rationale: the screen's win is
+    BANDWIDTH (≈1 KB sigs instead of 15-35 KB payloads at candidate
+    volume) but it costs ~6 fixed stages plus one decode per candidate
+    id, so below ~10⁴ pairs it loses to just gathering the bytes —
+    measured 4.8 s vs 2.6 s at sf0.1's ~500-pair probe, while the
+    self-join tier at real candidate volume measured +43% throughput
+    WITH the screen (BENCH_scaling_mix_r4). Output is identical either
+    way (the screen is provably sound), so the gate is a pure runtime
+    decision.
+
     Returns one row per new image: (image_id, keep, match_kind
     'exact'|'psnr'|null, matched_old, hamming, psnr_db). hamming/psnr
     are NULL for exact-byte matches (tier 2 never sees them); psnr is
@@ -1554,6 +1593,9 @@ def incremental_image_dedup(new_images: DataFrame,
     identical pixels)."""
     from pyspark.sql import Window
 
+    if prefilter not in (None, "thumb", "auto"):
+        raise ValueError(f"prefilter must be None, 'thumb' or 'auto': "
+                         f"{prefilter!r}")
     if index is None:
         index = image_history_index(old_images)
     exact = (new_images
@@ -1565,7 +1607,11 @@ def incremental_image_dedup(new_images: DataFrame,
     probe_pairs = banded_hamming_probe(
         survivors.select("image_id", "phash"), index["phash"],
         "image_id", "old_id", "phash", "img_a", "img_b", max_hamming)
-    if prefilter == "thumb":
+    use_screen = prefilter == "thumb"
+    if prefilter == "auto":
+        probe_pairs = probe_pairs.persist()
+        use_screen = probe_pairs.count() >= screen_min_pairs
+    if use_screen:
         # cross-table thumbnail screen: provably non-verifiable
         # candidates die on ~1 KB sigs before any payload byte moves
         # (at scale the history side's sigs are a materialized index)

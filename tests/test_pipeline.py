@@ -1488,3 +1488,33 @@ def test_incremental_image_dedup_screen_equivalence(spark):
     # the fixture has power: some matched, some kept
     assert any(not k for _, k, _, _ in on)
     assert any(k for _, k, _, _ in on)
+
+
+def test_incremental_image_dedup_auto_gate(spark):
+    """prefilter='auto' is a runtime volume gate, never a semantics
+    change: whichever side of screen_min_pairs the banded candidate
+    count lands on, verdicts equal the unscreened run."""
+    from distributed_web_crawler_spark.config import SynthWebConfig
+    from distributed_web_crawler_spark.crawl.synthweb import (
+        SYNTH_IMAGE_SCHEMA, images_for_keys)
+    import pytest
+    mk = images_for_keys(SynthWebConfig(), dup_mod=8,
+                         variant_fmts=("png", "jpeg", "jpeg16"))
+    old = spark.createDataFrame([(i,) for i in range(8)], "doc_id long") \
+        .mapInPandas(mk, SYNTH_IMAGE_SCHEMA)
+    new = spark.createDataFrame([(i,) for i in range(4, 24)],
+                                "doc_id long") \
+        .mapInPandas(mk, SYNTH_IMAGE_SCHEMA)
+
+    def verdicts(**kw):
+        return sorted(
+            (r["image_id"], r["keep"], r["match_kind"], r["matched_old"])
+            for r in multimodal.incremental_image_dedup(
+                new, old, **kw).collect())
+
+    base = verdicts(prefilter=None)
+    # below the gate: screen stays off; above (min_pairs=0): forced on
+    assert verdicts(prefilter="auto") == base
+    assert verdicts(prefilter="auto", screen_min_pairs=0) == base
+    with pytest.raises(ValueError):
+        multimodal.incremental_image_dedup(new, old, prefilter="bogus")
