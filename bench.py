@@ -248,6 +248,27 @@ def crawl_job(cores: int, store: str, rounds: int = 4,
     return stats
 
 
+def _shuffle_bytes(spark) -> tuple[int, int]:
+    """Total shuffle (write, read) bytes across this app's stages so
+    far, via AppStatusStore — the bandwidth counter the scaling-mix
+    report publishes so byte-movement wins (e.g. the media screen tier
+    replacing payload gathers with ~1 KB sigs) are measured, not
+    argued. Call before/after a timed region and difference."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    jvm = sc._jvm
+    stages = store.stageList(jvm.java.util.ArrayList(), False, False,
+                             sc._gateway.new_array(jvm.double, 0),
+                             jvm.java.util.ArrayList())
+    w = r = 0
+    it = stages.iterator()
+    while it.hasNext():
+        s = it.next()
+        w += s.shuffleWriteBytes()
+        r += s.shuffleReadBytes()
+    return w, r
+
+
 def mix_job(cores: int, n_images: int = 4096,
             dup_mod: int | None = None) -> dict:
     """One image-pipeline benchmark: image_training_mix (curation →
@@ -292,10 +313,12 @@ def mix_job(cores: int, n_images: int = 4096,
                         variant_fmts=("png", "jpeg", "jpeg16", "png")),
         SYNTH_IMAGE_SCHEMA).persist(StorageLevel.MEMORY_AND_DISK)
     n_in = imgs.count()
+    w0, r0 = _shuffle_bytes(spark)
     t0 = time.time()
     n_out = image_training_mix(imgs, max_hamming=10, min_psnr=40.0,
                                batch_size=8, n_shards=16).count()
     wall = time.time() - t0
+    w1, r1 = _shuffle_bytes(spark)
     imgs.unpersist()
     return {
         "cores": cores,
@@ -303,6 +326,8 @@ def mix_job(cores: int, n_images: int = 4096,
         "manifest_rows": n_out,
         "wall_sec": round(wall, 3),
         "images_per_sec": round(n_in / wall, 2),
+        "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+        "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
     }
 
 

@@ -700,7 +700,8 @@ AUDIO_SNR_SCHEMA = T.StructType([
 
 
 def audio_snr_verified_neardup(audios: DataFrame, max_hamming: int = 10,
-                               min_snr_db: float = 40.0) -> DataFrame:
+                               min_snr_db: float = 40.0,
+                               prefilter: str | None = None) -> DataFrame:
     """Two-tier audio near-dup — the psnr_verified_neardup pattern over
     PCM: a cheap 64-bit energy fingerprint PROPOSES via a banded Hamming
     join, decoded samples VERIFY at the peak-SNR bar. A light requantize
@@ -713,14 +714,19 @@ def audio_snr_verified_neardup(audios: DataFrame, max_hamming: int = 10,
     payload moves; bytes join at CANDIDATE volume only; the sample
     compare is a map-only Arrow batch walk with snr rounded at 1e-6 so
     the verdict is engine-exact vs the codec mirror. Different
-    (length, rate) ⇒ unverifiable (never a dup)."""
+    (length, rate) ⇒ unverifiable (never a dup).
+
+    ``prefilter="screen"`` inserts the block-mean screen rung (AUDIO
+    descriptor of the shared media screen tier) — identical verified
+    edges, unverifiable candidate rows dropped pre-byte-gather; "auto"
+    gates on banded candidate volume."""
     return _verified_pairs(
         audios, id_col="audio_id", a_col="aud_a", b_col="aud_b",
         sig_col="ahash", fingerprint_fn=audio_energy_hash,
         decode_fn=decode_audio, psnr_fn=audio_psnr,
         max_hamming=max_hamming, min_bar=min_snr_db,
         out_schema=AUDIO_SNR_SCHEMA, exact_col="exact_samples",
-        value_col="snr_db")
+        value_col="snr_db", screen=AUDIO_SCREEN, prefilter=prefilter)
 
 
 def banded_hamming_pairs(sigs: DataFrame, id_col: str, sig_col: str,
@@ -847,20 +853,217 @@ def _make_media_verifier(decode_fn, psnr_fn, a_col: str, b_col: str,
     return verify
 
 
+# -- audio/video screen tier -------------------------------------------------
+# The image thumbnail screen generalized to every opaque modality: a
+# coarse BLOCK-MEAN signature (float32, ~1 KB) joined at candidate
+# volume instead of the payload bytes, rejecting pairs that PROVABLY
+# cannot reach the verify bar. Soundness is the same Jensen argument as
+# the image tier (multimodal.py thumbnail-screen comment): with both
+# payloads reduced by the SAME fixed partition of the sample/pixel
+# domain, count-weighted MSE over block-mean differences is ≤ the full
+# MSE, hence the screen's PSNR/SNR upper-bounds the full verify —
+# screen < bar ⇒ the decode-compare fails too. Audio partitions the PCM
+# stream into ≤256 sample blocks; video partitions every frame into an
+# 8×8 block grid (a per-frame partition of the n·h·w pixel domain, so
+# temporal structure is preserved frame-by-frame). Meta-mismatched pairs
+# (length/rate, n/h/w/fps) are never verifiable and drop on the slim
+# meta columns without decoding anything.
+
+AUDIO_SCREEN_K = 256  # PCM sample blocks per signature
+VIDEO_SCREEN_T = 8    # per-frame block-grid side
+
+
+def audio_screen_means(pcm: np.ndarray,
+                       k: int = AUDIO_SCREEN_K) -> np.ndarray:
+    """Count-exact block means over ≤k equal PCM windows, float64."""
+    n = len(pcm)
+    kk = max(1, min(k, n))
+    bounds = np.linspace(0, n, kk + 1).astype(np.int64)
+    sums = np.add.reduceat(pcm.astype(np.float64), bounds[:-1])
+    return sums / np.diff(bounds)
+
+
+def _audio_screen_counts(n: int, k: int = AUDIO_SCREEN_K) -> np.ndarray:
+    kk = max(1, min(k, n))
+    return np.diff(np.linspace(0, n, kk + 1).astype(np.int64)) \
+        .astype(np.float64)
+
+
+def video_screen_means(frames: np.ndarray,
+                       t: int = VIDEO_SCREEN_T) -> np.ndarray:
+    """Per-frame t×t block means (the thumbnail grid applied to every
+    frame), concatenated along time — one fixed partition of the full
+    n·h·w pixel domain."""
+    return np.concatenate(
+        [thumb_block_means(f, t).ravel() for f in frames])
+
+
+def _video_screen_counts(n: int, h: int, w: int,
+                         t: int = VIDEO_SCREEN_T) -> np.ndarray:
+    ys, xs = _thumb_grid(h, w, t)
+    per = np.outer(np.diff(ys), np.diff(xs)).ravel().astype(np.float64)
+    return np.tile(per, n)
+
+
+def _audio_screen_row(buf: bytes):
+    pcm, rate = decode_audio(buf)
+    return (len(pcm), int(rate), 0, 0), audio_screen_means(pcm)
+
+
+def _video_screen_row(buf: bytes):
+    frames, fps = decode_video(buf)
+    n, h, w = frames.shape
+    return (int(n), int(h), int(w), int(fps)), video_screen_means(frames)
+
+
+# modality descriptors: the decode→(meta, block-means) row function, the
+# meta→block-count reconstruction, and the PSNR peak reference
+AUDIO_SCREEN = {"row": _audio_screen_row,
+                "counts": lambda m: _audio_screen_counts(int(m[0])),
+                "peak": 32767.0}
+VIDEO_SCREEN = {"row": _video_screen_row,
+                "counts": lambda m: _video_screen_counts(
+                    int(m[0]), int(m[1]), int(m[2])),
+                "peak": 255.0}
+
+
+def media_screen_sigs(items: DataFrame, id_col: str, row_fn) -> DataFrame:
+    """One decode per item → (id, m0..m3 meta ints, float32 block-mean
+    signature): the screen tier's signature table. At 10^10 this is
+    MATERIALIZED next to the banding signature index (both are per-item
+    signatures) so re-screens never re-decode the corpus."""
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: [], "m0": [], "m1": [], "m2": [], "m3": [],
+                   "sig": []}
+            for iid, buf in zip(pdf[id_col], pdf["bytes"]):
+                meta, means = row_fn(bytes(buf))
+                out[id_col].append(iid)
+                for j in range(4):
+                    out[f"m{j}"].append(meta[j])
+                out["sig"].append(means.astype(np.float32).tobytes())
+            yield pd.DataFrame({
+                id_col: out[id_col],
+                **{f"m{j}": pd.array(out[f"m{j}"], dtype="Int32")
+                   for j in range(4)},
+                "sig": out["sig"]})
+
+    return items.select(id_col, "bytes").mapInPandas(
+        sigs, f"{id_col} string, m0 int, m1 int, m2 int, m3 int, "
+              f"sig binary")
+
+
+def media_screened_pairs(items: DataFrame, pairs: DataFrame,
+                         min_bar: float, screen: dict,
+                         id_col: str, a_col: str, b_col: str,
+                         items_b: DataFrame | None = None) -> DataFrame:
+    """Prune candidate (a, b, hamming) pairs to the screen-plausible
+    subset for any opaque modality: keep a pair iff metas match AND the
+    block-mean PSNR bound clears min_bar (1e-3 dB slack for float32 sig
+    storage; the bound itself is exact in float64). Dropped pairs are
+    PROVABLY unverifiable, so `where(verified)` consumers see identical
+    results. Sig computation is semi-join-restricted to ids that appear
+    in the pairs (the image-screen lesson: Catalyst can't push a join
+    below mapInPandas, so without this both corpora decode wholesale)."""
+    if items_b is None:
+        ids = (pairs.select(F.col(a_col).alias(id_col))
+               .union(pairs.select(F.col(b_col).alias(id_col)))
+               .distinct())
+        sigs = media_screen_sigs(
+            items.join(ids, id_col, "left_semi"), id_col, screen["row"])
+        sigs_b = sigs
+    else:
+        ids_a = pairs.select(F.col(a_col).alias(id_col)).distinct()
+        ids_b = pairs.select(F.col(b_col).alias(id_col)).distinct()
+        sigs = media_screen_sigs(
+            items.join(ids_a, id_col, "left_semi"), id_col,
+            screen["row"])
+        sigs_b = media_screen_sigs(
+            items_b.join(ids_b, id_col, "left_semi"), id_col,
+            screen["row"])
+
+    cand = (
+        gather_pair_payloads(pairs, a_col, b_col, sigs, sigs_b, id_col,
+                             F.struct("m0", "m1", "m2", "m3", "sig"),
+                             "_sa", "_sb")
+        # meta mismatch ⇒ never verified: drop on slim columns
+        .where((F.col("_sa.m0") == F.col("_sb.m0"))
+               & (F.col("_sa.m1") == F.col("_sb.m1"))
+               & (F.col("_sa.m2") == F.col("_sb.m2"))
+               & (F.col("_sa.m3") == F.col("_sb.m3")))
+        .select(a_col, b_col, "hamming",
+                F.col("_sa.m0").alias("m0"), F.col("_sa.m1").alias("m1"),
+                F.col("_sa.m2").alias("m2"),
+                F.col("_sa.sig").alias("sig_a"),
+                F.col("_sb.sig").alias("sig_b")))
+
+    bar = min_bar - 1e-3
+    counts_fn, peak = screen["counts"], screen["peak"]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = np.zeros(len(pdf), dtype=bool)
+            for i, (sa, sb, m0, m1, m2) in enumerate(zip(
+                    pdf["sig_a"], pdf["sig_b"],
+                    pdf["m0"], pdf["m1"], pdf["m2"])):
+                ma = np.frombuffer(sa, dtype=np.float32).astype(np.float64)
+                mb = np.frombuffer(sb, dtype=np.float32).astype(np.float64)
+                cnts = counts_fn((m0, m1, m2))
+                d = ma - mb
+                mse = float((cnts * d * d).sum() / cnts.sum())
+                keep[i] = (mse == 0.0 or
+                           20.0 * np.log10(peak) - 10.0 * np.log10(mse)
+                           >= bar)
+            out = pdf.loc[keep, [a_col, b_col, "hamming"]]
+            yield pd.DataFrame({
+                a_col: out[a_col], b_col: out[b_col],
+                "hamming": out["hamming"].astype("int32")})
+
+    return cand.mapInPandas(
+        kernel,
+        T.StructType([T.StructField(a_col, T.StringType()),
+                      T.StructField(b_col, T.StringType()),
+                      T.StructField("hamming", T.IntegerType())]))
+
+
 def _verified_pairs(items: DataFrame, id_col: str, a_col: str,
                     b_col: str, sig_col: str, fingerprint_fn,
                     decode_fn, psnr_fn, max_hamming: int,
                     min_bar: float, out_schema: T.StructType,
-                    exact_col: str, value_col: str) -> DataFrame:
+                    exact_col: str, value_col: str,
+                    screen: dict | None = None,
+                    prefilter: str | None = None,
+                    screen_min_pairs: int = 20_000) -> DataFrame:
     """The shared two-tier engine for opaque media: an Arrow fingerprint
     pass → banded_hamming_pairs proposal → payload bytes gathered at
     CANDIDATE volume (gather_pair_payloads — the corpus never
     broadcasts or shuffles) → an Arrow decode-compare verify at the
-    quality bar."""
+    quality bar.
+
+    ``prefilter`` (requires a ``screen`` descriptor): "screen" inserts
+    the block-mean screen rung between banding and the byte gather —
+    provably-unverifiable pairs die on ~1 KB sigs before any payload
+    byte moves, so the VERIFIED edge set is unchanged but unverifiable
+    candidate rows disappear from the output (use None for
+    candidate-level accounting, the screen for `where(verified)` edge
+    consumers). "auto" engages the screen only when the banded
+    candidate count reaches screen_min_pairs (the persisted-count gate
+    of incremental_image_dedup)."""
+    if prefilter not in (None, "screen", "auto"):
+        raise ValueError(f"prefilter must be None, 'screen' or 'auto': "
+                         f"{prefilter!r}")
     sigs = _media_fp_pass(items, id_col, sig_col, fingerprint_fn,
                           decode_fn)
     pairs = banded_hamming_pairs(sigs, id_col, sig_col, a_col, b_col,
                                  max_hamming)
+    use_screen = prefilter == "screen"
+    if prefilter == "auto":
+        pairs = pairs.persist()
+        use_screen = pairs.count() >= screen_min_pairs
+    if use_screen:
+        pairs = media_screened_pairs(items, pairs, min_bar, screen,
+                                     id_col, a_col, b_col)
     payload = items.select(id_col, "bytes")
     cand = gather_pair_payloads(pairs, a_col, b_col, payload, payload,
                                 id_col, F.col("bytes"),
@@ -893,6 +1096,9 @@ def _incremental_media_dedup(new_items: DataFrame, old_items: DataFrame,
                              exact_col: str, value_col: str,
                              match_label: str,
                              index: dict[str, DataFrame] | None = None,
+                             screen: dict | None = None,
+                             prefilter: str | None = None,
+                             screen_min_pairs: int = 20_000,
                              ) -> DataFrame:
     """Generic new-batch-vs-accepted-corpus media dedup — the
     incremental_image_dedup shape for ANY opaque payload: exact sha2
@@ -902,9 +1108,19 @@ def _incremental_media_dedup(new_items: DataFrame, old_items: DataFrame,
     bytes gathered at candidate volume (new + history tables
     role-tagged, both stream), best verified match per new item wins.
     Returns (id, keep, match_kind ∈ {exact, <match_label>, null},
-    matched_old, hamming, <value_col>)."""
+    matched_old, hamming, <value_col>).
+
+    ``prefilter`` (with a ``screen`` descriptor) inserts the block-mean
+    screen rung between the banded probe and the byte gather; the
+    output is per-item verdicts AFTER `where(verified)`, so the screen
+    never changes results here. "auto" (the incremental_image_dedup
+    gate) counts the persisted probe frame and screens only at
+    ≥ screen_min_pairs candidates."""
     from pyspark.sql import Window
 
+    if prefilter not in (None, "screen", "auto"):
+        raise ValueError(f"prefilter must be None, 'screen' or 'auto': "
+                         f"{prefilter!r}")
     if index is None:
         index = media_history_index(old_items, id_col, fingerprint_fn,
                                     decode_fn)
@@ -919,6 +1135,14 @@ def _incremental_media_dedup(new_items: DataFrame, old_items: DataFrame,
     pairs = banded_hamming_probe(new_sigs, index["sig"], id_col,
                                  "old_id", "sig", "med_a", "med_b",
                                  max_hamming)
+    use_screen = prefilter == "screen"
+    if prefilter == "auto":
+        pairs = pairs.persist()
+        use_screen = pairs.count() >= screen_min_pairs
+    if use_screen:
+        pairs = media_screened_pairs(
+            survivors, pairs, min_bar, screen, id_col, "med_a", "med_b",
+            items_b=old_items.select(id_col, "bytes"))
     cand = gather_pair_payloads(
         pairs, "med_a", "med_b",
         survivors.select(id_col, "bytes"),
@@ -965,28 +1189,40 @@ def incremental_audio_dedup(new_audios: DataFrame, old_audios: DataFrame,
                             max_hamming: int = 10,
                             min_snr_db: float = 40.0,
                             index: dict[str, DataFrame] | None = None,
+                            prefilter: str | None = "auto",
+                            screen_min_pairs: int = 20_000,
                             ) -> DataFrame:
     """Dedup a NEW audio batch against the ACCEPTED corpus — the
     incremental_image_dedup shape over PCM (exact sha2 tier, then
-    energy-hash banded probe + peak-SNR verify of survivors)."""
+    energy-hash banded probe + peak-SNR verify of survivors). The
+    block-mean screen rung engages automatically at candidate volume
+    (prefilter='auto'; output identical either way)."""
     return _incremental_media_dedup(
         new_audios, old_audios, "audio_id", audio_energy_hash,
         decode_audio, audio_psnr, max_hamming, min_snr_db,
-        "exact_samples", "snr_db", "snr", index=index)
+        "exact_samples", "snr_db", "snr", index=index,
+        screen=AUDIO_SCREEN, prefilter=prefilter,
+        screen_min_pairs=screen_min_pairs)
 
 
 def incremental_video_dedup(new_videos: DataFrame, old_videos: DataFrame,
                             max_hamming: int = 10,
                             min_psnr_db: float = 40.0,
                             index: dict[str, DataFrame] | None = None,
+                            prefilter: str | None = "auto",
+                            screen_min_pairs: int = 20_000,
                             ) -> DataFrame:
     """Dedup a NEW video batch against the ACCEPTED corpus — the same
     incremental shape over frame stacks (temporal-hash banded probe +
-    frame-PSNR verify)."""
+    frame-PSNR verify). The per-frame block-mean screen rung engages
+    automatically at candidate volume (prefilter='auto'; output
+    identical either way)."""
     return _incremental_media_dedup(
         new_videos, old_videos, "video_id", video_temporal_hash,
         decode_video, video_psnr, max_hamming, min_psnr_db,
-        "exact_frames", "psnr_db", "psnr", index=index)
+        "exact_frames", "psnr_db", "psnr", index=index,
+        screen=VIDEO_SCREEN, prefilter=prefilter,
+        screen_min_pairs=screen_min_pairs)
 
 
 def media_variant_dedup(items: DataFrame, verified_pairs: DataFrame,
@@ -1049,7 +1285,8 @@ VIDEO_PSNR_SCHEMA = T.StructType([
 
 
 def video_psnr_verified_neardup(videos: DataFrame, max_hamming: int = 10,
-                                min_psnr: float = 40.0) -> DataFrame:
+                                min_psnr: float = 40.0,
+                                prefilter: str | None = None) -> DataFrame:
     """Two-tier video near-dup — the psnr_neardup pattern on frame
     streams: spatiotemporal energy fingerprints PROPOSE via a banded
     Hamming join, decoded frames VERIFY at the 40 dB bar. A light
@@ -1057,14 +1294,19 @@ def video_psnr_verified_neardup(videos: DataFrame, max_hamming: int = 10,
     bits away yet is REJECTED. Same scale shape as the image/audio
     tiers (the shared _verified_pairs engine): fingerprints map-only,
     bytes join at candidate volume, the frame compare a map-only Arrow
-    walk; (fps, n, h, w) mismatch ⇒ unverifiable."""
+    walk; (fps, n, h, w) mismatch ⇒ unverifiable.
+
+    ``prefilter="screen"`` inserts the per-frame block-mean screen rung
+    (VIDEO descriptor of the shared media screen tier) — identical
+    verified edges, unverifiable candidate rows dropped pre-byte-gather;
+    "auto" gates on banded candidate volume."""
     return _verified_pairs(
         videos, id_col="video_id", a_col="vid_a", b_col="vid_b",
         sig_col="vhash", fingerprint_fn=video_temporal_hash,
         decode_fn=decode_video, psnr_fn=video_psnr,
         max_hamming=max_hamming, min_bar=min_psnr,
         out_schema=VIDEO_PSNR_SCHEMA, exact_col="exact_frames",
-        value_col="psnr_db")
+        value_col="psnr_db", screen=VIDEO_SCREEN, prefilter=prefilter)
 
 
 def videos_for_keys(seed: int = 42, dup_mod: int = 0,

@@ -2480,7 +2480,7 @@ def audio_variant_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.audios_for_keys(dup_mod=96, variant_shifts=(0, 4, 12)),
         multimodal.SYNTH_AUDIO_SCHEMA)
     pairs = (multimodal.audio_snr_verified_neardup(
-        audios, max_hamming=10, min_snr_db=40.0)
+        audios, max_hamming=10, min_snr_db=40.0, prefilter="auto")
         .where(F.col("verified")).select("aud_a", "aud_b"))
     return multimodal.media_variant_dedup(
         audios, pairs, id_col="audio_id", a_col="aud_a", b_col="aud_b")
@@ -2495,7 +2495,7 @@ def video_variant_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.videos_for_keys(dup_mod=96, variant_shifts=(0, 1, 4)),
         multimodal.SYNTH_VIDEO_SCHEMA)
     pairs = (multimodal.video_psnr_verified_neardup(
-        videos, max_hamming=10, min_psnr=40.0)
+        videos, max_hamming=10, min_psnr=40.0, prefilter="auto")
         .where(F.col("verified")).select("vid_a", "vid_b"))
     return multimodal.media_variant_dedup(
         videos, pairs, id_col="video_id", a_col="vid_a", b_col="vid_b")

@@ -1428,6 +1428,123 @@ def test_thumb_screen_soundness_and_edge_equality(spark):
     imgs.unpersist()
 
 
+def test_audio_video_screen_soundness_and_edge_equality(spark):
+    """The block-mean screen rung for audio and video (the thumbnail
+    screen generalized): (a) the screen PSNR/SNR upper-bounds the full
+    decode-compare (Jensen over the fixed block partition), so (b)
+    verified edges with the screen on equal the unscreened run, and
+    (c) the screen genuinely prunes candidates on the variant corpus
+    (heavy requantizes die on sigs before any payload byte moves)."""
+    import numpy as np
+
+    # (a) direct bound check on decoded payloads
+    rng_keys = list(range(12))
+    for modality, mk, schema, dec, pfn, means, counts, peak in [
+        ("audio",
+         multimodal.audios_for_keys(dup_mod=4, variant_shifts=(0, 4, 12)),
+         multimodal.SYNTH_AUDIO_SCHEMA, multimodal.decode_audio,
+         multimodal.audio_psnr, multimodal.audio_screen_means,
+         lambda p: multimodal._audio_screen_counts(len(p)), 32767.0),
+        ("video",
+         multimodal.videos_for_keys(dup_mod=4, variant_shifts=(0, 1, 4)),
+         multimodal.SYNTH_VIDEO_SCHEMA, multimodal.decode_video,
+         multimodal.video_psnr, multimodal.video_screen_means,
+         lambda p: multimodal._video_screen_counts(*p.shape), 255.0),
+    ]:
+        items = spark.createDataFrame([(i,) for i in rng_keys],
+                                      "doc_id long").mapInPandas(mk, schema)
+        payloads = [dec(bytes(r["bytes"])) for r in items.collect()]
+        checked = 0
+        for i in range(len(payloads)):
+            for j in range(i + 1, len(payloads)):
+                (pa, ma), (pb, mb) = payloads[i], payloads[j]
+                if pa.shape != pb.shape or ma != mb:
+                    continue
+                full = pfn(pa, pb)
+                d = means(pa) - means(pb)
+                cnts = counts(pa)
+                mse = float((cnts * d * d).sum() / cnts.sum())
+                bound = float("inf") if mse == 0.0 else \
+                    20.0 * np.log10(peak) - 10.0 * np.log10(mse)
+                assert bound >= full - 1e-9, (modality, i, j, bound, full)
+                checked += 1
+        assert checked > 4, modality
+
+    # (b)+(c) audio: edge equality + pruning
+    aud = spark.createDataFrame([(i,) for i in range(24)], "doc_id long") \
+        .mapInPandas(multimodal.audios_for_keys(
+            dup_mod=8, variant_shifts=(0, 4, 12)),
+            multimodal.SYNTH_AUDIO_SCHEMA).cache()
+
+    def a_edges(prefilter):
+        return {(r["aud_a"], r["aud_b"]) for r in
+                multimodal.audio_snr_verified_neardup(
+                    aud, max_hamming=10, min_snr_db=40.0,
+                    prefilter=prefilter).where("verified").collect()}
+
+    assert a_edges("screen") == a_edges(None)
+    assert a_edges("auto") == a_edges(None)
+    a_sigs = multimodal._media_fp_pass(
+        aud, "audio_id", "ahash", multimodal.audio_energy_hash,
+        multimodal.decode_audio)
+    a_pairs = multimodal.banded_hamming_pairs(
+        a_sigs, "audio_id", "ahash", "aud_a", "aud_b", 10)
+    n_banded = a_pairs.count()
+    n_screened = multimodal.media_screened_pairs(
+        aud, a_pairs, 40.0, multimodal.AUDIO_SCREEN,
+        "audio_id", "aud_a", "aud_b").count()
+    assert 0 < n_screened < n_banded
+    aud.unpersist()
+
+    # (b)+(c) video: edge equality + pruning
+    vid = spark.createDataFrame([(i,) for i in range(24)], "doc_id long") \
+        .mapInPandas(multimodal.videos_for_keys(
+            dup_mod=8, variant_shifts=(0, 1, 4)),
+            multimodal.SYNTH_VIDEO_SCHEMA).cache()
+
+    def v_edges(prefilter):
+        return {(r["vid_a"], r["vid_b"]) for r in
+                multimodal.video_psnr_verified_neardup(
+                    vid, max_hamming=10, min_psnr=40.0,
+                    prefilter=prefilter).where("verified").collect()}
+
+    assert v_edges("screen") == v_edges(None)
+    v_sigs = multimodal._media_fp_pass(
+        vid, "video_id", "vhash", multimodal.video_temporal_hash,
+        multimodal.decode_video)
+    v_pairs = multimodal.banded_hamming_pairs(
+        v_sigs, "video_id", "vhash", "vid_a", "vid_b", 10)
+    assert 0 < multimodal.media_screened_pairs(
+        vid, v_pairs, 40.0, multimodal.VIDEO_SCREEN,
+        "video_id", "vid_a", "vid_b").count() < v_pairs.count()
+    vid.unpersist()
+
+
+def test_incremental_media_dedup_screen_equivalence(spark):
+    """The cross-table screen in incremental_audio/video_dedup must be
+    a pure prune: verdicts with the screen forced on (min_pairs=0),
+    auto, and off are identical."""
+    for mk, schema, fn in [
+        (multimodal.audios_for_keys(dup_mod=2, variant_shifts=(0, 4, 12)),
+         multimodal.SYNTH_AUDIO_SCHEMA, multimodal.incremental_audio_dedup),
+        (multimodal.videos_for_keys(dup_mod=2, variant_shifts=(0, 1, 4)),
+         multimodal.SYNTH_VIDEO_SCHEMA, multimodal.incremental_video_dedup),
+    ]:
+        old = spark.createDataFrame([(i,) for i in range(4)],
+                                    "doc_id long").mapInPandas(mk, schema)
+        new = spark.createDataFrame([(i,) for i in range(2, 10)],
+                                    "doc_id long").mapInPandas(mk, schema)
+
+        def verdicts(**kw):
+            return sorted(tuple(r) for r in fn(new, old, **kw).collect())
+
+        base = verdicts(prefilter=None)
+        assert verdicts(prefilter="screen") == base
+        assert verdicts(prefilter="auto", screen_min_pairs=0) == base
+        assert verdicts(prefilter="auto") == base
+        assert len(base) == 8
+
+
 def test_incremental_audio_dedup_exact_and_near_tiers(spark):
     """incremental_audio_dedup: byte-identical re-crawls hit the exact
     sha2 tier (the fixture the oracle's distinct-shift corpus cannot
