@@ -354,6 +354,35 @@ class Crawler:
         df.write.mode("append").parquet(self.store.round_dir("inject", r))
         return r
 
+    def inject_frontier(self, frontier: DataFrame) -> int:
+        """Wire-format injection: stage pre-built FRONTIER_SCHEMA rows
+        (e.g. ``sources.kafka_bridge.frontier_from_json`` of a
+        CrawlRequest topic — the reference's Kafka frontier,
+        queue/KafkaUrlQueue.java:47-56) for the next round, preserving
+        the wire's depth / parent_url / priority / retry_count /
+        timestamps instead of re-seeding at depth 0. Rows are
+        re-stamped to the target round; duplicate URLs within the
+        batch collapse to the deterministic min-metadata row (the
+        order-preserving-first analog of inject()'s batch dedup).
+        Everything downstream — URL-seen dedup, gates (a wire record
+        past max_depth is REJECTED, exactly as the reference's consumer
+        would drop it), politeness — is the normal round path."""
+        last = self.store.last_round()
+        if last is None:
+            raise RuntimeError("bootstrap(seeds) first")
+        r = last
+        meta = [f.name for f in FRONTIER_SCHEMA.fields
+                if f.name not in ("url", "round")]
+        df = (frontier
+              .groupBy("url")
+              .agg(F.min(F.struct(*meta)).alias("_m"))
+              .select("url", *[F.col(f"_m.{c}").alias(c) for c in meta],
+                      F.lit(r).cast("int").alias("round"))
+              .select(*[F.col(f.name).cast(f.dataType)
+                        for f in FRONTIER_SCHEMA.fields]))
+        df.write.mode("append").parquet(self.store.round_dir("inject", r))
+        return r
+
     def _frontier_empty(self, r: int) -> bool:
         """True iff frontier round r has no rows. Derived from the previous
         round's committed counts (discovered + deferred) when available —

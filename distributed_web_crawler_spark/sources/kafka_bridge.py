@@ -107,3 +107,42 @@ def frontier_from_json(values: DataFrame, round_no: int = 0,
         r["retryCount"].alias("retry_count"),
         ms(r["scheduledFor"]).alias("scheduled_for_ms"),
         F.lit(round_no).cast("int").alias("round"))
+
+
+def wire_inject_stream(crawler, topic_dir: str,
+                       checkpoint: str | None = None) -> int:
+    """DRIVE the bridge end-to-end without a broker: a file-backed
+    Structured Streaming source of CrawlRequest wire records (one JSON
+    value per line — exactly the ``value`` column a
+    ``readStream.format("kafka")`` source yields after the cast to
+    string) is parsed by ``frontier_from_json`` and staged into the
+    crawler via ``Crawler.inject_frontier`` per micro-batch. The
+    ``availableNow`` trigger drains the backlog and returns, so a batch
+    crawl can interleave: drain topic → run rounds → repeat — the same
+    consume-then-schedule loop as the reference's @KafkaListener
+    consumer (queue/KafkaUrlQueue.java:86-131), with the file source
+    standing in for the Kafka connector this container lacks (swap
+    ``readStream.text`` for ``readStream.format("kafka")`` + a value
+    cast on a cluster with the connector jars).
+
+    The checkpoint dir (default ``<topic_dir>_ckpt``) carries the
+    stream's source offsets, so re-invoking after new files land
+    consumes ONLY the new records — the committed-offset semantics of
+    the reference's manual ``ack.acknowledge()``. Returns the number of
+    wire records injected by THIS invocation."""
+    spark = crawler.spark
+    injected = {"n": 0}
+
+    def one_batch(df, _epoch_id) -> None:
+        injected["n"] += df.count()
+        crawler.inject_frontier(frontier_from_json(df))
+
+    q = (spark.readStream.text(topic_dir)
+         .writeStream
+         .foreachBatch(one_batch)
+         .option("checkpointLocation",
+                 checkpoint or topic_dir.rstrip("/") + "_ckpt")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return injected["n"]
