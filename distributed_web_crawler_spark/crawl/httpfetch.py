@@ -188,6 +188,18 @@ def _fetch_one(url: str, cfg: HttpFetcherConfig, pool: _ConnPool,
                 conn.request("GET", target, headers=headers)
                 resp = conn.getresponse()
                 body = resp.read(cfg.max_body_bytes + 1)
+                if (len(body) <= cfg.max_body_bytes
+                        and resp.length not in (None, 0)):
+                    # premature EOF: Content-Length promised more bytes
+                    # than the socket delivered. http.client's
+                    # read(amt) returns the SHORT body without raising,
+                    # so without this check a truncated transfer would
+                    # be stored as a complete page (Jsoup raises
+                    # IOException here — core/WebCrawler.java:324-331's
+                    # catch treats it as a failed fetch). The cap path
+                    # (len == max+1) legitimately leaves resp.length
+                    # unread and is handled below.
+                    raise http.client.IncompleteRead(body, resp.length)
                 break
             except (http.client.HTTPException, OSError, ValueError):
                 pool.drop(*key)
