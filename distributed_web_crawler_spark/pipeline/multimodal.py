@@ -227,9 +227,19 @@ def psnr_verified_neardup(images: DataFrame, max_hamming: int = 10,
     is unchanged but the output no longer carries a verdict row for
     every banded candidate — use the default for candidate-level
     accounting (phash_band_eval), the screen for edge consumers
-    (variant dedup / clustering / the training mixes)."""
+    (variant dedup / clustering / the training mixes).
+    ``prefilter="auto"`` runs the two-phase screen_gate (volume +
+    sampled-effectiveness probe) and screens only when it pays."""
+    if prefilter not in (None, "thumb", "auto"):
+        raise ValueError(f"prefilter must be None, 'thumb' or 'auto': "
+                         f"{prefilter!r}")
     pairs = phash_hamming_neardup(images, max_hamming)
-    if prefilter == "thumb":
+    use_screen = prefilter == "thumb"
+    if prefilter == "auto":
+        pairs, use_screen = screen_gate(
+            pairs, lambda p: thumb_screened_pairs(images, p, min_psnr),
+            min_pairs=20_000)
+    if use_screen:
         pairs = thumb_screened_pairs(images, pairs, min_psnr)
     payload = images.select("image_id", "bytes")
     cand = gather_pair_payloads(pairs, "img_a", "img_b", payload, payload,
@@ -370,20 +380,26 @@ def thumb_screened_pairs(images: DataFrame, pairs: DataFrame,
     leave on by default at any candidate volume. (At 10^10 the sig
     table is materialized next to the phash index and the semi-join
     prunes the index scan instead of the decode.)"""
+    # candidate-id lists are broadcast explicitly: the corpus side
+    # carries payload bytes, and a statically-planned shuffle join would
+    # move them at corpus volume — the exact exchange the screen exists
+    # to avoid (candidate ids ≫ broadcast ⇒ the sig table is the
+    # materialized index and this restriction prunes its scan instead)
     if images_b is None:
         ids = (pairs.select(F.col(a_col).alias("image_id"))
                .union(pairs.select(F.col(b_col).alias("image_id")))
                .distinct())
-        sigs = image_thumb_sigs(images.join(ids, "image_id", "left_semi"),
-                                t)
+        sigs = image_thumb_sigs(
+            images.join(F.broadcast(ids), "image_id", "left_semi"), t)
         sigs_b = sigs
     else:
         ids_a = pairs.select(F.col(a_col).alias("image_id")).distinct()
         ids_b = pairs.select(F.col(b_col).alias("image_id")).distinct()
         sigs = image_thumb_sigs(
-            images.join(ids_a, "image_id", "left_semi"), t)
+            images.join(F.broadcast(ids_a), "image_id", "left_semi"), t)
         sigs_b = image_thumb_sigs(
-            images_b.join(ids_b, "image_id", "left_semi"), t)
+            images_b.join(F.broadcast(ids_b), "image_id", "left_semi"),
+            t)
     cand = (
         gather_pair_payloads(pairs, a_col, b_col, sigs, sigs_b,
                              "image_id", F.struct("w", "h", "thumb"),
@@ -433,7 +449,7 @@ VARIANT_FMT_RANK = ("png", "jpeg", "jpeg16")
 
 def image_variant_dedup(images: DataFrame, max_hamming: int = 10,
                         min_psnr: float = 40.0,
-                        prefilter: str | None = "thumb") -> DataFrame:
+                        prefilter: str | None = "auto") -> DataFrame:
     """Variant-aware image dedup end-to-end: psnr_verified_neardup edges
     (phash banding proposes, decoded pixels confirm ≥ min_psnr) →
     connected components → ONE survivor per pixel group, preferring the
@@ -927,6 +943,38 @@ VIDEO_SCREEN = {"row": _video_screen_row,
                 "peak": 255.0}
 
 
+def screen_gate(pairs: DataFrame, screen_fn, min_pairs: int,
+                probe_pairs: int = 512,
+                max_keep_frac: float = 0.8) -> tuple[DataFrame, bool]:
+    """AQE-style two-phase runtime gate shared by every screen rung.
+    Returns (persisted pairs, engage?).
+
+    Phase 1 (volume): persist + count the banded candidate frame (the
+    count is reused by whichever pass runs next); below ``min_pairs``
+    the screen's ~6 fixed stages cannot pay for themselves.
+
+    Phase 2 (effectiveness): the Jensen bound's tightness is a RUNTIME
+    property — block-mean screens sit ~10·log10(px/block) dB above the
+    full PSNR for white quantization residue, so at large payloads with
+    uncorrelated residuals the screen proves nothing, while on small
+    payloads or codec-correlated residue it kills most of the candidate
+    stream. No config constant can know which corpus it is looking at,
+    so the gate MEASURES: screen a ``probe_pairs`` sample and engage
+    the full screen only if it keeps ≤ ``max_keep_frac`` of the probed
+    pairs (measured on this box: a screen keeping ~93% costs ~2× wall;
+    one keeping ≤50% repays its stages many times over in unsent
+    payload bytes). The probe decodes ≤ 2·probe_pairs items — O(probe),
+    never O(corpus). Output is identical either way (screens are
+    provably sound), so the gate is pure plan adaptation."""
+    pairs = pairs.persist()
+    n = pairs.count()
+    if n < min_pairs:
+        return pairs, False
+    probe = pairs.limit(probe_pairs)
+    kept = screen_fn(probe).count()
+    return pairs, kept <= max_keep_frac * min(n, probe_pairs)
+
+
 def media_screen_sigs(items: DataFrame, id_col: str, row_fn) -> DataFrame:
     """One decode per item → (id, m0..m3 meta ints, float32 block-mean
     signature): the screen tier's signature table. At 10^10 this is
@@ -966,22 +1014,26 @@ def media_screened_pairs(items: DataFrame, pairs: DataFrame,
     results. Sig computation is semi-join-restricted to ids that appear
     in the pairs (the image-screen lesson: Catalyst can't push a join
     below mapInPandas, so without this both corpora decode wholesale)."""
+    # broadcast the candidate-id lists — the item side carries payload
+    # bytes and must never shuffle for this semi join (see the image
+    # screen's identical note)
     if items_b is None:
         ids = (pairs.select(F.col(a_col).alias(id_col))
                .union(pairs.select(F.col(b_col).alias(id_col)))
                .distinct())
         sigs = media_screen_sigs(
-            items.join(ids, id_col, "left_semi"), id_col, screen["row"])
+            items.join(F.broadcast(ids), id_col, "left_semi"), id_col,
+            screen["row"])
         sigs_b = sigs
     else:
         ids_a = pairs.select(F.col(a_col).alias(id_col)).distinct()
         ids_b = pairs.select(F.col(b_col).alias(id_col)).distinct()
         sigs = media_screen_sigs(
-            items.join(ids_a, id_col, "left_semi"), id_col,
+            items.join(F.broadcast(ids_a), id_col, "left_semi"), id_col,
             screen["row"])
         sigs_b = media_screen_sigs(
-            items_b.join(ids_b, id_col, "left_semi"), id_col,
-            screen["row"])
+            items_b.join(F.broadcast(ids_b), id_col, "left_semi"),
+            id_col, screen["row"])
 
     cand = (
         gather_pair_payloads(pairs, a_col, b_col, sigs, sigs_b, id_col,
@@ -1059,8 +1111,11 @@ def _verified_pairs(items: DataFrame, id_col: str, a_col: str,
                                  max_hamming)
     use_screen = prefilter == "screen"
     if prefilter == "auto":
-        pairs = pairs.persist()
-        use_screen = pairs.count() >= screen_min_pairs
+        pairs, use_screen = screen_gate(
+            pairs,
+            lambda p: media_screened_pairs(items, p, min_bar, screen,
+                                           id_col, a_col, b_col),
+            min_pairs=screen_min_pairs)
     if use_screen:
         pairs = media_screened_pairs(items, pairs, min_bar, screen,
                                      id_col, a_col, b_col)
@@ -1137,8 +1192,12 @@ def _incremental_media_dedup(new_items: DataFrame, old_items: DataFrame,
                                  max_hamming)
     use_screen = prefilter == "screen"
     if prefilter == "auto":
-        pairs = pairs.persist()
-        use_screen = pairs.count() >= screen_min_pairs
+        pairs, use_screen = screen_gate(
+            pairs,
+            lambda p: media_screened_pairs(
+                survivors, p, min_bar, screen, id_col, "med_a", "med_b",
+                items_b=old_items.select(id_col, "bytes")),
+            min_pairs=screen_min_pairs)
     if use_screen:
         pairs = media_screened_pairs(
             survivors, pairs, min_bar, screen, id_col, "med_a", "med_b",
@@ -1714,18 +1773,27 @@ def _mix_stages(images: DataFrame, max_hamming: int, min_psnr: float,
         # (map-only, schema-preserving — the ladder shape is unchanged)
         images = image_meta_scrub(images)
     curation = image_curation(images)
+    # Every ladder rung is a semi join of the BYTE-LADEN corpus against
+    # a slim id list. The id side descends from mapInPandas (no stats),
+    # so left alone the planner shuffles the corpus — payload bytes
+    # crossing an exchange once PER RUNG (measured 522 MB × rung at
+    # 16k images). Broadcast the id list explicitly: bytes then never
+    # shuffle, each rung is map-side. At 10^10 the rung id lists exceed
+    # broadcast and the lakehouse answer is storage-bucketing both
+    # sides on image_id (the gather_pair_payloads regime note).
     kept = images.join(
-        curation.where(F.col("keep")).select("image_id"),
+        F.broadcast(curation.where(F.col("keep")).select("image_id")),
         "image_id", "left_semi")
     payload_winners = (
         kept.select(F.sha2("bytes", 256).alias("payload_fp"), "image_id")
         .groupBy("payload_fp")
         .agg(F.min("image_id").alias("image_id"))
         .select("image_id"))
-    uniq = kept.join(payload_winners, "image_id", "left_semi")
+    uniq = kept.join(F.broadcast(payload_winners), "image_id",
+                     "left_semi")
     survivors = (image_variant_dedup(uniq, max_hamming, min_psnr)
                  .where(F.col("keep")).select("image_id"))
-    final = images.join(survivors, "image_id", "left_semi")
+    final = images.join(F.broadcast(survivors), "image_id", "left_semi")
     return {
         "curation": curation,
         "curated": kept,
@@ -1815,18 +1883,13 @@ def incremental_image_dedup(new_images: DataFrame,
 
     ``prefilter`` controls the thumbnail screen rung between banding
     and the payload gather: "thumb" always screens, None never does,
-    and "auto" (DEFAULT) counts the banded candidate pairs (the probe
-    frame is persisted, so the count is reused by the real pass — an
-    AQE-style runtime-stats decision) and engages the screen only at
-    ``screen_min_pairs`` or more. Rationale: the screen's win is
-    BANDWIDTH (≈1 KB sigs instead of 15-35 KB payloads at candidate
-    volume) but it costs ~6 fixed stages plus one decode per candidate
-    id, so below ~10⁴ pairs it loses to just gathering the bytes —
-    measured 4.8 s vs 2.6 s at sf0.1's ~500-pair probe, while the
-    self-join tier at real candidate volume measured +43% throughput
-    WITH the screen (BENCH_scaling_mix_r4). Output is identical either
-    way (the screen is provably sound), so the gate is a pure runtime
-    decision.
+    and "auto" (DEFAULT) runs the two-phase ``screen_gate`` — a volume
+    check (below ``screen_min_pairs`` the screen's fixed stages can't
+    pay; measured 4.8 s vs 2.6 s at sf0.1's ~500-pair probe) followed
+    by a sampled-effectiveness probe (screen 512 pairs, engage only if
+    it discriminates — see screen_gate's physics note). Output is
+    identical in every mode (the screen is provably sound), so the
+    gate is pure plan adaptation.
 
     Returns one row per new image: (image_id, keep, match_kind
     'exact'|'psnr'|null, matched_old, hamming, psnr_db). hamming/psnr
@@ -1851,8 +1914,11 @@ def incremental_image_dedup(new_images: DataFrame,
         "image_id", "old_id", "phash", "img_a", "img_b", max_hamming)
     use_screen = prefilter == "thumb"
     if prefilter == "auto":
-        probe_pairs = probe_pairs.persist()
-        use_screen = probe_pairs.count() >= screen_min_pairs
+        probe_pairs, use_screen = screen_gate(
+            probe_pairs,
+            lambda p: thumb_screened_pairs(survivors, p, min_psnr,
+                                           images_b=old_images),
+            min_pairs=screen_min_pairs)
     if use_screen:
         # cross-table thumbnail screen: provably non-verifiable
         # candidates die on ~1 KB sigs before any payload byte moves
