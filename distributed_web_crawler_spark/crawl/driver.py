@@ -222,6 +222,65 @@ def clear_stop(root: str) -> bool:
         return False
 
 
+def _pending_urls_path(root: str) -> str:
+    return os.path.join(_control_dir(root), "pending_urls.jsonl")
+
+
+def enqueue_urls(root: str, urls: list[str]) -> int:
+    """Cross-process anytime-enqueue — the POST /api/crawler/urls analog
+    (reference controller/CrawlerController.java:82-134 →
+    KafkaUrlQueue.enqueue): append URLs to the store's pending file with
+    a single O_APPEND write (atomic for one writer call; concurrent
+    writers interleave whole records, never bytes). No SparkSession
+    needed — the crawl loop consumes the file at its next round barrier
+    and stages the batch through the normal durable inject path.
+    Returns the number of URLs appended."""
+    d = _control_dir(root, create=True)
+    buf = "".join(json.dumps({"url": u, "ts": time.time()}) + "\n"
+                  for u in urls)
+    fd = os.open(_pending_urls_path(root),
+                 os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
+    try:
+        os.write(fd, buf.encode())
+    finally:
+        os.close(fd)
+    return len(urls)
+
+
+def _take_pending_urls(root: str) -> tuple[list[str], list[str]]:
+    """Claim the pending-URLs file (and any consuming-* leftovers from a
+    crashed claim) for this process: atomic rename, so appends racing
+    with the claim land in a fresh pending file for the next barrier.
+    Returns (urls in arrival order, claimed file paths). Caller must
+    stage the batch DURABLY (Crawler.inject) before removing the files —
+    a crash in between re-consumes the same claim idempotently (inject
+    rows dedup on url at round consumption)."""
+    d = _control_dir(root)
+    if not os.path.isdir(d):
+        return [], []
+    taken = [os.path.join(d, n) for n in sorted(os.listdir(d))
+             if n.startswith("consuming-")]
+    p = _pending_urls_path(root)
+    if os.path.exists(p):
+        tgt = os.path.join(d, f"consuming-{os.getpid()}-{time.time_ns()}")
+        os.replace(p, tgt)
+        taken.append(tgt)
+    urls: list[str] = []
+    for path in taken:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    u = json.loads(line).get("url")
+                except ValueError:
+                    continue
+                if isinstance(u, str) and u:
+                    urls.append(u)
+    return list(dict.fromkeys(urls)), taken
+
+
 def _write_heartbeat(root: str, round_no: int) -> None:
     d = _control_dir(root, create=True)
     tmp = os.path.join(d, ".heartbeat.tmp")
@@ -620,6 +679,17 @@ class Crawler:
                 break
             if root is not None:
                 _write_heartbeat(root, r)
+                # anytime-enqueue handshake (enqueue_urls / the HTTP
+                # API's POST /api/crawler/urls): claim the pending file
+                # atomically, stage the batch through the DURABLE inject
+                # path, then drop the claim — a crash between stage and
+                # drop re-consumes the identical batch (inject rows
+                # dedup on url), so no URL is lost or double-crawled.
+                pend_urls, claimed = _take_pending_urls(root)
+                if pend_urls:
+                    self.inject(pend_urls)
+                for path in claimed:
+                    os.remove(path)
             frontier = self.store.read(self.spark, "frontier", [r])
             if frontier is None:
                 if not self.store.exists("inject", r):
